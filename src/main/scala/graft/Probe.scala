@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Probe {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      ev.printSchema()
+      ev.show(3, false)
+    } catch { case e: Throwable => println("READ FAILED: " + e.toString.take(500)) }
+    spark.stop()
+  }
+}
