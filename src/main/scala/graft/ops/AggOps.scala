@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Aggregations (SURVEY.md §2.4).
+  *
+  * Exact HashSet bookkeeping in the reference becomes partial-aggregating
+  * groupBys (map-side combine for free); the dedup-largest pick is a
+  * partition-local window, never a global sort.
+  */
+object AggOps {
+
+  /** `deduplicate` — among duplicate candidates keep the one covering the
+    * most (reference: src/command/verify.rs:373-404). Window rank
+    * partitioned by the group key; sort covers every output column so ties
+    * are value-identical.
+    */
+  val aggDedupLargest: Op = Op.sql(
+    "agg-dedup-largest",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_quantity DESC, l_linenumber DESC, l_partkey DESC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity").desc, col("l_linenumber").desc, col("l_partkey").desc)
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  /** Per-kind processed counters (reference: src/command/verify.rs:62-96). */
+  val aggVerifyStat: Op = Op.sql(
+    "agg-verify-stat",
+    """SELECT event_type, count(*) AS processed, round(sum(value), 2) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("processed"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** Duplicate-height detection (reference: src/command/verify.rs:832-836). */
+  val aggDupHeight: Op = Op.sql(
+    "agg-dup-height",
+    """SELECT l_orderkey AS height, count(*) AS n
+      |FROM lineitem GROUP BY height HAVING count(*) > 1 ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("height"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("height")
+  }
+
+  /** Duplicate-txid detection (reference: src/command/verify.rs:689-692). */
+  val aggDupTxid: Op = Op.sql(
+    "agg-dup-txid",
+    """SELECT md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))) AS txid,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY txid HAVING count(*) > 1 ORDER BY txid""".stripMargin
+  ) { (s, d) =>
+    val txid = md5(concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string")))
+    Tables.lineitem(s, d)
+      .groupBy(txid.as("txid"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("txid")
+  }
+
+  /** Current chain head (reference: src/blockchain/mock.rs:198-204). */
+  val aggMaxHeight: Op = Op.sql(
+    "agg-max-height",
+    "SELECT max(o_orderkey) AS head FROM orders"
+  ) { (s, d) =>
+    Tables.orders(s, d).agg(max("o_orderkey").as("head"))
+  }
+
+  /** Sliding/tumbling throughput windows (reference: src/progress.rs:135-181)
+    * — hourly buckets over epoch-nanos with count/sum/distinct users.
+    */
+  val aggThroughput: Op = Op.sql(
+    "agg-throughput",
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      |       count(*) AS n, round(sum(value), 2) AS total,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("hour_bucket")
+  }
+
+  /** Counter + histogram metrics by kind×direction (reference:
+    * src/metrics/archive.rs:14-84) — width_bucket-style floor histogram.
+    */
+  val aggMetrics: Op = Op.sql(
+    "agg-metrics",
+    """SELECT event_type AS kind,
+      |       CASE WHEN user_id % 2 = 0 THEN 'in' ELSE 'out' END AS direction,
+      |       CAST(floor(value / 50) AS BIGINT) AS bucket,
+      |       count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY kind, direction, bucket
+      |ORDER BY kind, direction, bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        col("event_type").as("kind"),
+        when(col("user_id") % 2 === 0, lit("in")).otherwise(lit("out")).as("direction"),
+        floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("kind", "direction", "bucket")
+  }
+
+  val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
+    aggDupTxid, aggMaxHeight, aggThroughput, aggMetrics)
+}

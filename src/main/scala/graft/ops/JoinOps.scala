@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Joins / set operations (SURVEY.md §2.3).
+  *
+  * The reference's completeness and reconciliation logic is hand-rolled
+  * HashSet bookkeeping; here every check is a shuffle-partitioned anti/semi
+  * join or a groupBy — sort-merge/broadcast picked by Catalyst+AQE.
+  */
+object JoinOps {
+
+  /** Reconcile found txids against the declared set: unexpected, missing
+    * and duplicate entries (reference: src/command/verify.rs:648-779).
+    * orders (filtered) plays the declared block→tx list; lineitem plays the
+    * archived tx files.
+    */
+  val joinTxExpected: Op = Op.sql(
+    "join-tx-expected",
+    """WITH declared AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT 'unexpected' AS issue, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM declared)
+      |UNION ALL
+      |SELECT 'missing' AS issue, o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2
+      |FROM declared WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+      |UNION ALL
+      |SELECT 'duplicate' AS issue, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2
+      |FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+      |ORDER BY issue, k1, k2""".stripMargin
+  ) { (s, d) =>
+    val declared = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(s, d)
+    val unexpected = li
+      .join(declared.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_anti")
+      .select(lit("unexpected").as("issue"), col("l_orderkey").as("k1"),
+        col("l_linenumber").cast("long").as("k2"))
+    val missing = declared
+      .join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .select(lit("missing").as("issue"), col("o_orderkey").as("k1"),
+        lit(null).cast("long").as("k2"))
+    val dups = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1)
+      .select(lit("duplicate").as("issue"), col("l_orderkey").as("k1"),
+        col("l_linenumber").cast("long").as("k2"))
+    unexpected.union(missing).union(dups).orderBy("issue", "k1", "k2")
+  }
+
+  /** Group per-range files of the three kinds into one row — pivot
+    * (reference: src/archiver/range_group.rs:44-128). Counts > 1 flag
+    * duplicates, 0 flags a missing kind.
+    */
+  val groupTables: Op = Op.sql(
+    "group-tables",
+    """SELECT CAST(floor(event_id / 100) AS BIGINT) AS bucket,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val kinds = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, d)
+      .groupBy(floor(col("event_id") / 100).cast("long").as("bucket"))
+      .pivot("event_type", kinds)
+      .count()
+    kinds.foldLeft(pivoted) { (df, k) =>
+      df.withColumn(s"n_$k", coalesce(col(k), lit(0L))).drop(k)
+    }.orderBy("bucket")
+  }
+
+  /** `remove_forks` — keep only the record matching the canonical hash per
+    * height (reference: src/command/verify.rs:328-369). Canonical = latest
+    * ts per (user_id, event_type); the canonical side is tiny → broadcast.
+    */
+  val semiJoinFork: Op = Op.sql(
+    "semi-join-fork",
+    """WITH canon AS (
+      |  SELECT user_id, event_type, max(epoch_us(ts)) AS ts_us
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT e.user_id, e.event_type, e.event_id, epoch_us(e.ts) AS ts_us
+      |FROM events e
+      |JOIN canon c ON e.user_id = c.user_id AND e.event_type = c.event_type
+      |            AND epoch_us(e.ts) = c.ts_us
+      |ORDER BY e.user_id, e.event_type, e.event_id""".stripMargin
+  ) { (s, d) =>
+    // DuckDB's parquet reader truncates TIMESTAMP(NANOS) to micros, so the
+    // comparable timestamp grain across engines is epoch-micros.
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val canon = ev.groupBy("user_id", "event_type").agg(max("ts_us").as("ts_us"))
+    ev.join(broadcast(canon), Seq("user_id", "event_type", "ts_us"))
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
+  /** `Range::cut` / `RangeBag::remove` — subtract [500, 800] from the
+    * archived islands (reference: src/archiver/range.rs:197-213).
+    */
+  val intervalSubtract: Op = Op.sql(
+    "interval-subtract",
+    """WITH arch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0),
+      |flags AS (SELECT k, CASE WHEN lag(k) OVER (ORDER BY k) IS NULL
+      |                          OR k - lag(k) OVER (ORDER BY k) > 1
+      |                         THEN 1 ELSE 0 END AS brk FROM arch),
+      |isl AS (SELECT k, sum(brk) OVER (ORDER BY k) AS g FROM flags),
+      |iv AS (SELECT min(k) AS s, max(k) AS e FROM isl GROUP BY g)
+      |SELECT s, least(e, 499) AS e FROM iv WHERE s <= least(e, 499)
+      |UNION ALL
+      |SELECT greatest(s, 801) AS s, e FROM iv WHERE greatest(s, 801) <= e
+      |ORDER BY s, e""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+    val iv = Intervals.islands(arch, "o_orderkey")
+    Intervals.subtract(iv, 500L, 800L).orderBy("s", "e")
+  }
+
+  /** `RangeBag::compact` — union of intersecting/adjacent ranges as
+    * gaps-and-islands (reference: src/archiver/range_bag.rs:53-86), via the
+    * two-phase parallel islands in [[Intervals]].
+    */
+  val intervalUnion: Op = Op.sql(
+    "interval-union",
+    """WITH arch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0),
+      |flags AS (SELECT k, CASE WHEN lag(k) OVER (ORDER BY k) IS NULL
+      |                          OR k - lag(k) OVER (ORDER BY k) > 1
+      |                         THEN 1 ELSE 0 END AS brk FROM arch),
+      |isl AS (SELECT k, sum(brk) OVER (ORDER BY k) AS g FROM flags)
+      |SELECT min(k) AS s, max(k) AS e, count(*) AS len
+      |FROM isl GROUP BY g ORDER BY s""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+    Intervals.islands(arch, "o_orderkey")
+      .withColumn("len", col("e") - col("s") + 1)
+      .orderBy("s")
+  }
+
+  /** Concatenate the singles and ranges listings into one sorted stream
+    * (reference: src/storage/objects.rs:79-98, sorted_files.rs:6-44).
+    */
+  val unionListings: Op = Op.sql(
+    "union-listings",
+    """WITH singles AS (
+      |  SELECT 'single' AS shape, o_orderkey AS start_h, o_orderkey AS end_h,
+      |         concat(lpad(CAST(o_orderkey AS VARCHAR), 9, '0'), '.block.avro') AS file
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |ranges AS (
+      |  SELECT DISTINCT 'range' AS shape,
+      |         CAST(floor(o_orderkey / 100) AS BIGINT) * 100 AS start_h,
+      |         CAST(floor(o_orderkey / 100) AS BIGINT) * 100 + 99 AS end_h,
+      |         concat('range-', lpad(CAST(CAST(floor(o_orderkey / 100) AS BIGINT) * 100 AS VARCHAR), 9, '0'),
+      |                '_', lpad(CAST(CAST(floor(o_orderkey / 100) AS BIGINT) * 100 + 99 AS VARCHAR), 9, '0'),
+      |                '.blocks.avro') AS file
+      |  FROM orders)
+      |SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM ranges)
+      |ORDER BY start_h, end_h, file""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val singles = o.filter(col("o_orderkey") % 5 === 0).select(
+      lit("single").as("shape"),
+      col("o_orderkey").as("start_h"),
+      col("o_orderkey").as("end_h"),
+      concat(lpad(col("o_orderkey").cast("string"), 9, "0"), lit(".block.avro")).as("file"))
+    val chunk = floor(col("o_orderkey") / 100).cast("long") * 100
+    val ranges = o.select(
+      lit("range").as("shape"),
+      chunk.as("start_h"),
+      (chunk + 99).as("end_h"),
+      concat(lit("range-"), lpad(chunk.cast("string"), 9, "0"), lit("_"),
+        lpad((chunk + 99).cast("string"), 9, "0"), lit(".blocks.avro")).as("file"))
+      .distinct()
+    singles.union(ranges).orderBy("start_h", "end_h", "file")
+  }
+
+  /** `DataTables::intersect` — set intersection of requested kinds
+    * (reference: src/archiver/datakind.rs:76-79), as a key-set intersect.
+    */
+  val intersectTables: Op = Op.sql(
+    "intersect-tables",
+    """SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+      |INTERSECT
+      |SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0
+      |ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey").as("k"))
+      .intersect(o.filter(col("o_orderkey") % 3 === 0).select(col("o_orderkey").as("k")))
+      .orderBy("k")
+  }
+
+  val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
+    intervalSubtract, intervalUnion, unionListings, intersectTables)
+}
