@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Chunking / partitioning / physical-layout ops (SURVEY.md §2.6).
+  *
+  * Chunks align to absolute boundaries (start at 0, not at range start) so
+  * compaction output is reproducible and prunable — same invariant as the
+  * reference (src/archiver/range.rs:220-261).
+  */
+object ChunkOps {
+
+  /** Split a range into chunk_size pieces aligned to absolute boundaries;
+    * flag whether each piece is a full boundary-to-boundary chunk
+    * (reference: src/archiver/range.rs:220-261).
+    */
+  val splitChunks: Op = Op.sql(
+    "split-chunks",
+    """WITH bounds AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+      |               FROM orders WHERE o_orderkey % 7 <> 0),
+      |ch AS (SELECT DISTINCT CAST(floor(o_orderkey / 100) AS BIGINT) AS chunk
+      |       FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT chunk,
+      |       greatest(chunk * 100, mn) AS start_h,
+      |       least(chunk * 100 + 99, mx) AS end_h,
+      |       (greatest(chunk * 100, mn) = chunk * 100
+      |        AND least(chunk * 100 + 99, mx) = chunk * 100 + 99) AS aligned
+      |FROM ch CROSS JOIN bounds ORDER BY chunk""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+    val bounds = arch.agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+    arch.select(floor(col("o_orderkey") / 100).cast("long").as("chunk")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("chunk"),
+        greatest(col("chunk") * 100, col("mn")).as("start_h"),
+        least(col("chunk") * 100 + 99, col("mx")).as("end_h"),
+        (greatest(col("chunk") * 100, col("mn")) === col("chunk") * 100 &&
+          least(col("chunk") * 100 + 99, col("mx")) === col("chunk") * 100 + 99).as("aligned"))
+      .orderBy("chunk")
+  }
+
+  /** Two-level directory layout L1=1e6, L2=1e3 + full path per height
+    * (reference: src/archiver/filenames.rs:110-135). On write this becomes
+    * `partitionBy("l1","l2")` → Catalyst partition pruning on read.
+    */
+  val partitionLayout: Op = Op.sql(
+    "partition-layout",
+    """SELECT o_orderkey AS height,
+      |       CAST(floor(o_orderkey / 1000000) AS BIGINT) * 1000000 AS l1,
+      |       CAST(floor(o_orderkey / 1000) AS BIGINT) * 1000 AS l2,
+      |       concat(lpad(CAST(CAST(floor(o_orderkey / 1000000) AS BIGINT) * 1000000 AS VARCHAR), 9, '0'), '/',
+      |              lpad(CAST(CAST(floor(o_orderkey / 1000) AS BIGINT) * 1000 AS VARCHAR), 9, '0'), '/',
+      |              lpad(CAST(o_orderkey AS VARCHAR), 9, '0'), '.block.avro') AS path
+      |FROM orders ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val h = col("o_orderkey")
+    val l1 = floor(h / 1000000).cast("long") * 1000000
+    val l2 = floor(h / 1000).cast("long") * 1000
+    Tables.orders(s, d).select(
+      h.as("height"), l1.as("l1"), l2.as("l2"),
+      concat(
+        lpad(l1.cast("string"), 9, "0"), lit("/"),
+        lpad(l2.cast("string"), 9, "0"), lit("/"),
+        lpad(h.cast("string"), 9, "0"), lit(".block.avro")).as("path"))
+      .orderBy("height")
+  }
+
+  /** Idempotent-restart work avoidance: planned heights minus already
+    * existing ones (reference: src/storage/objects.rs:46-55,
+    * src/command/fix.rs:45-49). spark.range keeps the planned side
+    * distributed.
+    */
+  val skipExisting: Op = Op.sql(
+    "skip-existing",
+    """SELECT g AS height FROM (
+      |  SELECT unnest(generate_series(0, 499)) AS g) t
+      |WHERE g NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val existing = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("height"))
+    s.range(0, 500).toDF("height")
+      .join(existing, Seq("height"), "left_anti")
+      .orderBy("height")
+  }
+
+  /** Compaction decision per aligned chunk: merge only when the chunk
+    * verifies complete, else leave sources in place (reference:
+    * src/command/compact.rs:44-244). The physical rewrite lives in
+    * graft.archive.Compaction; this is its decision plan.
+    */
+  val compactRange: Op = Op.sql(
+    "compact-range",
+    """WITH arch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT CAST(floor(k / 100) AS BIGINT) AS chunk, count(*) AS n,
+      |       CASE WHEN count(*) = 100 THEN 'compact' ELSE 'skip' END AS action
+      |FROM arch GROUP BY chunk ORDER BY chunk""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+      .groupBy(floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("action", when(col("n") === 100, lit("compact")).otherwise(lit("skip")))
+      .orderBy("chunk")
+  }
+
+  /** Fan-out fetch parallelism becomes partition parallelism
+    * (reference: src/archiver/block.rs:36-60, src/global.rs:59-97):
+    * repartition by chunk, per-partition work, aggregate.
+    */
+  val parallelFetch: Op = Op.sql(
+    "parallel-fetch",
+    """SELECT CAST(floor(o_orderkey / 100) AS BIGINT) AS chunk, count(*) AS n
+      |FROM orders GROUP BY chunk ORDER BY chunk""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .repartition(col("o_orderkey") % 16)
+      .groupBy(floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("chunk")
+  }
+
+  /** Delete candidates: single files fully covered by a range file
+    * (reference: src/command/verify.rs:270-303 drives deletion from
+    * verdict rows; here the verdict is coverage).
+    */
+  val deleteFiles: Op = Op.sql(
+    "delete-files",
+    """WITH singles AS (
+      |  SELECT o_orderkey AS h,
+      |         concat(lpad(CAST(o_orderkey AS VARCHAR), 9, '0'), '.block.avro') AS file
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |full_chunks AS (
+      |  SELECT CAST(floor(o_orderkey / 100) AS BIGINT) AS chunk
+      |  FROM orders GROUP BY chunk HAVING count(*) = 100)
+      |SELECT s.h AS height, s.file
+      |FROM singles s
+      |WHERE CAST(floor(s.h / 100) AS BIGINT) IN (SELECT chunk FROM full_chunks)
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val singles = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("height"),
+        concat(lpad(col("o_orderkey").cast("string"), 9, "0"), lit(".block.avro")).as("file"),
+        floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+    val fullChunks = o
+      .groupBy(floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 100)
+      .select("chunk")
+    singles.join(broadcast(fullChunks), Seq("chunk"), "left_semi")
+      .select("height", "file")
+      .orderBy("height")
+  }
+
+  /** Dry-run: same plan as delete-files, suppressed side effects, summary
+    * counters only (reference: src/global.rs:48-57).
+    */
+  val dryRun: Op = Op.sql(
+    "dry-run",
+    """WITH singles AS (
+      |  SELECT o_orderkey AS h FROM orders WHERE o_orderkey % 5 = 0),
+      |full_chunks AS (
+      |  SELECT CAST(floor(o_orderkey / 100) AS BIGINT) AS chunk
+      |  FROM orders GROUP BY chunk HAVING count(*) = 100)
+      |SELECT count(*) AS would_delete
+      |FROM singles WHERE CAST(floor(h / 100) AS BIGINT) IN (SELECT chunk FROM full_chunks)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val singles = o.filter(col("o_orderkey") % 5 === 0)
+      .select(floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+    val fullChunks = o
+      .groupBy(floor(col("o_orderkey") / 100).cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 100)
+      .select("chunk")
+    singles.join(broadcast(fullChunks), Seq("chunk"), "left_semi")
+      .agg(count(lit(1)).as("would_delete"))
+  }
+
+  val ops: Seq[Op] = Seq(splitChunks, partitionLayout, skipExisting,
+    compactRange, parallelFetch, deleteFiles, dryRun)
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+
+/** Sorts / limits / top-k / windows (SURVEY.md §2.5).
+  *
+  * The chain-link check is deliberately a self-equi-join on (height = height+1)
+  * rather than a global-order `lag` window: the join shuffles by height and
+  * scales to any cluster width, while a single un-partitioned window funnels
+  * everything through one task (reference semantics:
+  * src/blockchain/block_seq.rs:58-180).
+  */
+object WindowOps {
+
+  /** Restore height order after parallel fetches
+    * (reference: src/archiver/block.rs:62-72).
+    */
+  val sortByHeight: Op = Op.sql(
+    "sort-by-height",
+    "SELECT o_orderkey AS height, o_totalprice FROM orders ORDER BY height"
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("height"), col("o_totalprice"))
+      .orderBy("height")
+  }
+
+  /** k-way merge of sorted streams (reference: src/storage/sorted_files.rs:6-44)
+    * — Spark's sort-merge does the interleave; the tag keeps provenance.
+    */
+  val mergeSorted: Op = Op.sql(
+    "merge-sorted",
+    """SELECT * FROM (
+      |  SELECT 'even' AS src, o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'odd' AS src, o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY k, src""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val even = o.filter(col("o_orderkey") % 2 === 0)
+      .select(lit("even").as("src"), col("o_orderkey").as("k"))
+    val odd = o.filter(col("o_orderkey") % 2 === 1)
+      .select(lit("odd").as("src"), col("o_orderkey").as("k"))
+    even.union(odd).orderBy("k", "src")
+  }
+
+  /** `max_by_key(range.len)` among duplicates → top-k per group
+    * (reference: src/command/verify.rs:385-387). The sort covers every
+    * output column, so tie groups are value-identical across engines.
+    */
+  val topkLargestGroup: Op = Op.sql(
+    "topk-largest-group",
+    """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber FROM (
+      |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 3 ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** `--tail N` — last N heights below head−4 (reference:
+    * src/archiver/blocks_config.rs:28-45). The head scalar stays in the
+    * plan via a broadcast cross-join, no driver round-trip.
+    */
+  val tailN: Op = Op.sql(
+    "tail-n",
+    """SELECT o_orderkey AS height, o_totalprice
+      |FROM orders CROSS JOIN (SELECT max(o_orderkey) AS head FROM orders)
+      |WHERE o_orderkey BETWEEN head - 4 - 100 AND head - 4
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val head = o.agg(max("o_orderkey").as("head"))
+    o.crossJoin(broadcast(head))
+      .filter(col("o_orderkey").between(col("head") - 4 - 100, col("head") - 4))
+      .select(col("o_orderkey").as("height"), col("o_totalprice"))
+      .orderBy("height")
+  }
+
+  /** Block-sequence check: every parentId equals the previous height's
+    * blockId (reference: src/blockchain/block_seq.rs:58-180,
+    * src/command/verify.rs:858-896). Breaks are planted at h%50==0
+    * (corrupted hash) and at the %7 gaps.
+    */
+  val winChainLink: Op = Op.sql(
+    "win-chain-link",
+    """WITH b AS (
+      |  SELECT o_orderkey AS h,
+      |         CASE WHEN o_orderkey % 50 = 0
+      |              THEN md5(concat('x', CAST(o_orderkey AS VARCHAR)))
+      |              ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS blockId,
+      |         md5(CAST(o_orderkey - 1 AS VARCHAR)) AS parentId
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT b.h AS height,
+      |       (p.blockId IS NOT NULL AND b.parentId = p.blockId) AS linked
+      |FROM b LEFT JOIN b p ON b.h = p.h + 1
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val blocks = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("h"),
+        when(col("o_orderkey") % 50 === 0,
+          md5(concat(lit("x"), col("o_orderkey").cast("string"))))
+          .otherwise(md5(col("o_orderkey").cast("string"))).as("blockId"),
+        md5((col("o_orderkey") - 1).cast("string")).as("parentId"))
+    val prev = blocks.select((col("h") + 1).as("h"), col("blockId").as("prevBlockId"))
+    blocks.join(prev, Seq("h"), "left")
+      .select(col("h").as("height"),
+        (col("prevBlockId").isNotNull && col("parentId") === col("prevBlockId")).as("linked"))
+      .orderBy("height")
+  }
+
+  /** Missing-height reporting as gap intervals between islands
+    * (reference: src/command/verify.rs:869-877). The window runs over
+    * island rows (already reduced), not raw heights.
+    */
+  val winGapDetect: Op = Op.sql(
+    "win-gap-detect",
+    """WITH arch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0),
+      |flags AS (SELECT k, CASE WHEN lag(k) OVER (ORDER BY k) IS NULL
+      |                          OR k - lag(k) OVER (ORDER BY k) > 1
+      |                         THEN 1 ELSE 0 END AS brk FROM arch),
+      |isl AS (SELECT k, sum(brk) OVER (ORDER BY k) AS g FROM flags),
+      |iv AS (SELECT min(k) AS s, max(k) AS e FROM isl GROUP BY g)
+      |SELECT e + 1 AS gap_start, next_s - 1 AS gap_end, next_s - 1 - e AS gap_len
+      |FROM (SELECT s, e, lead(s) OVER (ORDER BY s) AS next_s FROM iv) t
+      |WHERE next_s IS NOT NULL ORDER BY gap_start""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+    val iv = Intervals.islands(arch, "o_orderkey")
+    val w = Window.orderBy("s")
+    iv.withColumn("next_s", lead("s", 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select(
+        (col("e") + 1).as("gap_start"),
+        (col("next_s") - 1).as("gap_end"),
+        (col("next_s") - 1 - col("e")).as("gap_len"))
+      .orderBy("gap_start")
+  }
+
+  /** `get_head` — highest height having exactly one candidate
+    * (reference: src/blockchain/block_seq.rs:141-150).
+    */
+  val winHeadSelect: Op = Op.sql(
+    "win-head-select",
+    """SELECT max(h) AS head FROM (
+      |  SELECT l_orderkey AS h FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1) t""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+      .agg(max("h").as("head"))
+  }
+
+  val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
+    winChainLink, winGapDetect, winHeadSelect)
+}
