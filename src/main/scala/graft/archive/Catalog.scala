@@ -1,0 +1,74 @@
+package graft.archive
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-catalog operations (reference: src/storage/mod.rs:231-258 — the
+  * `FileReference` (path, kind, range) stream, and the per-level listings
+  * in src/storage/objects.rs:79-168 / fs.rs:62-132).
+  *
+  * In Spark the catalog is itself a DataFrame; lexicographic-offset listing
+  * and early exit become partition pruning once l1/l2 are partition
+  * directories (SURVEY.md §4).
+  */
+object Catalog {
+
+  /** Catalog of archive files under a partitioned parquet layout: one row
+    * per file with (path, file, kind, start_h, end_h, fork_hash), ordered
+    * by range start like the reference's merged listing stream.
+    */
+  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.parquet(dir)
+      .select(input_file_name().as("path"))
+      .distinct()
+    withParsedNames(files)
+  }
+
+  /** Parse catalog columns out of a `path` column. */
+  def withParsedNames(files: DataFrame): DataFrame = {
+    val base = regexp_extract(col("path"), "([^/]+)$", 1)
+    files
+      .withColumn("file", base)
+      .withColumn("kind", Filenames.parseKind(col("file")))
+      .withColumn("start_h", Filenames.parseStart(col("file")))
+      .withColumn("end_h", Filenames.parseEnd(col("file")))
+      .withColumn("fork_hash", Filenames.parseForkHash(col("file")))
+  }
+
+  /** Files whose range intersects [s, e] — the reference's offset listing
+    * + early exit (objects.rs:112-167) is Catalyst partition pruning here.
+    */
+  def intersecting(catalog: DataFrame, s: Long, e: Long): DataFrame =
+    catalog.filter(col("start_h") <= e && col("end_h") >= s)
+
+  /** Group files of the same range into per-kind slots; count > 1 in a slot
+    * is a duplicate error (reference: src/archiver/range_group.rs:44-128).
+    */
+  def groupTables(catalog: DataFrame): DataFrame =
+    catalog
+      .groupBy("start_h", "end_h")
+      .pivot("kind", Seq("blocks", "txes", "traces"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("blocks", "txes", "traces"))
+      .withColumn("duplicate",
+        col("blocks") > 1 || col("txes") > 1 || col("traces") > 1)
+      .withColumn("complete",
+        col("blocks") >= 1 && col("txes") >= 1)
+
+  /** `find_incomplete_tables` — heights in [s, e] with no (or partial)
+    * coverage (reference: src/storage/mod.rs:143-207). Returns heights
+    * missing entirely; per-kind gaps come from [[groupTables]].
+    */
+  def missingHeights(spark: SparkSession, catalog: DataFrame, s: Long, e: Long): DataFrame = {
+    import spark.implicits._
+    val covered = intersecting(catalog, s, e)
+      .select(col("start_h").as("s"), col("end_h").as("e"))
+    // Explode covered ranges chunk-wise (ranges are ≤ chunk_size=1000 blocks
+    // by construction, so per-row sequences stay small and distributed).
+    val coveredHeights = covered
+      .select(explode(sequence(col("s"), col("e"))).as("height"))
+      .distinct()
+    spark.range(s, e + 1).toDF("height")
+      .join(coveredHeights, Seq("height"), "left_anti")
+  }
+}

@@ -1,0 +1,187 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.archive.{Catalog, Filenames, Sinks}
+
+/** Sources / sinks (SURVEY.md §2.1). Avro container files are the
+  * reference's storage format; this engine stores parquet (the container
+  * ships no spark-avro jar and the harness fixtures are parquet) — the op
+  * semantics (schema-pinned scan, codec'd atomic sink, catalog listing,
+  * notifications) are format-independent.
+  */
+object SourceSinkOps {
+
+  private def tmpDir(name: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name")
+    base.getAbsolutePath
+  }
+
+  /** Stream-decode with a fixed static schema — never inference
+    * (reference: src/storage/avro_reader.rs:28-70). The pinned schema also
+    * means column pruning is explicit.
+    */
+  val scanAvro: Op = Op.sql(
+    "scan-avro",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val pinned = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    s.read.schema(pinned).parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Local filesystem sink with codec + commit-protocol atomicity
+    * (reference: src/storage/fs.rs:135-219): write zstd, read back, prove
+    * content parity against the source.
+    */
+  val sinkAvroFs: Op = Op.sql(
+    "sink-avro-fs",
+    """SELECT count(*) AS n, max(o_orderkey) AS max_h,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    val out = tmpDir("sink-fs")
+    Sinks.writeArchive(Tables.orders(s, d), out, codec = "zstd", overwrite = true)
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_h"),
+        round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  /** Object-store sink — same `df.write` against an object-store URI where
+    * the Hadoop committer replaces the reference's hand-rolled multipart
+    * pipe (src/storage/objects.rs:170-330). Offline container: exercised
+    * through an explicit `file://` URI on the same committer path.
+    */
+  val sinkAvroS3: Op = Op.sql(
+    "sink-avro-s3",
+    """SELECT count(*) AS n, max(event_id) AS max_id FROM events""".stripMargin
+  ) { (s, d) =>
+    val out = "file://" + tmpDir("sink-s3")
+    Sinks.writeArchive(Tables.events(s, d), out, codec = "snappy", overwrite = true)
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("n"), max("event_id").as("max_id"))
+  }
+
+  /** Codec matrix round-trip (reference: snappy | zstd(9),
+    * src/global.rs:34-46): content is identical through either codec.
+    */
+  val compress: Op = Op.sql(
+    "compress",
+    """SELECT 'snappy' AS codec, count(*) AS n FROM orders
+      |UNION ALL
+      |SELECT 'zstd' AS codec, count(*) AS n FROM orders
+      |ORDER BY codec""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val outs = Seq("snappy", "zstd").map { c =>
+      val out = tmpDir(s"codec-$c")
+      Sinks.writeArchive(o, out, codec = c, overwrite = true)
+      s.read.parquet(out).agg(count(lit(1)).as("n")).select(lit(c).as("codec"), col("n"))
+    }
+    outs.reduce(_ union _).orderBy("codec")
+  }
+
+  /** List archive files intersecting a range, sorted — via a real
+    * partitioned write + `input_file_name()` catalog read-back
+    * (reference: src/storage/objects.rs:79-168, sorted_files.rs:6-44).
+    */
+  val listFiles: Op = Op.sql(
+    "list-files",
+    """SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) * 1000 AS l2,
+      |       count(*) AS n, 1 AS n_files
+      |FROM orders GROUP BY l2 ORDER BY l2""".stripMargin
+  ) { (s, d) =>
+    val out = tmpDir("catalog")
+    val o = Tables.orders(s, d).withColumn("l2", Filenames.l2(col("o_orderkey")))
+    o.repartition(col("l2"))
+      .write.mode("overwrite").partitionBy("l2").parquet(out)
+    val back = s.read.parquet(out)
+      .withColumn("_file", input_file_name())
+    back.groupBy("l2")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_file")).cast("int").as("n_files"))
+      .select(col("l2").cast("long").as("l2"), col("n"), col("n_files"))
+      .orderBy("l2")
+  }
+
+  /** One JSON notification line per written file (reference:
+    * src/notify/mod.rs:12-62, fs.rs:18-46) — deterministic string build.
+    */
+  val sinkNotifyJsonl: Op = Op.sql(
+    "sink-notify-jsonl",
+    """SELECT concat('{"blockchain":"ETH","type":"blocks","run":"archive","maturity":"finalized","heightStart":',
+      |              CAST(start_h AS VARCHAR),
+      |              ',"heightEnd":', CAST(end_h AS VARCHAR),
+      |              ',"location":"', file, '"}') AS notification
+      |FROM (
+      |  SELECT DISTINCT CAST(floor(o_orderkey / 100) AS BIGINT) * 100 AS start_h,
+      |         CAST(floor(o_orderkey / 100) AS BIGINT) * 100 + 99 AS end_h,
+      |         concat('range-', lpad(CAST(CAST(floor(o_orderkey / 100) AS BIGINT) * 100 AS VARCHAR), 9, '0'),
+      |                '_', lpad(CAST(CAST(floor(o_orderkey / 100) AS BIGINT) * 100 + 99 AS VARCHAR), 9, '0'),
+      |                '.blocks.avro') AS file
+      |  FROM orders) t
+      |ORDER BY notification""".stripMargin
+  ) { (s, d) =>
+    val chunk = floor(col("o_orderkey") / 100).cast("long") * 100
+    val files = Tables.orders(s, d).select(
+      chunk.as("start_h"), (chunk + 99).as("end_h"),
+      Filenames.rangeFile(chunk, chunk + 99, "blocks").as("file"),
+      lit("blocks").as("kind")).distinct()
+    Sinks.notificationLines(files, "ETH", "archive", "finalized")
+      .orderBy("notification")
+  }
+
+  /** Head-subscription source (reference: src/blockchain/connection.rs:113-154)
+    * — batch equivalent: the ordered stream of observed head heights. The
+    * live path is graft.streaming.HeadStream.
+    */
+  val srcHeadStream: Op = Op.sql(
+    "src-head-stream",
+    """SELECT epoch_us(ts) AS ts_us, event_id AS height
+      |FROM events WHERE event_type = 'view'
+      |ORDER BY ts_us, height""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(expr("ts div 1000").as("ts_us"), col("event_id").as("height"))
+      .orderBy("ts_us", "height")
+  }
+
+  /** gRPC fetch boundary (reference: src/blockchain/connection.rs:53-111)
+    * — modeled as a pre-fetched raw table + a `mapPartitions` connector
+    * shim (the per-partition imperative seam where a production connector
+    * would hold its channel + semaphore).
+    */
+  val srcGrpc: Op = Op.sql(
+    "src-grpc",
+    """SELECT o_orderkey AS height, concat('blk-', CAST(o_orderkey AS VARCHAR)) AS payload
+      |FROM orders ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("height")).as[Long]
+      .mapPartitions { heights =>
+        // Connector seam: one channel per partition, bounded in-flight
+        // requests (reference semaphores api=16). Offline: deterministic
+        // payload synthesis stands in for native_call.
+        heights.map(h => (h, s"blk-$h"))
+      }
+      .toDF("height", "payload")
+      .orderBy("height")
+  }
+
+  val ops: Seq[Op] = Seq(scanAvro, sinkAvroFs, sinkAvroS3, compress,
+    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc)
+}

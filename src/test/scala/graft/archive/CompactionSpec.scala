@@ -1,0 +1,39 @@
+package graft.archive
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mirrors the reference's compact-command scenarios
+  * (src/command/compact.rs:502-1120): complete chunks compacted, partial
+  * chunks left alone, validation catches dup/gap.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validateChunks: complete, gappy, duplicated, misaligned") {
+    // chunk 0 complete; chunk 1 has a gap; chunk 2 has a duplicate height.
+    val heights = (0L to 9L) ++ ((10L to 19L).filter(_ != 13L)) ++ ((20L to 29L) :+ 25L)
+    val v = Compaction.validateChunks(heights.toDF("height"), "height", 10L)
+      .orderBy("chunk").collect()
+    assert(v.map(_.getAs[Long]("chunk")).toSeq === Seq(0L, 1L, 2L))
+    assert(v.map(_.getAs[Boolean]("complete")).toSeq === Seq(true, false, false))
+  }
+
+  test("compact writes only complete chunks and keeps sources intact") {
+    val out = Files.createTempDirectory("graft-compact").toString
+    val heights = ((0L to 9L) ++ (10L to 17L) ++ (20L to 29L)).toDF("height")
+      .withColumn("payload", md5(col("height").cast("string")))
+    val verdicts = Compaction.compact(spark, heights, "height", 10L, out)
+    val complete = verdicts.filter(col("complete")).select("chunk")
+      .collect().map(_.getLong(0)).sorted
+    assert(complete.toSeq === Seq(0L, 2L))
+    val written = spark.read.parquet(out)
+    assert(written.count() === 20L) // chunks 0 and 2 only; partial chunk 1 skipped
+    assert(written.select("height").as[Long].collect().toSet ===
+      ((0L to 9L) ++ (20L to 29L)).toSet)
+    // payload survives the rewrite byte-for-byte
+    val r = written.filter(col("height") === 5L).select("payload").head().getString(0)
+    assert(r === heights.filter(col("height") === 5L).select("payload").head().getString(0))
+  }
+}
