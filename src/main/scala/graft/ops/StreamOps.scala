@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.archive.Filenames
+
+/** Streaming operators' batch-equivalent query entries (SURVEY.md §2.7).
+  * The live Structured Streaming paths are graft.streaming.Streams (tested
+  * in StreamsSpec); each op here is the deterministic batch shape of the
+  * same semantics, so the DuckDB oracle can check it.
+  */
+object StreamOps {
+
+  /** `stream` live tail: one per-block file group per head event, filename
+    * carrying the block hash (reference: src/command/stream.rs:92-144).
+    */
+  val streamFollow: Op = Op.sql(
+    "stream-follow",
+    """SELECT event_id AS height,
+      |       concat(lpad(CAST(event_id AS VARCHAR), 9, '0'), '.',
+      |              md5(CAST(event_id AS VARCHAR)), '.block.avro') AS file,
+      |       epoch_us(ts) AS ts_us
+      |FROM events ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id").as("height"),
+      Filenames.singleFile(col("event_id"), "block",
+        Some(md5(col("event_id").cast("string")))).as("file"),
+      expr("ts div 1000").as("ts_us"))
+      .orderBy("height")
+  }
+
+  /** Finalized follower: dedup observed heights, back-fill the gaps,
+    * oldest-first (reference: src/blockchain/next_block.rs:42-100). The
+    * observed set is a lossy/dup-ridden projection of event ids; output is
+    * the dense emitted sequence with its backfilled flag.
+    */
+  val streamFinalized: Op = Op.sql(
+    "stream-finalized",
+    """WITH observed AS (
+      |  SELECT DISTINCT event_id // 3 AS h FROM events WHERE event_type <> 'error'),
+      |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM observed),
+      |dense AS (SELECT unnest(generate_series(mn, mx)) AS height FROM bounds)
+      |SELECT height, height NOT IN (SELECT h FROM observed) AS backfilled
+      |FROM dense ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.Row
+    val observed = Tables.events(s, d)
+      .filter(col("event_type") =!= "error")
+      .select(expr("event_id div 3").as("h"))
+      .distinct()
+    val Row(mn: Long, mx: Long) = observed.agg(min("h"), max("h")).head()
+    s.range(mn, mx + 1).toDF("height")
+      .join(observed.withColumnRenamed("h", "height").withColumn("obs", lit(true)),
+        Seq("height"), "left")
+      .select(col("height"), col("obs").isNull.as("backfilled"))
+      .orderBy("height")
+  }
+
+  /** `--continue` one-shot backfill: last 100 heights below head anti-joined
+    * against the archive (reference: src/command/stream.rs:42-47,66-87).
+    */
+  val streamContinue: Op = Op.sql(
+    "stream-continue",
+    """WITH arch AS (SELECT o_orderkey AS height FROM orders WHERE o_orderkey % 7 <> 0),
+      |head AS (SELECT max(o_orderkey) + 1 AS h FROM orders)
+      |SELECT g AS height FROM (
+      |  SELECT unnest(generate_series((SELECT h - 100 FROM head), (SELECT h - 1 FROM head))) AS g) t
+      |WHERE g NOT IN (SELECT height FROM arch)
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.Row
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("height"))
+    val Row(mx: Long) = Tables.orders(s, d).agg(max("o_orderkey")).head()
+    graft.streaming.Streams.continueBackfill(s, arch, head = mx + 1, depth = 100)
+      .orderBy("height")
+  }
+
+  /** Maturity model instead of watermarks: `head` for the top 4 below head,
+    * `finalized` otherwise (reference: src/notify/mod.rs:49-56,
+    * src/archiver/blocks_config.rs:30-36).
+    */
+  val lateData: Op = Op.sql(
+    "late-data",
+    """SELECT o_orderkey AS height,
+      |       CASE WHEN o_orderkey > head - 4 THEN 'head' ELSE 'finalized' END AS maturity
+      |FROM orders CROSS JOIN (SELECT max(o_orderkey) AS head FROM orders)
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val head = o.agg(max("o_orderkey").as("head"))
+    o.crossJoin(broadcast(head))
+      .select(col("o_orderkey").as("height"),
+        graft.streaming.Streams.maturity(col("o_orderkey"), col("head")).as("maturity"))
+      .orderBy("height")
+  }
+
+  /** Reorg repair: forked heights carry >1 candidate; keep the canonical
+    * one, list the rest for deletion (reference: src/command/stream.rs:49-52
+    * never overwrites; src/command/verify.rs:325-369 reconciles).
+    * Candidates: (l_orderkey, l_linenumber); canonical = highest quantity,
+    * ties by line/part for determinism.
+    */
+  val reorgRepair: Op = Op.sql(
+    "reorg-repair",
+    """SELECT l_orderkey AS height, l_linenumber AS kept_line, n_forks FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_quantity DESC, l_linenumber DESC, l_partkey DESC) AS rn,
+      |         count(*) OVER (PARTITION BY l_orderkey) AS n_forks
+      |  FROM lineitem) t
+      |WHERE rn = 1 AND n_forks > 1
+      |ORDER BY height""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byHeight = Window.partitionBy("l_orderkey")
+    val w = byHeight.orderBy(col("l_quantity").desc, col("l_linenumber").desc, col("l_partkey").desc)
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_forks", count(lit(1)).over(byHeight))
+      .filter(col("rn") === 1 && col("n_forks") > 1)
+      .select(col("l_orderkey").as("height"), col("l_linenumber").as("kept_line"), col("n_forks"))
+      .orderBy("height")
+  }
+
+  /** Pulsar notification sink (reference: src/notify/pulsar.rs:30-68): the
+    * payload is identical to the JSONL sink; the transport (foreachBatch →
+    * Pulsar producer) is a no-op stub offline. The op checks the payload.
+    */
+  val sinkNotifyPulsar: Op = Op.sql(
+    "sink-notify-pulsar",
+    """SELECT concat('{"blockchain":"ETH","type":"blocks","run":"stream","maturity":"head","heightStart":',
+      |              CAST(event_id AS VARCHAR),
+      |              ',"heightEnd":', CAST(event_id AS VARCHAR),
+      |              ',"location":"', lpad(CAST(event_id AS VARCHAR), 9, '0'), '.block.avro"}') AS notification
+      |FROM events ORDER BY notification""".stripMargin
+  ) { (s, d) =>
+    val files = Tables.events(s, d).select(
+      col("event_id").as("start_h"), col("event_id").as("end_h"),
+      Filenames.singleFile(col("event_id"), "block").as("file"),
+      lit("blocks").as("kind"))
+    graft.archive.Sinks.notificationLines(files, "ETH", "stream", "head")
+      .orderBy("notification")
+  }
+
+  val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
+    lateData, reorgRepair, sinkNotifyPulsar)
+}

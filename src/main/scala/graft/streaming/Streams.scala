@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Head event as emitted by the chain subscription (reference:
+  * src/blockchain/connection.rs:113-154 — `Height{height, hash}`).
+  */
+case class Head(height: Long, hash: String)
+
+/** Output of the finalized follower: a height to archive, flagged when it
+  * was back-filled by walking parents rather than observed directly.
+  */
+case class FinalizedHeight(height: Long, hash: String, backfilled: Boolean)
+
+private case class FollowerState(lastHeight: Long)
+
+/** Streaming operators (SURVEY.md §2.7). The `stream` command's live tail
+  * becomes Structured Streaming: readStream → transforms → foreachBatch
+  * archive; the finalized follower's dedup + gap-fill is the one genuinely
+  * stateful op (reference: src/blockchain/next_block.rs:42-100) and maps to
+  * `flatMapGroupsWithState`.
+  */
+object Streams {
+
+  /** `stream` live tail (reference: src/command/stream.rs:92-144): follow a
+    * parquet directory of head events, archive each height once per block
+    * via foreachBatch. The batch body is the caller's (idempotent writes:
+    * SaveMode.Ignore — stream never overwrites, stream.rs:49-52).
+    */
+  def followHeads(
+      spark: SparkSession,
+      headsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: String)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(headsDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
+      .start()
+
+  /** Finalized-stream dedup + gap-fill (reference:
+    * src/blockchain/next_block.rs:42-100): drop heights at or below the last
+    * seen one; when a new height jumps ahead, emit the skipped heights
+    * oldest-first as back-filled (the reference walks parent hashes; with a
+    * height-keyed archive the parent walk is the dense height interval).
+    * State per chain key: the last emitted height.
+    */
+  def finalizedFollower(
+      heads: Dataset[Head],
+      chainKey: Head => String = _ => "chain"): Dataset[FinalizedHeight] = {
+    import heads.sparkSession.implicits._
+    heads
+      .groupByKey(chainKey)
+      .flatMapGroupsWithState[FollowerState, FinalizedHeight](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Head], state: GroupState[FollowerState]) =>
+          val last = state.getOption.map(_.lastHeight).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FinalizedHeight]
+          var cur = last
+          // Per-batch heads arrive unordered; process in height order so the
+          // dedup below matches the reference's `block.number <= last` check.
+          batch.toSeq.sortBy(_.height).foreach { h =>
+            if (h.height > cur) {
+              var back = if (cur == Long.MinValue) h.height else cur + 1
+              while (back < h.height) {
+                out += FinalizedHeight(back, "", backfilled = true)
+                back += 1
+              }
+              out += FinalizedHeight(h.height, h.hash, backfilled = false)
+              cur = h.height
+            } // else: dedup — already emitted (next_block.rs: number <= last)
+          }
+          if (cur != Long.MinValue) state.update(FollowerState(cur))
+          out.iterator
+      }
+  }
+
+  /** `--continue` startup reconciliation (reference: src/command/stream.rs:42-47,
+    * 66-87): anti-join the last `depth` heights below head against the
+    * archive; the result is re-archived before the live tail starts.
+    */
+  def continueBackfill(
+      spark: SparkSession,
+      archivedHeights: DataFrame, // single column "height"
+      head: Long,
+      depth: Int = 100): DataFrame = {
+    val planned = spark.range(math.max(0L, head - depth), head).toDF("height")
+    planned.join(archivedHeights, Seq("height"), "left_anti")
+  }
+
+  /** Maturity tag instead of watermarks (reference: src/notify/mod.rs:49-56,
+    * blocks_config.rs:30-36): top `margin` blocks below head are `head`
+    * (reorg-able), the rest `finalized`.
+    */
+  def maturity(height: org.apache.spark.sql.Column, head: org.apache.spark.sql.Column,
+      margin: Int = 4): org.apache.spark.sql.Column =
+    when(height > head - margin, lit("head")).otherwise(lit("finalized"))
+
+  /** Graceful stop (reference: src/global.rs:24-32 shutdown signal):
+    * stop the query after draining the current trigger.
+    */
+  def gracefulStop(q: StreamingQuery, timeoutMs: Long = 60000L): Boolean = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeoutMs)
+  }
+}

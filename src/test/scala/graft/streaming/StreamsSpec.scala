@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Drives the live Structured Streaming paths (reference behaviors:
+  * src/command/stream.rs, src/blockchain/next_block.rs:42-100).
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val headSchema = StructType(Seq(
+    StructField("height", LongType), StructField("hash", StringType)))
+
+  test("followHeads archives each head once via foreachBatch") {
+    val dir = Files.createTempDirectory("graft-heads").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Seq(Head(10L, "a"), Head(11L, "b"), Head(12L, "c")).toDF()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.followHeads(spark, dir, headSchema, ckpt) { (batch, _) =>
+      seen ++= batch.select("height").as[Long].collect()
+    }
+    q.awaitTermination(60000)
+    assert(seen.sorted.toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("finalizedFollower dedups and gap-fills oldest-first across batches") {
+    // Memory-source streaming: two batches — 5 then {4 (dup), 8 (gap)}.
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Head](spark, 1)
+    val out = Streams.finalizedFollower(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("fin_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(Head(5L, "h5"))
+    q.processAllAvailable()
+    input.addData(Head(4L, "h4-dup"), Head(8L, "h8"))
+    q.processAllAvailable()
+    val rows = spark.table("fin_out")
+      .orderBy("height")
+      .as[FinalizedHeight].collect().toSeq
+    q.stop()
+    assert(rows === Seq(
+      FinalizedHeight(5L, "h5", backfilled = false),
+      FinalizedHeight(6L, "", backfilled = true),
+      FinalizedHeight(7L, "", backfilled = true),
+      FinalizedHeight(8L, "h8", backfilled = false)))
+  }
+
+  test("continueBackfill finds the un-archived tail heights") {
+    val archived = (900L to 995L).filter(_ % 10 != 0).toDF("height")
+    val missing = Streams.continueBackfill(spark, archived, head = 1000L, depth = 100)
+      .orderBy("height").as[Long].collect().toSeq
+    assert(missing === ((900L to 999L).filter(h => h % 10 == 0 || h > 995L)))
+  }
+
+  test("maturity tags the head margin") {
+    val df = (95L to 100L).toDF("height")
+      .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
+    val m = df.orderBy("height").as[(Long, String)].collect().toSeq
+    assert(m === Seq(95L -> "finalized", 96L -> "finalized",
+      97L -> "head", 98L -> "head", 99L -> "head", 100L -> "head"))
+  }
+}
