@@ -14,7 +14,9 @@ object SparkEntry {
     graft.ops.CoreOps.ops ++ graft.ops.ScalarOps.ops ++
       graft.ops.JoinOps.ops ++ graft.ops.AggOps.ops ++
       graft.ops.WindowOps.ops ++ graft.ops.ChunkOps.ops ++
-      graft.ops.SourceSinkOps.ops ++ graft.ops.StreamOps.ops
+      graft.ops.SourceSinkOps.ops ++ graft.ops.StreamOps.ops ++
+      graft.ops.TextOps.ops ++ graft.ops.DedupOps.ops ++
+      graft.ops.SimOps.ops ++ graft.ops.MultimodalOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

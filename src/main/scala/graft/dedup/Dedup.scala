@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication for a training-data pipeline at 100 TB scale:
+  *
+  *  - exact:   hash-groupBy — one shuffle on the digest.
+  *  - jaccard: shingle → document-frequency pruning → shingle-join —
+  *             the df prune bounds the self-join fan-out (a shingle seen in
+  *             ≤ maxDf docs contributes ≤ maxDf² pair rows), which is what
+  *             makes exact-jaccard viable at scale.
+  *  - minhash+LSH: k signatures → banded bucket join → candidate pairs →
+  *             exact verify. Only candidates ever pairwise-compared.
+  *  - simhash: bit-vote fingerprint; equality (or low Hamming distance)
+  *             buckets near-dups with one groupBy.
+  *
+  * All hashing is md5/polynomial-based — exact and engine-portable, never
+  * JVM-specific (`hash()`/murmur would not cross-check against an oracle).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: keep the smallest doc_id.
+    * Output: text_hash, keep_id, n_copies (groups with n_copies > 1).
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct (id, shingle) pairs with global document-frequency pruning:
+    * shingles present in more than `maxDf` documents are dropped on BOTH
+    * sides of any downstream comparison (common-shingle pruning).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Int = 20): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    sh.join(rare, Seq("s"), "left_semi")
+  }
+
+  /** Exact Jaccard over pruned shingle sets for every pair sharing at
+    * least one shingle. Output: d1, d2, jac (rounded, ≥ threshold).
+    */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("s"), col("id").as("d1"))
+    val b = shingles.select(col("s"), col("id").as("d2"))
+    val inter = a.join(b, Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "na"), Seq("d1"))
+      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "nb"), Seq("d2"))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select("d1", "d2", "jac")
+  }
+
+  /** One md5-derived hash family member: h_i(s), a 60-bit long. */
+  private def shingleHash(i: Int) =
+    conv(substring(md5(concat(lit(s"$i:"), col("s"))), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: k per-document minima over the shingle set.
+    * Output: id, mh0..mh{k-1}.
+    */
+  def minhashSignatures(shingles: DataFrame, k: Int = 32): DataFrame =
+    shingles
+      .groupBy("id")
+      .agg(min(shingleHash(0)).as("mh0"),
+        (1 until k).map(i => min(shingleHash(i)).as(s"mh$i")): _*)
+
+  /** LSH banding: k/r bands of r rows; each band hashes to a bucket key.
+    * Output: candidate pairs (d1 < d2), distinct across bands.
+    */
+  def lshCandidates(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
+    val bands = (0 until k / r).map { b =>
+      val key = concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
+      signatures.select(col("id"), key.as("bucket"))
+    }.reduce(_ union _)
+    val l = bands.select(col("bucket"), col("id").as("d1"))
+    val rr = bands.select(col("bucket"), col("id").as("d2"))
+    l.join(rr, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline with exact verification: candidates from
+    * banded buckets, then true Jaccard on the pruned shingle sets. With
+    * k=32, r=2 the miss probability at j≥0.8 is (1−0.8²)¹⁶ ≈ 8e−8, so the
+    * verified output equals the exact-jaccard pair set.
+    */
+  def minhashNearDups(shingles: DataFrame, threshold: Double = 0.8,
+      k: Int = 32, r: Int = 2): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
+    jaccardPairs(
+      shingles.join(
+        cand.select(explode(array(col("d1"), col("d2"))).as("id")).distinct(),
+        Seq("id"), "left_semi"),
+      threshold)
+      // candidates only: drop pairs that never shared a bucket
+      .join(cand, Seq("d1", "d2"), "left_semi")
+  }
+
+  /** SimHash: per-document bit-vote fingerprint over distinct tokens using
+    * the portable polynomial hash (20 usable bits). Output: id, simhash,
+    * n_same (documents sharing the fingerprint).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 20): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("w"))
+    val hashed = words.select(col("id"), TextAnalysis.polyHash(col("w")).as("h"))
+    val votes = hashed
+      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("j"), col("h"))
+      .withColumn("bit", floor(col("h") / pow(lit(2), col("j"))).cast("long") % 2)
+      .withColumn("vote", col("bit") * 2 - 1)
+      .groupBy("id", "j").agg(sum("vote").as("v"))
+    val fp = votes
+      .withColumn("bitval",
+        when(col("v") > 0, floor(pow(lit(2), col("j"))).cast("long")).otherwise(lit(0L)))
+      .groupBy("id").agg(sum("bitval").as("simhash"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+  }
+}

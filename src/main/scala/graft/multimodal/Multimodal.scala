@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata. The Spark-side plumbing — schema, partition-parallel batch
+  * iteration, decode signature — is real; the decode itself is STUBBED
+  * (no image/audio libs in this container) with a deterministic fake that
+  * derives metadata from the payload bytes. A production decoder replaces
+  * only the body of `decodeStub`.
+  */
+object Multimodal {
+
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int)
+
+  /** Attach the opaque payload column (here: the utf-8 text bytes stand in
+    * for image bytes; schema-wise identical to a real media column).
+    */
+  def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  /** Partition-parallel decode: one decoder instance per partition, batch
+    * iteration over payloads — the Scala shape of a mapInPandas/mapInArrow
+    * decode stage. STUB: metadata is a deterministic function of byte
+    * length; a real decoder would parse the container header here.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder init would happen once per partition here
+        rows.map { case (id, bytes) =>
+          val n = bytes.length
+          MediaMeta(id, n, n % 640, (n * 7) % 480)
+        }
+      }
+  }
+
+  /** Frame sampling plan for a "video" payload: byte offsets of `nFrames`
+    * evenly spaced sample points — pure column arithmetic, explodes into a
+    * distributed (doc, frame) table the decoder consumes.
+    */
+  def frameOffsets(media: DataFrame, nFrames: Int = 5): DataFrame = {
+    val n = length(col("payload")).cast("long")
+    val step = greatest(lit(1L), floor(n / nFrames).cast("long"))
+    media
+      .withColumn("off", explode(sequence(lit(0L), n - 1, step)))
+      .withColumn("frame_no", floor(col("off") / step).cast("long"))
+      .select(col("doc_id"), col("frame_no"), col("off"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.dedup.Dedup
+
+/** Deduplication ops over the documents/embeddings tables (scale
+  * extensions). The DuckDB oracles recompute the same exact semantics —
+  * for minhash+LSH the oracle is the exact-jaccard pair set, which the
+  * verified LSH pipeline reproduces (miss probability ≈ 8e-8 at j≥0.8).
+  */
+object DedupOps {
+
+  private val ShingleOracle =
+    """sh AS (
+      |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+      |       (SELECT unnest(generate_series(1, 1000)) AS i) g
+      |  WHERE i <= greatest(1, len(ws) - 2)),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |psh AS (SELECT sh.id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+      |sz AS (SELECT id, count(*) AS n FROM psh GROUP BY id),
+      |pairs AS (
+      |  SELECT a.id AS d1, b.id AS d2, count(*) AS inter
+      |  FROM psh a JOIN psh b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY a.id, b.id),
+      |jac AS (
+      |  SELECT d1, d2,
+      |         round(inter * 1.0 / (x.n + y.n - inter), 6) AS jac
+      |  FROM pairs JOIN sz x ON x.id = d1 JOIN sz y ON y.id = d2)""".stripMargin
+
+  /** Exact dedup: md5-groupBy, keep the smallest id per content group. */
+  val dedupExact: Op = Op.sql(
+    "dedup-exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text_hash HAVING count(*) > 1
+      |ORDER BY text_hash""".stripMargin
+  ) { (s, d) =>
+    Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("text_hash")
+  }
+
+  /** Exact n-gram (3-word shingle) Jaccard with document-frequency pruning
+    * (shingles in >20 docs dropped both sides): pairs with j ≥ 0.5.
+    */
+  val dedupNgramJaccard: Op = Op.sql(
+    "dedup-ngram-jaccard",
+    s"""WITH $ShingleOracle
+       |SELECT d1, d2, jac FROM jac WHERE jac >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    Dedup.jaccardPairs(
+      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
+      threshold = 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash (k=32) + LSH (16 bands × 2 rows) + exact verification at
+    * j ≥ 0.8 — equals the exact pair set with near-certainty.
+    */
+  val dedupMinhash: Op = Op.sql(
+    "dedup-minhash",
+    s"""WITH $ShingleOracle
+       |SELECT d1, d2, jac FROM jac WHERE jac >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    Dedup.minhashNearDups(
+      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
+      threshold = 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash bit-vote fingerprint (portable polynomial hash, 20 bits) +
+    * same-fingerprint group size.
+    */
+  val dedupSimhash: Op = Op.sql(
+    "dedup-simhash",
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |           (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM words),
+      |votes AS (
+      |  SELECT id, j, sum(CASE WHEN (h // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 19)) AS j) g
+      |  GROUP BY id, j),
+      |fp AS (
+      |  SELECT id, sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY id)
+      |SELECT id, simhash,
+      |       count(*) OVER (PARTITION BY simhash) AS n_same
+      |FROM fp ORDER BY id""".stripMargin
+  ) { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
+  /** Embedding near-dup pairs: all-pairs inside label blocks, rounded
+    * cosine ≥ 0.35.
+    */
+  val dedupEmbeddingCosine: Op = Op.sql(
+    "dedup-embedding-cosine",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |         round(list_dot_product(a.v, b.v) /
+      |               (sqrt(list_dot_product(a.v, a.v)) *
+      |                sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT d1, d2, sim FROM scored WHERE sim >= 0.35
+      |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    graft.sim.Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.35)
+      .orderBy("d1", "d2")
+  }
+
+  val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
+    dedupSimhash, dedupEmbeddingCosine)
+}

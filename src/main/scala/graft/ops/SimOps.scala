@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.sim.Similarity
+
+/** Similarity-search ops over the embeddings table (scale extensions). */
+object SimOps {
+
+  // DOUBLE[]-cast before any dot product: DuckDB's list_dot_product
+  // accumulates in float32 on FLOAT[] inputs and diverges from Spark's
+  // double fold in the 6th decimal.
+  private val CosineSql =
+    """round(list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) *
+      |       sqrt(list_dot_product(c.v, c.v))), 6)""".stripMargin
+
+  /** Brute-force cosine top-5 per query (queries = vec_id < 10, corpus =
+    * the rest): the exact baseline every ANN variant is judged against.
+    */
+  val simTopkCosine: Op = Op.sql(
+    "sim-topk-cosine",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, sim FROM ranked WHERE rn <= 5
+       |ORDER BY q_id, sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+  }
+
+  /** LSH-bucketed ANN: 8 deterministic integer sign-planes → bucket join →
+    * exact cosine top-3 among bucket-mates. The scale path: bucket is a
+    * join/partition key, so the corpus never all-pairs.
+    */
+  val simLshAnn: Op = Op.sql(
+    "sim-lsh-ann",
+    s"""WITH iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (
+       |  SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+       |withb AS (
+       |  SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |  FROM withb q JOIN withb c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, sim FROM ranked WHERE rn <= 3
+       |ORDER BY q_id, sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.annTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 3)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+  }
+
+  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn)
+}

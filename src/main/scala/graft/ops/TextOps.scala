@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.text.TextAnalysis
+
+/** Text-analysis ops over the documents table (scale extensions —
+  * BASELINE.json north star: LLM-data-pipeline operators).
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens, distinct tokens, char check. */
+  val textTokens: Op = Op.sql(
+    "text-tokens",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       length(text) AS n_chars_check
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+      length(col("text")).as("n_chars_check"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, distinct ratio. */
+  val textQuality: Op = Op.sql(
+    "text-quality",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |  round(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0
+      |        / len(ws), 4) AS stop_ratio,
+      |  round((length(text) - (len(ws) - 1)) * 1.0 / len(ws), 4) AS mean_tok_len,
+      |  round(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS distinct_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val (stopRatio, meanTokLen, distinctRatio) = TextAnalysis.quality(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      stopRatio.as("stop_ratio"),
+      meanTokLen.as("mean_tok_len"),
+      distinctRatio.as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (stopword markers) + agreement with the label. */
+  val textLangId: Op = Op.sql(
+    "text-lang-id",
+    """WITH t AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','of','and','to','in','is'))) AS en_score
+      |FROM documents)
+      |SELECT doc_id, lang,
+      |       CASE WHEN en_score > 0 THEN 'en' ELSE 'unk' END AS lang_guess,
+      |       (CASE WHEN en_score > 0 THEN 'en' ELSE 'unk' END = lang) AS agrees
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val guess = TextAnalysis.langGuess(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      guess.as("lang_guess"),
+      (guess === col("lang")).as("agrees"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: full digest + winnowing-lite min-window
+    * digest (64-char windows, step 32).
+    */
+  val textFingerprint: Op = Op.sql(
+    "text-fingerprint",
+    """SELECT doc_id, md5(text) AS fp_full,
+      |       list_min([md5(substr(text, i, 64))
+      |                 FOR i IN generate_series(1, greatest(1, length(text) - 63), 32)]) AS fp_window
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintFull(col("text")).as("fp_full"),
+      TextAnalysis.fingerprintWindows(col("text")).as("fp_window"))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+}

@@ -1,0 +1,102 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — one pass, no shuffle of the corpus, the right baseline and
+  *    the right plan at 100 TB (queries are ≪ corpus).
+  *  - LSH-bucketed ANN: 8 deterministic integer sign-projections → bucket
+  *    id → candidates = bucket-mates only. The projection arithmetic is
+  *    EXACT (scaled-integer dot products): float summation order can flip a
+  *    sign bit near zero across engines/partitions, integers cannot.
+  *
+  * Dot products fold left-to-right via `aggregate` (deterministic order);
+  * similarity values are rounded before any threshold/rank comparison.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, z) => acc + z))
+
+  /** Rounded cosine similarity (6 dp — ULP-stable across engines). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k: queries broadcast-joined against the corpus,
+    * per-query window rank on (similarity desc, id) — deterministic ties.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "sim")
+  }
+
+  /** Scaled-integer embedding: round(v * 10000) per dimension — exact
+    * arithmetic for sign decisions.
+    */
+  def intScaled(a: Column): Column =
+    transform(a, x => round(x.cast("double") * 10000).cast("long"))
+
+  /** Deterministic integer projection weight for (plane j, dim d). */
+  private def weight(j: Column, d: Column): Column =
+    (j * 131 + d * 31) % 17 - 8
+
+  /** 8-bit LSH bucket id from sign projections (exact integer dots). */
+  def lshBucket(emb: Column, planes: Int = 8): Column = {
+    val e = intScaled(emb)
+    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+      val s = aggregate(
+        zip_with(e, sequence(lit(0), size(e) - 1), (x, d) => x * weight(j, d)),
+        lit(0L), (acc, z) => acc + z)
+      // 2^j via pow (exact in double for j ≤ 7); shiftleft needs a literal
+      // bit count, j here is a column.
+      when(s > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, z) => acc + z)
+  }
+
+  /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
+    * + top-k inside the bucket. Trades recall for a corpus-partitionable
+    * plan (bucket is a join key — co-located at scale).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "sim")
+  }
+
+  /** Near-duplicate embedding pairs within a blocking key (label):
+    * all-pairs inside blocks only, threshold on rounded cosine.
+    */
+  def nearDupPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb.select(col(blockCol).as("blk"), col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(b, Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select("d1", "d2", "sim")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines entirely"),
+    (5L, "the quick brown fox jumps over the lazy dog today")// near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per content group") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keep_id") === 1L)
+    assert(g.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("jaccard pairs find planted near-dups and skip unrelated docs") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSets(docs, "doc_id", "text"), 0.5)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)), "exact dup has jaccard 1.0")
+    assert(pairs.forall { case (a, b) => a != 4L && b != 4L }, "unrelated doc excluded")
+  }
+
+  test("minhash+LSH verified pairs equal exact jaccard pairs") {
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(sh, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs share fingerprints, distinct docs differ") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) === fp(2L), "exact dups share simhash")
+    assert(fp(1L) !== fp(4L), "unrelated docs differ")
+  }
+}
