@@ -37,14 +37,18 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Int = 20): DataFrame = {
+    // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
+    // partition-local, so the only shuffle here is the df window below.
     val sh = docs
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("s"))
-      .distinct()
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("s"))
+    // Document frequency as a window over the shingle key: one shuffle, no
+    // join. (At 100 TB a viral shingle makes this partition hot — there,
+    // pre-aggregate df in a first pass or salt the key; the prune threshold
+    // keeps everything downstream bounded either way.)
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= maxDf)
-      .select("s")
-    sh.join(rare, Seq("s"), "left_semi")
+      .select("id", "s")
   }
 
   /** Exact Jaccard over pruned shingle sets for every pair sharing at
@@ -66,27 +70,42 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
-  /** One md5-derived hash family member: h_i(s), a 60-bit long. */
-  private def shingleHash(i: Int) =
-    conv(substring(md5(concat(lit(s"$i:"), col("s"))), 1, 15), 16, 10).cast("long")
+  /** Universal hash family over ONE base digest per shingle:
+    * h_i(s) = (a_i * h(s) + b_i) mod p, p = 2^31−1. One md5 per shingle
+    * row instead of k — the md5 is the dominant cost at scale; the affine
+    * members are two long ops each. Products stay < 2^62.
+    */
+  private val P = 2147483647L // Mersenne prime 2^31-1
+  private def baseHash =
+    conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+  private def familyMember(i: Int, h: org.apache.spark.sql.Column) = {
+    val a = ((i * 2654435761L) % P) | 1L
+    val b = (i * 40503L * 65537L) % P
+    (h * a + b) % P
+  }
 
   /** MinHash signatures: k per-document minima over the shingle set.
     * Output: id, mh0..mh{k-1}.
     */
-  def minhashSignatures(shingles: DataFrame, k: Int = 32): DataFrame =
-    shingles
+  def minhashSignatures(shingles: DataFrame, k: Int = 32): DataFrame = {
+    val withBase = shingles.withColumn("hb", baseHash)
+    withBase
       .groupBy("id")
-      .agg(min(shingleHash(0)).as("mh0"),
-        (1 until k).map(i => min(shingleHash(i)).as(s"mh$i")): _*)
+      .agg(min(familyMember(0, col("hb"))).as("mh0"),
+        (1 until k).map(i => min(familyMember(i, col("hb"))).as(s"mh$i")): _*)
+  }
 
   /** LSH banding: k/r bands of r rows; each band hashes to a bucket key.
+    * One explode pass over the signature row — NOT a union of per-band
+    * selects, which would recompute the signature aggregation k/r times.
     * Output: candidate pairs (d1 < d2), distinct across bands.
     */
   def lshCandidates(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
-    val bands = (0 until k / r).map { b =>
-      val key = concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
-      signatures.select(col("id"), key.as("bucket"))
-    }.reduce(_ union _)
+    val bandKeys = (0 until k / r).map { b =>
+      concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
+    }
+    val bands = signatures
+      .select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
     val l = bands.select(col("bucket"), col("id").as("d1"))
     val rr = bands.select(col("bucket"), col("id").as("d2"))
     l.join(rr, Seq("bucket"))
@@ -100,8 +119,11 @@ object Dedup {
     * k=32, r=2 the miss probability at j≥0.8 is (1−0.8²)¹⁶ ≈ 8e−8, so the
     * verified output equals the exact-jaccard pair set.
     */
-  def minhashNearDups(shingles: DataFrame, threshold: Double = 0.8,
+  def minhashNearDups(shinglesIn: DataFrame, threshold: Double = 0.8,
       k: Int = 32, r: Int = 2): DataFrame = {
+    // The shingle set feeds signatures AND the exact verify — cache it
+    // rather than recomputing the explode+prune twice.
+    val shingles = shinglesIn.cache()
     val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
     jaccardPairs(
       shingles.join(

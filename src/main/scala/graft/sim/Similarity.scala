@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, z) => acc + z)
+  /** Left-fold double dot product — native codegen expression
+    * (graft.functions.ArrayDot); identical accumulation order to the HOF
+    * formulation but compiled to a Java loop.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, z) => acc + z))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Rounded cosine similarity (6 dp — ULP-stable across engines). */
   def cosine(a: Column, b: Column): Column =
