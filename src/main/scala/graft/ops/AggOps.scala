@@ -121,6 +121,54 @@ object AggOps {
       .orderBy("kind", "direction", "bucket")
   }
 
+  /** Whole-chain verdict in ONE distributed aggregation — the typed
+    * ChainSequenceAggregator (SURVEY.md §7 custom piece (b)): partitions
+    * fold into verified segments, merges stitch boundaries; a break is any
+    * surviving segment start. Same planted defects as win-chain-link:
+    * %7 gaps and a corrupted hash at h%50==0 (which breaks the link AT the
+    * NEXT height present in the set).
+    */
+  val aggChainVerify: Op = Op.sql(
+    "agg-chain-verify",
+    """WITH b AS (
+      |  SELECT o_orderkey AS h,
+      |         CASE WHEN o_orderkey % 50 = 0
+      |              THEN md5(concat('x', CAST(o_orderkey AS VARCHAR)))
+      |              ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS blockId,
+      |         md5(CAST(o_orderkey - 1 AS VARCHAR)) AS parentId
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |links AS (
+      |  SELECT b.h, (p.blockId IS NOT NULL AND b.parentId = p.blockId) AS linked
+      |  FROM b LEFT JOIN b p ON b.h = p.h + 1),
+      |breaks AS (
+      |  SELECT h FROM links WHERE NOT linked AND h > (SELECT min(h) FROM b))
+      |SELECT (SELECT count(*) FROM breaks) = 0 AS ok,
+      |       (SELECT min(h) FROM b) AS min_h,
+      |       (SELECT max(h) FROM b) AS max_h,
+      |       (SELECT count(*) FROM breaks) AS n_breaks,
+      |       (SELECT min(h) FROM breaks) AS first_break""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.{BlockLink, ChainSequenceAggregator}
+    val links = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("height"),
+        when(col("o_orderkey") % 50 === 0,
+          md5(concat(lit("x"), col("o_orderkey").cast("string"))))
+          .otherwise(md5(col("o_orderkey").cast("string"))).as("blockId"),
+        md5((col("o_orderkey") - 1).cast("string")).as("parentId"))
+      .as[BlockLink]
+    links.select(ChainSequenceAggregator.toColumn) // typed select → Dataset[ChainVerdict]
+      .toDF()
+      .select(
+        col("ok"),
+        col("minH").as("min_h"),
+        col("maxH").as("max_h"),
+        size(col("breaks")).cast("long").as("n_breaks"),
+        array_min(col("breaks")).as("first_break"))
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
-    aggDupTxid, aggMaxHeight, aggThroughput, aggMetrics)
+    aggDupTxid, aggMaxHeight, aggThroughput, aggMetrics, aggChainVerify)
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ArrayDot matches the HOF formulation exactly on float arrays") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(0.3f, 0.4f))
+    ).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, z) => acc + z).as("d")).as[Double].collect()
+    val native = df.select(ArrayDot(col("a"), col("b")).as("d")).as[Double].collect()
+    assert(native.toSeq === hof.toSeq)
+    assert(native.head === 32.0)
+  }
+
+  test("array_dot is SQL-callable after GraftExtensions registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("chain aggregator verifies an intact chain and localizes breaks") {
+    import graft.functions.{BlockLink, ChainSequenceAggregator}
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+
+    def link(h: Long, parentOf: Long => String) =
+      BlockLink(h, md5s(h.toString), parentOf(h - 1))
+
+    // intact chain 0..99
+    val ok = (0L to 99L).map(h => link(h, p => md5s(p.toString)))
+    val v1 = ok.toDS().repartition(7)
+      .select(ChainSequenceAggregator.toColumn).head()
+    assert(v1.ok && v1.minH === 0L && v1.maxH === 99L && v1.breaks.isEmpty)
+
+    // gap at 50 and a bad hash at 80
+    val broken = ok.filterNot(_.height == 50L).map {
+      case b if b.height == 80L => b.copy(parentId = "corrupt")
+      case b                    => b
+    }
+    val v2 = broken.toDS().repartition(7)
+      .select(ChainSequenceAggregator.toColumn).head()
+    assert(!v2.ok)
+    assert(v2.breaks === Seq(51L, 80L))
+  }
+}
