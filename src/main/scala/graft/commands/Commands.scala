@@ -1,0 +1,122 @@
+package graft.commands
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.archive.{Compaction, Filenames}
+import graft.functions.{BlockLink, ChainSequenceAggregator}
+import graft.streaming.Streams
+
+/** The reference's five CLI commands (README.adoc:107-155, src/args.rs:165-173)
+  * as Spark jobs composed from the operator library. Offline, the chain
+  * fetch boundary is a pre-fetched raw DataFrame (SURVEY.md §2.1 src-grpc);
+  * in production a connector fills the same (height, blockId, parentId,
+  * payload) shape via mapPartitions.
+  */
+object Commands {
+
+  /** `archive` — bulk backfill of [startH, endH] (src/command/archive.rs:34-47):
+    * chunk-aligned split, record build, one partitioned write, per-chunk
+    * completeness summary returned (completeness gate per
+    * src/command/compact.rs:246-321 semantics).
+    */
+  def archive(
+      spark: SparkSession,
+      rawBlocks: DataFrame, // height, blockId, parentId, payload
+      outDir: String,
+      startH: Long, endH: Long,
+      chunkSize: Long = 1000L): DataFrame = {
+    val slice = rawBlocks.filter(col("height").between(startH, endH))
+    val records = slice
+      .withColumn("l1", Filenames.l1(col("height")))
+      .withColumn("l2", Filenames.l2(col("height")))
+    records
+      .repartition(col("l2"))
+      .sortWithinPartitions("height")
+      .write.mode(SaveMode.Append)
+      .partitionBy("l1", "l2")
+      .parquet(s"$outDir/blocks")
+    Compaction.validateChunks(slice, "height", chunkSize)
+  }
+
+  /** `stream` — live tail (src/command/stream.rs:92-144): follow a heads
+    * directory, archive each batch idempotently (never overwrite,
+    * stream.rs:49-52). Returns after draining available input.
+    */
+  def stream(
+      spark: SparkSession,
+      headsDir: String,
+      headSchema: org.apache.spark.sql.types.StructType,
+      archiveDir: String,
+      checkpoint: String): Unit = {
+    val q = Streams.followHeads(spark, headsDir, headSchema, checkpoint) { (batch, _) =>
+      batch
+        .withColumn("l1", Filenames.l1(col("height")))
+        .withColumn("l2", Filenames.l2(col("height")))
+        .write.mode(SaveMode.Append)
+        .partitionBy("l1", "l2")
+        .parquet(s"$archiveDir/blocks")
+    }
+    q.awaitTermination(120000)
+  }
+
+  /** `compact` — merge complete aligned chunks into range files, leave
+    * partial chunks alone (src/command/compact.rs:44-244).
+    */
+  def compact(
+      spark: SparkSession,
+      archiveDir: String,
+      outDir: String,
+      chunkSize: Long = 1000L): DataFrame =
+    Compaction.compact(spark, spark.read.parquet(s"$archiveDir/blocks"),
+      "height", chunkSize, outDir)
+
+  /** `fix` — find missing heights in [startH, endH] and re-archive them
+    * from the raw source, idempotently (src/command/fix.rs:39-69).
+    * Returns the heights that were missing.
+    */
+  def fix(
+      spark: SparkSession,
+      rawBlocks: DataFrame,
+      archiveDir: String,
+      outDir: String,
+      startH: Long, endH: Long): DataFrame = {
+    val archived = spark.read.parquet(s"$archiveDir/blocks")
+      .select("height").distinct()
+    val missing = spark.range(startH, endH + 1).toDF("height")
+      .join(archived, Seq("height"), "left_anti")
+    val refetch = rawBlocks.join(missing, Seq("height"), "left_semi")
+    refetch
+      .withColumn("l1", Filenames.l1(col("height")))
+      .withColumn("l2", Filenames.l2(col("height")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("l1", "l2")
+      .parquet(s"$outDir/blocks")
+    missing
+  }
+
+  /** `verify` — integrity audit (src/command/verify.rs:409-477): duplicate
+    * heights, height gaps, chain-link breaks (via the distributed
+    * ChainSequenceAggregator). Returns one row per check.
+    */
+  def verify(spark: SparkSession, archiveDir: String): DataFrame = {
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$archiveDir/blocks")
+    val dupHeights = blocks.groupBy("height").count().filter(col("count") > 1).count()
+    val hs = blocks.agg(min("height"), max("height"), count(lit(1)),
+      countDistinct("height")).head()
+    val (mn, mx, n, nd) = (hs.getLong(0), hs.getLong(1), hs.getLong(2), hs.getLong(3))
+    val gaps = (mx - mn + 1) - nd
+    val verdict = blocks
+      .select(col("height"), col("blockId"), col("parentId"))
+      .dropDuplicates("height")
+      .as[BlockLink]
+      .select(ChainSequenceAggregator.toColumn)
+      .head()
+    Seq(
+      ("dup-heights", dupHeights),
+      ("missing-heights", gaps),
+      ("chain-breaks", verdict.breaks.size.toLong),
+      ("total-blocks", n)
+    ).toDF("check", "n_issues")
+  }
+}

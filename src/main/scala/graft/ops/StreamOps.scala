@@ -144,6 +144,36 @@ object StreamOps {
       .orderBy("notification")
   }
 
+  /** Graceful stop (reference: src/global.rs:24-32 shutdown signal checked
+    * in every loop): a REAL streaming query over the events table drains
+    * the available input, then stops cleanly; the op reports what was
+    * drained before shutdown.
+    */
+  val gracefulStop: Op = Op.sql(
+    "graceful-stop",
+    "SELECT TRUE AS stopped, count(*) AS drained FROM events"
+  ) { (s, d) =>
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(sys.props("java.io.tmpdir"), "graft-graceful")
+    Files.createDirectories(tmp)
+    Files.copy(Paths.get(s"$d/events.parquet"), tmp.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val ckpt = Files.createTempDirectory("graft-graceful-ckpt").toString
+    val schema = Tables.events(s, d).schema
+    val drained = s.sparkContext.longAccumulator("drained")
+    val q = s.readStream.schema(schema).parquet(tmp.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        drained.add(b.count())
+      }
+      .start()
+    q.processAllAvailable()
+    val stopped = graft.streaming.Streams.gracefulStop(q)
+    import s.implicits._
+    Seq((stopped || !q.isActive, drained.value.toLong)).toDF("stopped", "drained")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
-    lateData, reorgRepair, sinkNotifyPulsar)
+    lateData, reorgRepair, sinkNotifyPulsar, gracefulStop)
 }

@@ -1,0 +1,69 @@
+package graft.commands
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** End-to-end lifecycle over a temp archive: archive (with a planted gap)
+  * → verify flags it → fix heals it → verify clean → compact → stream
+  * appends a live tail idempotently.
+  */
+class CommandsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawChain(hs: Seq[Long]) = {
+    def h(x: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.toString.getBytes).map("%02x".format(_)).mkString
+    hs.map(x => (x, h(x), h(x - 1), s"payload-$x"))
+      .toDF("height", "blockId", "parentId", "payload")
+  }
+
+  test("archive -> verify -> fix -> verify -> compact lifecycle") {
+    val dir = Files.createTempDirectory("graft-arch").toString
+    val raw = rawChain(0L to 299L)
+
+    // archive with a planted gap (skip 120..129)
+    val gappy = raw.filter(!col("height").between(120, 129))
+    val summary = Commands.archive(spark, gappy, dir, 0L, 299L, chunkSize = 100L)
+    assert(summary.filter(col("complete")).count() === 2) // chunks 0 and 2
+
+    val v1 = Commands.verify(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1("missing-heights") === 10L)
+    assert(v1("chain-breaks") === 1L) // the gap breaks the chain once
+    assert(v1("dup-heights") === 0L)
+
+    // fix re-archives exactly the missing heights
+    val missing = Commands.fix(spark, raw, dir, dir, 0L, 299L)
+      .orderBy("height").as[Long].collect()
+    assert(missing.toSeq === (120L to 129L))
+
+    val v2 = Commands.verify(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2("missing-heights") === 0L)
+    assert(v2("chain-breaks") === 0L)
+    assert(v2("total-blocks") === 300L)
+
+    // compact: all three chunks now complete
+    val out = Files.createTempDirectory("graft-compacted").toString
+    val verdicts = Commands.compact(spark, dir, out, chunkSize = 100L)
+    assert(verdicts.filter(col("complete")).count() === 3)
+    assert(spark.read.parquet(out).count() === 300L)
+  }
+
+  test("stream appends live heads into the archive") {
+    val dir = Files.createTempDirectory("graft-stream-arch").toString
+    val heads = Files.createTempDirectory("graft-heads2").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    rawChain(500L to 509L).coalesce(1).write.mode("append").parquet(heads)
+    val schema = StructType(Seq(
+      StructField("height", LongType), StructField("blockId", StringType),
+      StructField("parentId", StringType), StructField("payload", StringType)))
+    Commands.stream(spark, heads, schema, dir, ckpt)
+    val v = Commands.verify(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("total-blocks") === 10L)
+    assert(v("chain-breaks") === 0L)
+  }
+}
