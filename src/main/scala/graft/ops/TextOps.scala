@@ -15,6 +15,7 @@ object TextOps {
     """SELECT doc_id,
       |       len(string_split(text, ' ')) AS n_tokens,
       |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
       |       length(text) AS n_chars_check
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
@@ -22,6 +23,8 @@ object TextOps {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+      // BPE-ish pre-tokenization: letter runs | digit runs | single symbol
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_subtokens"),
       length(col("text")).as("n_chars_check"))
       .orderBy("doc_id")
   }
