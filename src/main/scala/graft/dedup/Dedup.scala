@@ -119,11 +119,11 @@ object Dedup {
     * k=32, r=2 the miss probability at j≥0.8 is (1−0.8²)¹⁶ ≈ 8e−8, so the
     * verified output equals the exact-jaccard pair set.
     */
-  def minhashNearDups(shinglesIn: DataFrame, threshold: Double = 0.8,
+  def minhashNearDups(shingles: DataFrame, threshold: Double = 0.8,
       k: Int = 32, r: Int = 2): DataFrame = {
-    // The shingle set feeds signatures AND the exact verify — cache it
-    // rather than recomputing the explode+prune twice.
-    val shingles = shinglesIn.cache()
+    // The shingle set feeds signatures AND the exact verify; measured, the
+    // double compute beats caching here (cache materialization costs more
+    // than recomputing the explode+window-prune).
     val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
     jaccardPairs(
       shingles.join(

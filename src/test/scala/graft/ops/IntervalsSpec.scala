@@ -39,6 +39,16 @@ class IntervalsSpec extends SparkSpec {
     assert(got === Seq((998L, 1002L), (2000L, 2000L)))
   }
 
+  test("recursive merge levels preserve semantics on adversarial gappy keys") {
+    // every other key missing → n/2 islands; force extra merge levels with
+    // a tiny mergeLimit and verify the result is unchanged
+    val keys = (0L to 4000L by 2L) ++ (10000L to 10005L)
+    val expected = model(keys)
+    val got = Intervals.islands(keys.toDF("k"), "k", bucketSize = 50, mergeLimit = 10)
+      .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("subtract yields 0, 1 or 2 remainders per interval") {
     // reference: range.rs:197-213 — cut [10,20] out of various intervals
     val iv = Seq((0L, 5L), (0L, 15L), (12L, 18L), (15L, 30L), (5L, 25L), (10L, 20L))

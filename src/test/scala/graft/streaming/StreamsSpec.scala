@@ -53,6 +53,35 @@ class StreamsSpec extends SparkSpec {
       FinalizedHeight(8L, "h8", backfilled = false)))
   }
 
+  test("watermarked event-time window aggregation over a stream") {
+    // the §2.4 agg-throughput semantics, live: tumbling event-time windows
+    // with a watermark bounding state
+    import java.sql.Timestamp
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Double)](spark, 2)
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val q = agg.writeStream
+      .format("memory").queryName("thr_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    def t(min: Long) = new Timestamp(3600000L + min * 60000L)
+    input.addData((t(5), 1.0), (t(20), 2.0), (t(65), 4.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the first hour's window
+    input.addData((t(200), 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("thr_out")
+      .select(col("window.start").cast("long").as("w"), col("n"), col("total"))
+      .orderBy("w").collect()
+    q.stop()
+    assert(rows.length >= 1)
+    assert(rows.head.getLong(1) === 2L)      // two events in hour 1
+    assert(rows.head.getDouble(2) === 3.0)
+  }
+
   test("continueBackfill finds the un-archived tail heights") {
     val archived = (900L to 995L).filter(_ % 10 != 0).toDF("height")
     val missing = Streams.continueBackfill(spark, archived, head = 1000L, depth = 100)
