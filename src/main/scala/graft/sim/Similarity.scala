@@ -51,22 +51,20 @@ object Similarity {
   def intScaled(a: Column): Column =
     transform(a, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Deterministic integer projection weight for (plane j, dim d). */
-  private def weight(j: Column, d: Column): Column =
-    (j * 131 + d * 31) % 17 - 8
-
-  /** 8-bit LSH bucket id from sign projections (exact integer dots). */
-  def lshBucket(emb: Column, planes: Int = 8): Column = {
+  /** 8-bit LSH bucket id from sign projections (exact integer dots).
+    * Weight vectors are plan-time literal arrays; each projection is one
+    * native ArrayDotLong — a codegen'd loop, not an interpreted HOF chain.
+    * Dimension count is fixed per dataset (embeddings are 64-wide here;
+    * `dims` parameterizes it).
+    */
+  def lshBucket(emb: Column, planes: Int = 8, dims: Int = 64): Column = {
     val e = intScaled(emb)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
-      val s = aggregate(
-        zip_with(e, sequence(lit(0), size(e) - 1), (x, d) => x * weight(j, d)),
-        lit(0L), (acc, z) => acc + z)
-      // 2^j via pow (exact in double for j ≤ 7); shiftleft needs a literal
-      // bit count, j here is a column.
-      when(s > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, z) => acc + z)
+    val bucketBits = (0 until planes).map { j =>
+      val w = array((0 until dims).map(d => lit(((j * 131 + d * 31) % 17 - 8).toLong)): _*)
+      val s = graft.functions.ArrayDotLong(e, w)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bucketBits.reduce(_ + _)
   }
 
   /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
