@@ -37,6 +37,33 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction stub: an 8-bucket byte histogram per payload —
+    * the shape of a real embedding/feature stage (fixed-length features,
+    * exploded to (doc, feature, value) rows so downstream stays columnar).
+    * A real extractor replaces the bucket arithmetic with model inference
+    * inside the same explode/groupBy plan.
+    */
+  def featureExtract(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("i"))
+      .groupBy(col("doc_id"),
+        floor(ascii(col("t").substr(col("i"), lit(1))) / 16).cast("long").as("feature"))
+      .agg(count(lit(1)).as("value"))
+
+  /** Resize plan stub: aspect-preserving target dims bounded by `maxSide`
+    * — metadata-only arithmetic; the pixel work happens in the decode
+    * stage's partition-parallel batch.
+    */
+  def resizePlan(meta: DataFrame, maxSide: Int = 224): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scaled = (c: org.apache.spark.sql.Column) =>
+      when(longest <= maxSide, c)
+        .otherwise(floor(c * lit(maxSide.toDouble) / longest).cast("int"))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      scaled(col("width")).as("out_w"), scaled(col("height")).as("out_h"))
+  }
+
   /** Frame sampling plan for a "video" payload: byte offsets of `nFrames`
     * evenly spaced sample points — pure column arithmetic, explodes into a
     * distributed (doc, frame) table the decoder consumes.

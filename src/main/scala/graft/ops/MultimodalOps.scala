@@ -50,5 +50,45 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_no")
   }
 
-  val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample)
+  /** Feature-extraction stub: 8-bucket byte histogram per payload,
+    * exploded to (doc, feature, value) rows — the columnar shape a real
+    * embedding/feature stage produces.
+    */
+  val mmFeatureExtract: Op = Op.sql(
+    "mm-feature-extract",
+    """SELECT doc_id,
+      |       ascii(substr(text, i, 1)) // 16 AS feature,
+      |       count(*) AS value
+      |FROM documents, (SELECT unnest(generate_series(1, 1000)) AS i) g
+      |WHERE i <= length(text)
+      |GROUP BY doc_id, feature
+      |ORDER BY doc_id, feature""".stripMargin
+  ) { (s, d) =>
+    Multimodal.featureExtract(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "feature")
+  }
+
+  /** Resize plan stub: aspect-preserving target dims bounded by 224,
+    * derived from the decode stub's metadata.
+    */
+  val mmResizeStub: Op = Op.sql(
+    "mm-resize-stub",
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+      |         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |       CASE WHEN greatest(width, height) <= 224 THEN width
+      |            ELSE CAST(floor(width * 224.0 / greatest(width, height)) AS INTEGER) END AS out_w,
+      |       CASE WHEN greatest(width, height) <= 224 THEN height
+      |            ELSE CAST(floor(height * 224.0 / greatest(width, height)) AS INTEGER) END AS out_h
+      |FROM meta ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+    Multimodal.resizePlan(Multimodal.decodeStub(s, media).toDF())
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub)
 }
