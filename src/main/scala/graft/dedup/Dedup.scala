@@ -55,15 +55,15 @@ object Dedup {
     * least one shingle. Output: d1, d2, jac (rounded, ≥ threshold).
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = shingles.select(col("s"), col("id").as("d1"))
-    val b = shingles.select(col("s"), col("id").as("d2"))
-    val inter = a.join(b, Seq("s"))
+    // Per-doc set size rides along as a window column, so |A| and |B| are
+    // already on the joined rows — no post-join size lookups (2 joins
+    // saved; na/nb join the group keys since they're functions of d1/d2).
+    val sized = shingles.withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val a = sized.select(col("s"), col("id").as("d1"), col("n").as("na"))
+    val b = sized.select(col("s"), col("id").as("d2"), col("n").as("nb"))
+    a.join(b, Seq("s"))
       .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "na"), Seq("d1"))
-      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "nb"), Seq("d2"))
+      .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)

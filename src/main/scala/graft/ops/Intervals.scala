@@ -33,7 +33,10 @@ object Intervals {
     */
   def islands(df: DataFrame, key: String, bucketSize: Long = 1000L,
       mergeLimit: Long = 1000000L): DataFrame = {
-    var iv = localIslands(df.select(col(key).as("_k")), "_k", bucketSize)
+    // Local islands are tiny relative to the raw keys — cache them so the
+    // level-count actions and the final merge don't re-execute the
+    // raw-data window.
+    var iv = localIslands(df.select(col(key).as("_k")), "_k", bucketSize).cache()
     var width = bucketSize
     // Fixpoint over LEVELS (log-many), not over rows like the reference's
     // O(n²) RangeBag loop (range_bag.rs:53-86). Stop when small enough OR
