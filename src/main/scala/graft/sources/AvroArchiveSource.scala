@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.model.Schemas
+
+/** Reader for the reference's ACTUAL storage format — Avro object-container
+  * files (reference writer: src/storage/fs.rs:135-219; reader:
+  * src/storage/avro_reader.rs:28-70). The container ships no spark-avro
+  * datasource, so this decodes via the core avro jar inside
+  * `binaryFiles` partitions: one archive file per task — the natural unit,
+  * since range files are ≤1000 blocks by construction (chunk size,
+  * src/args.rs:136).
+  *
+  * Records map by FIELD NAME onto the static Spark schemas
+  * (graft.model.Schemas); the reference's readers use the same fixed
+  * schemas, never inference.
+  */
+object AvroArchiveSource {
+
+  /** Read one-or-many `.avro` archive files (glob ok) as the given kind
+    * ("blocks" | "txes" | "traces").
+    */
+  def read(spark: SparkSession, pathGlob: String, kind: String): DataFrame = {
+    val schema = Schemas.schemaFor(kind)
+    val fields = schema.fields // serialize field list, not the StructType methods
+    val rows = spark.sparkContext
+      .binaryFiles(pathGlob)
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        val reader = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        val it = new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h) { reader.close() }
+            h
+          }
+          def next(): Row = toRow(reader.next(), fields)
+        }
+        it
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def toRow(rec: GenericRecord, fields: Array[StructField]): Row = {
+    val values = fields.map { f =>
+      val v = if (rec.getSchema.getField(f.name) != null) rec.get(f.name) else null
+      convert(v, f.dataType)
+    }
+    Row.fromSeq(values.toIndexedSeq)
+  }
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                      => null
+    case (u: Utf8, StringType)          => u.toString
+    case (s: String, StringType)        => s
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
+    case (l: java.lang.Long, TimestampType) => new java.sql.Timestamp(l)
+    case (l: java.lang.Long, LongType)  => l
+    case (i: java.lang.Integer, IntegerType) => i
+    case (b: ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (a: Array[Byte], BinaryType)   => a
+    case (other, _)                     => other
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Golden-file decode checks against the reference's production fixtures —
+  * mirrors the read-count assertions in src/storage/avro_reader.rs:79-104.
+  * (The reference test cites a 000723743.txes fixture with 2498 records
+  * that is NOT shipped in this snapshot; the shipped 000723744.txes.avro
+  * holds 423 snappy-compressed tx records — verified with a plain Avro
+  * reader — so that is the golden number asserted here.)
+  */
+class AvroArchiveSourceSpec extends SparkSpec {
+
+  private val fixtures = "/root/reference/testdata/fullAvroFiles"
+
+  test("decodes a single-block Bitcoin file: 1 record, correct height") {
+    val df = AvroArchiveSource.read(spark, s"$fixtures/000723744.block.avro", "blocks")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("height") === 723744L)
+    assert(r.getAs[String]("blockchainType") === "BITCOIN")
+    assert(r.getAs[String]("blockId").nonEmpty)
+    assert(r.getAs[Array[Byte]]("json").nonEmpty)
+  }
+
+  test("decodes the dense txes file: 423 records, all for block 723744") {
+    val df = AvroArchiveSource.read(spark, s"$fixtures/000723744.txes.avro", "txes")
+    assert(df.count() === 423L)
+    val agg = df.agg(
+      countDistinct("height").as("nh"),
+      countDistinct("txid").as("ntx"),
+      min("index").as("mn"), max("index").as("mx")).head()
+    assert(agg.getAs[Long]("nh") === 1L)
+    assert(agg.getAs[Long]("ntx") === 423L)
+    assert(agg.getAs[Long]("mn") === 0L)
+    assert(agg.getAs[Long]("mx") === 422L)
+  }
+
+  test("decodes a range file and a glob of singles") {
+    val range = AvroArchiveSource.read(
+      spark, s"$fixtures/btc/000700000/range-000723745_000723749.blocks.avro", "blocks")
+    val heights = range.select("height").collect().map(_.getLong(0)).sorted
+    assert(heights.toSeq === (723745L to 723749L))
+
+    val singles = AvroArchiveSource.read(spark, s"$fixtures/0007237*.block.avro", "blocks")
+    assert(singles.select("height").distinct().count() === singles.count())
+    assert(singles.count() >= 5)
+  }
+}
