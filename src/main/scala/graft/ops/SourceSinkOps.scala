@@ -19,32 +19,36 @@ object SourceSinkOps {
     base.getAbsolutePath
   }
 
-  /** Stream-decode with a fixed static schema — never inference
-    * (reference: src/storage/avro_reader.rs:28-70). The pinned schema also
-    * means column pruning is explicit.
+  private def clearDir(path: String): Unit = {
+    val f = new java.io.File(path)
+    Option(f.listFiles()).foreach(_.foreach(_.delete()))
+    f.mkdirs()
+  }
+
+  /** Stream-decode REAL Avro container files with a fixed static schema —
+    * never inference (reference: src/storage/avro_reader.rs:28-70): write
+    * lineitem as an Avro archive once, then scan+aggregate it through the
+    * container decoder.
     */
   val scanAvro: Op = Op.sql(
     "scan-avro",
     """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.types._
-    val pinned = StructType(Seq(
-      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
-      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
-      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
-      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
-      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
-      StructField("l_shipdate", TimestampNTZType)))
-    s.read.schema(pinned).parquet(s"$d/lineitem.parquet")
+    val li = Tables.lineitem(s, d)
+    val out = tmpDir("scan-avro")
+    clearDir(out)
+    graft.sources.AvroArchiveSink.write(li, "lineitem", out, codec = "snappy")
+    graft.sources.AvroArchiveSource.read(s, s"$out/*.avro", li.schema)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
       .orderBy("l_returnflag")
   }
 
-  /** Local filesystem sink with codec + commit-protocol atomicity
-    * (reference: src/storage/fs.rs:135-219): write zstd, read back, prove
-    * content parity against the source.
+  /** Local filesystem sink in the reference's ACTUAL format — Avro object
+    * containers with zstd (reference: src/storage/fs.rs:135-219,
+    * src/global.rs:34-46): write via AvroArchiveSink, decode back via
+    * AvroArchiveSource, prove content parity against the source table.
     */
   val sinkAvroFs: Op = Op.sql(
     "sink-avro-fs",
@@ -53,8 +57,10 @@ object SourceSinkOps {
       |FROM orders""".stripMargin
   ) { (s, d) =>
     val out = tmpDir("sink-fs")
-    Sinks.writeArchive(Tables.orders(s, d), out, codec = "zstd", overwrite = true)
-    s.read.parquet(out)
+    clearDir(out)
+    val orders = Tables.orders(s, d)
+    graft.sources.AvroArchiveSink.write(orders, "orders", out, codec = "zstd")
+    graft.sources.AvroArchiveSource.read(s, s"$out/*.avro", orders.schema)
       .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_h"),
         round(sum("o_totalprice"), 2).as("total"))
   }

@@ -35,7 +35,8 @@ object AvroArchiveSink {
         case LongType      => Schema.create(Schema.Type.LONG)
         case IntegerType   => Schema.create(Schema.Type.INT)
         case BinaryType    => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
+        case DoubleType    => Schema.create(Schema.Type.DOUBLE)
+        case TimestampType | TimestampNTZType =>
           val s = Schema.create(Schema.Type.LONG)
           org.apache.avro.LogicalTypes.timestampMillis().addToSchema(s)
         case other => throw new IllegalArgumentException(s"unsupported: $other")
@@ -94,6 +95,10 @@ object AvroArchiveSink {
         else f.dataType match {
           case TimestampType => java.lang.Long.valueOf(
             row.getAs[java.sql.Timestamp](i).getTime)
+          case TimestampNTZType =>
+            val ldt = row.getAs[java.time.LocalDateTime](i)
+            java.lang.Long.valueOf(
+              ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L + ldt.getNano / 1000000)
           case BinaryType    => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
           case _             => row.get(i)
         }

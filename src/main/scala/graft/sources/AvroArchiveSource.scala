@@ -26,8 +26,11 @@ object AvroArchiveSource {
   /** Read one-or-many `.avro` archive files (glob ok) as the given kind
     * ("blocks" | "txes" | "traces").
     */
-  def read(spark: SparkSession, pathGlob: String, kind: String): DataFrame = {
-    val schema = Schemas.schemaFor(kind)
+  def read(spark: SparkSession, pathGlob: String, kind: String): DataFrame =
+    read(spark, pathGlob, Schemas.schemaFor(kind))
+
+  /** Read with an explicit pinned schema (arbitrary tables). */
+  def read(spark: SparkSession, pathGlob: String, schema: StructType): DataFrame = {
     val fields = schema.fields // serialize field list, not the StructType methods
     val rows = spark.sparkContext
       .binaryFiles(pathGlob)
@@ -62,7 +65,12 @@ object AvroArchiveSource {
     case (s: String, StringType)        => s
     case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
     case (l: java.lang.Long, TimestampType) => new java.sql.Timestamp(l)
+    case (l: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000L), Math.floorMod(l, 1000L).toInt * 1000000,
+        java.time.ZoneOffset.UTC)
     case (l: java.lang.Long, LongType)  => l
+    case (d: java.lang.Double, DoubleType) => d
     case (i: java.lang.Integer, IntegerType) => i
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
