@@ -36,19 +36,27 @@ object Dedup {
     * sides of any downstream comparison (common-shingle pruning).
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDf: Int = 20): DataFrame = {
+      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = false): DataFrame = {
     // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
-    // partition-local, so the only shuffle here is the df window below.
+    // partition-local, so the only shuffle here is the df prune below.
     val sh = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("s"))
-    // Document frequency as a window over the shingle key: one shuffle, no
-    // join. (At 100 TB a viral shingle makes this partition hot — there,
-    // pre-aggregate df in a first pass or salt the key; the prune threshold
-    // keeps everything downstream bounded either way.)
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("df") <= maxDf)
-      .select("id", "s")
+    if (skewSafe) {
+      // 100 TB form: a viral shingle ("the of the" in a billion docs) would
+      // make the window partition hot; the two-pass prune pre-aggregates df
+      // (map-side combine absorbs the skew) and anti-joins the hot keys —
+      // no single partition ever holds a hot shingle's full row set.
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("s")
+      sh.join(hot, Seq("s"), "left_anti").select("id", "s")
+    } else {
+      // Fixture-scale form: one shuffle, no join.
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= maxDf)
+        .select("id", "s")
+    }
   }
 
   /** Exact Jaccard over pruned shingle sets for every pair sharing at

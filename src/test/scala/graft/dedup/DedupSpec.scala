@@ -29,6 +29,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a != 4L && b != 4L }, "unrelated doc excluded")
   }
 
+  test("skew-safe df prune is equivalent to the window prune") {
+    val win = Dedup.shingleSets(docs, "doc_id", "text", maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val two = Dedup.shingleSets(docs, "doc_id", "text", maxDf = 3, skewSafe = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(win === two)
+    assert(win.nonEmpty)
+    // maxDf=3 prunes the shingles shared by 4 near-identical docs
+    val dfBy = win.groupBy(_._2).view.mapValues(_.size)
+    assert(dfBy.values.forall(_ <= 3))
+  }
+
   test("minhash+LSH verified pairs equal exact jaccard pairs") {
     val sh = Dedup.shingleSets(docs, "doc_id", "text")
     val exact = Dedup.jaccardPairs(sh, 0.8)

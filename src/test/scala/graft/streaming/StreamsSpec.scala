@@ -89,6 +89,37 @@ class StreamsSpec extends SparkSpec {
     assert(missing === ((900L to 999L).filter(h => h % 10 == 0 || h > 995L)))
   }
 
+  test("finalizedFollower over the real events table matches its batch op") {
+    // replay testdata events (ordered by ts) as observed heads with dups
+    // and gaps (event_id div 3, errors dropped) — same construction as the
+    // stream-finalized batch op, so outputs must agree.
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf())
+      .filter(col("event_type") =!= "error")
+      .orderBy("ts")
+      .select(expr("event_id div 3").as("height"))
+      .as[Long].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Head](spark, 2)
+    val out = Streams.finalizedFollower(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("fin_real")
+      .outputMode(OutputMode.Append).start()
+    // feed in three batches to exercise cross-batch state
+    ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+      input.addData(chunk.map(h => Head(h, s"h$h")).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("fin_real")
+      .select("height", "backfilled")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    q.stop()
+    val batch = graft.ops.StreamOps.streamFinalized.build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(streamed === batch)
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
