@@ -100,6 +100,26 @@ object AggOps {
       .orderBy("hour_bucket")
   }
 
+  /** The reference's ACTUAL throughput shape — a sliding window (5-minute
+    * span, 1-minute slide; reference: src/progress.rs:13,135-181) — via
+    * Spark's native `window()` with a slide: every event lands in 5
+    * windows. Oracle expands the same 5 window-starts per event.
+    */
+  val aggThroughputSliding: Op = Op.sql(
+    "agg-throughput-sliding",
+    """SELECT (epoch_us(ts) // 60000000 - k) * 60 AS w_start,
+      |       count(*) AS n, round(sum(value), 2) AS total
+      |FROM events, (SELECT unnest(generate_series(0, 4)) AS k) g
+      |GROUP BY w_start ORDER BY w_start""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("tsc"), "5 minutes", "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").cast("long").as("w_start"), col("n"), col("total"))
+      .orderBy("w_start")
+  }
+
   /** Counter + histogram metrics by kind×direction (reference:
     * src/metrics/archive.rs:14-84) — width_bucket-style floor histogram.
     */
@@ -170,5 +190,6 @@ object AggOps {
   }
 
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
-    aggDupTxid, aggMaxHeight, aggThroughput, aggMetrics, aggChainVerify)
+    aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
+    aggMetrics, aggChainVerify)
 }
