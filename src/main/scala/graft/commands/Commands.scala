@@ -98,9 +98,16 @@ object Commands {
     * heights, height gaps, chain-link breaks (via the distributed
     * ChainSequenceAggregator). Returns one row per check.
     */
-  def verify(spark: SparkSession, archiveDir: String): DataFrame = {
+  def verify(spark: SparkSession, archiveDir: String,
+      format: String = "parquet"): DataFrame = {
     import spark.implicits._
-    val blocks = spark.read.parquet(s"$archiveDir/blocks")
+    val blocks = format match {
+      case "parquet" => spark.read.parquet(s"$archiveDir/blocks")
+      case "avro" =>
+        // the reference's own on-disk format, via the container decoder
+        graft.sources.AvroArchiveSource.read(spark, s"$archiveDir/*.avro", "blocks")
+      case other => throw new IllegalArgumentException(s"format: $other")
+    }
     val dupHeights = blocks.groupBy("height").count().filter(col("count") > 1).count()
     val hs = blocks.agg(min("height"), max("height"), count(lit(1)),
       countDistinct("height")).head()

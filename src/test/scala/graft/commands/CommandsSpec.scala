@@ -52,6 +52,30 @@ class CommandsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 300L)
   }
 
+  test("verify audits an Avro-format archive (the reference's own format)") {
+    import org.apache.spark.sql.Row
+    import java.sql.Timestamp
+    def blockRow(h: Long, parent: Long): Row = {
+      def md5s(x: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes).map("%02x".format(_)).mkString
+      Row("BITCOIN", "BTC", new Timestamp(0L), h, md5s(h), md5s(parent),
+        new Timestamp(h), Array.emptyByteArray, 0, null, null)
+    }
+    // gap at 15, plus a parent-hash corruption at 18
+    val rows = ((10L to 20L).filterNot(_ == 15L)).map(h =>
+      if (h == 18L) blockRow(h, 999L) else blockRow(h, h - 1))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), graft.model.Schemas.block)
+    val dir = Files.createTempDirectory("graft-avro-verify").toString
+    graft.sources.AvroArchiveSink.write(df, "blocks", dir, "snappy")
+    val v = Commands.verify(spark, dir, format = "avro")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("total-blocks") === 10L)
+    assert(v("missing-heights") === 1L)
+    assert(v("chain-breaks") === 2L) // the gap at 15→16 AND the bad parent at 18
+    assert(v("dup-heights") === 0L)
+  }
+
   test("stream appends live heads into the archive") {
     val dir = Files.createTempDirectory("graft-stream-arch").toString
     val heads = Files.createTempDirectory("graft-heads2").toString
