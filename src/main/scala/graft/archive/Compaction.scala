@@ -60,4 +60,41 @@ object Compaction {
       .parquet(outDir)
     verdicts
   }
+
+  /** Full compact-then-clean: merge complete chunks of `srcDir` into
+    * `outDir`, then delete ONLY the source files every one of whose rows
+    * was fully copied (reference: write new THEN delete old, and only if
+    * fully copied — src/command/compact.rs:89-106; scenario
+    * `compact_partial_chunk_not_deleted`, compact.rs:502-1120). The write
+    * commits (Spark commit protocol) before any delete runs. Returns
+    * (verdicts, deleted file paths).
+    */
+  def compactAndClean(
+      spark: SparkSession,
+      srcDir: String,
+      heightCol: String,
+      chunkSize: Long,
+      outDir: String): (DataFrame, Seq[String]) = {
+    val src = spark.read.parquet(srcDir)
+    val verdicts = compact(spark, src, heightCol, chunkSize, outDir)
+    val completeChunks = verdicts.filter(col("complete")).select("chunk")
+    // A source file is deletable iff ALL its rows landed in complete
+    // chunks (a file may span chunks; any partial row keeps it alive).
+    val perFile = src
+      .withColumn("file", input_file_name())
+      .withColumn("chunk", floor(col(heightCol) / chunkSize).cast("long"))
+      .join(broadcast(completeChunks).withColumn("copied", lit(1)), Seq("chunk"), "left")
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"), count("copied").as("n_copied"))
+      .filter(col("n") === col("n_copied"))
+    // File count is catalog-sized; drive deletion from the collected list
+    // (reference deletes with a semaphore of 4, verify.rs:278).
+    val deletable = perFile.collect().map(_.getAs[String]("file")).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    deletable.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    (verdicts, deletable)
+  }
 }

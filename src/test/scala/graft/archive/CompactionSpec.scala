@@ -20,6 +20,30 @@ class CompactionSpec extends SparkSpec {
     assert(v.map(_.getAs[Boolean]("complete")).toSeq === Seq(true, false, false))
   }
 
+  test("compactAndClean deletes only fully-copied source files") {
+    val srcDir = Files.createTempDirectory("graft-cc-src").toString
+    val outDir = Files.createTempDirectory("graft-cc-out").toString
+    // one source file per 10-height bucket; chunk 1 (10..19) is partial
+    val heights = ((0L to 9L) ++ (10L to 17L) ++ (20L to 29L)).toDF("height")
+      .withColumn("payload", md5(col("height").cast("string")))
+      .withColumn("bucket", floor(col("height") / 10).cast("long"))
+    heights.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(srcDir)
+    val before = spark.read.parquet(srcDir).count()
+    assert(before === 28L)
+
+    val (verdicts, deleted) = Compaction.compactAndClean(
+      spark, srcDir, "height", 10L, outDir)
+    assert(verdicts.filter(col("complete")).count() === 2)
+    // files of buckets 0 and 2 deleted; bucket 1 (partial chunk) survives
+    assert(deleted.nonEmpty)
+    assert(deleted.forall(f => !f.contains("bucket=1")))
+    val remaining = spark.read.parquet(srcDir)
+    assert(remaining.select("height").as[Long].collect().sorted.toSeq === (10L to 17L))
+    // compacted output holds exactly the complete chunks
+    assert(spark.read.parquet(outDir).count() === 20L)
+  }
+
   test("compact writes only complete chunks and keeps sources intact") {
     val out = Files.createTempDirectory("graft-compact").toString
     val heights = ((0L to 9L) ++ (10L to 17L) ++ (20L to 29L)).toDF("height")
