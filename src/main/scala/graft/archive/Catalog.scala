@@ -55,6 +55,34 @@ object Catalog {
       .withColumn("complete",
         col("blocks") >= 1 && col("txes") >= 1)
 
+  /** `merge_small` — group adjacent small ranges (≤ `threshold` blocks)
+    * into one verification batch so content checks read whole islands
+    * instead of per-file (reference: src/command/verify.rs:237-267; the
+    * threshold is 10 there). Large ranges keep their own group. Output:
+    * original rows + group_s/group_e of the batch they verify under.
+    */
+  def mergeSmall(catalog: DataFrame, threshold: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val small = col("end_h") - col("start_h") + 1 <= threshold
+    val w = Window.orderBy("start_h", "end_h")
+    // islands over the SMALL ranges only (catalog-sized input — the window
+    // runs over file metadata, never data rows)
+    val flagged = catalog
+      .withColumn("_small", small)
+      .withColumn("_pe", max(when(col("_small"), col("end_h"))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(!col("_small"), 1)
+          .when(col("_pe").isNull || col("start_h") > col("_pe") + 1, 1)
+          .otherwise(0))
+      .withColumn("_g", sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val groups = Window.partitionBy("_g")
+    flagged
+      .withColumn("group_s", min("start_h").over(groups))
+      .withColumn("group_e", max("end_h").over(groups))
+      .drop("_small", "_pe", "_brk", "_g")
+  }
+
   /** `find_incomplete_tables` — heights in [s, e] with no (or partial)
     * coverage (reference: src/storage/mod.rs:143-207). Returns heights
     * missing entirely; per-kind gaps come from [[groupTables]].

@@ -45,6 +45,44 @@ class CatalogSpec extends SparkSpec {
     assert(missing === Seq(11L, 15L, 16L, 18L))
   }
 
+  test("mergeSmall batches adjacent small ranges, leaves large ones alone") {
+    // reference scenarios (verify.rs:237-267): contiguous singles batch
+    // together; a big range keeps its own group; gaps split batches
+    val c = catalogOf(
+      (0L to 5L).map(h => f"/a/$h%09d.blocks.avro") ++ Seq(
+        "/a/range-000000100_000000999.blocks.avro",
+        "/a/000001000.blocks.avro",
+        "/a/000001001.blocks.avro",
+        "/a/000002000.blocks.avro"): _*)
+    val g = Catalog.mergeSmall(c, threshold = 10L)
+      .select("start_h", "group_s", "group_e")
+      .orderBy("start_h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.filter(_._1 <= 5L).forall(x => x._2 === 0L && x._3 === 5L))
+    assert(g.find(_._1 == 100L).get === ((100L, 100L, 999L)))
+    assert(g.find(_._1 == 1000L).get === ((1000L, 1000L, 1001L)))
+    assert(g.find(_._1 == 1001L).get === ((1001L, 1000L, 1001L)))
+    assert(g.find(_._1 == 2000L).get === ((2000L, 2000L, 2000L)))
+  }
+
+  test("verify_chunk filename pass: dedup, forks, incomplete groups") {
+    // composes groupTables + fork filtering the way verify_chunk does
+    // (verify.rs:145-207): duplicate kind in a range → error; fork singles
+    // (two hashes at one height) detected; incomplete group flagged.
+    val c = catalogOf(
+      "/a/000000001.blocks.avro", "/a/000000001.txes.avro",        // complete
+      "/a/000000002.blocks.avro",                                   // incomplete
+      "/a/000000003.blocks.avro", "/a/000000003.ab12.blocks.avro",  // fork/dup
+      "/a/000000003.txes.avro")
+    val g = Catalog.groupTables(c).orderBy("start_h").collect()
+    assert(g.map(_.getAs[Boolean]("complete")).toSeq === Seq(true, false, true))
+    assert(g.map(_.getAs[Boolean]("duplicate")).toSeq === Seq(false, false, true))
+    // the forked height exposes both candidate hashes for canonical pick
+    val forks = c.filter(org.apache.spark.sql.functions.col("start_h") === 3L)
+      .select("fork_hash").collect().map(_.getString(0))
+    assert(forks.toSet === Set(null, "ab12"))
+  }
+
   test("intersecting prunes non-overlapping ranges") {
     val c = catalogOf(
       "/a/range-000000000_000000099.blocks.avro",
