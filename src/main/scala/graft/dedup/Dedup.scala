@@ -36,7 +36,7 @@ object Dedup {
     * sides of any downstream comparison (common-shingle pruning).
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = false): DataFrame = {
+      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true): DataFrame = {
     // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
     // partition-local, so the only shuffle here is the df prune below.
     val sh = docs
@@ -47,10 +47,12 @@ object Dedup {
       // make the window partition hot; the two-pass prune pre-aggregates df
       // (map-side combine absorbs the skew) and anti-joins the hot keys —
       // no single partition ever holds a hot shingle's full row set.
+      // `hot` is tiny (only shingles above maxDf survive) — broadcast it so
+      // the anti-join never shuffles the full (id, shingle) row set.
       val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select("s")
-      sh.join(hot, Seq("s"), "left_anti").select("id", "s")
+      sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
     } else {
       // Fixture-scale form: one shuffle, no join.
       sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
@@ -63,15 +65,19 @@ object Dedup {
     * least one shingle. Output: d1, d2, jac (rounded, ≥ threshold).
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    // Per-doc set size rides along as a window column, so |A| and |B| are
-    // already on the joined rows — no post-join size lookups (2 joins
-    // saved; na/nb join the group keys since they're functions of d1/d2).
-    val sized = shingles.withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-    val a = sized.select(col("s"), col("id").as("d1"), col("n").as("na"))
-    val b = sized.select(col("s"), col("id").as("d2"), col("n").as("nb"))
+    // Per-doc set sizes come from a groupBy (map-side combine shrinks the
+    // id-shuffle to ~one row per partition×id) and are joined onto the
+    // AGGREGATED pair rows — candidate-pair-sized, orders of magnitude
+    // smaller than the raw (id, shingle) row set a window-by-id would
+    // re-shuffle in full.
+    val sz = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("s"), col("id").as("d1"))
+    val b = shingles.select(col("s"), col("id").as("d2"))
     a.join(b, Seq("s"))
       .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("inter"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("id").as("d1"), col("n").as("na")), Seq("d1"))
+      .join(sz.select(col("id").as("d2"), col("n").as("nb")), Seq("d2"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)

@@ -33,15 +33,25 @@ object Intervals {
     */
   def islands(df: DataFrame, key: String, bucketSize: Long = 1000L,
       mergeLimit: Long = 1000000L): DataFrame = {
-    // Local islands are tiny relative to the raw keys — cache them so the
-    // level-count actions and the final merge don't re-execute the
-    // raw-data window.
-    var iv = localIslands(df.select(col(key).as("_k")), "_k", bucketSize).cache()
+    val keys = df.select(col(key).as("_k"))
+    // Cheap gate: the island count can never exceed (keyRange/2)+1, and the
+    // key range comes from a column-pruned min/max scan — far cheaper than
+    // materializing + counting the windowed island set. When the worst case
+    // already fits the final merge window, run the whole thing as ONE job
+    // (no cache, no count actions).
+    val bounds = keys.agg(min("_k").cast("long"), max("_k").cast("long")).head()
+    if (bounds.isNullAt(0)) return mergeIslands(localIslands(keys, "_k", bucketSize))
+    val worstCase = (bounds.getLong(1) - bounds.getLong(0)) / 2 + 1
+    if (worstCase <= mergeLimit)
+      return mergeIslands(localIslands(keys, "_k", bucketSize))
+    // Adversarial path (key range > 2·mergeLimit): counted fixpoint over
+    // LEVELS (log-many), not over rows like the reference's O(n²) RangeBag
+    // loop (range_bag.rs:53-86). Stop when small enough OR when a level
+    // stops reducing (the count has reached the true island count, which no
+    // merge can shrink — then it IS the output size). The cache is worth it
+    // here: each level and its count reuse the materialized islands.
+    var iv = localIslands(keys, "_k", bucketSize).cache()
     var width = bucketSize
-    // Fixpoint over LEVELS (log-many), not over rows like the reference's
-    // O(n²) RangeBag loop (range_bag.rs:53-86). Stop when small enough OR
-    // when a level stops reducing (the count has reached the true island
-    // count, which no merge can shrink — then it IS the output size).
     var cnt = iv.count()
     var prev = Long.MaxValue
     while (cnt > mergeLimit && cnt < prev) {

@@ -14,10 +14,13 @@ import graft.archive.{Catalog, Filenames, Sinks}
   */
 object SourceSinkOps {
 
-  private def tmpDir(name: String): String = {
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name")
-    base.getAbsolutePath
-  }
+  // Per-JVM-run unique root so two concurrent harness runs (e.g. Verify and
+  // Bench) never share side-effect directories.
+  private val runRoot: String =
+    Files.createTempDirectory("graft-run-").toAbsolutePath.toString
+
+  private def tmpDir(name: String): String =
+    new java.io.File(runRoot, name).getAbsolutePath
 
   private def clearDir(path: String): Unit = {
     val f = new java.io.File(path)

@@ -154,7 +154,9 @@ object StreamOps {
     "SELECT TRUE AS stopped, count(*) AS drained FROM events"
   ) { (s, d) =>
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(sys.props("java.io.tmpdir"), "graft-graceful")
+    // Unique per invocation: a shared fixed path would let two concurrent
+    // harness runs clobber each other's streaming input.
+    val tmp = Files.createTempDirectory("graft-graceful-")
     Files.createDirectories(tmp)
     Files.copy(Paths.get(s"$d/events.parquet"), tmp.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)

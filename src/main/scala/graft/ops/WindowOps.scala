@@ -48,6 +48,14 @@ object WindowOps {
   /** `max_by_key(range.len)` among duplicates → top-k per group
     * (reference: src/command/verify.rs:385-387). The sort covers every
     * output column, so tie groups are value-identical across engines.
+    *
+    * Two-phase (salted) top-k: the group key (`l_returnflag`) has only 3
+    * distinct values, so a single `row_number` window would funnel the
+    * whole table through 3 tasks. Phase 1 takes top-k per (salt, key) —
+    * the shuffle spreads over `salts × keys` partitions — phase 2 takes
+    * the final top-k over at most `k · salts` rows per key. A row in the
+    * global top-k is necessarily in the top-k of its own salt bucket, so
+    * the result is exact.
     */
   val topkLargestGroup: Op = Op.sql(
     "topk-largest-group",
@@ -58,18 +66,45 @@ object WindowOps {
       |  FROM lineitem) t
       |WHERE rn <= 3 ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    topkPerGroup(
+      Tables.lineitem(s, d),
+      groupCols = Seq("l_returnflag"),
+      orderCols = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      k = 3)
       .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
       .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Exact top-k rows per group that survives low-cardinality group keys:
+    * phase-1 top-k per (deterministic salt, key), phase-2 top-k per key
+    * over the ≤ k·salts survivors. `salts` bounds the phase-2 fan-in; 64
+    * keeps every task under ~k·64 rows regardless of input size.
+    */
+  private[ops] def topkPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      k: Int,
+      salts: Int = 64): org.apache.spark.sql.DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    val salted = df.withColumn("_salt", salt)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy((col("_salt") +: groupCols.map(col)): _*).orderBy(orderCols: _*)))
+      .filter(col("_rn") <= k)
+      .drop("_salt", "_rn")
+    salted
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** `--tail N` — last N heights below head−4 (reference:
-    * src/archiver/blocks_config.rs:28-45). The head scalar stays in the
-    * plan via a broadcast cross-join, no driver round-trip.
+    * src/archiver/blocks_config.rs:28-45). Two-job literal pattern: job 1
+    * is a cheap single-column max, job 2 filters with LITERAL bounds so
+    * the range reaches the parquet reader as PushedFilters and row-group
+    * statistics prune everything but the tail — at 100 TB this is the
+    * difference between reading ~one file and scanning the archive.
     */
   val tailN: Op = Op.sql(
     "tail-n",
@@ -79,9 +114,8 @@ object WindowOps {
       |ORDER BY height""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d)
-    val head = o.agg(max("o_orderkey").as("head"))
-    o.crossJoin(broadcast(head))
-      .filter(col("o_orderkey").between(col("head") - 4 - 100, col("head") - 4))
+    val head = o.agg(max("o_orderkey").cast("long")).head().getLong(0)
+    o.filter(col("o_orderkey").between(lit(head - 4 - 100), lit(head - 4)))
       .select(col("o_orderkey").as("height"), col("o_totalprice"))
       .orderBy("height")
   }

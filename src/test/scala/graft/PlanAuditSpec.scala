@@ -29,9 +29,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_max"), p) // map-side combine before the exchange
   }
 
-  test("tail-n keeps the head scalar in-plan via broadcast") {
+  test("tail-n pushes the literal head range to the parquet scan") {
     val p = plan("tail-n")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // Two-job literal pattern: the BETWEEN bounds must reach PushedFilters
+    // so row-group stats prune the archive down to the tail.
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,"), p)
+    assert(p.contains("LessThanOrEqual(o_orderkey,"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("topk-largest-group never funnels the table through k key partitions") {
+    val p = plan("topk-largest-group")
+    // Phase 1 must window over (salt, key) — an exchange keyed on the raw
+    // 3-value group column alone would be the skewed-window anti-pattern.
+    assert(p.contains("hashpartitioning(_salt"), p)
   }
 
   test("q1_agg partial-aggregates before the exchange") {
