@@ -104,13 +104,18 @@ object Commands {
     val blocks = format match {
       case "parquet" => spark.read.parquet(s"$archiveDir/blocks")
       case "avro" =>
-        // the reference's own on-disk format, via the container decoder
-        graft.sources.AvroArchiveSource.read(spark, s"$archiveDir/*.avro", "blocks")
+        // the reference's own on-disk format at any L1/(L2) nesting level,
+        // via the recursive lister (flat globs would miss the tree, and
+        // binaryFiles fails outright on a matchless glob)
+        graft.sources.AvroArchiveSource.readArchive(spark, archiveDir, "blocks")
       case other => throw new IllegalArgumentException(s"format: $other")
     }
     val dupHeights = blocks.groupBy("height").count().filter(col("count") > 1).count()
     val hs = blocks.agg(min("height"), max("height"), count(lit(1)),
       countDistinct("height")).head()
+    if (hs.isNullAt(0)) // empty archive: nothing to verify, nothing broken
+      return Seq(("dup-heights", 0L), ("missing-heights", 0L),
+        ("chain-breaks", 0L), ("total-blocks", 0L)).toDF("check", "n_issues")
     val (mn, mx, n, nd) = (hs.getLong(0), hs.getLong(1), hs.getLong(2), hs.getLong(3))
     val gaps = (mx - mn + 1) - nd
     val verdict = blocks

@@ -52,13 +52,27 @@ object AvroArchiveSink {
     fields.endRecord()
   }
 
-  /** Write `df` as one Avro container file per partition under `outDir`,
-    * named `part-<pid>.<kind>.avro`. Returns the number of files written.
+  /** Write `df` as one Avro container file per partition under `outDir`.
+    *
+    * Archive kinds (blocks/txes/traces aliases) with a `heightCol` column
+    * get the reference's discoverable layout — the filename IS the
+    * metadata (src/archiver/filenames.rs:51-83): each partition lands at
+    * `L1/range-<min>_<max>.<kind>.avro`, or `L1/L2/<h>.<suffix>.avro` when
+    * it holds a single height. Callers control file ranges by partitioning
+    * (e.g. `repartition(col(chunk))`); partitions must not collide on a
+    * name — an existing target throws (the reference's never-overwrite
+    * `create`, src/storage/fs.rs:33-39). Non-archive tables (no reference
+    * kind) fall back to flat `part-<pid>.<kind>.avro` names.
+    *
+    * Returns the number of records written.
     */
   def write(df: DataFrame, kind: String, outDir: String,
-      codec: String = "snappy"): Long = {
+      codec: String = "snappy", heightCol: String = "height"): Long = {
     val sparkSchema = df.schema
     val schemaJson = avroSchema(sparkSchema, kind).toString
+    val refKind = scala.util.Try(graft.archive.Filenames.normalizeKind(kind)).toOption
+      .filter(_ => df.columns.contains(heightCol))
+    val hIdx = refKind.map(_ => sparkSchema.fieldIndex(heightCol))
     new File(outDir).mkdirs()
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
@@ -73,14 +87,38 @@ object AvroArchiveSink {
           case "null"    => CodecFactory.nullCodec()
           case other     => throw new IllegalArgumentException(s"codec: $other")
         })
-        val file = new File(outDir, f"part-$pid%05d.$kind.avro")
+        // The range is only known once the partition is drained, so write
+        // to a temp name and move into the final path on close.
+        val file = hIdx match {
+          case Some(_) => File.createTempFile(s"graft-avro-$pid-", ".tmp", new File(outDir))
+          case None    => new File(outDir, f"part-$pid%05d.$kind.avro")
+        }
         writer.create(schema, file)
         var n = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
         rows.foreach { row =>
+          hIdx.foreach { i =>
+            val h = row.getLong(i)
+            if (h < mn) mn = h
+            if (h > mx) mx = h
+          }
           writer.append(toRecord(row, sparkSchema, schema))
           n += 1
         }
         writer.close()
+        refKind.foreach { k =>
+          val rel =
+            if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k)
+            else graft.archive.Filenames.relativeRangePath(mn, mx, k)
+          val target = new File(outDir, rel)
+          target.getParentFile.mkdirs()
+          if (target.exists())
+            throw new IllegalStateException(
+              s"archive file exists (never overwritten): $target — partition " +
+                "the input so file ranges don't collide")
+          java.nio.file.Files.move(file.toPath, target.toPath)
+        }
         Iterator.single(n)
       }
     }

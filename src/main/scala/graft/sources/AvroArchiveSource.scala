@@ -29,6 +29,63 @@ object AvroArchiveSource {
   def read(spark: SparkSession, pathGlob: String, kind: String): DataFrame =
     read(spark, pathGlob, Schemas.schemaFor(kind))
 
+  /** All `.avro` files under `dir`, at any L1/(L2) nesting level — the
+    * recursive walk the reference's listing does (src/storage/fs.rs:62-132).
+    * The listing is catalog-sized: one RPC stream, no data reads.
+    */
+  def listAvroFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".avro"))
+        out += f.getPath.toString
+    }
+    out.result()
+  }
+
+  /** Read every `<kind>` container file under an archive directory tree,
+    * filtered by parsed filename kind. Empty-archive-safe: a missing or
+    * empty dir yields an empty DataFrame (the reference verify's
+    * does-nothing-on-empty-archive, src/command/verify.rs:951-970) instead
+    * of `binaryFiles` failing on a matchless glob.
+    */
+  def readArchive(spark: SparkSession, dir: String, kind: String): DataFrame =
+    readArchiveFiles(spark,
+      filesOfKind(spark, listAvroFiles(spark, dir), kind), kind)
+
+  /** The subset of `files` whose basename parses to `kind`. */
+  def filesOfKind(spark: SparkSession, files: Seq[String], kind: String): Seq[String] = {
+    val want = graft.archive.Filenames.normalizeKind(kind)
+    files.filter { p =>
+      val base = p.substring(p.lastIndexOf('/') + 1)
+      parseKindS(base).contains(want)
+    }
+  }
+
+  /** Plain-Scala twin of Filenames.parseKind for catalog-sized listings. */
+  def parseKindS(base: String): Option[String] = {
+    val single = "^(\\d+)(?:\\.([0-9a-f]{64}))?\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
+    val range = "^range-(\\d+)_(\\d+)\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
+    val raw = base match {
+      case single(_, _, k) => Some(k)
+      case range(_, _, k)  => Some(k)
+      case _               => None
+    }
+    raw.flatMap(k => scala.util.Try(graft.archive.Filenames.normalizeKind(k)).toOption)
+  }
+
+  /** Read an explicit list of container files (empty-safe). */
+  def readArchiveFiles(spark: SparkSession, files: Seq[String], kind: String): DataFrame = {
+    val schema = Schemas.schemaFor(kind)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else read(spark, files.mkString(","), schema)
+  }
+
   /** Read with an explicit pinned schema (arbitrary tables). */
   def read(spark: SparkSession, pathGlob: String, schema: StructType): DataFrame = {
     val fields = schema.fields // serialize field list, not the StructType methods

@@ -12,23 +12,27 @@ class CatalogSpec extends SparkSpec {
   private def catalogOf(files: String*) =
     Catalog.withParsedNames(files.toDF("path"))
 
+  // fork hashes in filenames are always the full 64-hex block hash
+  // (reference RE_SINGLE pins `[a-f0-9]{64}`, filenames.rs:8)
+  private def h64(seed: Char) = seed.toString * 64
+
   test("parse mixed singles and ranges from paths") {
     val c = catalogOf(
       "/a/000000000/000000000/000000100.blocks.avro",
       "/a/000000000/range-000000200_000000299.txes.avro",
-      "/a/000000000/000000000/000000101.abc12f.blocks.avro")
+      s"/a/000000000/000000000/000000101.${h64('a')}.blocks.avro")
       .orderBy("start_h").collect()
     assert(c.map(_.getAs[Long]("start_h")).toSeq === Seq(100L, 101L, 200L))
     assert(c.map(_.getAs[Long]("end_h")).toSeq === Seq(100L, 101L, 299L))
     assert(c.map(_.getAs[String]("kind")).toSeq === Seq("blocks", "blocks", "txes"))
-    assert(c.map(_.getAs[String]("fork_hash")).toSeq === Seq(null, "abc12f", null))
+    assert(c.map(_.getAs[String]("fork_hash")).toSeq === Seq(null, h64('a'), null))
   }
 
   test("groupTables flags duplicates and incomplete groups") {
     val g = Catalog.groupTables(catalogOf(
       "/a/000000100.blocks.avro", "/a/000000100.txes.avro",      // complete
       "/a/000000101.blocks.avro",                                 // missing txes
-      "/a/000000102.blocks.avro", "/a/000000102.aa.blocks.avro",  // duplicate blocks
+      "/a/000000102.blocks.avro", s"/a/000000102.${h64('a')}.blocks.avro", // duplicate blocks
       "/a/000000102.txes.avro"))
       .orderBy("start_h").collect()
     assert(g.map(_.getAs[Boolean]("complete")).toSeq === Seq(true, false, true))
@@ -72,7 +76,7 @@ class CatalogSpec extends SparkSpec {
     val c = catalogOf(
       "/a/000000001.blocks.avro", "/a/000000001.txes.avro",        // complete
       "/a/000000002.blocks.avro",                                   // incomplete
-      "/a/000000003.blocks.avro", "/a/000000003.ab12.blocks.avro",  // fork/dup
+      "/a/000000003.blocks.avro", s"/a/000000003.${h64('b')}.blocks.avro", // fork/dup
       "/a/000000003.txes.avro")
     val g = Catalog.groupTables(c).orderBy("start_h").collect()
     assert(g.map(_.getAs[Boolean]("complete")).toSeq === Seq(true, false, true))
@@ -80,7 +84,7 @@ class CatalogSpec extends SparkSpec {
     // the forked height exposes both candidate hashes for canonical pick
     val forks = c.filter(org.apache.spark.sql.functions.col("start_h") === 3L)
       .select("fork_hash").collect().map(_.getString(0))
-    assert(forks.toSet === Set(null, "ab12"))
+    assert(forks.toSet === Set(null, h64('b')))
   }
 
   test("intersecting prunes non-overlapping ranges") {

@@ -19,13 +19,23 @@ class AvroArchiveSinkSpec extends SparkSpec {
     s"""{"height":$h}""".getBytes("UTF-8"), 0, null, null)
 
   test("write then read round-trips records and codecs") {
+    // parallelize splits contiguously, so the 4 partitions carry disjoint
+    // height ranges → 4 discoverable range files
     val rows = spark.createDataFrame(
       spark.sparkContext.parallelize((0L to 99L).map(blockRow), 4), Schemas.block)
     for (codec <- Seq("snappy", "zstd", "deflate")) {
       val out = Files.createTempDirectory(s"graft-avro-$codec").toString
       val n = AvroArchiveSink.write(rows, "blocks", out, codec)
       assert(n === 100L)
-      val back = AvroArchiveSource.read(spark, s"$out/*.avro", "blocks")
+      // files land under the reference's L1 layout with parseable names
+      // (the filename IS the metadata — src/archiver/filenames.rs:69-83)
+      val files = AvroArchiveSource.listAvroFiles(spark, out)
+      assert(files.size === 4)
+      assert(files.forall(_.contains("/000000000/range-")), files.mkString(","))
+      assert(files.forall(f =>
+        AvroArchiveSource.parseKindS(f.substring(f.lastIndexOf('/') + 1))
+          .contains("blocks")))
+      val back = AvroArchiveSource.readArchive(spark, out, "blocks")
       assert(back.count() === 100L)
       val r = back.filter(col("height") === 42L).head()
       assert(r.getAs[String]("blockId") === "hash-42")
@@ -35,13 +45,17 @@ class AvroArchiveSinkSpec extends SparkSpec {
     }
   }
 
-  test("reference golden file re-encodes losslessly") {
+  test("reference golden file re-encodes losslessly to a reference name") {
     val golden = AvroArchiveSource.read(spark,
       "/root/reference/testdata/fullAvroFiles/000723744.txes.avro", "txes")
     val out = Files.createTempDirectory("graft-avro-reenc").toString
-    val n = AvroArchiveSink.write(golden.repartition(2), "txes", out, "snappy")
+    val n = AvroArchiveSink.write(golden.coalesce(1), "txes", out, "snappy")
     assert(n === 423L)
-    val back = AvroArchiveSource.read(spark, s"$out/*.avro", "txes")
+    // one height → a single-file name the reference's parser accepts
+    val files = AvroArchiveSource.listAvroFiles(spark, out)
+    assert(files.size === 1)
+    assert(files.head.endsWith("000000000/000723000/000723744.txes.avro"), files.head)
+    val back = AvroArchiveSource.readArchive(spark, out, "txes")
     assert(back.count() === 423L)
     // content-level equality: same txid set, same per-record payload sizes
     val origAgg = golden.agg(
@@ -49,5 +63,19 @@ class AvroArchiveSinkSpec extends SparkSpec {
     val backAgg = back.agg(
       countDistinct("txid"), sum(length(col("json"))), sum(length(col("raw")))).head()
     assert(origAgg === backAgg)
+  }
+
+  test("colliding file ranges are never overwritten") {
+    // two partitions holding the same single height would produce the same
+    // path — the write must refuse, like the reference's create(overwrite
+    // = false) (src/storage/fs.rs:33-39)
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(blockRow(7L), blockRow(7L)), 2), Schemas.block)
+    val out = Files.createTempDirectory("graft-avro-collide").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroArchiveSink.write(rows, "blocks", out, "snappy")
+    }
+    assert(e.getMessage.contains("never overwritten") ||
+      Option(e.getCause).exists(_.getMessage.contains("never overwritten")))
   }
 }
