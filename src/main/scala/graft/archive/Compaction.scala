@@ -31,9 +31,44 @@ object Compaction {
           col("mx") - col("mn") + 1 === col("n") &&
           col("mn") === col("chunk") * chunkSize)
 
+  /** Chunk ids already present under `outDir`, or empty when the dir does
+    * not exist yet. The read touches only the height column (column
+    * pruning) of partitions intersecting [mn, mx] (l1/l2 directory
+    * pruning) — catalog-scale IO, not a data scan, on an incremental run
+    * over a bounded range.
+    */
+  private def existingChunks(
+      spark: SparkSession,
+      outDir: String,
+      heightCol: String,
+      chunkSize: Long,
+      mn: Long, mx: Long): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData: Boolean = { // a no-op prior run leaves only _SUCCESS
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!fs.exists(path) || !hasData) Seq.empty[Long].toDF("chunk")
+    else
+      spark.read.parquet(outDir)
+        .filter(col("l2").between(Filenames.l2S(mn), Filenames.l2S(mx)))
+        .select(floor(col(heightCol) / chunkSize).cast("long").as("chunk"))
+        .distinct()
+  }
+
   /** Compact `df` into one output file per complete aligned chunk under
     * `outDir`, laid out as l1/l2 partition dirs. Incomplete chunks are NOT
-    * written (sources stay authoritative). Returns the per-chunk verdicts.
+    * written (sources stay authoritative), and neither are chunks ALREADY
+    * compacted: the write is create-if-absent + Append, mirroring the
+    * reference's never-overwrite range files (compact.rs:89-106) — a
+    * SaveMode.Overwrite here would delete previously compacted chunks
+    * whose sources are long gone. Returns the per-chunk verdicts (over the
+    * SOURCE rows; a verdict row is complete whether or not the chunk
+    * needed writing this run).
     */
   def compact(
       spark: SparkSession,
@@ -43,9 +78,14 @@ object Compaction {
       outDir: String): DataFrame = {
     val verdicts = validateChunks(df, heightCol, chunkSize).cache()
     val completeChunks = verdicts.filter(col("complete")).select("chunk")
+    val bounds = df.agg(min(heightCol).cast("long"), max(heightCol).cast("long")).head()
+    if (bounds.isNullAt(0)) return verdicts
+    val already = existingChunks(spark, outDir, heightCol, chunkSize,
+      bounds.getLong(0), bounds.getLong(1))
     val toWrite = df
       .withColumn("chunk", floor(col(heightCol) / chunkSize).cast("long"))
       .join(broadcast(completeChunks), Seq("chunk"), "left_semi")
+      .join(broadcast(already), Seq("chunk"), "left_anti")
       .withColumn("l1", Filenames.l1(col(heightCol)))
       .withColumn("l2", Filenames.l2(col(heightCol)))
     // One file per chunk: repartition by chunk so each range file is a
@@ -54,7 +94,7 @@ object Compaction {
       .repartition(col("chunk"))
       .sortWithinPartitions(heightCol)
       .write
-      .mode(SaveMode.Overwrite)
+      .mode(SaveMode.Append)
       .option("compression", "zstd")
       .partitionBy("l1", "l2")
       .parquet(outDir)
@@ -75,6 +115,21 @@ object Compaction {
       heightCol: String,
       chunkSize: Long,
       outDir: String): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    // An exhausted source (every file already compacted+cleaned) has only
+    // empty partition dirs left — nothing to read, infer, or delete.
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def srcHasData: Boolean = {
+      if (!srcFs.exists(srcPath)) return false
+      val it = srcFs.listFiles(srcPath, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!srcHasData)
+      return (validateChunks(spark.range(0).toDF(heightCol), heightCol, chunkSize),
+        Seq.empty)
     val src = spark.read.parquet(srcDir)
     val verdicts = compact(spark, src, heightCol, chunkSize, outDir)
     val completeChunks = verdicts.filter(col("complete")).select("chunk")

@@ -40,7 +40,12 @@ object Commands {
 
   /** `stream` — live tail (src/command/stream.rs:92-144): follow a heads
     * directory, archive each batch idempotently (never overwrite,
-    * stream.rs:49-52). Returns after draining available input.
+    * stream.rs:49-52). foreachBatch is at-least-once, so a replayed batch
+    * after checkpoint recovery must not append duplicate heights: each
+    * batch anti-joins the already-archived heights first — the dir-level
+    * analogue of the reference's per-file create-if-absent. The archived
+    * read prunes to the batch's l2 partitions (directory pruning + a
+    * single pruned column), so the check is tail-sized, not archive-sized.
     */
   def stream(
       spark: SparkSession,
@@ -48,13 +53,30 @@ object Commands {
       headSchema: org.apache.spark.sql.types.StructType,
       archiveDir: String,
       checkpoint: String): Unit = {
+    val blocksDir = s"$archiveDir/blocks"
     val q = Streams.followHeads(spark, headsDir, headSchema, checkpoint) { (batch, _) =>
-      batch
-        .withColumn("l1", Filenames.l1(col("height")))
-        .withColumn("l2", Filenames.l2(col("height")))
-        .write.mode(SaveMode.Append)
-        .partitionBy("l1", "l2")
-        .parquet(s"$archiveDir/blocks")
+      val spk = batch.sparkSession
+      val fresh = batch.dropDuplicates("height")
+      val bounds = fresh.agg(min("height").cast("long"), max("height").cast("long")).head()
+      if (!bounds.isNullAt(0)) {
+        val path = new org.apache.hadoop.fs.Path(blocksDir)
+        val fs = path.getFileSystem(spk.sparkContext.hadoopConfiguration)
+        val novel =
+          if (!fs.exists(path)) fresh
+          else {
+            val archived = spk.read.parquet(blocksDir)
+              .filter(col("l2").between(
+                Filenames.l2S(bounds.getLong(0)), Filenames.l2S(bounds.getLong(1))))
+              .select("height")
+            fresh.join(archived, Seq("height"), "left_anti")
+          }
+        novel
+          .withColumn("l1", Filenames.l1(col("height")))
+          .withColumn("l2", Filenames.l2(col("height")))
+          .write.mode(SaveMode.Append)
+          .partitionBy("l1", "l2")
+          .parquet(blocksDir)
+      }
     }
     q.awaitTermination(120000)
   }

@@ -60,4 +60,40 @@ class CompactionSpec extends SparkSpec {
     val r = written.filter(col("height") === 5L).select("payload").head().getString(0)
     assert(r === heights.filter(col("height") === 5L).select("payload").head().getString(0))
   }
+
+  test("incremental re-run preserves earlier compacted chunks (never overwrite)") {
+    // Run 1 compacts chunks 0 and 2 and cleans their sources. Run 2 sees a
+    // source holding ONLY the now-complete chunk 1 — the reference only
+    // ever ADDS range files (compact.rs:89-106), so chunks 0/2 must
+    // survive even though their sources no longer exist.
+    val srcDir = Files.createTempDirectory("graft-inc-src").toString
+    val outDir = Files.createTempDirectory("graft-inc-out").toString
+    def writeSrc(hs: Seq[Long]): Unit =
+      hs.toDF("height")
+        .withColumn("payload", md5(col("height").cast("string")))
+        .withColumn("bucket", floor(col("height") / 10).cast("long"))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(srcDir)
+
+    writeSrc((0L to 9L) ++ (10L to 17L) ++ (20L to 29L))
+    val (v1, deleted1) = Compaction.compactAndClean(spark, srcDir, "height", 10L, outDir)
+    assert(v1.filter(col("complete")).count() === 2)
+    assert(deleted1.nonEmpty)
+    assert(spark.read.parquet(outDir).count() === 20L)
+
+    // heights 18..19 arrive, completing chunk 1
+    writeSrc(Seq(18L, 19L))
+    val (v2, deleted2) = Compaction.compactAndClean(spark, srcDir, "height", 10L, outDir)
+    assert(v2.filter(col("complete")).count() === 1) // only chunk 1 in source now
+    assert(deleted2.nonEmpty)
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 30L) // chunks 0 and 2 SURVIVED, chunk 1 added once
+    assert(out.select("height").as[Long].collect().sorted.toSeq === (0L to 29L))
+
+    // run 3 over an emptied source: nothing new, nothing destroyed
+    val (_, deleted3) = Compaction.compactAndClean(spark, srcDir, "height", 10L, outDir)
+    assert(deleted3.isEmpty)
+    assert(spark.read.parquet(outDir).count() === 30L)
+  }
 }

@@ -89,5 +89,15 @@ class CommandsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(v("total-blocks") === 10L)
     assert(v("chain-breaks") === 0L)
+
+    // replay: a fresh checkpoint re-delivers every batch (the worst-case
+    // at-least-once recovery) — idempotent writes must not duplicate
+    // heights (reference stream.rs:49-52 never overwrites)
+    val ckpt2 = Files.createTempDirectory("graft-ckpt2b").toString
+    Commands.stream(spark, heads, schema, dir, ckpt2)
+    val v2 = Commands.verify(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2("total-blocks") === 10L)
+    assert(v2("dup-heights") === 0L)
   }
 }
