@@ -61,9 +61,18 @@ object Catalog {
     * threshold is 10 there). Large ranges keep their own group. Output:
     * original rows + group_s/group_e of the batch they verify under.
     */
-  def mergeSmall(catalog: DataFrame, threshold: Long = 10L): DataFrame = {
+  def mergeSmall(catalog: DataFrame, threshold: Long = 10L): DataFrame =
+    mergeSmall(catalog, threshold, lit(true))
+
+  /** [[mergeSmall]] with an extra mergeability predicate: rows failing it
+    * keep their own batch even when small — the reference excludes
+    * INCOMPLETE groups from merge batches because they would break the
+    * verified sequence (verify.rs:243-247).
+    */
+  def mergeSmall(catalog: DataFrame, threshold: Long,
+      mergeable: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val small = col("end_h") - col("start_h") + 1 <= threshold
+    val small = (col("end_h") - col("start_h") + 1 <= threshold) && mergeable
     val w = Window.orderBy("start_h", "end_h")
     // islands over the SMALL ranges only (catalog-sized input — the window
     // runs over file metadata, never data rows)

@@ -114,7 +114,8 @@ object Compaction {
       srcDir: String,
       heightCol: String,
       chunkSize: Long,
-      outDir: String): (DataFrame, Seq[String]) = {
+      outDir: String,
+      dryRun: Boolean = false): (DataFrame, Seq[String]) = {
     import spark.implicits._
     // An exhausted source (every file already compacted+cleaned) has only
     // empty partition dirs left — nothing to read, infer, or delete.
@@ -131,7 +132,11 @@ object Compaction {
       return (validateChunks(spark.range(0).toDF(heightCol), heightCol, chunkSize),
         Seq.empty)
     val src = spark.read.parquet(srcDir)
-    val verdicts = compact(spark, src, heightCol, chunkSize, outDir)
+    // dry-run (reference src/global.rs:48-57): plan everything, mutate
+    // nothing — verdicts and the would-delete list still come back
+    val verdicts =
+      if (dryRun) validateChunks(src, heightCol, chunkSize).cache()
+      else compact(spark, src, heightCol, chunkSize, outDir)
     val completeChunks = verdicts.filter(col("complete")).select("chunk")
     // A source file is deletable iff ALL its rows landed in complete
     // chunks (a file may span chunks; any partial row keeps it alive).
@@ -145,10 +150,12 @@ object Compaction {
     // File count is catalog-sized; drive deletion from the collected list
     // (reference deletes with a semaphore of 4, verify.rs:278).
     val deletable = perFile.collect().map(_.getAs[String]("file")).toSeq
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    deletable.foreach { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    if (!dryRun) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      deletable.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
     }
     (verdicts, deletable)
   }

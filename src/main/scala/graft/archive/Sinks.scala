@@ -45,4 +45,24 @@ object Sinks {
       lit("\",\"heightStart\":"), col("start_h"),
       lit(",\"heightEnd\":"), col("end_h"),
       lit(",\"location\":\""), col("file"), lit("\"}")).as("notification"))
+
+  /** The notification version id (reference: src/notify/mod.rs:68-70). */
+  val NotificationVersion = "https://schema.emrld.io/dshackle-archive/notify"
+
+  /** Full notification shape including `version` and `ts` (reference:
+    * src/notify/mod.rs:12-46). `ts` is caller-supplied (ISO-8601) so the
+    * emitted lines stay deterministic and testable.
+    */
+  def notificationLinesFull(files: DataFrame, blockchain: String, run: String,
+      maturity: String, tsIso: String): DataFrame =
+    files.select(concat(
+      lit("{\"version\":\""), lit(NotificationVersion),
+      lit("\",\"ts\":\""), lit(tsIso),
+      lit("\",\"blockchain\":\""), lit(blockchain),
+      lit("\",\"type\":\""), col("kind"),
+      lit("\",\"run\":\""), lit(run),
+      lit("\",\"maturity\":\""), lit(maturity),
+      lit("\",\"heightStart\":"), col("start_h"),
+      lit(",\"heightEnd\":"), col("end_h"),
+      lit(",\"location\":\""), col("file"), lit("\"}")).as("notification"))
 }

@@ -2,7 +2,7 @@ package graft.commands
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.archive.{Compaction, Filenames}
+import graft.archive.{Compaction, Filenames, Sinks}
 import graft.functions.{BlockLink, ChainSequenceAggregator}
 import graft.streaming.Streams
 
@@ -14,29 +14,88 @@ import graft.streaming.Streams
   */
 object Commands {
 
+  /** Global run options shared by every command (reference: dry-run
+    * src/global.rs:48-57; notifications src/notify/mod.rs:12-62 — one line
+    * per written file into a JSONL dir, the fs notifier).
+    */
+  case class RunOptions(
+      dryRun: Boolean = false,
+      notifyDir: Option[String] = None,
+      blockchain: String = "BTC",
+      maturity: String = "finalized",
+      notifyTsIso: String = "1970-01-01T00:00:00Z")
+
   /** `archive` — bulk backfill of [startH, endH] (src/command/archive.rs:34-47):
     * chunk-aligned split, record build, one partitioned write, per-chunk
     * completeness summary returned (completeness gate per
-    * src/command/compact.rs:246-321 semantics).
+    * src/command/compact.rs:246-321 semantics). Under dry-run nothing is
+    * written; with a notify dir one notification line is emitted per
+    * written file.
     */
   def archive(
       spark: SparkSession,
       rawBlocks: DataFrame, // height, blockId, parentId, payload
       outDir: String,
       startH: Long, endH: Long,
-      chunkSize: Long = 1000L): DataFrame = {
+      chunkSize: Long = 1000L,
+      opts: RunOptions = RunOptions()): DataFrame = {
     val slice = rawBlocks.filter(col("height").between(startH, endH))
-    val records = slice
-      .withColumn("l1", Filenames.l1(col("height")))
-      .withColumn("l2", Filenames.l2(col("height")))
-    records
-      .repartition(col("l2"))
-      .sortWithinPartitions("height")
-      .write.mode(SaveMode.Append)
-      .partitionBy("l1", "l2")
-      .parquet(s"$outDir/blocks")
+    if (!opts.dryRun) {
+      val records = slice
+        .withColumn("l1", Filenames.l1(col("height")))
+        .withColumn("l2", Filenames.l2(col("height")))
+      records
+        .repartition(col("l2"))
+        .sortWithinPartitions("height")
+        .write.mode(SaveMode.Append)
+        .partitionBy("l1", "l2")
+        .parquet(s"$outDir/blocks")
+      notifyWritten(spark, outDir, startH, endH, "archive", opts)
+    }
     Compaction.validateChunks(slice, "height", chunkSize)
   }
+
+  /** `--tail N` block selection (src/archiver/blocks_config.rs:28-45): the
+    * last N heights below head−4 (the head margin still being written).
+    * Two-job literal pattern: the head is one cheap pruned `max`, then the
+    * caller-visible range is plain literals so every downstream filter
+    * reaches PushedFilters.
+    */
+  def tailRange(rawBlocks: DataFrame, n: Long): (Long, Long) = {
+    val head = rawBlocks.agg(max("height").cast("long")).head().getLong(0) - 4
+    (math.max(head - n, 0L), head)
+  }
+
+  /** `archive --tail N` — archive only the tail (blocks_config.rs:28-45). */
+  def archiveTail(
+      spark: SparkSession,
+      rawBlocks: DataFrame,
+      outDir: String,
+      n: Long,
+      chunkSize: Long = 1000L,
+      opts: RunOptions = RunOptions()): DataFrame = {
+    val (s, e) = tailRange(rawBlocks, n)
+    archive(spark, rawBlocks, outDir, s, e, chunkSize, opts)
+  }
+
+  /** One notification line per file actually on disk in [s, e] (reference
+    * emits per written file, src/notify/mod.rs:12-62; fs notifier appends
+    * JSONL). The read-back scans only the height column of the pruned
+    * range partitions.
+    */
+  private def notifyWritten(spark: SparkSession, outDir: String,
+      s: Long, e: Long, run: String, opts: RunOptions): Unit =
+    opts.notifyDir.foreach { nd =>
+      val files = spark.read.parquet(s"$outDir/blocks")
+        .filter(col("height").between(s, e))
+        .groupBy(input_file_name().as("file"))
+        .agg(min("height").as("start_h"), max("height").as("end_h"))
+        .withColumn("kind", lit("blocks"))
+      Sinks.notificationLinesFull(files, opts.blockchain, run,
+        opts.maturity, opts.notifyTsIso)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).text(nd)
+    }
 
   /** `stream` — live tail (src/command/stream.rs:92-144): follow a heads
     * directory, archive each batch idempotently (never overwrite,
@@ -82,15 +141,19 @@ object Commands {
   }
 
   /** `compact` — merge complete aligned chunks into range files, leave
-    * partial chunks alone (src/command/compact.rs:44-244).
+    * partial chunks alone (src/command/compact.rs:44-244). Dry-run plans
+    * without writing.
     */
   def compact(
       spark: SparkSession,
       archiveDir: String,
       outDir: String,
-      chunkSize: Long = 1000L): DataFrame =
-    Compaction.compact(spark, spark.read.parquet(s"$archiveDir/blocks"),
-      "height", chunkSize, outDir)
+      chunkSize: Long = 1000L,
+      opts: RunOptions = RunOptions()): DataFrame = {
+    val src = spark.read.parquet(s"$archiveDir/blocks")
+    if (opts.dryRun) Compaction.validateChunks(src, "height", chunkSize)
+    else Compaction.compact(spark, src, "height", chunkSize, outDir)
+  }
 
   /** `fix` — find missing heights in [startH, endH] and re-archive them
     * from the raw source, idempotently (src/command/fix.rs:39-69).
@@ -101,24 +164,42 @@ object Commands {
       rawBlocks: DataFrame,
       archiveDir: String,
       outDir: String,
-      startH: Long, endH: Long): DataFrame = {
+      startH: Long, endH: Long,
+      opts: RunOptions = RunOptions()): DataFrame = {
     val archived = spark.read.parquet(s"$archiveDir/blocks")
       .select("height").distinct()
     val missing = spark.range(startH, endH + 1).toDF("height")
       .join(archived, Seq("height"), "left_anti")
-    val refetch = rawBlocks.join(missing, Seq("height"), "left_semi")
-    refetch
-      .withColumn("l1", Filenames.l1(col("height")))
-      .withColumn("l2", Filenames.l2(col("height")))
-      .write.mode(SaveMode.Append)
-      .partitionBy("l1", "l2")
-      .parquet(s"$outDir/blocks")
+    if (!opts.dryRun) {
+      val refetch = rawBlocks.join(missing, Seq("height"), "left_semi")
+      refetch
+        .withColumn("l1", Filenames.l1(col("height")))
+        .withColumn("l2", Filenames.l2(col("height")))
+        .write.mode(SaveMode.Append)
+        .partitionBy("l1", "l2")
+        .parquet(s"$outDir/blocks")
+      notifyWritten(spark, outDir, startH, endH, "fix", opts)
+    }
     missing
   }
 
-  /** `verify` — integrity audit (src/command/verify.rs:409-477): duplicate
-    * heights, height gaps, chain-link breaks (via the distributed
-    * ChainSequenceAggregator). Returns one row per check.
+  /** `verify --fix.clean`-grade FULL pipeline over the reference's own
+    * Avro layout: filename preprocess + per-batch content checks +
+    * deletion verdicts. See [[VerifyFull]] for the composition.
+    */
+  def verifyFull(
+      spark: SparkSession,
+      archiveDir: String,
+      adapter: graft.model.ChainAdapter,
+      startH: Long, endH: Long,
+      canonical: DataFrame,
+      opts: VerifyFull.Options = VerifyFull.Options()): VerifyFull.Report =
+    VerifyFull.run(spark, archiveDir, adapter, startH, endH, canonical, opts)
+
+  /** `verify` — structural audit of a parquet archive (the quick path:
+    * duplicate heights, height gaps, chain-link breaks via the distributed
+    * ChainSequenceAggregator; content-level checks live in [[verifyFull]]).
+    * Returns one row per check.
     */
   def verify(spark: SparkSession, archiveDir: String,
       format: String = "parquet"): DataFrame = {

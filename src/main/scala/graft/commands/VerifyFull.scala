@@ -1,0 +1,323 @@
+package graft.commands
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.archive.Catalog
+import graft.model.ChainAdapter
+import graft.sources.AvroArchiveSource
+
+/** The reference `verify` command's FULL pipeline (src/command/verify.rs):
+  *
+  *   1. filename-level preprocess over the catalog — duplicate slots
+  *      (verify.rs:437-456), `select_complete` under --fix.clean
+  *      (:308-322), fork removal against the canonical chain (:328-369),
+  *      intersecting-range dedup keeping the largest (:372-406);
+  *   2. `merge_small` batching (:237-267);
+  *   3. per-batch CONTENT checks — blocks: coverage, dup heights, JSON
+  *      parse via ChainAdapter, chain-link continuity, top hash vs the
+  *      canonical chain (:798-905); txes/traces: expected-txid
+  *      reconciliation from the block JSON, duplicate/unexpected/missing
+  *      txids, non-null payload fields (:648-783);
+  *   4. per-kind-file-set deletion verdicts; --fix.clean widens any broken
+  *      kind to the whole batch (:479-513); --dry-run suppresses deletes
+  *      (:272-303, src/global.rs:48-57).
+  *
+  * Spark-first shape: the reference verifies batch-by-batch under a
+  * semaphore of 4; here EVERY batch is checked in one distributed
+  * aggregation per kind, and only catalog-sized file lists ever reach the
+  * driver (same scale as the reference's deletion list).
+  *
+  * Offline, the live data-provider becomes the `canonical` DataFrame of
+  * (height, hash) — the same lookups verify.rs makes via
+  * `fetch_block(height)`.
+  */
+object VerifyFull {
+
+  /** DataOptions + global flags (reference: src/datakind.rs DataOptions,
+    * src/args.rs fix_clean, src/global.rs dry_run).
+    */
+  case class Options(
+      checkTxes: Boolean = true,
+      checkTraces: Boolean = false,
+      includeTrace: Boolean = false,
+      includeStateDiff: Boolean = false,
+      fixClean: Boolean = false,
+      dryRun: Boolean = false,
+      mergeThreshold: Long = 10L)
+
+  /** Per-batch verdicts + the applied (or dry-run-planned) deletions. */
+  case class Report(batches: DataFrame, deleted: Seq[(String, String)])
+
+  private val GroupKey = Seq("start_h", "end_h", "fh")
+
+  def run(
+      spark: SparkSession,
+      archiveDir: String,
+      adapter: ChainAdapter,
+      startH: Long, endH: Long,
+      canonical: DataFrame, // (height, hash) — the offline chain oracle
+      opts: Options = Options()): Report = {
+    import spark.implicits._
+
+    val allFiles = AvroArchiveSource.listAvroFiles(spark, archiveDir)
+    val catalog = Catalog.withParsedNames(allFiles.toDF("path"))
+      .filter(col("kind").isNotNull)
+      .filter(col("start_h") <= endH && col("end_h") >= startH)
+      .withColumn("fh", coalesce(col("fork_hash"), lit("")))
+      .select("path", "kind", "start_h", "end_h", "fh")
+      .cache()
+
+    val deletions = Seq.newBuilder[(String, String)]
+
+    // ---- 1a. duplicate slots: same (range, fork, kind) twice → BOTH go
+    // (reference RangeGroupError::Duplicate, verify.rs:440-455)
+    val dupSlots = catalog.groupBy((GroupKey :+ "kind").map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).drop("n")
+    deletions ++= catalog
+      .join(dupSlots, GroupKey :+ "kind", "left_semi")
+      .select("path").as[String].collect().map(_ -> "duplicate-slot")
+    val cat = catalog.join(dupSlots, GroupKey :+ "kind", "left_anti").cache()
+
+    // ---- 1b. groups (the reference's ArchiveGroup) with completeness per
+    // the requested tables (is_complete, range_group.rs)
+    val complete = col("blocks") >= 1 &&
+      (if (opts.checkTxes) col("txes") >= 1 else lit(true)) &&
+      (if (opts.checkTraces) col("traces") >= 1 else lit(true))
+    val groups0 = cat.groupBy(GroupKey.map(col): _*)
+      .pivot("kind", Seq("blocks", "txes", "traces"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("blocks", "txes", "traces"))
+      .withColumn("complete", complete)
+
+    // ---- 1c. select_complete (only under --fix.clean, verify.rs:161-165)
+    val groups1 =
+      if (!opts.fixClean) groups0
+      else {
+        val bad = groups0.filter(!col("complete")).select(GroupKey.map(col): _*)
+        deletions ++= cat.join(bad, GroupKey, "left_semi")
+          .select("path").as[String].collect().map(_ -> "incomplete-group")
+        groups0.filter(col("complete"))
+      }
+
+    // ---- 1d. remove_forks: several single-height groups at one height →
+    // keep the one whose filename hash is the canonical block hash
+    // (verify.rs:328-369). The fork set is catalog-sized; canonical is
+    // data-sized — broadcast the fork side into the join.
+    val singles = groups1.filter(col("start_h") === col("end_h"))
+    val forkHeights = singles.groupBy("start_h")
+      .agg(count(lit(1)).as("nf")).filter(col("nf") > 1).select("start_h")
+    val groups2 =
+      if (forkHeights.isEmpty) groups1
+      else {
+        val canonicalAt = canonical
+          .join(broadcast(forkHeights.withColumnRenamed("start_h", "height")), Seq("height"))
+          .select(col("height").as("start_h"), col("hash").as("_canon"))
+        val keepForks = singles
+          .join(broadcast(forkHeights), Seq("start_h"), "left_semi")
+          .join(canonicalAt, Seq("start_h"), "left")
+          .withColumn("_keep", col("fh") === col("_canon"))
+        deletions ++= cat
+          .join(keepForks.filter(!coalesce(col("_keep"), lit(false)))
+            .select(GroupKey.map(col): _*), GroupKey, "left_semi")
+          .select("path").as[String].collect().map(_ -> "forked-out")
+        groups1.join(
+          keepForks.filter(!coalesce(col("_keep"), lit(false))).select(GroupKey.map(col): _*),
+          GroupKey, "left_anti")
+      }
+
+    // ---- 1e. deduplicate intersecting ranges, keep the largest
+    // (verify.rs:372-406). Overlap islands via a running-max window over
+    // the catalog-sized group list; within an island the longest range
+    // (earliest start on ties) survives.
+    val w = Window.orderBy("start_h", "end_h", "fh")
+    val islanded = groups2
+      .withColumn("_pe", max("end_h").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk", when(col("_pe").isNull || col("start_h") > col("_pe"), 1).otherwise(0))
+      .withColumn("_isl", sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ranked = islanded.withColumn("_rk", row_number().over(
+      Window.partitionBy("_isl")
+        .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
+    deletions ++= cat
+      .join(ranked.filter(col("_rk") > 1).select(GroupKey.map(col): _*), GroupKey, "left_semi")
+      .select("path").as[String].collect().map(_ -> "duplicate-range")
+    val groups3 = ranked.filter(col("_rk") === 1)
+      .drop("_pe", "_brk", "_isl", "_rk")
+
+    // ---- 2. merge_small: adjacent complete small groups verify as one
+    // batch; incomplete or large groups stand alone (verify.rs:237-267)
+    val batched = Catalog.mergeSmall(groups3, opts.mergeThreshold, col("complete"))
+      .select(col("start_h"), col("end_h"), col("fh"),
+        col("blocks"), col("txes"), col("traces"),
+        col("complete"), col("group_s"), col("group_e"))
+      .cache()
+
+    // files that survived preprocessing, tagged with their batch
+    val liveFiles = cat
+      .join(batched.select(col("start_h"), col("end_h"), col("fh"),
+        col("group_s"), col("group_e")), GroupKey)
+      .select("path", "kind", "group_s", "group_e")
+      .cache()
+    val filesOf: Map[String, Seq[String]] = liveFiles
+      .select("kind", "path").as[(String, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+
+    // ---- 3a. block content: coverage, dup heights, JSON parse, chain
+    // links, top hash (verify.rs:798-905) — ONE aggregation over every
+    // batch at once
+    val batchKey = Seq("group_s", "group_e")
+    val fileBatch = broadcast(liveFiles
+      .select(col("path").as("_path"), col("kind"), col("group_s"), col("group_e")))
+    val blockRows = AvroArchiveSource
+      .readArchiveFilesWithPath(spark, filesOf.getOrElse("blocks", Seq.empty), "blocks")
+      .join(fileBatch.filter(col("kind") === "blocks").drop("kind"), Seq("_path"))
+      .withColumn("_p", adapter.parseBlock(col("json").cast("string")))
+      .select(col("group_s"), col("group_e"), col("height"),
+        adapter.blockHash(col("_p")).as("_bhash"),
+        adapter.parentHash(col("_p")).as("_bparent"),
+        adapter.txIds(col("_p")).as("_btxs"))
+      .cache()
+
+    val bAgg = blockRows.groupBy(batchKey.map(col): _*).agg(
+      count(lit(1)).as("b_n"),
+      countDistinct(col("height")).as("b_nd"),
+      sum(when(col("height") < col("group_s") || col("height") > col("group_e"), 1)
+        .otherwise(0)).as("b_range_viol"),
+      sum(when(col("_bhash").isNull || col("_bparent").isNull, 1).otherwise(0))
+        .as("b_bad_json"))
+
+    // chain links: (h).hash must equal (h+1).parent — the win-chain-link
+    // self-equi-join shape, never a global window
+    val lhs = blockRows.select(col("group_s"), col("group_e"),
+      col("height"), col("_bhash"))
+    val rhs = blockRows.select(col("group_s"), col("group_e"),
+      (col("height") - 1).as("height"), col("_bparent"))
+    val bBreaks = lhs.join(rhs, batchKey :+ "height")
+      .filter(col("_bhash") =!= col("_bparent"))
+      .groupBy(batchKey.map(col): _*).agg(count(lit(1)).as("b_breaks"))
+
+    // top hash vs the canonical chain (verify.rs:893-903): tops are
+    // one-per-batch — broadcast them against the big canonical table
+    val tops = blockRows.filter(col("height") === col("group_e"))
+      .select(col("group_s"), col("group_e"), col("height"), col("_bhash"))
+    val bTop = canonical
+      .join(broadcast(tops), Seq("height"))
+      .groupBy(batchKey.map(col): _*)
+      .agg(sum(when(col("_bhash") =!= col("hash"), 1).otherwise(0)).as("b_top_bad"))
+
+    // ---- 3b. per-batch expected txids from the block JSON, then tx/trace
+    // reconciliation (verify.rs:648-783). Computed for every batch; the
+    // verdict only *consults* them where blocks are OK (the reference
+    // cannot verify txes under a corrupt block and must keep them).
+    val expected = blockRows
+      .select(col("group_s"), col("group_e"), explode_outer(col("_btxs")).as("txid"))
+      .filter(col("txid").isNotNull)
+
+    def tableChecks(kind: String, payloadChecks: DataFrame => org.apache.spark.sql.Column)
+        : DataFrame = {
+      val rows = AvroArchiveSource
+        .readArchiveFilesWithPath(spark, filesOf.getOrElse(kind, Seq.empty), kind)
+        .join(fileBatch.filter(col("kind") === kind).drop("kind"), Seq("_path"))
+        .cache()
+      val perBatch = rows.groupBy(batchKey.map(col): _*).agg(
+        sum(when(payloadChecks(rows), 0).otherwise(1)).as(s"${kind}_bad_null"),
+        count(lit(1)).as(s"${kind}_n"),
+        countDistinct(col("txid")).as(s"${kind}_nd"))
+      val unexpected = rows.select(col("group_s"), col("group_e"), col("txid"))
+        .join(expected, batchKey :+ "txid", "left_anti")
+        .groupBy(batchKey.map(col): _*).agg(count(lit(1)).as(s"${kind}_unexpected"))
+      val missing = expected
+        .join(rows.select(col("group_s"), col("group_e"), col("txid")),
+          batchKey :+ "txid", "left_anti")
+        .groupBy(batchKey.map(col): _*).agg(count(lit(1)).as(s"${kind}_missing"))
+      perBatch
+        .join(unexpected, batchKey, "left")
+        .join(missing, batchKey, "left")
+    }
+
+    val nonNullBin = (c: org.apache.spark.sql.Column) =>
+      c.isNotNull && length(c) > 0 && c.cast("string") =!= "null"
+    val txChecks =
+      if (!opts.checkTxes) None
+      else Some(tableChecks("txes",
+        r => nonNullBin(r("json")) && r("raw").isNotNull && length(r("raw")) > 0))
+    val traceChecks =
+      if (!opts.checkTraces) None
+      else Some(tableChecks("traces", r => {
+        val t = if (opts.includeTrace) nonNullBin(r("traceJson")) else lit(true)
+        val s = if (opts.includeStateDiff) nonNullBin(r("stateDiffJson")) else lit(true)
+        t && s
+      }))
+
+    // ---- 4. verdict assembly over the catalog-sized batch list
+    val perBatchFiles = batched.groupBy(batchKey.map(col): _*).agg(
+      sum("blocks").as("f_blocks"), sum("txes").as("f_txes"),
+      sum("traces").as("f_traces"))
+    var verdicts = perBatchFiles
+      .join(bAgg, batchKey, "left")
+      .join(bBreaks, batchKey, "left")
+      .join(bTop, batchKey, "left")
+    txChecks.foreach(t => verdicts = verdicts.join(t, batchKey, "left"))
+    traceChecks.foreach(t => verdicts = verdicts.join(t, batchKey, "left"))
+
+    val span = col("group_e") - col("group_s") + 1
+    val blocksOk = col("f_blocks") > 0 &&
+      coalesce(col("b_n"), lit(0L)) === span &&
+      coalesce(col("b_nd"), lit(0L)) === span &&
+      coalesce(col("b_range_viol"), lit(0L)) === 0 &&
+      coalesce(col("b_bad_json"), lit(0L)) === 0 &&
+      coalesce(col("b_breaks"), lit(0L)) === 0 &&
+      coalesce(col("b_top_bad"), lit(0L)) === 0
+    def kindOk(kind: String): org.apache.spark.sql.Column =
+      coalesce(col(s"${kind}_bad_null"), lit(0L)) === 0 &&
+        coalesce(col(s"${kind}_unexpected"), lit(0L)) === 0 &&
+        coalesce(col(s"${kind}_missing"), lit(0L)) === 0 &&
+        coalesce(col(s"${kind}_nd"), lit(0L)) === coalesce(col(s"${kind}_n"), lit(0L))
+
+    verdicts = verdicts
+      .withColumn("no_block_file", col("f_blocks") === 0)
+      .withColumn("blocks_ok", blocksOk)
+      .withColumn("txes_ok",
+        if (opts.checkTxes) col("f_txes") === 0 || kindOk("txes") else lit(true))
+      .withColumn("traces_ok",
+        if (opts.checkTraces) col("f_traces") === 0 || kindOk("traces") else lit(true))
+      .cache()
+
+    // deletion verdicts per kind-file-set (verify_content, verify.rs:516-577):
+    //   no blocks file          → every OTHER table in the batch goes
+    //   blocks corrupt          → blocks files go; txes/traces unverifiable, kept
+    //   blocks ok, kind corrupt → that kind's files go
+    //   fix.clean               → any of the above widens to the whole batch
+    val doomedKind = liveFiles
+      .join(verdicts.select(col("group_s"), col("group_e"),
+        col("no_block_file"), col("blocks_ok"), col("txes_ok"), col("traces_ok")),
+        batchKey)
+      .withColumn("reason",
+        when(col("no_block_file") && col("kind") =!= "blocks", "no-block-file")
+          .when(!col("no_block_file") && !col("blocks_ok") && col("kind") === "blocks",
+            "blocks-corrupt")
+          .when(col("blocks_ok") && !col("txes_ok") && col("kind") === "txes",
+            "txes-corrupt")
+          .when(col("blocks_ok") && !col("traces_ok") && col("kind") === "traces",
+            "traces-corrupt"))
+    val doomed =
+      if (!opts.fixClean) doomedKind.filter(col("reason").isNotNull)
+      else {
+        val badBatches = doomedKind.filter(col("reason").isNotNull)
+          .select(batchKey.map(col): _*).distinct()
+        doomedKind.join(badBatches, batchKey, "left_semi")
+          .withColumn("reason", coalesce(col("reason"), lit("fix-clean")))
+      }
+    deletions ++= doomed.select("path", "reason").as[(String, String)].collect()
+
+    val toDelete = deletions.result()
+    if (!opts.dryRun && toDelete.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(archiveDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      toDelete.foreach { case (p, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false)
+      }
+    }
+    Report(verdicts, toDelete)
+  }
+}

@@ -67,12 +67,15 @@ object AvroArchiveSink {
     * Returns the number of records written.
     */
   def write(df: DataFrame, kind: String, outDir: String,
-      codec: String = "snappy", heightCol: String = "height"): Long = {
+      codec: String = "snappy", heightCol: String = "height",
+      forkHashCol: Option[String] = None): Long = {
     val sparkSchema = df.schema
     val schemaJson = avroSchema(sparkSchema, kind).toString
     val refKind = scala.util.Try(graft.archive.Filenames.normalizeKind(kind)).toOption
       .filter(_ => df.columns.contains(heightCol))
     val hIdx = refKind.map(_ => sparkSchema.fieldIndex(heightCol))
+    // reorg singles carry their block hash in the name (filenames.rs:60-63)
+    val fhIdx = forkHashCol.filter(_ => refKind.isDefined).map(sparkSchema.fieldIndex)
     new File(outDir).mkdirs()
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
@@ -97,27 +100,33 @@ object AvroArchiveSink {
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        var fork: Option[String] = None
         rows.foreach { row =>
           hIdx.foreach { i =>
             val h = row.getLong(i)
             if (h < mn) mn = h
             if (h > mx) mx = h
           }
+          if (n == 0L) fork = fhIdx.flatMap(i => Option(row.getString(i)))
           writer.append(toRecord(row, sparkSchema, schema))
           n += 1
         }
         writer.close()
         refKind.foreach { k =>
           val rel =
-            if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k)
+            if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k, fork)
             else graft.archive.Filenames.relativeRangePath(mn, mx, k)
           val target = new File(outDir, rel)
           target.getParentFile.mkdirs()
-          if (target.exists())
-            throw new IllegalStateException(
-              s"archive file exists (never overwritten): $target — partition " +
-                "the input so file ranges don't collide")
-          java.nio.file.Files.move(file.toPath, target.toPath)
+          // Files.move without REPLACE_EXISTING is the atomic existence
+          // check — an exists() pre-check would race concurrent tasks
+          try java.nio.file.Files.move(file.toPath, target.toPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new IllegalStateException(
+                s"archive file exists (never overwritten): $target — partition " +
+                  "the input so file ranges don't collide")
+          }
         }
         Iterator.single(n)
       }

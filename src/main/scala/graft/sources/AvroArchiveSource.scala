@@ -86,6 +86,36 @@ object AvroArchiveSource {
     else read(spark, files.mkString(","), schema)
   }
 
+  /** Like [[readArchiveFiles]] but with a `_path` column attributing every
+    * record to its source container — the content verifier needs to mark
+    * whole FILES broken, not rows (reference FileReference,
+    * src/storage/mod.rs:231-258).
+    */
+  def readArchiveFilesWithPath(spark: SparkSession, files: Seq[String],
+      kind: String): DataFrame = {
+    val schema = Schemas.schemaFor(kind).add(StructField("_path", StringType, nullable = false))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val fields = Schemas.schemaFor(kind).fields
+    val rows = spark.sparkContext
+      .binaryFiles(files.mkString(","))
+      .flatMap { case (path, pds) =>
+        val in = pds.open()
+        val reader = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h) { reader.close() }
+            h
+          }
+          def next(): Row =
+            Row.fromSeq(toRow(reader.next(), fields).toSeq :+ path)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Read with an explicit pinned schema (arbitrary tables). */
   def read(spark: SparkSession, pathGlob: String, schema: StructType): DataFrame = {
     val fields = schema.fields // serialize field list, not the StructType methods

@@ -100,4 +100,58 @@ class CommandsSpec extends SparkSpec {
     assert(v2("total-blocks") === 10L)
     assert(v2("dup-heights") === 0L)
   }
+
+  test("archive emits one notification line per written file") {
+    val dir = Files.createTempDirectory("graft-arch-notify").toString
+    val notifyDir = Files.createTempDirectory("graft-notify").toString
+    Commands.archive(spark, rawChain(0L to 199L), dir, 0L, 199L, chunkSize = 100L,
+      opts = Commands.RunOptions(notifyDir = Some(notifyDir), blockchain = "BTC"))
+    val written = spark.read.parquet(s"$dir/blocks")
+      .select(input_file_name()).distinct().count()
+    val lines = spark.read.text(notifyDir).collect().map(_.getString(0))
+    assert(lines.length === written) // one line per written file
+    // the reference's exact field set (src/notify/mod.rs:12-46)
+    assert(lines.forall(_.contains("\"version\":\"https://schema.emrld.io/dshackle-archive/notify\"")))
+    assert(lines.forall(_.contains("\"blockchain\":\"BTC\"")))
+    assert(lines.forall(_.contains("\"run\":\"archive\"")))
+    assert(lines.forall(_.contains("\"type\":\"blocks\"")))
+    assert(lines.forall(_.contains("\"heightStart\":")))
+    assert(lines.exists(_.contains("\"heightStart\":0")))
+    assert(lines.exists(_.contains("\"heightEnd\":199")))
+  }
+
+  test("dry-run leaves the filesystem untouched for every command") {
+    val dir = Files.createTempDirectory("graft-dry-arch").toString
+    val dry = Commands.RunOptions(dryRun = true)
+    val raw = rawChain(0L to 99L)
+
+    // archive: verdicts computed, nothing written
+    val summary = Commands.archive(spark, raw, dir, 0L, 99L, chunkSize = 100L, opts = dry)
+    assert(summary.filter(col("complete")).count() === 1)
+    assert(!new java.io.File(s"$dir/blocks").exists())
+
+    // a real archive, then dry-run fix over a gap: missing reported, not healed
+    Commands.archive(spark, raw.filter(!col("height").between(40, 49)), dir, 0L, 99L)
+    val missing = Commands.fix(spark, raw, dir, dir, 0L, 99L, opts = dry)
+      .orderBy("height").as[Long].collect()
+    assert(missing.toSeq === (40L to 49L))
+    val still = Commands.verify(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(still("missing-heights") === 10L) // dry-run healed nothing
+
+    // dry-run compact: verdicts only, no output dir
+    val out = Files.createTempDirectory("graft-dry-compact").toString + "/x"
+    val verdicts = Commands.compact(spark, dir, out, chunkSize = 10L, opts = dry)
+    assert(verdicts.count() === 9) // chunk 4 (the 40..49 gap) has no rows at all
+    assert(!new java.io.File(out).exists())
+  }
+
+  test("archive --tail selects the last N below head-4") {
+    val dir = Files.createTempDirectory("graft-tail-arch").toString
+    val raw = rawChain(0L to 299L)
+    assert(Commands.tailRange(raw, 50L) === ((245L, 295L)))
+    Commands.archiveTail(spark, raw, dir, 50L, chunkSize = 100L)
+    val got = spark.read.parquet(s"$dir/blocks").select("height").as[Long].collect().sorted
+    assert(got.toSeq === (245L to 295L))
+  }
 }
