@@ -122,6 +122,39 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over the embedding near-dup pair graph: every
+    * vector gets a cluster id = min reachable vec_id (the canonical
+    * representative a pipeline keeps). Distributed min-label propagation,
+    * O(component diameter) rounds over the edge list only; the oracle is
+    * the same closure via a recursive CTE.
+    */
+  val dedupCluster: Op = Op.sql(
+    "dedup-cluster",
+    """WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |                     FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |              (sqrt(list_dot_product(a.v, a.v)) *
+      |               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+      |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster
+      |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val pairs = graft.sim.Similarity.nearDupPairs(emb, "label", 0.35)
+    graft.dedup.Clusters.connectedComponents(
+      emb.select(col("vec_id").as("id")), pairs.select("d1", "d2"))
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
-    dedupSimhash, dedupEmbeddingCosine)
+    dedupSimhash, dedupEmbeddingCosine, dedupCluster)
 }

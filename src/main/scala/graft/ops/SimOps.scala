@@ -74,5 +74,58 @@ object SimOps {
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
   }
 
-  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn)
+  /** IVF-style ANN: deterministic centroids (vec_ids 10,20,…,80 — the
+    * pluggable stand-in for k-means output), corpus assigned to nearest
+    * list by rounded cosine (ties → lowest cid), queries probe their 2
+    * nearest lists, exact cosine top-3 among candidates. The scale path
+    * where LSH recall disappoints: assignment is a PROJECTION over
+    * driver-collected centroid literals (config-sized), so the corpus
+    * never shuffles for it.
+    */
+  val simIvfAnn: Op = Op.sql(
+    "sim-ivf-ann",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id AS n_id, c.v AS nv, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |lists AS (SELECT n_id, nv, cid FROM asgn WHERE rn = 1),
+       |prb AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, cc.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+       |                          (sqrt(list_dot_product(q.v, q.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e q, cents cc WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, qv, cid FROM prb WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, l.n_id,
+       |         round(list_dot_product(p.qv, l.nv) /
+       |               (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                sqrt(list_dot_product(l.nv, l.nv))), 6) AS sim
+       |  FROM probes p JOIN lists l USING (cid)),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, sim FROM ranked WHERE rn <= 3
+       |ORDER BY q_id, sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)),
+      k = 3, nprobe = 2)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+  }
+
+  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn)
 }

@@ -86,5 +86,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+  /** Normalization (the step before shingling/fingerprinting): lowercase,
+    * strip non-alphanumerics, collapse runs of spaces, trim. Pure per-row
+    * projection — trivially scalable.
+    */
+  val textNormalize: Op = Op.sql(
+    "text-normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                      ' +', ' ', 'g')) AS norm_text,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                             ' +', ' ', 'g'))) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm_text"), length(norm).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
+    textNormalize)
 }

@@ -84,6 +84,48 @@ object Similarity {
       .select("q_id", "n_id", "sim")
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * (the inverted list), queries probe their `nprobe` nearest lists, and
+    * exact cosine top-k runs over probed-list candidates only.
+    *
+    * Scale shape: the centroid table is config-sized (nlist ≤ a few
+    * thousand), so it collects to the driver and the assignment becomes a
+    * pure projection — `greatest` over per-centroid (sim, -cid) structs,
+    * NO shuffle and no join touches the corpus. Candidates then join on
+    * the list id with the (small) probe set broadcast. Centroid choice is
+    * pluggable (k-means upstream); any DETERMINISTIC centroid set gives
+    * reproducible lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    def centSim(emb: Column, c: Seq[Double]): Column =
+      cosine(emb.cast("array<double>"), typedLit(c))
+    // per-centroid (sim, -cid) structs: lexicographic max = highest sim,
+    // ties to the lowest centroid id — same tiebreak everywhere
+    def centStructs: Seq[Column] = cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(centSim(col("embedding"), cv).as("s"), lit(-cid).as("nc"))
+    }
+    val assigned = corpus
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        (-col("_b.nc")).as("cid"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(array(centStructs: _*))), 1, nprobe)).as("_p"))
+      .select(col("q_id"), col("q_emb"), (-col("_p.nc")).as("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id", "sim")
+  }
+
   /** Near-duplicate embedding pairs within a blocking key (label):
     * all-pairs inside blocks only, threshold on rounded cosine.
     */
