@@ -140,6 +140,42 @@ object Commands {
     q.awaitTermination(120000)
   }
 
+  /** `stream` into the reference's OWN on-disk shape: one hash-named Avro
+    * single per archived height (src/command/stream.rs + archiver.rs:
+    * 53-113 — head events carry the block hash, so reorgs at a height
+    * leave SEVERAL hash-named files; `verifyFull` later keeps the
+    * canonical one). Never overwrites an existing file, so replayed
+    * batches are idempotent by construction. Raw head rows (height,
+    * blockId, parentId, payload) become block records with the payload as
+    * the JSON body.
+    */
+  def streamAvro(
+      spark: SparkSession,
+      headsDir: String,
+      headSchema: org.apache.spark.sql.types.StructType,
+      archiveDir: String,
+      checkpoint: String,
+      blockchain: String = "BITCOIN"): Unit = {
+    val q = Streams.followHeads(spark, headsDir, headSchema, checkpoint) { (batch, _) =>
+      val records = batch.select(
+        lit(blockchain).as("blockchainType"),
+        lit(blockchain).as("blockchainId"),
+        to_timestamp(lit(0)).as("archiveTimestamp"),
+        col("height"),
+        col("blockId"),
+        col("parentId"),
+        to_timestamp(col("height")).as("timestamp"),
+        col("payload").cast("binary").as("json"),
+        lit(0).as("unclesCount"),
+        lit(null).cast("binary").as("uncle0Json"),
+        lit(null).cast("binary").as("uncle1Json"))
+      graft.sources.AvroArchiveSink.writeSingles(
+        records, "blocks", archiveDir, forkHashCol = Some("blockId"))
+      ()
+    }
+    q.awaitTermination(120000)
+  }
+
   /** `compact` — merge complete aligned chunks into range files, leave
     * partial chunks alone (src/command/compact.rs:44-244). Dry-run plans
     * without writing.

@@ -7,6 +7,7 @@ import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{CodecFactory, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Writer for the reference's Avro object-container archive format
@@ -131,6 +132,77 @@ object AvroArchiveSink {
         Iterator.single(n)
       }
     }
+    counts.sum().toLong
+  }
+
+  /** Write one single-height container PER HEIGHT (the stream command's
+    * file shape: one `L1/L2/<h>[.<hash>].<suffix>.avro` per archived
+    * block, reference src/command/stream.rs + archiver.rs:53-113).
+    * Existing targets are SKIPPED, not overwritten — the reference
+    * stream's `overwrite: false` (stream.rs:49-52), which is what makes
+    * replays idempotent. Rows are co-partitioned by height and split into
+    * files on (height, fork-hash) boundaries inside each partition, so
+    * hash-partition collisions can never merge two heights into a range
+    * file. Returns the number of records in files that actually landed.
+    */
+  def writeSingles(df: DataFrame, kind: String, outDir: String,
+      codec: String = "snappy", heightCol: String = "height",
+      forkHashCol: Option[String] = None): Long = {
+    val sparkSchema = df.schema
+    val schemaJson = avroSchema(sparkSchema, kind).toString
+    val k = graft.archive.Filenames.normalizeKind(kind)
+    val hIdx = sparkSchema.fieldIndex(heightCol)
+    val fhIdx = forkHashCol.map(sparkSchema.fieldIndex)
+    new File(outDir).mkdirs()
+    val sortCols = col(heightCol) +: fhIdx.map(_ => col(forkHashCol.get)).toSeq
+    val counts = df
+      .repartition(col(heightCol))
+      .sortWithinPartitions(sortCols: _*)
+      .rdd.mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        def mkCodec = codec match {
+          case "snappy"  => CodecFactory.snappyCodec()
+          case "zstd"    => CodecFactory.zstandardCodec(9)
+          case "deflate" => CodecFactory.deflateCodec(6)
+          case "null"    => CodecFactory.nullCodec()
+          case other     => throw new IllegalArgumentException(s"codec: $other")
+        }
+        var total = 0L
+        var cur: Option[(Long, Option[String])] = None
+        var writer: DataFileWriter[GenericRecord] = null
+        var tmp: File = null
+        var n = 0L
+        def close(): Unit = cur.foreach { case (h, fork) =>
+          writer.close()
+          val target = new File(outDir,
+            graft.archive.Filenames.relativeSinglePath(h, k, fork))
+          target.getParentFile.mkdirs()
+          try {
+            java.nio.file.Files.move(tmp.toPath, target.toPath)
+            total += n
+          } catch { // exists → keep the existing file (never overwrite)
+            case _: java.nio.file.FileAlreadyExistsException => tmp.delete()
+          }
+          cur = None
+        }
+        rows.foreach { row =>
+          val key = (row.getLong(hIdx), fhIdx.flatMap(i => Option(row.getString(i))))
+          if (cur != Some(key)) {
+            close()
+            cur = Some(key)
+            n = 0L
+            tmp = File.createTempFile("graft-single-", ".tmp", new File(outDir))
+            writer = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](schema))
+            writer.setCodec(mkCodec)
+            writer.create(schema, tmp)
+          }
+          writer.append(toRecord(row, sparkSchema, schema))
+          n += 1
+        }
+        close()
+        Iterator.single(total)
+      }
     counts.sum().toLong
   }
 

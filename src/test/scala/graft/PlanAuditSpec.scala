@@ -45,6 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_salt"), p)
   }
 
+  test("sim-ivf-ann assigns lists without shuffling the corpus") {
+    val p = plan("sim-ivf-ann")
+    // assignment is a projection over centroid literals; the only join on
+    // the corpus is the broadcast of the (tiny) probe set
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one exchange may hash-partition corpus rows: the final
+    // per-query top-k window; nothing before the join repartitions
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(joinIdx)
+    assert(!p.substring(0, joinIdx).contains("hashpartitioning(n_id"), p)
+    assert(corpusSide.nonEmpty)
+  }
+
   test("q1_agg partial-aggregates before the exchange") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), p)

@@ -146,6 +146,57 @@ class CommandsSpec extends SparkSpec {
     assert(!new java.io.File(out).exists())
   }
 
+  test("stream -> reorg -> verifyFull fork lifecycle over Avro singles") {
+    import graft.sources.AvroArchiveSource
+    def h64(n: Long) = f"$n%064x"
+    def bjson(h: Long, hash: String, parent: String) =
+      s"""{"hash":"$hash","previousblockhash":"$parent","height":$h,"tx":[],"time":$h}"""
+    val dir = Files.createTempDirectory("graft-stream-avro").toString
+    val heads = Files.createTempDirectory("graft-heads-avro").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-avro").toString
+    // chain 100..102, then a reorg at 103: fork A gets orphaned, the chain
+    // continues on fork B through 104 — the head stream saw BOTH
+    val fork103a = h64(994103)
+    val fork103b = h64(103)
+    val rows = Seq(
+      (100L, h64(100), h64(99), bjson(100, h64(100), h64(99))),
+      (101L, h64(101), h64(100), bjson(101, h64(101), h64(100))),
+      (102L, h64(102), h64(101), bjson(102, h64(102), h64(101))),
+      (103L, fork103a, h64(102), bjson(103, fork103a, h64(102))),
+      (103L, fork103b, h64(102), bjson(103, fork103b, h64(102))),
+      (104L, h64(104), fork103b, bjson(104, h64(104), fork103b)))
+    rows.toDF("height", "blockId", "parentId", "payload")
+      .coalesce(1).write.mode("append").parquet(heads)
+    val schema = StructType(Seq(
+      StructField("height", LongType), StructField("blockId", StringType),
+      StructField("parentId", StringType), StructField("payload", StringType)))
+    Commands.streamAvro(spark, heads, schema, dir, ckpt)
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 6) // both forks on disk
+
+    // replay with a fresh checkpoint: never-overwrite keeps it at 6 files
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-avro2").toString
+    Commands.streamAvro(spark, heads, schema, dir, ckpt2)
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 6)
+
+    // the chain settled on fork B: verify deletes the orphan, content-
+    // checks the rest as one merged batch with intact links
+    val canonical = Seq(100L -> h64(100), 101L -> h64(101), 102L -> h64(102),
+      103L -> fork103b, 104L -> h64(104)).toDF("height", "hash")
+    val r = Commands.verifyFull(spark, dir, graft.model.BitcoinAdapter,
+      100L, 110L, canonical,
+      VerifyFull.Options(checkTxes = false, fixClean = true))
+    val left = AvroArchiveSource.listAvroFiles(spark, dir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    assert(left === Seq(
+      s"000000100.${h64(100)}.block.avro", s"000000101.${h64(101)}.block.avro",
+      s"000000102.${h64(102)}.block.avro", s"000000103.$fork103b.block.avro",
+      s"000000104.${h64(104)}.block.avro"))
+    assert(r.deleted.map(_._2) === Seq("forked-out"))
+    val v = r.batches.collect()
+    assert(v.length === 1 && v.head.getAs[Boolean]("blocks_ok"))
+    assert(v.head.getAs[Long]("group_s") === 100L && v.head.getAs[Long]("group_e") === 104L)
+  }
+
   test("archive --tail selects the last N below head-4") {
     val dir = Files.createTempDirectory("graft-tail-arch").toString
     val raw = rawChain(0L to 299L)
