@@ -191,6 +191,52 @@ object SourceSinkOps {
       .orderBy("height")
   }
 
+  /** End-to-end verify-command integrity check: synthesize a 200-block
+    * chain (sha2 hashes, Bitcoin-shaped JSON), archive it as REAL
+    * hash-named Avro singles, then run the FULL verify pipeline
+    * (graft.commands.VerifyFull — preprocess, merge_small, content
+    * checks, chain links, top hash). The expected verdict is fully
+    * determined: one merged [0,199] batch, blocks_ok, nothing deleted —
+    * so the oracle pins exactly that. Any regression anywhere in the
+    * sink/reader/catalog/verify stack flips a field.
+    */
+  val verifyFullRoundtrip: Op = Op.sql(
+    "verify-full-roundtrip",
+    """SELECT CAST(0 AS BIGINT) AS group_s, CAST(199 AS BIGINT) AS group_e,
+      |       TRUE AS blocks_ok, CAST(200 AS BIGINT) AS n_blocks,
+      |       CAST(0 AS BIGINT) AS n_deleted""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val dir = tmpDir("verify-full")
+    clearDir(dir)
+    val raw = s.range(0, 200).toDF("height")
+      .withColumn("blockId", sha2(col("height").cast("string"), 256))
+      .withColumn("parentId", sha2((col("height") - 1).cast("string"), 256))
+      .withColumn("payload", concat(
+        lit("{\"hash\":\""), col("blockId"),
+        lit("\",\"previousblockhash\":\""), col("parentId"),
+        lit("\",\"height\":"), col("height"),
+        lit(",\"tx\":[],\"time\":"), col("height"), lit("}")))
+    val records = raw.select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("height"), col("blockId"), col("parentId"),
+      to_timestamp(col("height")).as("timestamp"),
+      col("payload").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    graft.sources.AvroArchiveSink.writeSingles(records, "blocks", dir,
+      forkHashCol = Some("blockId"))
+    val canonical = raw.select(col("height"), col("blockId").as("hash"))
+    val report = graft.commands.VerifyFull.run(s, dir, graft.model.BitcoinAdapter,
+      0L, 199L, canonical,
+      graft.commands.VerifyFull.Options(checkTxes = false))
+    report.batches.select(
+      col("group_s"), col("group_e"), col("blocks_ok"),
+      col("b_n").as("n_blocks"), lit(report.deleted.size.toLong).as("n_deleted"))
+  }
+
   val ops: Seq[Op] = Seq(scanAvro, sinkAvroFs, sinkAvroS3, compress,
-    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc)
+    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc, verifyFullRoundtrip)
 }

@@ -211,6 +211,31 @@ class VerifyFullSpec extends SparkSpec {
     assert(filesLeft(dir) === before)
   }
 
+  test("ethereum payloads verify through the hex-number adapter") {
+    import graft.model.EthereumAdapter
+    def ejson(h: Long, hash: String, parent: String, txs: Seq[String]) =
+      s"""{"hash":"$hash","parentHash":"$parent","number":"0x${h.toHexString}",""" +
+        s""""timestamp":"0x${(1600000000L + h).toHexString}",""" +
+        s""""transactions":[${txs.map("\"" + _ + "\"").mkString(",")}],"uncles":[]}"""
+    def eBlockRow(h: Long, hash: String, parent: String, txs: Seq[String]): Row =
+      Row("ETHEREUM", "ETH", new Timestamp(0L), h, hash, parent, new Timestamp(h),
+        ejson(h, hash, parent, txs).getBytes("UTF-8"), 0, null, null)
+    val dir = Files.createTempDirectory("vf-eth").toString
+    val (h200, h201) = (mkHash(200), mkHash(201))
+    Seq((200L, h200, mkHash(199), Seq("0xaa")), (201L, h201, h200, Seq("0xbb")))
+      .foreach { case (h, hs, p, txs) =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(eBlockRow(h, hs, p, txs)), 1), Schemas.block)
+        AvroArchiveSink.write(df, "blocks", dir)
+      }
+    writeTxes(dir, Seq((200L, h200, 0L, "0xaa"), (201L, h201, 0L, "0xbb")))
+    val r = VerifyFull.run(spark, dir, EthereumAdapter, 200L, 210L,
+      canonicalOf(200L -> h200, 201L -> h201), VerifyFull.Options(fixClean = true))
+    assert(r.deleted.isEmpty, r.deleted)
+    val v = r.batches.head()
+    assert(v.getAs[Boolean]("blocks_ok") && v.getAs[Boolean]("txes_ok"))
+  }
+
   test("corrupt top hash marks blocks broken but keeps unverifiable txes") {
     val dir = Files.createTempDirectory("vf-tophash").toString
     val h100 = mkHash(100)
