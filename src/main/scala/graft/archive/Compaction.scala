@@ -101,6 +101,95 @@ object Compaction {
     verdicts
   }
 
+  /** Compact an Avro-format archive IN the reference's own on-disk shape
+    * (the real compact command, src/command/compact.rs:44-244): single
+    * files of a kind whose chunk is complete merge into one
+    * `L1/range-<s>_<e>.<kind>.avro`, then the fully-copied singles are
+    * deleted — write-new-then-delete-old, never overwriting an existing
+    * range file. Forked singles (hash-named, several at one height) are
+    * left alone — verify settles forks first, compact only merges settled
+    * heights. Returns per-(kind, chunk) verdicts and deleted files.
+    */
+  def compactAvro(
+      spark: SparkSession,
+      archiveDir: String,
+      chunkSize: Long = 1000L,
+      dryRun: Boolean = false): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    import graft.sources.{AvroArchiveSink, AvroArchiveSource}
+    // chunkSize 1 would name a "range" with its source single's own path
+    require(chunkSize > 1, "compactAvro needs chunkSize > 1")
+    val catalog = Catalog.withParsedNames(
+        AvroArchiveSource.listAvroFiles(spark, archiveDir).toDF("path"))
+      .filter(col("kind").isNotNull)
+      .cache()
+    // settled singles only: exactly one file at the height for the kind
+    val singleCounts = catalog
+      .filter(col("start_h") === col("end_h"))
+      .groupBy("kind", "start_h").agg(count(lit(1)).as("nf"))
+    val settled = catalog
+      .filter(col("start_h") === col("end_h"))
+      .join(singleCounts.filter(col("nf") === 1).select("kind", "start_h"),
+        Seq("kind", "start_h"), "left_semi")
+    // chunks already touched by any range file are skipped
+    // (create-if-absent; an unaligned range may span several chunks —
+    // catalog-sized explode)
+    val existingRange = catalog.filter(col("start_h") =!= col("end_h"))
+      .select(col("kind"), explode(sequence(
+        floor(col("start_h") / chunkSize).cast("long"),
+        floor(col("end_h") / chunkSize).cast("long"))).as("chunk"))
+      .distinct()
+    val verdictsByKind = Seq.newBuilder[DataFrame]
+    val deleted = Seq.newBuilder[String]
+    val kinds = settled.select("kind").distinct().as[String].collect().sorted
+    kinds.foreach { kind =>
+      val files = settled.filter(col("kind") === kind)
+        .select("path").as[String].collect().toSeq
+      val rows = AvroArchiveSource.readArchiveFilesWithPath(spark, files, kind)
+        .withColumn("chunk", floor(col("height") / chunkSize).cast("long"))
+        .cache()
+      // localCheckpoint (eager): the verdicts must outlive the source
+      // files this run is about to delete — a lazy plan would re-scan them
+      val verdicts = validateChunks(rows, "height", chunkSize)
+        .withColumn("kind", lit(kind))
+        .localCheckpoint()
+      val toWrite = verdicts.filter(col("complete")).select("chunk")
+        .join(existingRange.filter(col("kind") === kind).select("chunk"),
+          Seq("chunk"), "left_anti")
+      if (!dryRun) {
+        val chunkRows = rows
+          .join(broadcast(toWrite), Seq("chunk"), "left_semi")
+          .drop("_path")
+        AvroArchiveSink.writeChunked(chunkRows, kind, archiveDir, "chunk")
+        // a single is deletable iff every one of its rows landed in a
+        // complete chunk that now has a range file (newly written or
+        // pre-existing)
+        val coveredChunks = verdicts.filter(col("complete")).select("chunk")
+        val deletable = rows
+          .join(broadcast(coveredChunks).withColumn("c", lit(1)), Seq("chunk"), "left")
+          .groupBy("_path")
+          .agg(count(lit(1)).as("n"), count("c").as("n_cov"))
+          .filter(col("n") === col("n_cov"))
+          .select("_path").as[String].collect()
+        val fs = new org.apache.hadoop.fs.Path(archiveDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        deletable.foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), false)
+        }
+        deleted ++= deletable
+      }
+      rows.unpersist()
+      verdictsByKind += verdicts
+    }
+    catalog.unpersist()
+    val verdicts = verdictsByKind.result() match {
+      case Seq()   => validateChunks(spark.range(0).toDF("height"), "height", chunkSize)
+        .withColumn("kind", lit(""))
+      case seq     => seq.reduce(_ union _)
+    }
+    (verdicts, deleted.result())
+  }
+
   /** Full compact-then-clean: merge complete chunks of `srcDir` into
     * `outDir`, then delete ONLY the source files every one of whose rows
     * was fully copied (reference: write new THEN delete old, and only if

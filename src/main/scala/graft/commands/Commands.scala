@@ -191,6 +191,18 @@ object Commands {
     else Compaction.compact(spark, src, "height", chunkSize, outDir)
   }
 
+  /** `compact` over the reference's OWN Avro layout: settled singles of
+    * every kind merge into `range-<s>_<e>.<kind>.avro` files per complete
+    * chunk, then the fully-copied singles are deleted (write-new-then-
+    * delete-old, compact.rs:44-244). Forked heights are left for verify.
+    */
+  def compactAvro(
+      spark: SparkSession,
+      archiveDir: String,
+      chunkSize: Long = 1000L,
+      opts: RunOptions = RunOptions()): (DataFrame, Seq[String]) =
+    Compaction.compactAvro(spark, archiveDir, chunkSize, dryRun = opts.dryRun)
+
   /** `fix` — find missing heights in [startH, endH] and re-archive them
     * from the raw source, idempotently (src/command/fix.rs:39-69).
     * Returns the heights that were missing.

@@ -119,21 +119,27 @@ object AvroArchiveSink {
             else graft.archive.Filenames.relativeRangePath(mn, mx, k)
           val target = new File(outDir, rel)
           target.getParentFile.mkdirs()
-          // Files.move without REPLACE_EXISTING is the atomic existence
-          // check — an exists() pre-check would race concurrent tasks
-          try java.nio.file.Files.move(file.toPath, target.toPath)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              throw new IllegalStateException(
-                s"archive file exists (never overwritten): $target — partition " +
-                  "the input so file ranges don't collide")
-          }
+          if (!claimTarget(target))
+            throw new IllegalStateException(
+              s"archive file exists (never overwritten): $target — partition " +
+                "the input so file ranges don't collide")
+          java.nio.file.Files.move(file.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         Iterator.single(n)
       }
     }
     counts.sum().toLong
   }
+
+  /** Atomically claim a target path (O_EXCL create). `Files.move` without
+    * REPLACE_EXISTING is a non-atomic check-then-rename on POSIX — two
+    * racing tasks can BOTH pass the check and the loser silently replaces
+    * the winner. The claim-then-replace sequence cannot.
+    */
+  private def claimTarget(target: File): Boolean =
+    try { java.nio.file.Files.createFile(target.toPath); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   /** Write one single-height container PER HEIGHT (the stream command's
     * file shape: one `L1/L2/<h>[.<hash>].<suffix>.avro` per archived
@@ -177,12 +183,11 @@ object AvroArchiveSink {
           val target = new File(outDir,
             graft.archive.Filenames.relativeSinglePath(h, k, fork))
           target.getParentFile.mkdirs()
-          try {
-            java.nio.file.Files.move(tmp.toPath, target.toPath)
+          if (claimTarget(target)) { // else keep the existing file
+            java.nio.file.Files.move(tmp.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             total += n
-          } catch { // exists → keep the existing file (never overwrite)
-            case _: java.nio.file.FileAlreadyExistsException => tmp.delete()
-          }
+          } else tmp.delete()
           cur = None
         }
         rows.foreach { row =>
@@ -206,9 +211,87 @@ object AvroArchiveSink {
     counts.sum().toLong
   }
 
+  /** One container PER CHUNK (the compact command's range files): rows are
+    * co-partitioned by `chunkCol` and split on chunk boundaries INSIDE
+    * each sorted partition — hash-partition collisions can therefore never
+    * merge two chunks into one file. Each file is named from its own
+    * min/max height (`L1/range-<s>_<e>.<kind>.avro`, or a single path for
+    * one-height chunks); existing targets are kept (create-if-absent).
+    * Returns records written into files that landed.
+    */
+  def writeChunked(df: DataFrame, kind: String, outDir: String,
+      chunkCol: String, codec: String = "zstd",
+      heightCol: String = "height"): Long = {
+    val sparkSchema = df.schema
+    // the chunk key drives file splitting but is NOT part of the record
+    val schemaJson = avroSchema(
+      StructType(sparkSchema.fields.filterNot(_.name == chunkCol)), kind).toString
+    val k = graft.archive.Filenames.normalizeKind(kind)
+    val hIdx = sparkSchema.fieldIndex(heightCol)
+    val cIdx = sparkSchema.fieldIndex(chunkCol)
+    new File(outDir).mkdirs()
+    val counts = df
+      .repartition(col(chunkCol))
+      .sortWithinPartitions(col(chunkCol), col(heightCol))
+      .rdd.mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        def mkCodec = codec match {
+          case "snappy"  => CodecFactory.snappyCodec()
+          case "zstd"    => CodecFactory.zstandardCodec(9)
+          case "deflate" => CodecFactory.deflateCodec(6)
+          case "null"    => CodecFactory.nullCodec()
+          case other     => throw new IllegalArgumentException(s"codec: $other")
+        }
+        var total = 0L
+        var cur: Option[Long] = None
+        var writer: DataFileWriter[GenericRecord] = null
+        var tmp: File = null
+        var n = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        def close(): Unit = if (cur.isDefined) {
+          writer.close()
+          val rel =
+            if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k)
+            else graft.archive.Filenames.relativeRangePath(mn, mx, k)
+          val target = new File(outDir, rel)
+          target.getParentFile.mkdirs()
+          if (claimTarget(target)) { // else keep the existing file
+            java.nio.file.Files.move(tmp.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            total += n
+          } else tmp.delete()
+          cur = None
+        }
+        rows.foreach { row =>
+          val chunk = row.getLong(cIdx)
+          if (cur != Some(chunk)) {
+            close()
+            cur = Some(chunk)
+            n = 0L; mn = Long.MaxValue; mx = Long.MinValue
+            tmp = File.createTempFile("graft-chunk-", ".tmp", new File(outDir))
+            writer = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](schema))
+            writer.setCodec(mkCodec)
+            writer.create(schema, tmp)
+          }
+          val h = row.getLong(hIdx)
+          if (h < mn) mn = h
+          if (h > mx) mx = h
+          writer.append(toRecord(row, sparkSchema, schema))
+          n += 1
+        }
+        close()
+        Iterator.single(total)
+      }
+    counts.sum().toLong
+  }
+
   private def toRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     st.fields.zipWithIndex.foreach { case (f, i) =>
+      if (schema.getField(f.name) == null) () // split keys ride outside the record
+      else {
       val v =
         if (row.isNullAt(i)) null
         else f.dataType match {
@@ -222,6 +305,7 @@ object AvroArchiveSink {
           case _             => row.get(i)
         }
       rec.put(f.name, v)
+      }
     }
     rec
   }

@@ -96,4 +96,45 @@ class CompactionSpec extends SparkSpec {
     assert(deleted3.isEmpty)
     assert(spark.read.parquet(outDir).count() === 30L)
   }
+
+  test("compactAvro merges settled singles into range files and cleans them") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    import graft.model.Schemas
+    import graft.sources.{AvroArchiveSink, AvroArchiveSource}
+    def h64(n: Long) = f"$n%064x"
+    def blockRow(h: Long, hash: String): Row =
+      Row("BITCOIN", "BTC", new Timestamp(0L), h, hash, h64(h - 1),
+        new Timestamp(h), s"""{"height":$h}""".getBytes("UTF-8"), 0, null, null)
+    val dir = Files.createTempDirectory("graft-compact-avro").toString
+    // settled singles 0..249 (chunks 0 and 1 complete at size 100; chunk 2
+    // partial) + a FORKED height 260 with two hash-named files
+    val settled = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L to 249L).map(h => blockRow(h, h64(h))), 8),
+      Schemas.block)
+    AvroArchiveSink.writeSingles(settled, "blocks", dir)
+    Seq(h64(8260), h64(9260)).foreach { hash =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(blockRow(260L, hash)), 1), Schemas.block)
+      AvroArchiveSink.writeSingles(df, "blocks", dir, forkHashCol = Some("blockId"))
+    }
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 252)
+
+    val (verdicts, deleted) = Compaction.compactAvro(spark, dir, chunkSize = 100L)
+    assert(verdicts.filter(col("complete")).count() === 2)
+    assert(deleted.size === 200) // exactly the singles of chunks 0 and 1
+    val files = AvroArchiveSource.listAvroFiles(spark, dir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(files.count(_.startsWith("range-")) === 2)
+    assert(files.contains("range-000000000_000000099.blocks.avro"))
+    assert(files.contains("range-000000100_000000199.blocks.avro"))
+    assert(files.count(f => !f.startsWith("range-")) === 52) // 200..249 + 2 forks
+    // content survives intact through the rewrite
+    assert(AvroArchiveSource.readArchive(spark, dir, "blocks").count() === 252L)
+
+    // idempotent re-run: chunks with range files skip, nothing else settles
+    val (_, deleted2) = Compaction.compactAvro(spark, dir, chunkSize = 100L)
+    assert(deleted2.isEmpty)
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 54)
+  }
 }
