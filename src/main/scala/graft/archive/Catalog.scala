@@ -62,18 +62,26 @@ object Catalog {
     * original rows + group_s/group_e of the batch they verify under.
     */
   def mergeSmall(catalog: DataFrame, threshold: Long = 10L): DataFrame =
-    mergeSmall(catalog, threshold, lit(true))
+    mergeSmall(catalog, threshold, lit(true), Seq.empty)
 
-  /** [[mergeSmall]] with an extra mergeability predicate: rows failing it
-    * keep their own batch even when small — the reference excludes
+  /** [[mergeSmall]] with an extra mergeability predicate — rows failing it
+    * keep their own batch even when small (the reference excludes
     * INCOMPLETE groups from merge batches because they would break the
-    * verified sequence (verify.rs:243-247).
+    * verified sequence, verify.rs:243-247) — and optional window
+    * partitioning: the reference verify processes chunk-by-chunk
+    * (`full_range.split_chunks`, verify.rs:414), so batches never cross
+    * chunk boundaries and no window ever sees more than a chunk's files.
+    * Pass the chunk column(s) here to get the same bound; empty = one
+    * global window (fixture-scale only).
     */
   def mergeSmall(catalog: DataFrame, threshold: Long,
-      mergeable: org.apache.spark.sql.Column): DataFrame = {
+      mergeable: org.apache.spark.sql.Column,
+      partitionCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val small = (col("end_h") - col("start_h") + 1 <= threshold) && mergeable
-    val w = Window.orderBy("start_h", "end_h")
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy("start_h", "end_h")
+      else Window.partitionBy(partitionCols: _*).orderBy("start_h", "end_h")
     // islands over the SMALL ranges only (catalog-sized input — the window
     // runs over file metadata, never data rows)
     val flagged = catalog
@@ -85,7 +93,9 @@ object Catalog {
           .when(col("_pe").isNull || col("start_h") > col("_pe") + 1, 1)
           .otherwise(0))
       .withColumn("_g", sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val groups = Window.partitionBy("_g")
+    // island ids restart per window partition — the group key must carry
+    // the partition cols or same-numbered islands in different chunks fuse
+    val groups = Window.partitionBy(partitionCols :+ col("_g"): _*)
     flagged
       .withColumn("group_s", min("start_h").over(groups))
       .withColumn("group_e", max("end_h").over(groups))

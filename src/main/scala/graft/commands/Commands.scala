@@ -231,6 +231,44 @@ object Commands {
     missing
   }
 
+  /** `fix` over the Avro layout, PER KIND (src/command/fix.rs:39-69 —
+    * `find_incomplete_tables` returns the missing kinds per range and the
+    * archiver re-archives only those): for every kind with a raw source,
+    * heights in [startH, endH] not covered by any file of that kind are
+    * re-archived as singles. `rawByKind` maps kind → records already in
+    * that kind's archive schema (same contract as streamAvro's builder).
+    * Returns (kind, height) rows that were missing. Coverage explodes
+    * file ranges chunk-wise — catalog-sized × ≤chunk heights, distributed.
+    */
+  def fixAvro(
+      spark: SparkSession,
+      archiveDir: String,
+      rawByKind: Map[String, DataFrame],
+      startH: Long, endH: Long,
+      opts: RunOptions = RunOptions()): DataFrame = {
+    import spark.implicits._
+    require(rawByKind.nonEmpty, "fixAvro needs at least one raw source")
+    val catalog = graft.archive.Catalog.withParsedNames(
+        graft.sources.AvroArchiveSource.listAvroFiles(spark, archiveDir).toDF("path"))
+      .filter(col("kind").isNotNull)
+      .filter(col("start_h") <= endH && col("end_h") >= startH)
+      .cache()
+    val missingByKind = rawByKind.keys.toSeq.sorted.map { kind0 =>
+      val kind = graft.archive.Filenames.normalizeKind(kind0)
+      val covered = catalog.filter(col("kind") === kind)
+        .select(explode(sequence(col("start_h"), col("end_h"))).as("height"))
+        .distinct()
+      val missing = spark.range(startH, endH + 1).toDF("height")
+        .join(covered, Seq("height"), "left_anti")
+      if (!opts.dryRun) {
+        val refetch = rawByKind(kind0).join(missing, Seq("height"), "left_semi")
+        graft.sources.AvroArchiveSink.writeSingles(refetch, kind, archiveDir)
+      }
+      missing.select(lit(kind).as("kind"), col("height"))
+    }
+    missingByKind.reduce(_ union _)
+  }
+
   /** `verify --fix.clean`-grade FULL pipeline over the reference's own
     * Avro layout: filename preprocess + per-batch content checks +
     * deletion verdicts. See [[VerifyFull]] for the composition.

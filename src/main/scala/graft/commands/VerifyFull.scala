@@ -44,7 +44,8 @@ object VerifyFull {
       includeStateDiff: Boolean = false,
       fixClean: Boolean = false,
       dryRun: Boolean = false,
-      mergeThreshold: Long = 10L)
+      mergeThreshold: Long = 10L,
+      chunkSize: Long = 1000L)
 
   /** Per-batch verdicts + the applied (or dry-run-planned) deletions. */
   case class Report(batches: DataFrame, deleted: Seq[(String, String)])
@@ -127,26 +128,36 @@ object VerifyFull {
       }
 
     // ---- 1e. deduplicate intersecting ranges, keep the largest
-    // (verify.rs:372-406). Overlap islands via a running-max window over
-    // the catalog-sized group list; within an island the longest range
-    // (earliest start on ties) survives.
-    val w = Window.orderBy("start_h", "end_h", "fh")
+    // (verify.rs:372-406). Overlap islands via a running-max window,
+    // PARTITIONED BY CHUNK like the reference's per-chunk verify loop
+    // (verify.rs:414 split_chunks) — no task ever windows more than one
+    // chunk's file groups, so the preprocess scales with executors, not
+    // catalog size. Within an island the longest range (earliest start on
+    // ties) survives.
+    val chunkOf = floor(col("start_h") / opts.chunkSize).cast("long")
+    val w = Window.partitionBy("_chunk").orderBy("start_h", "end_h", "fh")
     val islanded = groups2
+      .withColumn("_chunk", chunkOf)
       .withColumn("_pe", max("end_h").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_brk", when(col("_pe").isNull || col("start_h") > col("_pe"), 1).otherwise(0))
       .withColumn("_isl", sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // island ids restart per chunk — rank within (chunk, island), else
+    // same-numbered islands in different chunks would fuse
     val ranked = islanded.withColumn("_rk", row_number().over(
-      Window.partitionBy("_isl")
+      Window.partitionBy("_chunk", "_isl")
         .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
     deletions ++= cat
       .join(ranked.filter(col("_rk") > 1).select(GroupKey.map(col): _*), GroupKey, "left_semi")
       .select("path").as[String].collect().map(_ -> "duplicate-range")
     val groups3 = ranked.filter(col("_rk") === 1)
-      .drop("_pe", "_brk", "_isl", "_rk")
+      .drop("_chunk", "_pe", "_brk", "_isl", "_rk")
 
     // ---- 2. merge_small: adjacent complete small groups verify as one
-    // batch; incomplete or large groups stand alone (verify.rs:237-267)
-    val batched = Catalog.mergeSmall(groups3, opts.mergeThreshold, col("complete"))
+    // batch; incomplete or large groups stand alone (verify.rs:237-267);
+    // batches never cross chunk boundaries, same as the reference's
+    // per-chunk processing
+    val batched = Catalog.mergeSmall(groups3, opts.mergeThreshold, col("complete"),
+        Seq(chunkOf))
       .select(col("start_h"), col("end_h"), col("fh"),
         col("blocks"), col("txes"), col("traces"),
         col("complete"), col("group_s"), col("group_e"))

@@ -236,6 +236,63 @@ class VerifyFullSpec extends SparkSpec {
     assert(v.getAs[Boolean]("blocks_ok") && v.getAs[Boolean]("txes_ok"))
   }
 
+  test("fixAvro heals exactly the missing kinds, then verify is green") {
+    val dir = Files.createTempDirectory("vf-fix").toString
+    val hs = 300L to 309L
+    def blocksOf(h: Seq[Long]) = h.map(x => (x, mkHash(x), mkHash(x - 1), Seq(s"TX$x")))
+    def txesOf(h: Seq[Long]) = h.map(x => (x, mkHash(x), 0L, s"TX$x"))
+    // archive with holes: blocks missing at 305, txes missing at 302, 307
+    writeBlocks(dir, blocksOf(hs.filterNot(_ == 305L)))
+    writeTxes(dir, txesOf(hs.filterNot(h => h == 302L || h == 307L)))
+
+    val rawBlocks = spark.createDataFrame(
+      spark.sparkContext.parallelize(blocksOf(hs).map((blockRow _).tupled), 2),
+      Schemas.block)
+    val rawTxes = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        txesOf(hs).map { case (h, bh, i, id) => txRow(h, bh, i, id) }, 2),
+      Schemas.transaction)
+
+    // dry-run reports the same holes but heals nothing
+    val dry = Commands.fixAvro(spark, dir,
+      Map("blocks" -> rawBlocks, "txes" -> rawTxes), 300L, 309L,
+      Commands.RunOptions(dryRun = true))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dry === Set(("blocks", 305L), ("txes", 302L), ("txes", 307L)))
+    assert(filesLeft(dir).size === 17)
+
+    val missing = Commands.fixAvro(spark, dir,
+      Map("blocks" -> rawBlocks, "txes" -> rawTxes), 300L, 309L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(missing === Set(("blocks", 305L), ("txes", 302L), ("txes", 307L)))
+    assert(filesLeft(dir).size === 20)
+
+    val r = VerifyFull.run(spark, dir, BitcoinAdapter, 300L, 309L,
+      canonicalOf(309L -> mkHash(309)), VerifyFull.Options(fixClean = true))
+    assert(r.deleted.isEmpty, r.deleted)
+    assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
+  }
+
+  test("batches never cross chunk boundaries (reference split_chunks semantics)") {
+    val dir = Files.createTempDirectory("vf-chunks").toString
+    val hs = 995L to 1005L
+    writeBlocks(dir, hs.map(h => (h, mkHash(h), mkHash(h - 1), Seq.empty[String])))
+    writeTxes(dir, hs.map(h => (h, mkHash(h), 0L, s"TX$h")))
+    // txes at these heights carry txids the blocks don't expect → but the
+    // blocks declare NO txs, so give txes nothing to check: checkTxes off
+    val r = VerifyFull.run(spark, dir, BitcoinAdapter, 990L, 1010L,
+      canonicalOf(999L -> mkHash(999), 1005L -> mkHash(1005)),
+      VerifyFull.Options(checkTxes = false))
+    val batches = r.batches.select("group_s", "group_e")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    // adjacent singles split at the 1000 boundary, like the reference's
+    // per-chunk verify loop — and every window in the preprocess is
+    // likewise chunk-partitioned
+    assert(batches.toSeq === Seq((995L, 999L), (1000L, 1005L)))
+    assert(r.deleted.isEmpty, r.deleted)
+    assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
+  }
+
   test("corrupt top hash marks blocks broken but keeps unverifiable txes") {
     val dir = Files.createTempDirectory("vf-tophash").toString
     val h100 = mkHash(100)
