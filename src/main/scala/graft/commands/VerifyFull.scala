@@ -69,88 +69,99 @@ object VerifyFull {
       .select("path", "kind", "start_h", "end_h", "fh")
       .cache()
 
-    val deletions = Seq.newBuilder[(String, String)]
+    // ---- 1. filename-level preprocess as ONE lazy decision pipeline: the
+    // reference applies four sequential passes (duplicates, select_complete,
+    // remove_forks, deduplicate — verify.rs:155-207); here each pass is a
+    // column over the catalog-sized group list and a single action at the
+    // end collects every (file, reason) at once — one job, not one per pass.
 
-    // ---- 1a. duplicate slots: same (range, fork, kind) twice → BOTH go
+    // 1a. duplicate slots: same (range, fork, kind) twice → BOTH files go
     // (reference RangeGroupError::Duplicate, verify.rs:440-455)
     val dupSlots = catalog.groupBy((GroupKey :+ "kind").map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).drop("n")
-    deletions ++= catalog
-      .join(dupSlots, GroupKey :+ "kind", "left_semi")
-      .select("path").as[String].collect().map(_ -> "duplicate-slot")
     val cat = catalog.join(dupSlots, GroupKey :+ "kind", "left_anti").cache()
 
-    // ---- 1b. groups (the reference's ArchiveGroup) with completeness per
-    // the requested tables (is_complete, range_group.rs)
+    // 1b. groups (the reference's ArchiveGroup) with completeness per the
+    // requested tables (is_complete, range_group.rs)
     val complete = col("blocks") >= 1 &&
       (if (opts.checkTxes) col("txes") >= 1 else lit(true)) &&
       (if (opts.checkTraces) col("traces") >= 1 else lit(true))
+    // cached: the fork-height, decision and survivor subtrees all re-read it
     val groups0 = cat.groupBy(GroupKey.map(col): _*)
       .pivot("kind", Seq("blocks", "txes", "traces"))
       .agg(count(lit(1)))
       .na.fill(0L, Seq("blocks", "txes", "traces"))
       .withColumn("complete", complete)
+      .cache()
 
-    // ---- 1c. select_complete (only under --fix.clean, verify.rs:161-165)
-    val groups1 =
-      if (!opts.fixClean) groups0
-      else {
-        val bad = groups0.filter(!col("complete")).select(GroupKey.map(col): _*)
-        deletions ++= cat.join(bad, GroupKey, "left_semi")
-          .select("path").as[String].collect().map(_ -> "incomplete-group")
-        groups0.filter(col("complete"))
-      }
+    // 1c. select_complete (only under --fix.clean, verify.rs:161-165)
+    val incomplete = if (opts.fixClean) !col("complete") else lit(false)
 
-    // ---- 1d. remove_forks: several single-height groups at one height →
-    // keep the one whose filename hash is the canonical block hash
-    // (verify.rs:328-369). The fork set is catalog-sized; canonical is
-    // data-sized — broadcast the fork side into the join.
-    val singles = groups1.filter(col("start_h") === col("end_h"))
-    val forkHeights = singles.groupBy("start_h")
-      .agg(count(lit(1)).as("nf")).filter(col("nf") > 1).select("start_h")
-    val groups2 =
-      if (forkHeights.isEmpty) groups1
-      else {
-        val canonicalAt = canonical
-          .join(broadcast(forkHeights.withColumnRenamed("start_h", "height")), Seq("height"))
-          .select(col("height").as("start_h"), col("hash").as("_canon"))
-        val keepForks = singles
-          .join(broadcast(forkHeights), Seq("start_h"), "left_semi")
-          .join(canonicalAt, Seq("start_h"), "left")
-          .withColumn("_keep", col("fh") === col("_canon"))
-        deletions ++= cat
-          .join(keepForks.filter(!coalesce(col("_keep"), lit(false)))
-            .select(GroupKey.map(col): _*), GroupKey, "left_semi")
-          .select("path").as[String].collect().map(_ -> "forked-out")
-        groups1.join(
-          keepForks.filter(!coalesce(col("_keep"), lit(false))).select(GroupKey.map(col): _*),
-          GroupKey, "left_anti")
-      }
+    // 1d. remove_forks (verify.rs:328-369): several single-height groups at
+    // one height → keep the one whose filename hash is canonical. The fork
+    // count is a height-partitioned window over SURVIVORS of 1c (the
+    // reference runs the passes in that order); the canonical hash joins in
+    // via the (tiny, broadcast) fork-height list against the data-sized
+    // chain — no driver round-trip.
+    val isSingle = col("start_h") === col("end_h")
+    val nf = sum(when(isSingle && !col("_incomplete"), 1).otherwise(0))
+      .over(Window.partitionBy("start_h"))
+    val forkHeights = groups0
+      .withColumn("_incomplete", incomplete)
+      .withColumn("_nf", nf)
+      .filter(col("_nf") > 1).select("start_h").distinct()
+    val canonicalAt = canonical
+      .join(broadcast(forkHeights.withColumnRenamed("start_h", "height")), Seq("height"))
+      .select(col("height").as("start_h"), col("hash").as("_canon"))
+    val withFork = groups0
+      .withColumn("_incomplete", incomplete)
+      .withColumn("_nf", nf)
+      .join(canonicalAt, Seq("start_h"), "left")
+      .withColumn("_forked_out",
+        isSingle && !col("_incomplete") && col("_nf") > 1 &&
+          // only an exact canonical-hash match survives a contested height;
+          // no canonical entry → every fork goes (the reference errors out
+          // of fetch_block — there is no right answer to keep)
+          !(col("_canon").isNotNull && col("fh") === col("_canon")))
 
-    // ---- 1e. deduplicate intersecting ranges, keep the largest
+    // 1e. deduplicate intersecting ranges among survivors, keep the largest
     // (verify.rs:372-406). Overlap islands via a running-max window,
     // PARTITIONED BY CHUNK like the reference's per-chunk verify loop
     // (verify.rs:414 split_chunks) — no task ever windows more than one
     // chunk's file groups, so the preprocess scales with executors, not
     // catalog size. Within an island the longest range (earliest start on
-    // ties) survives.
+    // ties) survives. Island ids restart per chunk, so rank/group windows
+    // carry the chunk key or same-numbered islands would fuse.
     val chunkOf = floor(col("start_h") / opts.chunkSize).cast("long")
     val w = Window.partitionBy("_chunk").orderBy("start_h", "end_h", "fh")
-    val islanded = groups2
+    val ranked = withFork
+      .filter(!col("_incomplete") && !col("_forked_out"))
       .withColumn("_chunk", chunkOf)
       .withColumn("_pe", max("end_h").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_brk", when(col("_pe").isNull || col("start_h") > col("_pe"), 1).otherwise(0))
       .withColumn("_isl", sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    // island ids restart per chunk — rank within (chunk, island), else
-    // same-numbered islands in different chunks would fuse
-    val ranked = islanded.withColumn("_rk", row_number().over(
-      Window.partitionBy("_chunk", "_isl")
-        .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
-    deletions ++= cat
-      .join(ranked.filter(col("_rk") > 1).select(GroupKey.map(col): _*), GroupKey, "left_semi")
-      .select("path").as[String].collect().map(_ -> "duplicate-range")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_chunk", "_isl")
+          .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
+
+    // the single preprocess action: every (file, reason) in one collect
+    val slotDel = catalog.join(dupSlots, GroupKey :+ "kind", "left_semi")
+      .select(col("path"), lit("duplicate-slot").as("reason"))
+    val groupReasons = withFork
+      .withColumn("reason",
+        when(col("_incomplete"), "incomplete-group")
+          .when(col("_forked_out"), "forked-out"))
+      .filter(col("reason").isNotNull)
+      .select((GroupKey.map(col) :+ col("reason")): _*)
+      .union(ranked.filter(col("_rk") > 1)
+        .select((GroupKey.map(col) :+ lit("duplicate-range").as("reason")): _*))
+    val groupDel = cat.join(groupReasons, GroupKey).select("path", "reason")
+    val deletions = Seq.newBuilder[(String, String)]
+    deletions ++= slotDel.union(groupDel).as[(String, String)].collect()
+
     val groups3 = ranked.filter(col("_rk") === 1)
-      .drop("_chunk", "_pe", "_brk", "_isl", "_rk")
+      .drop("_incomplete", "_nf", "_canon", "_forked_out",
+        "_chunk", "_pe", "_brk", "_isl", "_rk")
 
     // ---- 2. merge_small: adjacent complete small groups verify as one
     // batch; incomplete or large groups stand alone (verify.rs:237-267);

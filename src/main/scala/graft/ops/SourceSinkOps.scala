@@ -191,25 +191,25 @@ object SourceSinkOps {
       .orderBy("height")
   }
 
-  /** End-to-end verify-command integrity check: synthesize a 200-block
+  /** End-to-end verify-command integrity check: synthesize a 50-block
     * chain (sha2 hashes, Bitcoin-shaped JSON), archive it as REAL
     * hash-named Avro singles, then run the FULL verify pipeline
     * (graft.commands.VerifyFull — preprocess, merge_small, content
     * checks, chain links, top hash). The expected verdict is fully
-    * determined: one merged [0,199] batch, blocks_ok, nothing deleted —
+    * determined: one merged [0,49] batch, blocks_ok, nothing deleted —
     * so the oracle pins exactly that. Any regression anywhere in the
     * sink/reader/catalog/verify stack flips a field.
     */
   val verifyFullRoundtrip: Op = Op.sql(
     "verify-full-roundtrip",
-    """SELECT CAST(0 AS BIGINT) AS group_s, CAST(199 AS BIGINT) AS group_e,
-      |       TRUE AS blocks_ok, CAST(200 AS BIGINT) AS n_blocks,
+    """SELECT CAST(0 AS BIGINT) AS group_s, CAST(49 AS BIGINT) AS group_e,
+      |       TRUE AS blocks_ok, CAST(50 AS BIGINT) AS n_blocks,
       |       CAST(0 AS BIGINT) AS n_deleted""".stripMargin
   ) { (s, d) =>
     import s.implicits._
     val dir = tmpDir("verify-full")
     clearDir(dir)
-    val raw = s.range(0, 200).toDF("height")
+    val raw = s.range(0, 50).toDF("height")
       .withColumn("blockId", sha2(col("height").cast("string"), 256))
       .withColumn("parentId", sha2((col("height") - 1).cast("string"), 256))
       .withColumn("payload", concat(
@@ -230,7 +230,7 @@ object SourceSinkOps {
       forkHashCol = Some("blockId"))
     val canonical = raw.select(col("height"), col("blockId").as("hash"))
     val report = graft.commands.VerifyFull.run(s, dir, graft.model.BitcoinAdapter,
-      0L, 199L, canonical,
+      0L, 49L, canonical,
       graft.commands.VerifyFull.Options(checkTxes = false))
     report.batches.select(
       col("group_s"), col("group_e"), col("blocks_ok"),
