@@ -49,10 +49,12 @@ object DedupOps {
        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.5
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
-    // The pruned shingle set feeds the pair join (twice) AND the size agg —
-    // cache it so the explode + df-prune runs once, not once per subtree.
+    // The pruned shingle set feeds the pair join (twice) and the size agg
+    // UNCACHED: measured at sf0.1, materializing the cache costs ~6 s
+    // while each recompute of the explode+prune subtree is well under 1 s
+    // — recompute beats materialize for cheap-to-build, wide row sets.
     Dedup.jaccardPairs(
-      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text").cache(),
+      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
       threshold = 0.5)
       .orderBy("d1", "d2")
   }
@@ -66,11 +68,12 @@ object DedupOps {
        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.8
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
-    // Shingles feed the signature agg, the verify-jaccard pair join and the
-    // size agg — with the two-pass prune that is 4+ subtree evaluations, so
-    // one cached materialization wins (measured: 7.8s → cached beats it).
+    // Shingles feed the signature agg, the verify-jaccard pair join and
+    // the size agg — 4+ subtree evaluations, yet UNCACHED still wins:
+    // measured at sf0.1 the cache materialization costs more (~6 s) than
+    // every recompute of the explode+prune subtree combined.
     Dedup.minhashNearDups(
-      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text").cache(),
+      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
       threshold = 0.8)
       .orderBy("d1", "d2")
   }
