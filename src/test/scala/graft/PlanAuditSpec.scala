@@ -45,6 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_salt"), p)
   }
 
+  test("dedup-ngram-jaccard broadcasts the hot-shingle prune, never a cartesian") {
+    val p = plan("dedup-ngram-jaccard")
+    // the df-prune's hot-key set is tiny → must reach the anti-join as a
+    // broadcast; a viral shingle must never trigger a cartesian product
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup-minhash band join stays a hash join (no cartesian)") {
+    val p = plan("dedup-minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim-ivf-ann assigns lists without shuffling the corpus") {
     val p = plan("sim-ivf-ann")
     // assignment is a projection over centroid literals; the only join on
