@@ -120,6 +120,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("dedupIngest drops in-horizon duplicate documents, state stays bounded") {
+    import java.sql.Timestamp
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String)](spark, 3)
+    val out = Streams.dedupIngest(
+      input.toDF().toDF("ts", "source", "text"), "ts", Seq("text"))
+    val q = out.writeStream
+      .format("memory").queryName("dedup_ingest")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    // batch 1: two distinct docs + one duplicate of the first
+    input.addData((t(0), "a", "the quick fox"), (t(1), "b", "lazy dog"),
+      (t(2), "c", "the quick fox"))
+    q.processAllAvailable()
+    // batch 2: another duplicate within the horizon + one new doc
+    input.addData((t(30), "d", "lazy dog"), (t(31), "e", "fresh content"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_ingest")
+      .select("source").as[String].collect().sorted.toSeq
+    q.stop()
+    // first occurrences only: a (quick fox), b (lazy dog), e (fresh)
+    assert(rows === Seq("a", "b", "e"))
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
