@@ -140,6 +140,43 @@ object Commands {
     q.awaitTermination(120000)
   }
 
+  /** `archive` into the reference's OWN on-disk shape: chunk-aligned
+    * `range-<s>_<e>.<kind>.avro` files (src/command/archive.rs:34-47 +
+    * archiver.rs:116-170 — a bulk range archives as one range file per
+    * chunk). `records` must already be in the kind's archive schema
+    * (graft.model.Schemas); partial chunks produce range files covering
+    * the heights actually present, exactly like the reference's fetch
+    * results. Existing range files are kept (create-if-absent). Returns
+    * records written.
+    */
+  def archiveAvro(
+      spark: SparkSession,
+      records: DataFrame,
+      archiveDir: String,
+      startH: Long, endH: Long,
+      chunkSize: Long = 1000L,
+      kind: String = "blocks",
+      opts: RunOptions = RunOptions()): Long = {
+    import spark.implicits._
+    if (opts.dryRun) return 0L
+    val slice = records.filter(col("height").between(startH, endH))
+      .withColumn("chunk", floor(col("height") / chunkSize).cast("long"))
+    val n = graft.sources.AvroArchiveSink.writeChunked(slice, kind, archiveDir, "chunk")
+    opts.notifyDir.foreach { nd =>
+      // one line per archive file now covering the range — the filename IS
+      // the metadata, so the catalog provides every notification field
+      val files = graft.archive.Catalog.withParsedNames(
+          graft.sources.AvroArchiveSource.listAvroFiles(spark, archiveDir).toDF("path"))
+        .filter(col("kind") === graft.archive.Filenames.normalizeKind(kind))
+        .filter(col("start_h") <= endH && col("end_h") >= startH)
+      Sinks.notificationLinesFull(files, opts.blockchain, "archive",
+        opts.maturity, opts.notifyTsIso)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).text(nd)
+    }
+    n
+  }
+
   /** `stream` into the reference's OWN on-disk shape: one hash-named Avro
     * single per archived height (src/command/stream.rs + archiver.rs:
     * 53-113 — head events carry the block hash, so reorgs at a height
@@ -155,7 +192,8 @@ object Commands {
       headSchema: org.apache.spark.sql.types.StructType,
       archiveDir: String,
       checkpoint: String,
-      blockchain: String = "BITCOIN"): Unit = {
+      blockchain: String = "BITCOIN",
+      rawTxes: Option[DataFrame] = None): Unit = {
     val q = Streams.followHeads(spark, headsDir, headSchema, checkpoint) { (batch, _) =>
       val records = batch.select(
         lit(blockchain).as("blockchainType"),
@@ -171,6 +209,17 @@ object Commands {
         lit(null).cast("binary").as("uncle1Json"))
       graft.sources.AvroArchiveSink.writeSingles(
         records, "blocks", archiveDir, forkHashCol = Some("blockId"))
+      // per-kind companion files, like the reference's process_txes after
+      // process_blocks (archiver.rs:74-99): tx records for the batch's
+      // (height, blockId) pairs land as fork-named txes singles. The
+      // semi-join keys on BOTH columns so only the announced fork's txes
+      // are archived with it.
+      rawTxes.foreach { txes =>
+        val batchKeys = batch.select(col("height"), col("blockId"))
+        val txRecords = txes.join(broadcast(batchKeys), Seq("height", "blockId"), "left_semi")
+        graft.sources.AvroArchiveSink.writeSingles(
+          txRecords, "txes", archiveDir, forkHashCol = Some("blockId"))
+      }
       ()
     }
     q.awaitTermination(120000)

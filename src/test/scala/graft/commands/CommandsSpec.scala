@@ -148,53 +148,100 @@ class CommandsSpec extends SparkSpec {
 
   test("stream -> reorg -> verifyFull fork lifecycle over Avro singles") {
     import graft.sources.AvroArchiveSource
+    import graft.model.Schemas
+    import java.sql.Timestamp
     def h64(n: Long) = f"$n%064x"
-    def bjson(h: Long, hash: String, parent: String) =
-      s"""{"hash":"$hash","previousblockhash":"$parent","height":$h,"tx":[],"time":$h}"""
+    def bjson(h: Long, hash: String, parent: String, tx: String) =
+      s"""{"hash":"$hash","previousblockhash":"$parent","height":$h,"tx":["$tx"],"time":$h}"""
     val dir = Files.createTempDirectory("graft-stream-avro").toString
     val heads = Files.createTempDirectory("graft-heads-avro").toString
     val ckpt = Files.createTempDirectory("graft-ckpt-avro").toString
     // chain 100..102, then a reorg at 103: fork A gets orphaned, the chain
-    // continues on fork B through 104 — the head stream saw BOTH
+    // continues on fork B through 104 -- the head stream saw BOTH
     val fork103a = h64(994103)
     val fork103b = h64(103)
-    val rows = Seq(
-      (100L, h64(100), h64(99), bjson(100, h64(100), h64(99))),
-      (101L, h64(101), h64(100), bjson(101, h64(101), h64(100))),
-      (102L, h64(102), h64(101), bjson(102, h64(102), h64(101))),
-      (103L, fork103a, h64(102), bjson(103, fork103a, h64(102))),
-      (103L, fork103b, h64(102), bjson(103, fork103b, h64(102))),
-      (104L, h64(104), fork103b, bjson(104, h64(104), fork103b)))
-    rows.toDF("height", "blockId", "parentId", "payload")
+    val chain = Seq( // (height, hash, parent, the block's one txid)
+      (100L, h64(100), h64(99), "TX100"),
+      (101L, h64(101), h64(100), "TX101"),
+      (102L, h64(102), h64(101), "TX102"),
+      (103L, fork103a, h64(102), "TXA"),
+      (103L, fork103b, h64(102), "TXB"),
+      (104L, h64(104), fork103b, "TX104"))
+    chain.map { case (h, hs, pr, tx) => (h, hs, pr, bjson(h, hs, pr, tx)) }
+      .toDF("height", "blockId", "parentId", "payload")
       .coalesce(1).write.mode("append").parquet(heads)
     val schema = StructType(Seq(
       StructField("height", LongType), StructField("blockId", StringType),
       StructField("parentId", StringType), StructField("payload", StringType)))
-    Commands.streamAvro(spark, heads, schema, dir, ckpt)
-    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 6) // both forks on disk
+    // tx source: one tx record per block INCLUDING both forks at 103
+    val rawTxes = spark.createDataFrame(
+      spark.sparkContext.parallelize(chain.map { case (h, hs, _, tx) =>
+        org.apache.spark.sql.Row("BITCOIN", "BTC", new Timestamp(0L), h, hs,
+          new Timestamp(h), 0L, tx, """{"ok":true}""".getBytes("UTF-8"),
+          Array[Byte](1), null, null, null)
+      }, 2), Schemas.transaction)
+    Commands.streamAvro(spark, heads, schema, dir, ckpt, rawTxes = Some(rawTxes))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 12) // both forks, both kinds
 
-    // replay with a fresh checkpoint: never-overwrite keeps it at 6 files
+    // replay with a fresh checkpoint: never-overwrite keeps it at 12 files
     val ckpt2 = Files.createTempDirectory("graft-ckpt-avro2").toString
-    Commands.streamAvro(spark, heads, schema, dir, ckpt2)
-    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 6)
+    Commands.streamAvro(spark, heads, schema, dir, ckpt2, rawTxes = Some(rawTxes))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 12)
 
-    // the chain settled on fork B: verify deletes the orphan, content-
-    // checks the rest as one merged batch with intact links
+    // the chain settled on fork B: verify deletes the orphan's block AND
+    // txes files, content-checks the rest (incl. txid reconciliation
+    // against each block's declared txs) as one merged batch
     val canonical = Seq(100L -> h64(100), 101L -> h64(101), 102L -> h64(102),
       103L -> fork103b, 104L -> h64(104)).toDF("height", "hash")
     val r = Commands.verifyFull(spark, dir, graft.model.BitcoinAdapter,
-      100L, 110L, canonical,
-      VerifyFull.Options(checkTxes = false, fixClean = true))
+      100L, 110L, canonical, VerifyFull.Options(fixClean = true))
     val left = AvroArchiveSource.listAvroFiles(spark, dir)
       .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
     assert(left === Seq(
-      s"000000100.${h64(100)}.block.avro", s"000000101.${h64(101)}.block.avro",
-      s"000000102.${h64(102)}.block.avro", s"000000103.$fork103b.block.avro",
-      s"000000104.${h64(104)}.block.avro"))
-    assert(r.deleted.map(_._2) === Seq("forked-out"))
+      s"000000100.${h64(100)}.block.avro", s"000000100.${h64(100)}.txes.avro",
+      s"000000101.${h64(101)}.block.avro", s"000000101.${h64(101)}.txes.avro",
+      s"000000102.${h64(102)}.block.avro", s"000000102.${h64(102)}.txes.avro",
+      s"000000103.$fork103b.block.avro", s"000000103.$fork103b.txes.avro",
+      s"000000104.${h64(104)}.block.avro", s"000000104.${h64(104)}.txes.avro"))
+    assert(r.deleted.map(_._2).forall(_ == "forked-out"))
+    assert(r.deleted.size === 2) // fork A's block + txes files
     val v = r.batches.collect()
     assert(v.length === 1 && v.head.getAs[Boolean]("blocks_ok"))
+    assert(v.head.getAs[Boolean]("txes_ok"))
     assert(v.head.getAs[Long]("group_s") === 100L && v.head.getAs[Long]("group_e") === 104L)
+  }
+
+  test("archiveAvro backfills chunk-aligned range files with notifications") {
+    import graft.sources.AvroArchiveSource
+    import graft.model.Schemas
+    import java.sql.Timestamp
+    def h64(n: Long) = f"$n%064x"
+    val dir = Files.createTempDirectory("graft-archive-avro").toString
+    val notifyDir = Files.createTempDirectory("graft-aa-notify").toString
+    val records = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L to 249L).map { h =>
+        org.apache.spark.sql.Row("BITCOIN", "BTC", new Timestamp(0L), h,
+          h64(h), h64(h - 1), new Timestamp(h),
+          s"""{"height":$h}""".getBytes("UTF-8"), 0, null, null)
+      }, 8), Schemas.block)
+    val n = Commands.archiveAvro(spark, records, dir, 0L, 249L, chunkSize = 100L,
+      opts = Commands.RunOptions(notifyDir = Some(notifyDir)))
+    assert(n === 250L)
+    val files = AvroArchiveSource.listAvroFiles(spark, dir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    assert(files === Seq(
+      "range-000000000_000000099.blocks.avro",
+      "range-000000100_000000199.blocks.avro",
+      "range-000000200_000000249.blocks.avro")) // partial chunk covers what exists
+    assert(AvroArchiveSource.readArchive(spark, dir, "blocks").count() === 250L)
+    // notifications: one full-shape line per range file
+    val lines = spark.read.text(notifyDir).collect().map(_.getString(0))
+    assert(lines.length === 3)
+    assert(lines.forall(_.contains("\"version\":\"https://schema.emrld.io/dshackle-archive/notify\"")))
+    assert(lines.exists(_.contains("\"location\":\"range-000000000_000000099.blocks.avro\"")))
+    // re-run: create-if-absent, nothing duplicated
+    assert(Commands.archiveAvro(spark, records, dir, 0L, 249L, chunkSize = 100L) === 0L)
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 3)
   }
 
   test("archive --tail selects the last N below head-4") {
