@@ -235,14 +235,23 @@ object VerifyFull {
       .select(col("group_s"), col("group_e"), explode_outer(col("_btxs")).as("txid"))
       .filter(col("txid").isNotNull)
 
+    val cached = Seq.newBuilder[DataFrame]
     def tableChecks(kind: String, payloadChecks: DataFrame => org.apache.spark.sql.Column)
         : DataFrame = {
-      val rows = AvroArchiveSource
+      val raw = AvroArchiveSource
         .readArchiveFilesWithPath(spark, filesOf.getOrElse(kind, Seq.empty), kind)
         .join(fileBatch.filter(col("kind") === kind).drop("kind"), Seq("_path"))
+      // evaluate the payload checks BEFORE caching and keep only (batch,
+      // txid, verdict-bit): caching full rows would pin every json/raw
+      // payload in memory — at archive scale the slim projection is ~50
+      // bytes/tx while the raw record is KBs
+      val rows = raw
+        .withColumn("_bad", when(payloadChecks(raw), 0).otherwise(1))
+        .select(col("group_s"), col("group_e"), col("txid"), col("_bad"))
         .cache()
+      cached += rows
       val perBatch = rows.groupBy(batchKey.map(col): _*).agg(
-        sum(when(payloadChecks(rows), 0).otherwise(1)).as(s"${kind}_bad_null"),
+        sum(col("_bad")).as(s"${kind}_bad_null"),
         count(lit(1)).as(s"${kind}_n"),
         countDistinct(col("txid")).as(s"${kind}_nd"))
       val unexpected = rows.select(col("group_s"), col("group_e"), col("txid"))
@@ -296,6 +305,9 @@ object VerifyFull {
         coalesce(col(s"${kind}_missing"), lit(0L)) === 0 &&
         coalesce(col(s"${kind}_nd"), lit(0L)) === coalesce(col(s"${kind}_n"), lit(0L))
 
+    // localCheckpoint (eager), not cache: the returned batches must stay
+    // readable after this run deletes files AND unpersists intermediates —
+    // a recompute from a mutated archive would be wrong or fail
     verdicts = verdicts
       .withColumn("no_block_file", col("f_blocks") === 0)
       .withColumn("blocks_ok", blocksOk)
@@ -303,7 +315,7 @@ object VerifyFull {
         if (opts.checkTxes) col("f_txes") === 0 || kindOk("txes") else lit(true))
       .withColumn("traces_ok",
         if (opts.checkTraces) col("f_traces") === 0 || kindOk("traces") else lit(true))
-      .cache()
+      .localCheckpoint()
 
     // deletion verdicts per kind-file-set (verify_content, verify.rs:516-577):
     //   no blocks file          → every OTHER table in the batch goes
@@ -340,6 +352,9 @@ object VerifyFull {
         fs.delete(new org.apache.hadoop.fs.Path(p), false)
       }
     }
+    // a long-lived session may run many commands — drop this run's caches
+    (Seq(catalog, cat, groups0, batched, liveFiles, blockRows) ++ cached.result())
+      .foreach(_.unpersist())
     Report(verdicts, toDelete)
   }
 }
