@@ -293,6 +293,35 @@ class VerifyFullSpec extends SparkSpec {
     assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
   }
 
+  test("trace checks: null traceJson under includeTrace dooms only the traces files") {
+    val dir = Files.createTempDirectory("vf-traces").toString
+    val h100 = mkHash(100)
+    writeBlocks(dir, Seq((100L, h100, mkHash(99), Seq("TX001"))))
+    writeTxes(dir, Seq((100L, h100, 0L, "TX001")))
+    // a traces single whose traceJson is NULL (verify_field_non_null,
+    // verify.rs:763-767 under include_trace)
+    val trace = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        "BITCOIN", "BTC", new Timestamp(0L), 100L, h100, new Timestamp(100L),
+        0L, "TX001", null, null)), 1), Schemas.trace)
+    AvroArchiveSink.write(trace, "traces", dir)
+    assert(filesLeft(dir).size === 3)
+    val r = VerifyFull.run(spark, dir, BitcoinAdapter, 100L, 110L,
+      canonicalOf(100L -> h100),
+      VerifyFull.Options(checkTraces = true, includeTrace = true))
+    // only the traces file goes; blocks+txes verified fine
+    assert(filesLeft(dir) === Seq("000000100.block.avro", "000000100.txes.avro"))
+    assert(r.deleted.map(_._2) === Seq("traces-corrupt"))
+    // and WITHOUT includeTrace the same archive is clean
+    writeBlocks(dir, Seq.empty) // no-op, keep helper usage consistent
+    AvroArchiveSink.write(trace, "traces", dir)
+    val r2 = VerifyFull.run(spark, dir, BitcoinAdapter, 100L, 110L,
+      canonicalOf(100L -> h100),
+      VerifyFull.Options(checkTraces = true, includeTrace = false))
+    assert(r2.deleted.isEmpty, r2.deleted)
+    assert(filesLeft(dir).size === 3)
+  }
+
   test("corrupt top hash marks blocks broken but keeps unverifiable txes") {
     val dir = Files.createTempDirectory("vf-tophash").toString
     val h100 = mkHash(100)
