@@ -240,6 +240,32 @@ object Commands {
     else Compaction.compact(spark, src, "height", chunkSize, outDir)
   }
 
+  /** `stream --continue` (src/command/stream.rs:42-47,66-87): before
+    * following the live tail, make sure the last `depth` heights below the
+    * announced head are archived — the one-shot backfill is [[fixAvro]]
+    * over [head−depth, head] per provided kind, then the normal
+    * [[streamAvro]] follow. Returns the healed (kind, height) rows.
+    */
+  def streamAvroContinue(
+      spark: SparkSession,
+      headsDir: String,
+      headSchema: org.apache.spark.sql.types.StructType,
+      archiveDir: String,
+      checkpoint: String,
+      rawByKind: Map[String, DataFrame],
+      depth: Long = 100L,
+      blockchain: String = "BITCOIN"): DataFrame = {
+    val head = spark.read.schema(headSchema).parquet(headsDir)
+      .agg(max("height").cast("long")).head().getLong(0)
+    val healed = fixAvro(spark, archiveDir, rawByKind,
+      math.max(0L, head - depth), head)
+    // force the backfill before the live follow starts (fixAvro's writes
+    // run as part of the call; the returned frame is collected by callers)
+    streamAvro(spark, headsDir, headSchema, archiveDir, checkpoint, blockchain,
+      rawTxes = rawByKind.get("txes"))
+    healed
+  }
+
   /** `compact` over the reference's OWN Avro layout: settled singles of
     * every kind merge into `range-<s>_<e>.<kind>.avro` files per complete
     * chunk, then the fully-copied singles are deleted (write-new-then-

@@ -244,6 +244,49 @@ class CommandsSpec extends SparkSpec {
     assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 3)
   }
 
+  test("streamAvroContinue backfills the tail then follows; verify settles overlaps") {
+    import graft.sources.{AvroArchiveSink, AvroArchiveSource}
+    import graft.model.Schemas
+    import java.sql.Timestamp
+    def h64(n: Long) = f"$n%064x"
+    def bjson(h: Long) =
+      s"""{"hash":"${h64(h)}","previousblockhash":"${h64(h - 1)}","height":$h,"tx":[],"time":$h}"""
+    def blockRec(h: Long) = org.apache.spark.sql.Row(
+      "BITCOIN", "BTC", new Timestamp(0L), h, h64(h), h64(h - 1),
+      new Timestamp(h), bjson(h).getBytes("UTF-8"), 0, null, null)
+    val dir = Files.createTempDirectory("graft-continue").toString
+    val heads = Files.createTempDirectory("graft-continue-heads").toString
+    val ckpt = Files.createTempDirectory("graft-continue-ckpt").toString
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize((80L to 99L).map(blockRec), 4), Schemas.block)
+    // 80..89 already archived; 90..94 were missed; heads announce 95..99
+    AvroArchiveSink.writeSingles(raw.filter(col("height") <= 89), "blocks", dir)
+    (95L to 99L).map(h => (h, h64(h), h64(h - 1), bjson(h)))
+      .toDF("height", "blockId", "parentId", "payload")
+      .coalesce(1).write.mode("append").parquet(heads)
+    val schema = StructType(Seq(
+      StructField("height", LongType), StructField("blockId", StringType),
+      StructField("parentId", StringType), StructField("payload", StringType)))
+
+    val healed = Commands.streamAvroContinue(spark, heads, schema, dir, ckpt,
+      Map("blocks" -> raw), depth = 15L)
+      .orderBy("height").collect().map(_.getLong(1))
+    // head=99, window [84,99]: exactly the unarchived 90..99 healed
+    assert(healed.toSeq === (90L to 99L))
+    // fix wrote plain singles 90..99; the follow ALSO wrote hash-named
+    // 95..99 (the reference's overlap — stream never overwrites)
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 25)
+
+    // verify settles the contested heights to the canonical hash-named file
+    val canonical = (80L to 99L).map(h => h -> h64(h)).toDF("height", "hash")
+    val r = Commands.verifyFull(spark, dir, graft.model.BitcoinAdapter,
+      80L, 99L, canonical, VerifyFull.Options(checkTxes = false, fixClean = true))
+    assert(r.deleted.size === 5) // the plain 95..99 duplicates
+    assert(r.deleted.map(_._2).forall(_ == "forked-out"))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 20)
+    assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
+  }
+
   test("archive --tail selects the last N below head-4") {
     val dir = Files.createTempDirectory("graft-tail-arch").toString
     val raw = rawChain(0L to 299L)
