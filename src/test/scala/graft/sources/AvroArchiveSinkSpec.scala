@@ -65,6 +65,31 @@ class AvroArchiveSinkSpec extends SparkSpec {
     assert(origAgg === backAgg)
   }
 
+  test("writeChunked splits co-located chunks into separate range files") {
+    // 40 chunks into 32 shuffle partitions: the pigeonhole guarantees some
+    // task holds several chunks — the in-partition split must still emit
+    // one range file per chunk, never a merged file spanning two
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L to 399L).map(blockRow), 8), Schemas.block)
+    val out = Files.createTempDirectory("graft-avro-chunked").toString
+    val n = AvroArchiveSink.writeChunked(
+      rows.withColumn("chunk", org.apache.spark.sql.functions.floor(col("height") / 10)
+        .cast("long")),
+      "blocks", out, "chunk")
+    assert(n === 400L)
+    val files = AvroArchiveSource.listAvroFiles(spark, out)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(files.size === 40)
+    assert(files.forall(_.matches("range-\\d{9}_\\d{9}\\.blocks\\.avro")), files.take(3))
+    // every file covers exactly one aligned 10-height chunk
+    val spans = files.map { f =>
+      val m = "range-(\\d+)_(\\d+)".r.findFirstMatchIn(f).get
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    assert(spans.forall { case (s, e) => e - s === 9 && s % 10 === 0 })
+    assert(AvroArchiveSource.readArchive(spark, out, "blocks").count() === 400L)
+  }
+
   test("colliding file ranges are never overwritten") {
     // two partitions holding the same single height would produce the same
     // path — the write must refuse, like the reference's create(overwrite
