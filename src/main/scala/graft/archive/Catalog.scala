@@ -55,33 +55,39 @@ object Catalog {
       .withColumn("complete",
         col("blocks") >= 1 && col("txes") >= 1)
 
+  /** The standard chunk partition key for catalog windows: ranges never
+    * cross chunk boundaries in the reference layout, so `floor(start_h /
+    * chunkSize)` co-locates exactly the files one reference verify
+    * iteration would see (verify.rs:414 split_chunks).
+    */
+  def chunkKey(chunkSize: Long = 1000L): org.apache.spark.sql.Column =
+    floor(col("start_h") / chunkSize).cast("long")
+
   /** `merge_small` — group adjacent small ranges (≤ `threshold` blocks)
     * into one verification batch so content checks read whole islands
     * instead of per-file (reference: src/command/verify.rs:237-267; the
-    * threshold is 10 there). Large ranges keep their own group. Output:
+    * threshold is 10 there). Large ranges keep their own group; rows
+    * failing `mergeable` keep their own batch even when small (the
+    * reference excludes INCOMPLETE groups from merge batches because they
+    * would break the verified sequence, verify.rs:243-247). Output:
     * original rows + group_s/group_e of the batch they verify under.
-    */
-  def mergeSmall(catalog: DataFrame, threshold: Long = 10L): DataFrame =
-    mergeSmall(catalog, threshold, lit(true), Seq.empty)
-
-  /** [[mergeSmall]] with an extra mergeability predicate — rows failing it
-    * keep their own batch even when small (the reference excludes
-    * INCOMPLETE groups from merge batches because they would break the
-    * verified sequence, verify.rs:243-247) — and optional window
-    * partitioning: the reference verify processes chunk-by-chunk
-    * (`full_range.split_chunks`, verify.rs:414), so batches never cross
-    * chunk boundaries and no window ever sees more than a chunk's files.
-    * Pass the chunk column(s) here to get the same bound; empty = one
-    * global window (fixture-scale only).
+    *
+    * `partitionCols` is REQUIRED and non-empty: the reference verify
+    * processes chunk-by-chunk (`full_range.split_chunks`, verify.rs:414),
+    * so batches never cross chunk boundaries and no window ever sees more
+    * than one chunk's file groups. A bare global `Window.orderBy` over a
+    * catalog-sized input is the single-task funnel this library bans —
+    * pass [[chunkKey]] (or a finer key) instead.
     */
   def mergeSmall(catalog: DataFrame, threshold: Long,
-      mergeable: org.apache.spark.sql.Column,
-      partitionCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      partitionCols: Seq[org.apache.spark.sql.Column],
+      mergeable: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(partitionCols.nonEmpty,
+      "mergeSmall windows must be partitioned (use Catalog.chunkKey): a global " +
+        "Window.orderBy funnels the whole catalog through one task")
     val small = (col("end_h") - col("start_h") + 1 <= threshold) && mergeable
-    val w =
-      if (partitionCols.isEmpty) Window.orderBy("start_h", "end_h")
-      else Window.partitionBy(partitionCols: _*).orderBy("start_h", "end_h")
+    val w = Window.partitionBy(partitionCols: _*).orderBy("start_h", "end_h")
     // islands over the SMALL ranges only (catalog-sized input — the window
     // runs over file metadata, never data rows)
     val flagged = catalog

@@ -52,47 +52,53 @@ object VerifyFull {
 
   private val GroupKey = Seq("start_h", "end_h", "fh")
 
+  /** `knownFiles` lets a caller that already listed the archive (a
+    * preceding archive/compact/fix in the same session) share its catalog
+    * instead of re-walking the tree — at object-store scale the listing is
+    * the expensive RPC stream, not the parse.
+    */
   def run(
       spark: SparkSession,
       archiveDir: String,
       adapter: ChainAdapter,
       startH: Long, endH: Long,
       canonical: DataFrame, // (height, hash) — the offline chain oracle
-      opts: Options = Options()): Report = {
+      opts: Options = Options(),
+      knownFiles: Option[Seq[String]] = None): Report = {
     import spark.implicits._
 
-    val allFiles = AvroArchiveSource.listAvroFiles(spark, archiveDir)
+    val allFiles = knownFiles.getOrElse(AvroArchiveSource.listAvroFiles(spark, archiveDir))
+    // the catalog derives from a driver-local listing (a LocalRelation):
+    // re-reading it re-parses strings, never storage — no cache
     val catalog = Catalog.withParsedNames(allFiles.toDF("path"))
       .filter(col("kind").isNotNull)
       .filter(col("start_h") <= endH && col("end_h") >= startH)
       .withColumn("fh", coalesce(col("fork_hash"), lit("")))
       .select("path", "kind", "start_h", "end_h", "fh")
-      .cache()
 
     // ---- 1. filename-level preprocess as ONE lazy decision pipeline: the
     // reference applies four sequential passes (duplicates, select_complete,
     // remove_forks, deduplicate — verify.rs:155-207); here each pass is a
-    // column over the catalog-sized group list and a single action at the
-    // end collects every (file, reason) at once — one job, not one per pass.
+    // column over the catalog-sized group list, the per-group outcome is
+    // pinned by ONE eager localCheckpoint, and a single collect at the end
+    // fetches every file's fate at once.
 
     // 1a. duplicate slots: same (range, fork, kind) twice → BOTH files go
     // (reference RangeGroupError::Duplicate, verify.rs:440-455)
     val dupSlots = catalog.groupBy((GroupKey :+ "kind").map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).drop("n")
-    val cat = catalog.join(dupSlots, GroupKey :+ "kind", "left_anti").cache()
+    val cat = catalog.join(dupSlots, GroupKey :+ "kind", "left_anti")
 
     // 1b. groups (the reference's ArchiveGroup) with completeness per the
     // requested tables (is_complete, range_group.rs)
     val complete = col("blocks") >= 1 &&
       (if (opts.checkTxes) col("txes") >= 1 else lit(true)) &&
       (if (opts.checkTraces) col("traces") >= 1 else lit(true))
-    // cached: the fork-height, decision and survivor subtrees all re-read it
     val groups0 = cat.groupBy(GroupKey.map(col): _*)
       .pivot("kind", Seq("blocks", "txes", "traces"))
       .agg(count(lit(1)))
       .na.fill(0L, Seq("blocks", "txes", "traces"))
       .withColumn("complete", complete)
-      .cache()
 
     // 1c. select_complete (only under --fix.clean, verify.rs:161-165)
     val incomplete = if (opts.fixClean) !col("complete") else lit(false)
@@ -132,7 +138,7 @@ object VerifyFull {
     // catalog size. Within an island the longest range (earliest start on
     // ties) survives. Island ids restart per chunk, so rank/group windows
     // carry the chunk key or same-numbered islands would fuse.
-    val chunkOf = floor(col("start_h") / opts.chunkSize).cast("long")
+    val chunkOf = Catalog.chunkKey(opts.chunkSize)
     val w = Window.partitionBy("_chunk").orderBy("start_h", "end_h", "fh")
     val ranked = withFork
       .filter(!col("_incomplete") && !col("_forked_out"))
@@ -144,52 +150,63 @@ object VerifyFull {
         Window.partitionBy("_chunk", "_isl")
           .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
 
-    // the single preprocess action: every (file, reason) in one collect
-    val slotDel = catalog.join(dupSlots, GroupKey :+ "kind", "left_semi")
-      .select(col("path"), lit("duplicate-slot").as("reason"))
-    val groupReasons = withFork
+    // THE preprocess materialization: one eager localCheckpoint pins every
+    // group's outcome (reason to delete, or survivor) and truncates the
+    // pivot/window/join lineage so no downstream plan re-plans it. This
+    // replaces a round-2 design that cached four intermediates and ran a
+    // separate collect per decision family.
+    val decisions = withFork
+      .join(ranked.select((GroupKey.map(col) :+ col("_rk")): _*), GroupKey, "left")
       .withColumn("reason",
         when(col("_incomplete"), "incomplete-group")
-          .when(col("_forked_out"), "forked-out"))
-      .filter(col("reason").isNotNull)
-      .select((GroupKey.map(col) :+ col("reason")): _*)
-      .union(ranked.filter(col("_rk") > 1)
-        .select((GroupKey.map(col) :+ lit("duplicate-range").as("reason")): _*))
-    val groupDel = cat.join(groupReasons, GroupKey).select("path", "reason")
-    val deletions = Seq.newBuilder[(String, String)]
-    deletions ++= slotDel.union(groupDel).as[(String, String)].collect()
-
-    val groups3 = ranked.filter(col("_rk") === 1)
-      .drop("_incomplete", "_nf", "_canon", "_forked_out",
-        "_chunk", "_pe", "_brk", "_isl", "_rk")
+          .when(col("_forked_out"), "forked-out")
+          .when(col("_rk") > 1, "duplicate-range"))
+      .select(col("start_h"), col("end_h"), col("fh"),
+        col("blocks"), col("txes"), col("traces"), col("complete"), col("reason"))
+      .localCheckpoint()
 
     // ---- 2. merge_small: adjacent complete small groups verify as one
     // batch; incomplete or large groups stand alone (verify.rs:237-267);
     // batches never cross chunk boundaries, same as the reference's
-    // per-chunk processing
-    val batched = Catalog.mergeSmall(groups3, opts.mergeThreshold, col("complete"),
-        Seq(chunkOf))
+    // per-chunk processing. Lazy off the checkpoint — catalog-sized.
+    val batched = Catalog.mergeSmall(
+        decisions.filter(col("reason").isNull),
+        opts.mergeThreshold, Seq(chunkOf), col("complete"))
       .select(col("start_h"), col("end_h"), col("fh"),
-        col("blocks"), col("txes"), col("traces"),
-        col("complete"), col("group_s"), col("group_e"))
-      .cache()
+        col("group_s"), col("group_e"))
 
-    // files that survived preprocessing, tagged with their batch
-    val liveFiles = cat
-      .join(batched.select(col("start_h"), col("end_h"), col("fh"),
-        col("group_s"), col("group_e")), GroupKey)
-      .select("path", "kind", "group_s", "group_e")
-      .cache()
-    val filesOf: Map[String, Seq[String]] = liveFiles
-      .select("kind", "path").as[(String, String)].collect()
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    // ---- one collect for EVERY preprocess product: each file's fate —
+    // a deletion reason (duplicate slot / doomed group) or its batch
+    // assignment. The reference's four passes + its file loop become one
+    // catalog-sized driver list, same scale as its own deletion list.
+    val slotFates = catalog.join(dupSlots, GroupKey :+ "kind", "left_semi")
+      .select(col("path"), col("kind"), lit("duplicate-slot").as("reason"),
+        lit(null).cast("long").as("group_s"), lit(null).cast("long").as("group_e"))
+    val groupInfo = decisions.select((GroupKey.map(col) :+ col("reason")): _*)
+      .join(batched, GroupKey, "left")
+    val fates = cat.join(groupInfo, GroupKey)
+      .select(col("path"), col("kind"), col("reason"), col("group_s"), col("group_e"))
+      .unionByName(slotFates)
+      .collect()
+
+    val deletions = Seq.newBuilder[(String, String)]
+    val live = Seq.newBuilder[(String, String, Long, Long)] // path, kind, batch
+    fates.foreach { r =>
+      if (!r.isNullAt(2)) deletions += ((r.getString(0), r.getString(2)))
+      else live += ((r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    }
+    val liveRows = live.result()
+    val filesOf: Map[String, Seq[String]] =
+      liveRows.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
 
     // ---- 3a. block content: coverage, dup heights, JSON parse, chain
     // links, top hash (verify.rs:798-905) — ONE aggregation over every
     // batch at once
     val batchKey = Seq("group_s", "group_e")
-    val fileBatch = broadcast(liveFiles
-      .select(col("path").as("_path"), col("kind"), col("group_s"), col("group_e")))
+    // file→batch attribution is already on the driver — a LocalRelation
+    // broadcast, no recompute of the preprocess subtree
+    val fileBatch = broadcast(
+      liveRows.toDF("_path", "kind", "group_s", "group_e"))
     val blockRows = AvroArchiveSource
       .readArchiveFilesWithPath(spark, filesOf.getOrElse("blocks", Seq.empty), "blocks")
       .join(fileBatch.filter(col("kind") === "blocks").drop("kind"), Seq("_path"))
@@ -280,10 +297,14 @@ object VerifyFull {
         t && s
       }))
 
-    // ---- 4. verdict assembly over the catalog-sized batch list
-    val perBatchFiles = batched.groupBy(batchKey.map(col): _*).agg(
-      sum("blocks").as("f_blocks"), sum("txes").as("f_txes"),
-      sum("traces").as("f_traces"))
+    // ---- 4. verdict assembly over the catalog-sized batch list; per-batch
+    // file counts come straight from the collected fates (LocalRelation)
+    val perBatchFiles = liveRows.groupBy(t => (t._3, t._4)).toSeq
+      .map { case ((gs, ge), fs) =>
+        (gs, ge, fs.count(_._2 == "blocks").toLong,
+          fs.count(_._2 == "txes").toLong, fs.count(_._2 == "traces").toLong)
+      }
+      .toDF("group_s", "group_e", "f_blocks", "f_txes", "f_traces")
     var verdicts = perBatchFiles
       .join(bAgg, batchKey, "left")
       .join(bBreaks, batchKey, "left")
@@ -322,27 +343,34 @@ object VerifyFull {
     //   blocks corrupt          → blocks files go; txes/traces unverifiable, kept
     //   blocks ok, kind corrupt → that kind's files go
     //   fix.clean               → any of the above widens to the whole batch
-    val doomedKind = liveFiles
-      .join(verdicts.select(col("group_s"), col("group_e"),
-        col("no_block_file"), col("blocks_ok"), col("txes_ok"), col("traces_ok")),
-        batchKey)
-      .withColumn("reason",
-        when(col("no_block_file") && col("kind") =!= "blocks", "no-block-file")
-          .when(!col("no_block_file") && !col("blocks_ok") && col("kind") === "blocks",
-            "blocks-corrupt")
-          .when(col("blocks_ok") && !col("txes_ok") && col("kind") === "txes",
-            "txes-corrupt")
-          .when(col("blocks_ok") && !col("traces_ok") && col("kind") === "traces",
-            "traces-corrupt"))
-    val doomed =
-      if (!opts.fixClean) doomedKind.filter(col("reason").isNotNull)
-      else {
-        val badBatches = doomedKind.filter(col("reason").isNotNull)
-          .select(batchKey.map(col): _*).distinct()
-        doomedKind.join(badBatches, batchKey, "left_semi")
-          .withColumn("reason", coalesce(col("reason"), lit("fix-clean")))
+    // The per-batch flags are a cheap scan of the checkpointed verdicts and
+    // the file list is already on the driver, so the doom pass is plain
+    // Scala over catalog-sized data — no extra distributed join or action.
+    val flags = verdicts.select(col("group_s"), col("group_e"),
+        col("no_block_file"), col("blocks_ok"), col("txes_ok"), col("traces_ok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    def kindReason(kind: String, f: (Boolean, Boolean, Boolean, Boolean)): Option[String] = {
+      val (noBlock, bOk, tOk, trOk) = f
+      if (noBlock && kind != "blocks") Some("no-block-file")
+      else if (!noBlock && !bOk && kind == "blocks") Some("blocks-corrupt")
+      else if (bOk && !tOk && kind == "txes") Some("txes-corrupt")
+      else if (bOk && !trOk && kind == "traces") Some("traces-corrupt")
+      else None
+    }
+    val perFile = liveRows.map { case (p, k, gs, ge) =>
+      (p, gs, ge, flags.get((gs, ge)).flatMap(kindReason(k, _)))
+    }
+    if (!opts.fixClean)
+      deletions ++= perFile.collect { case (p, _, _, Some(r)) => (p, r) }
+    else {
+      val badBatches = perFile.collect { case (_, gs, ge, Some(_)) => (gs, ge) }.toSet
+      deletions ++= perFile.collect {
+        case (p, gs, ge, r) if badBatches((gs, ge)) => (p, r.getOrElse("fix-clean"))
       }
-    deletions ++= doomed.select("path", "reason").as[(String, String)].collect()
+    }
 
     val toDelete = deletions.result()
     if (!opts.dryRun && toDelete.nonEmpty) {
@@ -353,8 +381,7 @@ object VerifyFull {
       }
     }
     // a long-lived session may run many commands — drop this run's caches
-    (Seq(catalog, cat, groups0, batched, liveFiles, blockRows) ++ cached.result())
-      .foreach(_.unpersist())
+    (blockRows +: cached.result()).foreach(_.unpersist())
     Report(verdicts, toDelete)
   }
 }

@@ -151,6 +151,16 @@ object Dedup {
   /** SimHash: per-document bit-vote fingerprint over distinct tokens using
     * the portable polynomial hash (20 usable bits). Output: id, simhash,
     * n_same (documents sharing the fingerprint).
+    *
+    * `n_same` is a groupBy + join, NOT a fingerprint-partitioned window:
+    * near-dup fingerprints are exactly the skewed case (a boilerplate or
+    * empty-doc fingerprint shared by millions of documents), and a window
+    * partitioned by `simhash` would funnel that fingerprint's full row set
+    * through one task. The groupBy's map-side combine absorbs the skew and
+    * the count table is bounded by 2^bits distinct fingerprints, so for
+    * the default 20 bits it broadcasts — the document rows never shuffle
+    * at all. Wider fingerprints fall back to a shuffle join where AQE's
+    * skew-join splitting handles hot fingerprints.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 20): DataFrame = {
@@ -166,6 +176,8 @@ object Dedup {
       .withColumn("bitval",
         when(col("v") > 0, floor(pow(lit(2), col("j"))).cast("long")).otherwise(lit(0L)))
       .groupBy("id").agg(sum("bitval").as("simhash"))
-    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+    val counts = fp.groupBy("simhash").agg(count(lit(1)).as("n_same"))
+    val sized = if (bits <= 24) broadcast(counts) else counts
+    fp.join(sized, Seq("simhash")).select("id", "simhash", "n_same")
   }
 }

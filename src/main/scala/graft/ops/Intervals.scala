@@ -10,55 +10,41 @@ import org.apache.spark.sql.functions._
   * (range_bag.rs:53-86); here it is a one-pass gaps-and-islands window.
   *
   * Scale design: a single global `Window.orderBy(key)` would funnel 100 TB
-  * through one partition, so islands run in two phases — (1) local islands
+  * through one partition, so islands run in phases — (1) local islands
   * inside `bucketSize` buckets, computed in parallel with a window
-  * partitioned by bucket; (2) a merge pass over the bucket-level islands,
-  * whose input is |islands|, not |keys|. For pathologically gappy data
-  * (every other key missing) phase 2 input is still O(n/2); apply the same
-  * two-phase step recursively until the island count fits one partition —
-  * `islands` recurses when the estimate is above `mergeLimit`.
+  * partitioned by bucket; (2) a fixed lazy pyramid of coarser bucketed
+  * merge levels, each operating on |islands| rows, not |keys|; (3) one
+  * stitch window over the post-pyramid island set. No driver action runs
+  * between phases — the whole thing composes into one job.
   */
 object Intervals {
 
   /** Collapse a column of distinct non-negative longs into maximal
     * contiguous [s, e] intervals. Output columns: s, e.
     *
-    * `mergeLimit` bounds what the final single-partition merge window may
-    * see: while the local pass leaves more islands than that, another
-    * bucketed (parallel) merge level runs with a coarser bucket — so even
-    * an adversarial key set (every other key missing → n/2 islands) never
-    * funnels raw-data-sized input through one task. Each level reduces the
-    * row count to the island count within its buckets; levels are O(log)
-    * and in practice 1.
+    * The whole pipeline is LAZY — one job at action time, zero driver
+    * round-trips (no bounds probe, no count actions; a prior design gated
+    * an adaptive loop on a min/max scan, which cost an extra job on every
+    * call). Instead a fixed pyramid of `levels` bucketed merge passes runs
+    * unconditionally after the local pass, each 1000× coarser: in the
+    * common case the levels shuffle a few thousand already-reduced island
+    * rows (sub-millisecond stages), and in the adversarial case (every
+    * other key missing → n/2 islands) each level collapses whatever its
+    * coarser buckets can. The final stitch window then sees the
+    * post-pyramid island count — for anything but a pathologically
+    * unmergeable key set that is report-sized, and for the pathological
+    * set the island set IS the output, which any exact algorithm must
+    * materialize. Default 2 levels cover a 10^9 key span at bucketSize
+    * 1000.
     */
   def islands(df: DataFrame, key: String, bucketSize: Long = 1000L,
-      mergeLimit: Long = 1000000L): DataFrame = {
+      levels: Int = 2): DataFrame = {
     val keys = df.select(col(key).as("_k"))
-    // Cheap gate: the island count can never exceed (keyRange/2)+1, and the
-    // key range comes from a column-pruned min/max scan — far cheaper than
-    // materializing + counting the windowed island set. When the worst case
-    // already fits the final merge window, run the whole thing as ONE job
-    // (no cache, no count actions).
-    val bounds = keys.agg(min("_k").cast("long"), max("_k").cast("long")).head()
-    if (bounds.isNullAt(0)) return mergeIslands(localIslands(keys, "_k", bucketSize))
-    val worstCase = (bounds.getLong(1) - bounds.getLong(0)) / 2 + 1
-    if (worstCase <= mergeLimit)
-      return mergeIslands(localIslands(keys, "_k", bucketSize))
-    // Adversarial path (key range > 2·mergeLimit): counted fixpoint over
-    // LEVELS (log-many), not over rows like the reference's O(n²) RangeBag
-    // loop (range_bag.rs:53-86). Stop when small enough OR when a level
-    // stops reducing (the count has reached the true island count, which no
-    // merge can shrink — then it IS the output size). The cache is worth it
-    // here: each level and its count reuse the materialized islands.
-    var iv = localIslands(keys, "_k", bucketSize).cache()
+    var iv = localIslands(keys, "_k", bucketSize)
     var width = bucketSize
-    var cnt = iv.count()
-    var prev = Long.MaxValue
-    while (cnt > mergeLimit && cnt < prev) {
-      prev = cnt
+    for (_ <- 1 to levels) {
       width *= 1000
       iv = bucketedMerge(iv, width)
-      cnt = iv.count()
     }
     mergeIslands(iv)
   }

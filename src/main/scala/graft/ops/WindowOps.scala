@@ -75,29 +75,14 @@ object WindowOps {
       .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
   }
 
-  /** Exact top-k rows per group that survives low-cardinality group keys:
-    * phase-1 top-k per (deterministic salt, key), phase-2 top-k per key
-    * over the ≤ k·salts survivors. `salts` bounds the phase-2 fan-in; 64
-    * keeps every task under ~k·64 rows regardless of input size.
-    */
-  private[ops] def topkPerGroup(
+  /** Shared salted two-phase top-k — see [[graft.functions.TopK]]. */
+  private[graft] def topkPerGroup(
       df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String],
       orderCols: Seq[org.apache.spark.sql.Column],
       k: Int,
-      salts: Int = 64): org.apache.spark.sql.DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
-    val salted = df.withColumn("_salt", salt)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy((col("_salt") +: groupCols.map(col)): _*).orderBy(orderCols: _*)))
-      .filter(col("_rn") <= k)
-      .drop("_salt", "_rn")
-    salted
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
-  }
+      salts: Int = 64): org.apache.spark.sql.DataFrame =
+    graft.functions.TopK.topkPerGroup(df, groupCols, orderCols, k, salts)
 
   /** `--tail N` — last N heights below head−4 (reference:
     * src/archiver/blocks_config.rs:28-45). Two-job literal pattern: job 1

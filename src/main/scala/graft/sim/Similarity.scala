@@ -31,18 +31,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
-  /** Brute-force top-k: queries broadcast-joined against the corpus,
-    * per-query window rank on (similarity desc, id) — deterministic ties.
+  /** Brute-force top-k: queries broadcast-joined against the corpus —
+    * scoring is one shuffle-free pass — then the salted two-phase top-k
+    * ([[graft.functions.TopK]]). A plain window partitioned by `q_id`
+    * would put EVERY corpus row scored for one query into a single task
+    * (few queries × 100 TB corpus = the low-cardinality window funnel);
+    * phase 1 ranks per (salt, q_id) in parallel, phase 2 ranks ≤ k·salts
+    * rows per query. Exact, deterministic ties on (sim desc, n_id).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
       .select("q_id", "n_id", "sim")
+    graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
+      Seq(col("sim").desc, col("n_id").asc), k)
   }
 
   /** Scaled-integer embedding: round(v * 10000) per dimension — exact

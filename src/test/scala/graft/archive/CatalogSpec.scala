@@ -58,7 +58,7 @@ class CatalogSpec extends SparkSpec {
         "/a/000001000.blocks.avro",
         "/a/000001001.blocks.avro",
         "/a/000002000.blocks.avro"): _*)
-    val g = Catalog.mergeSmall(c, threshold = 10L)
+    val g = Catalog.mergeSmall(c, threshold = 10L, Seq(Catalog.chunkKey()))
       .select("start_h", "group_s", "group_e")
       .orderBy("start_h").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

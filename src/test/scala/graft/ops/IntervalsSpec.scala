@@ -39,12 +39,13 @@ class IntervalsSpec extends SparkSpec {
     assert(got === Seq((998L, 1002L), (2000L, 2000L)))
   }
 
-  test("recursive merge levels preserve semantics on adversarial gappy keys") {
-    // every other key missing → n/2 islands; force extra merge levels with
-    // a tiny mergeLimit and verify the result is unchanged
+  test("merge pyramid preserves semantics on adversarial gappy keys") {
+    // every other key missing → n/2 islands that no level can merge; the
+    // pyramid must pass them through unchanged (tiny buckets force many
+    // bucket-edge crossings through every level)
     val keys = (0L to 4000L by 2L) ++ (10000L to 10005L)
     val expected = model(keys)
-    val got = Intervals.islands(keys.toDF("k"), "k", bucketSize = 50, mergeLimit = 10)
+    val got = Intervals.islands(keys.toDF("k"), "k", bucketSize = 50, levels = 3)
       .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === expected)
   }
