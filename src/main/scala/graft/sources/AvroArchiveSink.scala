@@ -1,14 +1,16 @@
 package graft.sources
 
-import java.io.File
 import java.nio.ByteBuffer
+import java.util.UUID
 
 import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{CodecFactory, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Writer for the reference's Avro object-container archive format
   * (reference: src/storage/fs.rs:135-219; codecs snappy | zstd(9),
@@ -19,8 +21,18 @@ import org.apache.spark.sql.types._
   * (graft.model.Schemas) — same field names/types the reference embeds.
   * One container file per Spark partition; callers control file count via
   * repartition (e.g. one partition per 1000-block chunk = the reference's
-  * range files). Local paths here; an object store mounts through the
-  * Hadoop FileSystem the same way.
+  * range files).
+  *
+  * ALL IO goes through `org.apache.hadoop.fs.FileSystem`, resolved from
+  * the output path's scheme — local paths, HDFS and object stores (the
+  * reference's S3 backend, src/storage/objects.rs:170-330) take the same
+  * code path. The never-overwrite protocol is: write the container to a
+  * hidden temp object, then atomically claim the final name
+  * (`create(target, overwrite=false)` IS the claim on HDFS — the namenode
+  * serializes it; on `file://` the claim drops to a java.nio O_EXCL create
+  * because Hadoop's local create is check-then-act), then swap the claimed
+  * marker for the data via rename. A crashed task can only ever leave a
+  * hidden temp orphan, never a partial file under a final name.
   */
 object AvroArchiveSink {
 
@@ -53,6 +65,46 @@ object AvroArchiveSink {
     fields.endRecord()
   }
 
+  private def mkCodec(codec: String): CodecFactory = codec match {
+    case "snappy"  => CodecFactory.snappyCodec()
+    case "zstd"    => CodecFactory.zstandardCodec(9)
+    case "deflate" => CodecFactory.deflateCodec(6)
+    case "null"    => CodecFactory.nullCodec()
+    case other     => throw new IllegalArgumentException(s"codec: $other")
+  }
+
+  /** Atomically claim a target path. On HDFS/object stores
+    * `create(overwrite = false)` is the atomic claim (the reference's S3
+    * backend relies on the same create-if-absent, objects.rs:170-230); on
+    * `file://` Hadoop's local create is a non-atomic check-then-act, so
+    * the claim drops to java.nio's O_EXCL create. Returns false when the
+    * target already exists (the reference's never-overwrite skip,
+    * src/storage/fs.rs:33-39 / stream.rs:49-52).
+    */
+  private def claimTarget(fs: FileSystem, target: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try { java.nio.file.Files.createFile(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(target, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+
+  /** Swap a successfully-claimed marker for the written temp container.
+    * Only the claim winner ever reaches this, so the delete+rename pair
+    * cannot race another writer of the same target.
+    */
+  private def commitClaimed(fs: FileSystem, tmp: Path, target: Path): Unit = {
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  private def tmpPath(outDir: String): Path =
+    new Path(outDir, s".graft-tmp-${UUID.randomUUID()}")
+
   /** Write `df` as one Avro container file per partition under `outDir`.
     *
     * Archive kinds (blocks/txes/traces aliases) with a `heightCol` column
@@ -77,27 +129,24 @@ object AvroArchiveSink {
     val hIdx = refKind.map(_ => sparkSchema.fieldIndex(heightCol))
     // reorg singles carry their block hash in the name (filenames.rs:60-63)
     val fhIdx = forkHashCol.filter(_ => refKind.isDefined).map(sparkSchema.fieldIndex)
-    new File(outDir).mkdirs()
+    val conf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    new Path(outDir).getFileSystem(conf.value).mkdirs(new Path(outDir))
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
+        val fs = new Path(outDir).getFileSystem(conf.value)
         val schema = new Schema.Parser().parse(schemaJson)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
-        writer.setCodec(codec match {
-          case "snappy"  => CodecFactory.snappyCodec()
-          case "zstd"    => CodecFactory.zstandardCodec(9)
-          case "deflate" => CodecFactory.deflateCodec(6)
-          case "null"    => CodecFactory.nullCodec()
-          case other     => throw new IllegalArgumentException(s"codec: $other")
-        })
+        writer.setCodec(mkCodec(codec))
         // The range is only known once the partition is drained, so write
-        // to a temp name and move into the final path on close.
+        // to a temp name and claim+rename into the final path on close.
         val file = hIdx match {
-          case Some(_) => File.createTempFile(s"graft-avro-$pid-", ".tmp", new File(outDir))
-          case None    => new File(outDir, f"part-$pid%05d.$kind.avro")
+          case Some(_) => tmpPath(outDir)
+          case None    => new Path(outDir, f"part-$pid%05d.$kind.avro")
         }
-        writer.create(schema, file)
+        writer.create(schema, fs.create(file, true))
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
@@ -117,29 +166,18 @@ object AvroArchiveSink {
           val rel =
             if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k, fork)
             else graft.archive.Filenames.relativeRangePath(mn, mx, k)
-          val target = new File(outDir, rel)
-          target.getParentFile.mkdirs()
-          if (!claimTarget(target))
+          val target = new Path(outDir, rel)
+          if (!claimTarget(fs, target))
             throw new IllegalStateException(
               s"archive file exists (never overwritten): $target — partition " +
                 "the input so file ranges don't collide")
-          java.nio.file.Files.move(file.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          commitClaimed(fs, file, target)
         }
         Iterator.single(n)
       }
     }
     counts.sum().toLong
   }
-
-  /** Atomically claim a target path (O_EXCL create). `Files.move` without
-    * REPLACE_EXISTING is a non-atomic check-then-rename on POSIX — two
-    * racing tasks can BOTH pass the check and the loser silently replaces
-    * the winner. The claim-then-replace sequence cannot.
-    */
-  private def claimTarget(target: File): Boolean =
-    try { java.nio.file.Files.createFile(target.toPath); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   /** Write one single-height container PER HEIGHT (the stream command's
     * file shape: one `L1/L2/<h>[.<hash>].<suffix>.avro` per archived
@@ -159,35 +197,29 @@ object AvroArchiveSink {
     val k = graft.archive.Filenames.normalizeKind(kind)
     val hIdx = sparkSchema.fieldIndex(heightCol)
     val fhIdx = forkHashCol.map(sparkSchema.fieldIndex)
-    new File(outDir).mkdirs()
+    val conf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    new Path(outDir).getFileSystem(conf.value).mkdirs(new Path(outDir))
     val sortCols = col(heightCol) +: fhIdx.map(_ => col(forkHashCol.get)).toSeq
     val counts = df
       .repartition(col(heightCol))
       .sortWithinPartitions(sortCols: _*)
       .rdd.mapPartitions { rows =>
+        val fs = new Path(outDir).getFileSystem(conf.value)
         val schema = new Schema.Parser().parse(schemaJson)
-        def mkCodec = codec match {
-          case "snappy"  => CodecFactory.snappyCodec()
-          case "zstd"    => CodecFactory.zstandardCodec(9)
-          case "deflate" => CodecFactory.deflateCodec(6)
-          case "null"    => CodecFactory.nullCodec()
-          case other     => throw new IllegalArgumentException(s"codec: $other")
-        }
         var total = 0L
         var cur: Option[(Long, Option[String])] = None
         var writer: DataFileWriter[GenericRecord] = null
-        var tmp: File = null
+        var tmp: Path = null
         var n = 0L
         def close(): Unit = cur.foreach { case (h, fork) =>
           writer.close()
-          val target = new File(outDir,
+          val target = new Path(outDir,
             graft.archive.Filenames.relativeSinglePath(h, k, fork))
-          target.getParentFile.mkdirs()
-          if (claimTarget(target)) { // else keep the existing file
-            java.nio.file.Files.move(tmp.toPath, target.toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          if (claimTarget(fs, target)) {
+            commitClaimed(fs, tmp, target)
             total += n
-          } else tmp.delete()
+          } else fs.delete(tmp, false) // keep the existing file
           cur = None
         }
         rows.foreach { row =>
@@ -196,11 +228,11 @@ object AvroArchiveSink {
             close()
             cur = Some(key)
             n = 0L
-            tmp = File.createTempFile("graft-single-", ".tmp", new File(outDir))
+            tmp = tmpPath(outDir)
             writer = new DataFileWriter[GenericRecord](
               new GenericDatumWriter[GenericRecord](schema))
-            writer.setCodec(mkCodec)
-            writer.create(schema, tmp)
+            writer.setCodec(mkCodec(codec))
+            writer.create(schema, fs.create(tmp, true))
           }
           writer.append(toRecord(row, sparkSchema, schema))
           n += 1
@@ -229,23 +261,19 @@ object AvroArchiveSink {
     val k = graft.archive.Filenames.normalizeKind(kind)
     val hIdx = sparkSchema.fieldIndex(heightCol)
     val cIdx = sparkSchema.fieldIndex(chunkCol)
-    new File(outDir).mkdirs()
+    val conf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    new Path(outDir).getFileSystem(conf.value).mkdirs(new Path(outDir))
     val counts = df
       .repartition(col(chunkCol))
       .sortWithinPartitions(col(chunkCol), col(heightCol))
       .rdd.mapPartitions { rows =>
+        val fs = new Path(outDir).getFileSystem(conf.value)
         val schema = new Schema.Parser().parse(schemaJson)
-        def mkCodec = codec match {
-          case "snappy"  => CodecFactory.snappyCodec()
-          case "zstd"    => CodecFactory.zstandardCodec(9)
-          case "deflate" => CodecFactory.deflateCodec(6)
-          case "null"    => CodecFactory.nullCodec()
-          case other     => throw new IllegalArgumentException(s"codec: $other")
-        }
         var total = 0L
         var cur: Option[Long] = None
         var writer: DataFileWriter[GenericRecord] = null
-        var tmp: File = null
+        var tmp: Path = null
         var n = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
@@ -254,13 +282,11 @@ object AvroArchiveSink {
           val rel =
             if (mn == mx) graft.archive.Filenames.relativeSinglePath(mn, k)
             else graft.archive.Filenames.relativeRangePath(mn, mx, k)
-          val target = new File(outDir, rel)
-          target.getParentFile.mkdirs()
-          if (claimTarget(target)) { // else keep the existing file
-            java.nio.file.Files.move(tmp.toPath, target.toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val target = new Path(outDir, rel)
+          if (claimTarget(fs, target)) {
+            commitClaimed(fs, tmp, target)
             total += n
-          } else tmp.delete()
+          } else fs.delete(tmp, false) // keep the existing file
           cur = None
         }
         rows.foreach { row =>
@@ -269,11 +295,11 @@ object AvroArchiveSink {
             close()
             cur = Some(chunk)
             n = 0L; mn = Long.MaxValue; mx = Long.MinValue
-            tmp = File.createTempFile("graft-chunk-", ".tmp", new File(outDir))
+            tmp = tmpPath(outDir)
             writer = new DataFileWriter[GenericRecord](
               new GenericDatumWriter[GenericRecord](schema))
-            writer.setCodec(mkCodec)
-            writer.create(schema, tmp)
+            writer.setCodec(mkCodec(codec))
+            writer.create(schema, fs.create(tmp, true))
           }
           val h = row.getLong(hIdx)
           if (h < mn) mn = h

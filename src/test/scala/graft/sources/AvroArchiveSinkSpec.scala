@@ -90,6 +90,26 @@ class AvroArchiveSinkSpec extends SparkSpec {
     assert(AvroArchiveSource.readArchive(spark, out, "blocks").count() === 400L)
   }
 
+  test("explicit file:// scheme routes through the Hadoop FileSystem end to end") {
+    // the sink resolves the FS from the path URI (objects.rs's S3 backend
+    // mounts the same way); an explicit scheme must behave identically to
+    // a bare local path — including idempotent singles and the recursive
+    // listing on the read side
+    val out = "file://" + Files.createTempDirectory("graft-avro-hfs").toString
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L to 19L).map(blockRow), 2), Schemas.block)
+    val n = AvroArchiveSink.writeSingles(rows, "blocks", out)
+    assert(n === 20L)
+    // replay: every target exists → all skipped, nothing overwritten
+    assert(AvroArchiveSink.writeSingles(rows, "blocks", out) === 0L)
+    val files = AvroArchiveSource.listAvroFiles(spark, out)
+    assert(files.size === 20)
+    assert(files.forall(f => f.startsWith("file:") || f.startsWith("/")), files.head)
+    // no temp orphans left behind under the scheme'd dir
+    assert(!files.exists(_.contains(".graft-tmp-")))
+    assert(AvroArchiveSource.readArchive(spark, out, "blocks").count() === 20L)
+  }
+
   test("colliding file ranges are never overwritten") {
     // two partitions holding the same single height would produce the same
     // path — the write must refuse, like the reference's create(overwrite
