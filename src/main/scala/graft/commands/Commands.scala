@@ -193,7 +193,8 @@ object Commands {
       archiveDir: String,
       checkpoint: String,
       blockchain: String = "BITCOIN",
-      rawTxes: Option[DataFrame] = None): Unit = {
+      rawTxes: Option[DataFrame] = None,
+      rawTraces: Option[DataFrame] = None): Unit = {
     val q = Streams.followHeads(spark, headsDir, headSchema, checkpoint) { (batch, _) =>
       val records = batch.select(
         lit(blockchain).as("blockchainType"),
@@ -209,16 +210,20 @@ object Commands {
         lit(null).cast("binary").as("uncle1Json"))
       graft.sources.AvroArchiveSink.writeSingles(
         records, "blocks", archiveDir, forkHashCol = Some("blockId"))
-      // per-kind companion files, like the reference's process_txes after
-      // process_blocks (archiver.rs:74-99): tx records for the batch's
-      // (height, blockId) pairs land as fork-named txes singles. The
-      // semi-join keys on BOTH columns so only the announced fork's txes
-      // are archived with it.
-      rawTxes.foreach { txes =>
-        val batchKeys = batch.select(col("height"), col("blockId"))
-        val txRecords = txes.join(broadcast(batchKeys), Seq("height", "blockId"), "left_semi")
-        graft.sources.AvroArchiveSink.writeSingles(
-          txRecords, "txes", archiveDir, forkHashCol = Some("blockId"))
+      // per-kind companion files, like the reference's per-height tx ∥
+      // trace archival after the block lands (archiver.rs:137-154 runs
+      // both under one tokio::join!): records for the batch's
+      // (height, blockId) pairs land as fork-named singles of their kind.
+      // The semi-join keys on BOTH columns so only the announced fork's
+      // companions are archived with it.
+      val batchKeys = batch.select(col("height"), col("blockId"))
+      Seq("txes" -> rawTxes, "traces" -> rawTraces).foreach { case (kind, src) =>
+        src.foreach { raw =>
+          val companions =
+            raw.join(broadcast(batchKeys), Seq("height", "blockId"), "left_semi")
+          graft.sources.AvroArchiveSink.writeSingles(
+            companions, kind, archiveDir, forkHashCol = Some("blockId"))
+        }
       }
       ()
     }
@@ -262,7 +267,7 @@ object Commands {
     // force the backfill before the live follow starts (fixAvro's writes
     // run as part of the call; the returned frame is collected by callers)
     streamAvro(spark, headsDir, headSchema, archiveDir, checkpoint, blockchain,
-      rawTxes = rawByKind.get("txes"))
+      rawTxes = rawByKind.get("txes"), rawTraces = rawByKind.get("traces"))
     healed
   }
 
@@ -314,13 +319,20 @@ object Commands {
     * that kind's archive schema (same contract as streamAvro's builder).
     * Returns (kind, height) rows that were missing. Coverage explodes
     * file ranges chunk-wise — catalog-sized × ≤chunk heights, distributed.
+    *
+    * `forkHashCol`: when healing companion kinds into a fork-aware archive
+    * (singles streamed as `<h>.<hash>.<kind>.avro`), pass the raw source's
+    * block-hash column so healed files land in the same (range, fork)
+    * group as their streamed block — a plain-named single would form its
+    * own blockless group and verify would discard it as no-block-file.
     */
   def fixAvro(
       spark: SparkSession,
       archiveDir: String,
       rawByKind: Map[String, DataFrame],
       startH: Long, endH: Long,
-      opts: RunOptions = RunOptions()): DataFrame = {
+      opts: RunOptions = RunOptions(),
+      forkHashCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(rawByKind.nonEmpty, "fixAvro needs at least one raw source")
     val catalog = graft.archive.Catalog.withParsedNames(
@@ -337,7 +349,8 @@ object Commands {
         .join(covered, Seq("height"), "left_anti")
       if (!opts.dryRun) {
         val refetch = rawByKind(kind0).join(missing, Seq("height"), "left_semi")
-        graft.sources.AvroArchiveSink.writeSingles(refetch, kind, archiveDir)
+        graft.sources.AvroArchiveSink.writeSingles(refetch, kind, archiveDir,
+          forkHashCol = forkHashCol)
       }
       missing.select(lit(kind).as("kind"), col("height"))
     }

@@ -45,6 +45,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_salt"), p)
   }
 
+  test("sim-topk-cosine never funnels the corpus through per-query partitions") {
+    val p = plan("sim-topk-cosine")
+    // phase 1 of the salted top-k must window over (salt, q_id); with a
+    // handful of queries an exchange keyed on q_id alone would put every
+    // scored corpus row for one query into a single task
+    assert(p.contains("hashpartitioning(_salt"), p)
+  }
+
+  test("dedup-simhash sizes fingerprint groups without a fingerprint window") {
+    val p = plan("dedup-simhash")
+    // n_same must come from groupBy (map-side combine) + broadcast join —
+    // a window partitioned by simhash funnels hot fingerprints
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window [count(1)"), p)
+  }
+
   test("dedup-ngram-jaccard broadcasts the hot-shingle prune, never a cartesian") {
     val p = plan("dedup-ngram-jaccard")
     // the df-prune's hot-key set is tiny → must reach the anti-join as a

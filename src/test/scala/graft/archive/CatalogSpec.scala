@@ -69,6 +69,15 @@ class CatalogSpec extends SparkSpec {
     assert(g.find(_._1 == 2000L).get === ((2000L, 2000L, 2000L)))
   }
 
+  test("mergeSmall refuses an unpartitioned (global) window") {
+    // a bare Window.orderBy over a catalog-sized input is the single-task
+    // funnel the library bans — the chunk key is the only path
+    val c = catalogOf("/a/000000001.blocks.avro")
+    intercept[IllegalArgumentException] {
+      Catalog.mergeSmall(c, threshold = 10L, Seq.empty)
+    }
+  }
+
   test("verify_chunk filename pass: dedup, forks, incomplete groups") {
     // composes groupTables + fork filtering the way verify_chunk does
     // (verify.rs:145-207): duplicate kind in a range → error; fork singles

@@ -211,6 +211,63 @@ class CommandsSpec extends SparkSpec {
     assert(v.head.getAs[Long]("group_s") === 100L && v.head.getAs[Long]("group_e") === 104L)
   }
 
+  test("streamAvro archives traces companions; fixAvro heals; verifyFull checks all three kinds") {
+    // the reference archives block, txes AND traces per height
+    // (archiver.rs:137-154 — tx ∥ trace under one join); lifecycle:
+    // stream with a lagging trace provider → fix heals the gap → full
+    // verify of all three kinds comes back clean
+    import graft.sources.AvroArchiveSource
+    import graft.model.Schemas
+    import java.sql.Timestamp
+    def h64(n: Long) = f"$n%064x"
+    def bjson(h: Long) =
+      s"""{"hash":"${h64(h)}","previousblockhash":"${h64(h - 1)}","height":$h,"tx":["TX$h"],"time":$h}"""
+    val dir = Files.createTempDirectory("graft-stream-traces").toString
+    val heads = Files.createTempDirectory("graft-heads-traces").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-traces").toString
+    (200L to 204L).map(h => (h, h64(h), h64(h - 1), bjson(h)))
+      .toDF("height", "blockId", "parentId", "payload")
+      .coalesce(1).write.mode("append").parquet(heads)
+    val schema = StructType(Seq(
+      StructField("height", LongType), StructField("blockId", StringType),
+      StructField("parentId", StringType), StructField("payload", StringType)))
+    def txRow(h: Long) = org.apache.spark.sql.Row("BITCOIN", "BTC",
+      new Timestamp(0L), h, h64(h), new Timestamp(h), 0L, s"TX$h",
+      """{"ok":true}""".getBytes("UTF-8"), Array[Byte](1), null, null, null)
+    def traceRow(h: Long) = org.apache.spark.sql.Row("BITCOIN", "BTC",
+      new Timestamp(0L), h, h64(h), new Timestamp(h), 0L, s"TX$h",
+      s"""{"trace":$h}""".getBytes("UTF-8"), null)
+    val rawTxes = spark.createDataFrame(
+      spark.sparkContext.parallelize((200L to 204L).map(txRow), 2), Schemas.transaction)
+    val allTraces = spark.createDataFrame(
+      spark.sparkContext.parallelize((200L to 204L).map(traceRow), 2), Schemas.trace)
+    // trace provider lags: only 200..202 available while streaming
+    Commands.streamAvro(spark, heads, schema, dir, ckpt,
+      rawTxes = Some(rawTxes),
+      rawTraces = Some(allTraces.filter(col("height") <= 202)))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 13)
+    // fix heals the missing traces, fork-named so they join the same
+    // (range, fork) groups as their streamed blocks
+    val healed = Commands.fixAvro(spark, dir, Map("traces" -> allTraces),
+      200L, 204L, forkHashCol = Some("blockId"))
+      .orderBy("height").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(healed.toSeq === Seq(("traces", 203L), ("traces", 204L)))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 15)
+    // full verify of all three kinds: coverage, txid reconciliation from
+    // the block JSON, trace payload non-null — one merged batch, clean
+    val canonical = (200L to 204L).map(h => h -> h64(h)).toDF("height", "hash")
+    val r = Commands.verifyFull(spark, dir, graft.model.BitcoinAdapter,
+      200L, 204L, canonical,
+      VerifyFull.Options(checkTxes = true, checkTraces = true, includeTrace = true))
+    assert(r.deleted.isEmpty, r.deleted)
+    val v = r.batches.collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[Boolean]("blocks_ok"))
+    assert(v.head.getAs[Boolean]("txes_ok"))
+    assert(v.head.getAs[Boolean]("traces_ok"))
+    assert(v.head.getAs[Long]("group_s") === 200L && v.head.getAs[Long]("group_e") === 204L)
+  }
+
   test("archiveAvro backfills chunk-aligned range files with notifications") {
     import graft.sources.AvroArchiveSource
     import graft.model.Schemas
