@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, ArrayOrderedPairs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("array_ordered_pairs"),
+      new ExpressionInfo(classOf[ArrayOrderedPairs].getName, "array_ordered_pairs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayOrderedPairs(exprs(0))))
   }
 }
 
@@ -30,6 +35,10 @@ object GraftExtensions {
     * getOrCreate on an existing JVM session silently ignores it).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_ordered_pairs", exprs => ArrayOrderedPairs(exprs(0)), "built-in")
+    }
 }

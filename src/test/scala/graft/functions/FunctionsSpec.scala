@@ -26,6 +26,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("ArrayOrderedPairs matches the HOF formulation on seeded random arrays") {
+    val rnd = new scala.util.Random(7)
+    val arrays = Seq(Array.empty[Long], Array(42L)) ++
+      (1 to 6).map(_ => Array.fill(1 + rnd.nextInt(20))(rnd.nextLong(1000L).abs).distinct.sorted)
+    val df = arrays.map(a => Tuple1(a)).toDF("ids")
+    val hof = df.select(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), (i + 2).cast("int"), size(col("ids"))), y =>
+          struct(x.as("d1"), y.as("d2"))))).as("p"))
+      .select(explode(col("p")).as("p")).select("p.d1", "p.d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val native = df.select(explode(ArrayOrderedPairs(col("ids"))).as("p"))
+      .select("p.d1", "p.d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.toSeq === hof.toSeq)
+    // sorted input → every pair ordered
+    assert(native.forall { case (a, b) => a < b })
+  }
+
+  test("array_ordered_pairs is SQL-callable after registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_ordered_pairs(array(1L, 2L, 3L)) AS p").head().getSeq[Any](0)
+    assert(r.size === 3)
+  }
+
   test("chain aggregator verifies an intact chain and localizes breaks") {
     import graft.functions.{BlockLink, ChainSequenceAggregator}
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
