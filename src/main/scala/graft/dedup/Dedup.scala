@@ -143,7 +143,11 @@ object Dedup {
       k: Int = 32, r: Int = 2): DataFrame = {
     // The shingle set feeds signatures AND the exact verify; measured, the
     // double compute beats caching here (cache materialization costs more
-    // than recomputing the explode+window-prune).
+    // than recomputing the explode+prune). The candidate list's multiple
+    // consumers do NOT warrant a checkpoint either — measured ~25% slower
+    // with one: ReusedExchange already shares the band pipeline's shuffle
+    // output across the plan's consumers, so materialization only adds a
+    // blocking write.
     val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
     jaccardPairs(
       shingles.join(
