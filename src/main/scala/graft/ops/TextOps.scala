@@ -106,6 +106,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing ("concat then chunk"): documents concatenated per
+    * shard in doc_id order and cut into 512-token training sequences; each
+    * doc gets the pack its first token falls in + its offset there. The
+    * running sum windows per shard — never a global cumsum
+    * (graft.text.Packing).
+    */
+  val textPackSequences: Op = Op.sql(
+    "text-pack-sequences",
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      |                  len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT doc_id, shard, n_tokens,
+      |       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+      |       CAST((cum - n_tokens) % 512 AS BIGINT) AS tok_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    graft.text.Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+      budget = 512L, shards = 8)
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textNormalize)
+    textNormalize, textPackSequences)
 }
