@@ -127,5 +127,42 @@ object SimOps {
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
   }
 
-  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn)
+  /** One deterministic Lloyd round of k-means (k=4, init = the 4 lowest
+    * vec_ids): assignment by rounded cosine (ties → lowest centroid),
+    * centroid update via order-independent integer-scaled sums. Output is
+    * the per-dimension centroid table (cid, dim, v) — exploded to rows,
+    * never an array column. The trainer behind sim-ivf-ann's centroid
+    * input (graft.sim.KMeans).
+    */
+  val simKmeansCentroids: Op = Op.sql(
+    "sim-kmeans-centroids",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |         FROM e ORDER BY vec_id LIMIT 4),
+      |asgn AS (
+      |  SELECT e.vec_id, e.v, ic.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_dot_product(e.v, ic.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) *
+      |                           sqrt(list_dot_product(ic.cv, ic.cv))), 6) DESC,
+      |                    ic.cid) AS rn
+      |  FROM e CROSS JOIN init ic),
+      |members AS (SELECT vec_id, v, cid FROM asgn WHERE rn = 1),
+      |dims AS (SELECT cid, unnest(generate_series(0, len(v) - 1)) AS dim,
+      |                unnest(v) AS x FROM members),
+      |sums AS (SELECT cid, dim, sum(CAST(round(x * 10000) AS BIGINT)) AS sv,
+      |                count(*) AS n
+      |         FROM dims GROUP BY cid, dim)
+      |SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
+      |       round(sv / n / 10000.0, 6) AS v
+      |FROM sums ORDER BY cid, dim""".stripMargin
+  ) { (s, d) =>
+    graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
+      .select(col("vec_id").as("cid"), posexplode(col("embedding")))
+      .toDF("cid", "dim", "v")
+      .select(col("cid"), col("dim").cast("long"), col("v"))
+      .orderBy("cid", "dim")
+  }
+
+  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids)
 }
