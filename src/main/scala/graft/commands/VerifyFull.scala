@@ -79,9 +79,9 @@ object VerifyFull {
     // ---- 1. filename-level preprocess as ONE lazy decision pipeline: the
     // reference applies four sequential passes (duplicates, select_complete,
     // remove_forks, deduplicate — verify.rs:155-207); here each pass is a
-    // column over the catalog-sized group list, the per-group outcome is
-    // pinned by ONE eager localCheckpoint, and a single collect at the end
-    // fetches every file's fate at once.
+    // column over the catalog-sized group list and a single collect at the
+    // end fetches every file's fate at once — ONE distributed action for
+    // the whole preprocess.
 
     // 1a. duplicate slots: same (range, fork, kind) twice → BOTH files go
     // (reference RangeGroupError::Duplicate, verify.rs:440-455)
@@ -150,11 +150,14 @@ object VerifyFull {
         Window.partitionBy("_chunk", "_isl")
           .orderBy((col("end_h") - col("start_h")).desc, col("start_h"), col("fh"))))
 
-    // THE preprocess materialization: one eager localCheckpoint pins every
-    // group's outcome (reason to delete, or survivor) and truncates the
-    // pivot/window/join lineage so no downstream plan re-plans it. This
-    // replaces a round-2 design that cached four intermediates and ran a
-    // separate collect per decision family.
+    // Per-group outcome: reason to delete, or survivor. Lazy — its only
+    // consumers fold into the single fates collect below (the file→batch
+    // attribution continues on the DRIVER afterwards), so the whole
+    // preprocess is exactly one distributed action. The pivot/window
+    // subtree evaluates a couple of times inside that job — catalog-sized
+    // metadata, cheaper than any materialization. This replaces a round-2
+    // design that cached four intermediates and ran a collect per
+    // decision family.
     val decisions = withFork
       .join(ranked.select((GroupKey.map(col) :+ col("_rk")): _*), GroupKey, "left")
       .withColumn("reason",
@@ -163,12 +166,11 @@ object VerifyFull {
           .when(col("_rk") > 1, "duplicate-range"))
       .select(col("start_h"), col("end_h"), col("fh"),
         col("blocks"), col("txes"), col("traces"), col("complete"), col("reason"))
-      .localCheckpoint()
 
     // ---- 2. merge_small: adjacent complete small groups verify as one
     // batch; incomplete or large groups stand alone (verify.rs:237-267);
     // batches never cross chunk boundaries, same as the reference's
-    // per-chunk processing. Lazy off the checkpoint — catalog-sized.
+    // per-chunk processing. Lazy — folds into the fates collect.
     val batched = Catalog.mergeSmall(
         decisions.filter(col("reason").isNull),
         opts.mergeThreshold, Seq(chunkOf), col("complete"))
