@@ -164,5 +164,39 @@ object SimOps {
       .orderBy("cid", "dim")
   }
 
-  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids)
+  /** Symmetric int8 scalar quantization (per-vector max-abs scale, codes
+    * clipped to ±127) with per-element reconstruction error — the 4×
+    * storage cut ANN candidate filtering runs on at scale. Pure per-row
+    * projection, integer-exact codes; exploded to rows (no array output).
+    */
+  val simQuantizeInt8: Op = Op.sql(
+    "sim-quantize-int8",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |             round(list_max([abs(x) FOR x IN v]) / 127.0, 9) AS scale FROM e),
+      |d AS (SELECT vec_id, scale, unnest(generate_series(0, len(v) - 1)) AS dim,
+      |             unnest(v) AS x FROM s),
+      |c AS (SELECT vec_id, dim, scale, x,
+      |             CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |                  ELSE greatest(CAST(-127 AS BIGINT),
+      |                       least(CAST(127 AS BIGINT),
+      |                             CAST(round(x / scale) AS BIGINT))) END AS code
+      |      FROM d)
+      |SELECT vec_id, dim, code, scale,
+      |       round(abs(x - code * scale), 9) AS recon_err
+      |FROM c ORDER BY vec_id, dim""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    e.select(col("vec_id"), Similarity.int8Scale(col("embedding")).as("scale"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        Similarity.int8Code(col("x"), col("scale")).as("code"),
+        col("scale"),
+        round(abs(col("x") - Similarity.int8Code(col("x"), col("scale")) * col("scale")), 9)
+          .as("recon_err"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
+    simQuantizeInt8)
 }

@@ -130,6 +130,28 @@ object Similarity {
       .select("q_id", "n_id", "sim")
   }
 
+  /** Symmetric int8 scalar quantization for ANN storage: per-vector scale
+    * `s = max(|v|)/127`, codes `round(v/s)` clipped to [-127, 127] — a 4×
+    * memory cut for candidate filtering, with the scale kept alongside for
+    * approximate reconstruction (`code · s`). Pure per-row projection —
+    * zero shuffle, trivially scalable; decisions are integer-exact so
+    * codes can never vary with partitioning. Zero vectors quantize to
+    * all-zero codes with scale 0.
+    */
+  def int8Scale(emb: Column): Column =
+    round(array_max(transform(emb.cast("array<double>"), x => abs(x))) / 127.0, 9)
+
+  def int8Code(x: Column, scale: Column): Column =
+    when(scale === 0.0, lit(0L)).otherwise(
+      greatest(lit(-127L), least(lit(127L), round(x / scale).cast("long"))))
+
+  /** Codes + scale as array-valued columns (see [[int8Scale]]/[[int8Code]]). */
+  def quantizeInt8(emb: Column): (Column, Column) = {
+    val scale = int8Scale(emb)
+    val codes = transform(emb.cast("array<double>"), x => int8Code(x, scale))
+    (codes, scale)
+  }
+
   /** Near-duplicate embedding pairs within a blocking key (label):
     * all-pairs inside blocks only, threshold on rounded cosine.
     */
