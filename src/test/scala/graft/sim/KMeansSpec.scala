@@ -36,6 +36,27 @@ class KMeansSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("fitted centroids drive ivfTopK end to end with full recall on separable data") {
+    // 3 tight direction clusters; queries drawn from each cluster must
+    // find their brute-force neighbors through the trained inverted lists
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L to 89L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Array.fill(4)(rnd.nextFloat() * 0.05f)
+      v(axis) = 1.0f + rnd.nextFloat() * 0.05f
+      (i, v)
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)   // one per cluster (ids 0,1,2)
+    val rest = df.filter($"vec_id" >= 3)
+    val cents = KMeans.fit(df, k = 3, iters = 3)
+    val ivf = Similarity.ivfTopK(queries, rest, cents, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, rest, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf === brute) // separable clusters → nprobe=1 already exact
+  }
+
   test("a cluster that loses every member keeps its previous centroid") {
     // three identical vectors: init takes ids 0 and 1 (identical), every
     // point ties to centroid 0 — centroid 1 must survive untouched
