@@ -129,6 +129,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling for domain/language mixing: keep a
+    * document iff its hash bucket (first two hex chars of md5(doc_id) —
+    * 256 uniform buckets) falls below the stratum's rate (en 50%, others
+    * 20%). Hash-based Bernoulli is THE scale shape for data mixing: a
+    * pure per-row projection, reproducible across runs/engines, no RNG
+    * state, and re-runs keep the exact same sample (unlike rand()-based
+    * sampling which can never be re-verified).
+    */
+  val textSampleStratified: Op = Op.sql(
+    "text-sample-stratified",
+    """SELECT doc_id, lang,
+      |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val rate = when(col("lang") === "en", lit("80")).otherwise(lit("33"))
+    Tables.documents(s, d)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textNormalize, textPackSequences)
+    textNormalize, textPackSequences, textSampleStratified)
 }
