@@ -210,7 +210,8 @@ object VerifyFull {
     val fileBatch = broadcast(
       liveRows.toDF("_path", "kind", "group_s", "group_e"))
     val blockRows = AvroArchiveSource
-      .readArchiveFilesWithPath(spark, filesOf.getOrElse("blocks", Seq.empty), "blocks")
+      .readArchiveFilesWithPath(spark, filesOf.getOrElse("blocks", Seq.empty), "blocks",
+        lenient = true) // a corrupt container = records stop → coverage dooms it
       .join(fileBatch.filter(col("kind") === "blocks").drop("kind"), Seq("_path"))
       .withColumn("_p", adapter.parseBlock(col("json").cast("string")))
       .select(col("group_s"), col("group_e"), col("height"),
@@ -258,7 +259,8 @@ object VerifyFull {
     def tableChecks(kind: String, payloadChecks: DataFrame => org.apache.spark.sql.Column)
         : DataFrame = {
       val raw = AvroArchiveSource
-        .readArchiveFilesWithPath(spark, filesOf.getOrElse(kind, Seq.empty), kind)
+        .readArchiveFilesWithPath(spark, filesOf.getOrElse(kind, Seq.empty), kind,
+          lenient = true)
         .join(fileBatch.filter(col("kind") === kind).drop("kind"), Seq("_path"))
       // evaluate the payload checks BEFORE caching and keep only (batch,
       // txid, verdict-bit): caching full rows would pin every json/raw

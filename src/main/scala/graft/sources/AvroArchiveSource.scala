@@ -90,9 +90,18 @@ object AvroArchiveSource {
     * record to its source container — the content verifier needs to mark
     * whole FILES broken, not rows (reference FileReference,
     * src/storage/mod.rs:231-258).
+    *
+    * `lenient = true` turns an unreadable or mid-stream-corrupt container
+    * into "the records stop here" instead of a task failure: the verify
+    * pipeline then SURFACES the damage through its coverage/duplicate
+    * checks and dooms the file set, exactly like the reference's per-batch
+    * decode-error handling (verify.rs treats an avro read error as a
+    * failed batch, never a crashed command). Strict reads (the default)
+    * keep failing fast — silently truncating data outside a verifier
+    * would mask corruption.
     */
   def readArchiveFilesWithPath(spark: SparkSession, files: Seq[String],
-      kind: String): DataFrame = {
+      kind: String, lenient: Boolean = false): DataFrame = {
     val schema = Schemas.schemaFor(kind).add(StructField("_path", StringType, nullable = false))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -100,17 +109,42 @@ object AvroArchiveSource {
     val rows = spark.sparkContext
       .binaryFiles(files.mkString(","))
       .flatMap { case (path, pds) =>
-        val in = pds.open()
-        val reader = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord]())
-        new Iterator[Row] {
-          def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) { reader.close() }
-            h
-          }
-          def next(): Row =
-            Row.fromSeq(toRow(reader.next(), fields).toSeq :+ path)
+        val opened =
+          try {
+            val in = pds.open()
+            Some(new DataFileStream[GenericRecord](
+              in, new GenericDatumReader[GenericRecord]()))
+          } catch { case t: Throwable => if (lenient) None else throw t }
+        opened match {
+          case None => Iterator.empty
+          case Some(reader) =>
+            // lookahead iterator: the decode of record N happens inside
+            // hasNext, so a mid-stream corruption surfaces as end-of-file
+            // (lenient) or a task failure (strict) — never a throw from a
+            // half-consumed next()
+            new Iterator[Row] {
+              private var nextRow: Row = null
+              private var done = false
+              private def advance(): Unit = {
+                if (done || nextRow != null) return
+                try {
+                  if (reader.hasNext)
+                    nextRow = Row.fromSeq(toRow(reader.next(), fields).toSeq :+ path)
+                  else { done = true; reader.close() }
+                } catch {
+                  case t: Throwable =>
+                    done = true
+                    try reader.close() catch { case _: Throwable => () }
+                    if (!lenient) throw t
+                }
+              }
+              def hasNext: Boolean = { advance(); nextRow != null }
+              def next(): Row = {
+                advance()
+                if (nextRow == null) throw new NoSuchElementException
+                val r = nextRow; nextRow = null; r
+              }
+            }
         }
       }
     spark.createDataFrame(rows, schema)

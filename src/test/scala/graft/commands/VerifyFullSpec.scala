@@ -322,6 +322,27 @@ class VerifyFullSpec extends SparkSpec {
     assert(filesLeft(dir).size === 3)
   }
 
+  test("an unreadable block container is doomed via coverage, not a crashed job") {
+    // the reference treats an avro decode error as a failed batch, never a
+    // crashed command — the lenient read turns garbage bytes into zero
+    // records and the coverage check does the rest
+    val dir = Files.createTempDirectory("vf-garbage").toString
+    val h101 = mkHash(101)
+    writeBlocks(dir, Seq((101L, h101, mkHash(100), Seq("TX001"))))
+    writeTxes(dir, Seq((101L, h101, 0L, "TX001")))
+    val blockFile = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".block.avro")).findFirst().get()
+    java.nio.file.Files.write(blockFile, "not an avro container".getBytes("UTF-8"))
+    val r = VerifyFull.run(spark, dir, BitcoinAdapter, 100L, 110L,
+      canonicalOf(101L -> h101))
+    val v = r.batches.head()
+    assert(!v.getAs[Boolean]("blocks_ok"))
+    // blocks file goes; txes are unverifiable under a corrupt block → kept
+    assert(r.deleted.map(t => t._1.substring(t._1.lastIndexOf('/') + 1) -> t._2) ===
+      Seq("000000101.block.avro" -> "blocks-corrupt"))
+    assert(filesLeft(dir) === Seq("000000101.txes.avro"))
+  }
+
   test("corrupt top hash marks blocks broken but keeps unverifiable txes") {
     val dir = Files.createTempDirectory("vf-tophash").toString
     val h100 = mkHash(100)
