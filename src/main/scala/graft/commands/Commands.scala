@@ -357,6 +357,51 @@ object Commands {
     missingByKind.reduce(_ union _)
   }
 
+  /** `fix --tail N` (args.rs `--tail`: the latest N blocks instead of a
+    * range): the window is anchored at the data provider's head — the max
+    * height in the raw source, minus the 4-block still-being-written
+    * margin, same as archive --tail (blocks_config.rs:28-45). Blocks
+    * anchor the head when provided; otherwise the first kind by name.
+    */
+  def fixAvroTail(
+      spark: SparkSession,
+      archiveDir: String,
+      rawByKind: Map[String, DataFrame],
+      tailN: Long,
+      opts: RunOptions = RunOptions(),
+      forkHashCol: Option[String] = None): DataFrame = {
+    require(rawByKind.nonEmpty, "fixAvroTail needs at least one raw source")
+    val anchor = rawByKind.getOrElse("blocks",
+      rawByKind(rawByKind.keys.toSeq.sorted.head))
+    val (s, e) = tailRange(anchor, tailN)
+    fixAvro(spark, archiveDir, rawByKind, s, e, opts, forkHashCol)
+  }
+
+  /** `verify --tail N`: audit the last N heights of the ARCHIVE — verify
+    * inspects what exists, so the head is the max covered height parsed
+    * from the catalog (a driver-side listing, no data read). The same
+    * listing feeds the verify run via knownFiles — one RPC walk total.
+    */
+  def verifyFullTail(
+      spark: SparkSession,
+      archiveDir: String,
+      adapter: graft.model.ChainAdapter,
+      tailN: Long,
+      canonical: DataFrame,
+      opts: VerifyFull.Options = VerifyFull.Options()): VerifyFull.Report = {
+    val files = graft.sources.AvroArchiveSource.listAvroFiles(spark, archiveDir)
+    val head = files.iterator
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .flatMap(graft.sources.AvroArchiveSource.parseRangeS)
+      .map(_._2)
+      .foldLeft(-1L)(math.max)
+    if (head < 0)
+      return VerifyFull.run(spark, archiveDir, adapter, 0L, -1L, canonical, opts,
+        knownFiles = Some(files)) // empty archive: empty report
+    VerifyFull.run(spark, archiveDir, adapter,
+      math.max(0L, head - tailN), head, canonical, opts, knownFiles = Some(files))
+  }
+
   /** `verify --fix.clean`-grade FULL pipeline over the reference's own
     * Avro layout: filename preprocess + per-batch content checks +
     * deletion verdicts. See [[VerifyFull]] for the composition.

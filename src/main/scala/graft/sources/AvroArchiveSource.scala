@@ -66,16 +66,26 @@ object AvroArchiveSource {
     }
   }
 
+  private val SingleReS = "^(\\d+)(?:\\.([0-9a-f]{64}))?\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
+  private val RangeReS = "^range-(\\d+)_(\\d+)\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
+
   /** Plain-Scala twin of Filenames.parseKind for catalog-sized listings. */
   def parseKindS(base: String): Option[String] = {
-    val single = "^(\\d+)(?:\\.([0-9a-f]{64}))?\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
-    val range = "^range-(\\d+)_(\\d+)\\.(\\w+)(?:\\.\\w+)?\\.avro$".r
     val raw = base match {
-      case single(_, _, k) => Some(k)
-      case range(_, _, k)  => Some(k)
-      case _               => None
+      case SingleReS(_, _, k) => Some(k)
+      case RangeReS(_, _, k)  => Some(k)
+      case _                  => None
     }
     raw.flatMap(k => scala.util.Try(graft.archive.Filenames.normalizeKind(k)).toOption)
+  }
+
+  /** Plain-Scala twin of Filenames.parseStart/End — the covered height
+    * range of an archive filename, for catalog-sized driver listings.
+    */
+  def parseRangeS(base: String): Option[(Long, Long)] = base match {
+    case SingleReS(h, _, _) => Some((h.toLong, h.toLong))
+    case RangeReS(s, e, _)  => Some((s.toLong, e.toLong))
+    case _                  => None
   }
 
   /** Read an explicit list of container files (empty-safe). */

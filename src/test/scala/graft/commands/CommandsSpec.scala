@@ -344,6 +344,36 @@ class CommandsSpec extends SparkSpec {
     assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
   }
 
+  test("fix --tail heals only the tail window; verify --tail audits the archive head") {
+    import graft.sources.{AvroArchiveSink, AvroArchiveSource}
+    import graft.model.Schemas
+    import java.sql.Timestamp
+    def h64(n: Long) = f"$n%064x"
+    def bjson(h: Long) =
+      s"""{"hash":"${h64(h)}","previousblockhash":"${h64(h - 1)}","height":$h,"tx":[],"time":$h}"""
+    def blockRec(h: Long) = org.apache.spark.sql.Row(
+      "BITCOIN", "BTC", new Timestamp(0L), h, h64(h), h64(h - 1),
+      new Timestamp(h), bjson(h).getBytes("UTF-8"), 0, null, null)
+    val dir = Files.createTempDirectory("graft-tail-fix").toString
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize((80L to 99L).map(blockRec), 4), Schemas.block)
+    // archived 80..99 EXCEPT 82 (outside any tail-10 window) and 93 (inside)
+    AvroArchiveSink.writeSingles(
+      raw.filter(col("height") =!= 82L && col("height") =!= 93L), "blocks", dir)
+    // raw head = 99, margin 4 → window [85, 95]: only 93 heals; 82 stays
+    val healed = Commands.fixAvroTail(spark, dir, Map("blocks" -> raw), tailN = 10L)
+      .collect().map(_.getLong(1)).sorted
+    assert(healed.toSeq === Seq(93L))
+    // verify --tail 10 anchors at the ARCHIVE head (99): window [89, 99]
+    // is now gap-free and clean; the hole at 82 is out of scope
+    val canonical = (80L to 99L).map(h => h -> h64(h)).toDF("height", "hash")
+    val r = Commands.verifyFullTail(spark, dir, graft.model.BitcoinAdapter,
+      tailN = 10L, canonical, VerifyFull.Options(checkTxes = false))
+    assert(r.deleted.isEmpty, r.deleted)
+    assert(r.batches.collect().forall(_.getAs[Boolean]("blocks_ok")))
+    assert(AvroArchiveSource.listAvroFiles(spark, dir).size === 19) // 82 still missing
+  }
+
   test("archive --tail selects the last N below head-4") {
     val dir = Files.createTempDirectory("graft-tail-arch").toString
     val raw = rawChain(0L to 299L)
