@@ -237,6 +237,57 @@ object SourceSinkOps {
       col("b_n").as("n_blocks"), lit(report.deleted.size.toLong).as("n_deleted"))
   }
 
+  private val promLeValues = graft.archive.Sinks.BlockTimeBuckets.zipWithIndex
+    .map { case (b, i) => s"($i, '${b.toString}', ${b.toString})" }.mkString(", ")
+
+  /** Prometheus text-exposition payload for the metrics zone (reference:
+    * src/metrics/archive.rs counters+histogram; server.rs serves this
+    * format at /metrics — the HTTP server is transport infra, the payload
+    * is the engine's). Items/bytes counters by kind×direction from the
+    * events table; blockTime histogram over value/100 seconds with the
+    * reference's bucket boundaries. Every emitted value is an integer, so
+    * the lines are engine-exact.
+    */
+  val sinkMetricsProm: Op = Op.sql(
+    "sink-metrics-prom",
+    s"""WITH items AS (
+       |  SELECT event_type AS kind,
+       |         CASE WHEN user_id % 2 = 0 THEN 'in' ELSE 'out' END AS direction,
+       |         count(*) AS items,
+       |         CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS bytes
+       |  FROM events GROUP BY 1, 2),
+       |durs AS (SELECT value / 100 AS s FROM events),
+       |le(idx, le, b) AS (SELECT * FROM (VALUES $promLeValues)),
+       |lines AS (
+       |  SELECT printf('graft_archive_items_total{type="%s",direction="%s"} %d',
+       |                kind, direction, items) AS line FROM items
+       |  UNION ALL
+       |  SELECT printf('graft_archive_bytes_total{type="%s",direction="%s"} %d',
+       |                kind, direction, bytes) FROM items
+       |  UNION ALL
+       |  SELECT printf('graft_archive_blockTime_seconds_bucket{le="%s"} %d',
+       |                le.le, (SELECT count(*) FROM durs WHERE s <= le.b)) FROM le
+       |  UNION ALL
+       |  SELECT printf('graft_archive_blockTime_seconds_bucket{le="+Inf"} %d',
+       |                (SELECT count(*) FROM durs))
+       |  UNION ALL
+       |  SELECT printf('graft_archive_blockTime_seconds_count %d',
+       |                (SELECT count(*) FROM durs))
+       |  UNION ALL
+       |  SELECT printf('graft_archive_blockTime_milliseconds_sum %d',
+       |                (SELECT CAST(sum(round(s * 1000)) AS BIGINT) FROM durs)))
+       |SELECT line FROM lines ORDER BY line""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+    val items = e.groupBy(col("event_type").as("kind"),
+        when(col("user_id") % 2 === 0, lit("in")).otherwise(lit("out")).as("direction"))
+      .agg(count(lit(1)).as("items"),
+        sum(round(col("value")).cast("long")).as("bytes"))
+    val durations = e.select((col("value") / 100).as("seconds"))
+    graft.archive.Sinks.prometheusLines(items, durations).orderBy("line")
+  }
+
   val ops: Seq[Op] = Seq(scanAvro, sinkAvroFs, sinkAvroS3, compress,
-    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc, verifyFullRoundtrip)
+    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc, verifyFullRoundtrip,
+    sinkMetricsProm)
 }
