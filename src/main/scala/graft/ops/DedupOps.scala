@@ -125,6 +125,50 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Embedding near-dups WITHOUT a label blocking key: LSH sign-projection
+    * buckets (one integer-exact bucket per vector) block the pair space,
+    * exact cosine verifies inside buckets. The label-blocked variant
+    * (dedup-embedding-cosine) needs a trusted partition column; this is
+    * the shape that survives when there isn't one — candidates are
+    * bucket-mates only, and the bucket is a join key (co-located at
+    * scale), never an all-pairs cross.
+    */
+  val dedupEmbeddingLsh: Op = Op.sql(
+    "dedup-embedding-lsh",
+    """WITH iv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, j,
+      |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+      |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+      |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+      |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+      |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+      |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+      |pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |         round(list_dot_product(a.v, b.v) /
+      |               (sqrt(list_dot_product(a.v, a.v)) *
+      |                sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT d1, d2, sim FROM pairs WHERE sim >= 0.35
+      |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        graft.sim.Similarity.lshBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = e.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", graft.sim.Similarity.cosine(col("e1"), col("e2")))
+      .filter(col("sim") >= 0.35)
+      .select("d1", "d2", "sim")
+      .orderBy("d1", "d2")
+  }
+
   /** Connected components over the embedding near-dup pair graph: every
     * vector gets a cluster id = min reachable vec_id (the canonical
     * representative a pipeline keeps). Distributed min-label propagation,
@@ -159,5 +203,5 @@ object DedupOps {
   }
 
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
-    dedupSimhash, dedupEmbeddingCosine, dedupCluster)
+    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster)
 }
