@@ -89,6 +89,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusSide.nonEmpty)
   }
 
+  test("dedup-embedding-lsh joins on the bucket, never a cartesian") {
+    val p = plan("dedup-embedding-lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text-pack-sequences windows per shard, never globally") {
+    val p = plan("text-pack-sequences")
+    // the running token sum must exchange on the shard key — an empty
+    // partition spec here would funnel the corpus through one task
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("q1_agg partial-aggregates before the exchange") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum"), p)
