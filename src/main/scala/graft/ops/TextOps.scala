@@ -154,6 +154,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any 5-word
+    * shingle with the benchmark set (here: doc_id < 50 plays the held-out
+    * benchmark), with the shared-shingle count per flagged doc — the
+    * classic n-gram-overlap contamination check run before training. The
+    * benchmark side is tiny by nature → its distinct shingle set
+    * BROADCASTS and the corpus never shuffles; at 100 TB this is one
+    * map-side semi-join pass over the corpus shingles.
+    */
+  val textContamination: Op = Op.sql(
+    "text-contamination",
+    """WITH sh5 AS (
+      |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+4], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+      |       (SELECT unnest(generate_series(1, 1000)) AS i) g
+      |  WHERE i <= greatest(1, len(ws) - 4)),
+      |bench AS (SELECT DISTINCT s FROM sh5 WHERE id < 50)
+      |SELECT id AS doc_id, count(*) AS n_shared
+      |FROM sh5 JOIN bench USING (s)
+      |WHERE id >= 50
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("s"))
+    val bench = sh5(docs.filter(col("doc_id") < 50)).select("s").distinct()
+    sh5(docs.filter(col("doc_id") >= 50))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textNormalize, textPackSequences, textSampleStratified)
+    textNormalize, textPackSequences, textSampleStratified, textContamination)
 }
