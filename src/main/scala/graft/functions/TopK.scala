@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * the shuffle over `salts × keys` partitions; phase 2 takes the final
   * top-k per key over at most k·salts survivors. A row in the global top-k
   * is necessarily in the top-k of its own salt bucket, so the result is
-  * exact. Phase 2's exchange does key on the group alone, but its input is
-  * ≤ k·salts rows per group — bounded by configuration, not data size.
+  * exact. Phase 2's exchange does key on the group columns alone, but its
+  * input is ≤ k·salts rows per group — bounded by configuration, not data
+  * size.
   */
 object TopK {
 
