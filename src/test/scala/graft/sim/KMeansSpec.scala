@@ -57,6 +57,21 @@ class KMeansSpec extends SparkSpec {
     assert(ivf === brute) // separable clusters → nprobe=1 already exact
   }
 
+  test("int8 quantization: zero vectors yield zero codes and scale 0") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, Array(0.0f, 0.0f, 0.0f)), (1L, Array(1.27f, -1.27f, 0.635f)))
+      .toDF("vec_id", "embedding")
+    val (codes, scale) = Similarity.quantizeInt8(col("embedding"))
+    val got = df.select(col("vec_id"), codes.as("c"), scale.as("s"))
+      .orderBy("vec_id").collect()
+    assert(got(0).getSeq[Long](1) === Seq(0L, 0L, 0L))
+    assert(got(0).getDouble(2) === 0.0)
+    // 0.635f widens to 0.63499999…, so the code lands at 63, not 64 —
+    // float32 inputs quantize on their true widened values
+    assert(got(1).getSeq[Long](1) === Seq(127L, -127L, 63L))
+    assert(math.abs(got(1).getDouble(2) - 0.01) < 1e-9)
+  }
+
   test("a cluster that loses every member keeps its previous centroid") {
     // three identical vectors: init takes ids 0 and 1 (identical), every
     // point ties to centroid 0 — centroid 1 must survive untouched
