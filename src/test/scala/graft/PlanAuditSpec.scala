@@ -95,6 +95,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text-contamination broadcasts the benchmark shingles") {
+    val p = plan("text-contamination")
+    // the corpus side must stream against a broadcast of the (tiny)
+    // benchmark shingle set — a sort-merge join would shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text-pack-sequences windows per shard, never globally") {
     val p = plan("text-pack-sequences")
     // the running token sum must exchange on the shard key — an empty
