@@ -183,9 +183,22 @@ object SourceSinkOps {
       .select(col("o_orderkey").as("height")).as[Long]
       .mapPartitions { heights =>
         // Connector seam: one channel per partition, bounded in-flight
-        // requests (reference semaphores api=16). Offline: deterministic
-        // payload synthesis stands in for native_call.
-        heights.map(h => (h, s"blk-$h"))
+        // requests (reference semaphores api=16), every fetch wrapped in
+        // the reference's retry budget (exp 100ms×1.75 cap 2s, jittered,
+        // 10 attempts — graft.sources.Retry mirrors ethereum.rs:27-30).
+        // Offline: a deterministic flaky stand-in (every 1000th height
+        // fails once) exercises the retry path without changing output.
+        val delays = graft.sources.Retry.schedule()
+        var failedOnce = Set.empty[Long]
+        heights.map { h =>
+          graft.sources.Retry.withRetries(delays, sleep = _ => ()) { () =>
+            if (h % 1000 == 0 && !failedOnce(h)) {
+              failedOnce += h
+              throw new java.io.IOException(s"transient fetch error at $h")
+            }
+            (h, s"blk-$h")
+          }
+        }
       }
       .toDF("height", "payload")
       .orderBy("height")
