@@ -141,6 +141,37 @@ object AggOps {
       .orderBy("kind", "direction", "bucket")
   }
 
+  /** Exact interpolated latency quantiles (p50/p95/p99) per kind — the
+    * observability companion to the blockTime histogram (the reference
+    * exposes the histogram and lets Prometheus derive quantiles;
+    * metrics/archive.rs:13). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share linear-interpolation semantics, so the values
+    * hash-match at 6 dp. Exact percentile sorts per group — fine at
+    * per-kind cardinality; at 100 TB per-key grain switch to
+    * `approx_percentile` (documented switch, SURVEY §2.4 note).
+    */
+  val aggLatencyQuantiles: Op = Op.sql(
+    "agg-latency-quantiles",
+    """WITH g AS (SELECT event_type AS kind,
+      |                  quantile_cont(value, [0.5, 0.95, 0.99]) AS qs
+      |           FROM events GROUP BY 1)
+      |SELECT kind,
+      |       CASE i WHEN 1 THEN 'p50' WHEN 2 THEN 'p95' ELSE 'p99' END AS q,
+      |       round(qs[i], 6) AS v
+      |FROM g, (SELECT unnest(generate_series(1, 3)) AS i) t
+      |ORDER BY kind, q""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type").as("kind"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("qs"))
+      .select(col("kind"), posexplode(col("qs")).as(Seq("i", "qv")))
+      .select(col("kind"),
+        when(col("i") === 0, "p50").when(col("i") === 1, "p95")
+          .otherwise("p99").as("q"),
+        round(col("qv"), 6).as("v"))
+      .orderBy("kind", "q")
+  }
+
   /** Whole-chain verdict in ONE distributed aggregation — the typed
     * ChainSequenceAggregator (SURVEY.md §7 custom piece (b)): partitions
     * fold into verified segments, merges stitch boundaries; a break is any
@@ -191,5 +222,5 @@ object AggOps {
 
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
-    aggMetrics, aggChainVerify)
+    aggMetrics, aggLatencyQuantiles, aggChainVerify)
 }
