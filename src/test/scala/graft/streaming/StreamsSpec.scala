@@ -53,6 +53,34 @@ class StreamsSpec extends SparkSpec {
       FinalizedHeight(8L, "h8", backfilled = false)))
   }
 
+  test("finalizedFollower isolates per-chain state") {
+    // two chains interleave in one stream; gap-fill and dedup must act per
+    // chain key, never across (a leak would backfill the B range from A's
+    // last height or swallow B's first head as a duplicate)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Head](spark, 3)
+    val out = Streams.finalizedFollower(input.toDS(),
+      h => if (h.hash.startsWith("a")) "A" else "B")
+    val q = out.writeStream
+      .format("memory").queryName("fin_multi")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(Head(5L, "a5"), Head(100L, "b100"))
+    q.processAllAvailable()
+    input.addData(Head(7L, "a7"), Head(4L, "a4-dup"), Head(102L, "b102"))
+    q.processAllAvailable()
+    val rows = spark.table("fin_multi")
+      .orderBy("height").as[FinalizedHeight].collect().toSeq
+    q.stop()
+    assert(rows === Seq(
+      FinalizedHeight(5L, "a5", backfilled = false),
+      FinalizedHeight(6L, "", backfilled = true),
+      FinalizedHeight(7L, "a7", backfilled = false),
+      FinalizedHeight(100L, "b100", backfilled = false),
+      FinalizedHeight(101L, "", backfilled = true),
+      FinalizedHeight(102L, "b102", backfilled = false)))
+  }
+
   test("watermarked event-time window aggregation over a stream") {
     // the §2.4 agg-throughput semantics, live: tumbling event-time windows
     // with a watermark bounding state
