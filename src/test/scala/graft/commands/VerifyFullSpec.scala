@@ -322,6 +322,26 @@ class VerifyFullSpec extends SparkSpec {
     assert(filesLeft(dir).size === 3)
   }
 
+  test("audits the reference's own written tree read-only (golden interop)") {
+    // two reference-written range files under the L1 layout with a gap
+    // between them: the full pipeline must parse the names, keep the
+    // ranges as separate batches, content-check the real Bitcoin payloads
+    // (chain links, coverage, top hash) and find nothing to delete —
+    // dry-run, nothing in /root/reference is ever touched
+    val dir = "/root/reference/testdata/fullAvroFiles/btc"
+    val blocks = graft.sources.AvroArchiveSource.readArchive(spark, dir, "blocks")
+    val canonical = blocks.select(col("height"),
+      BitcoinAdapter.blockHash(
+        BitcoinAdapter.parseBlock(col("json").cast("string"))).as("hash"))
+    val r = VerifyFull.run(spark, dir, BitcoinAdapter, 723745L, 723759L, canonical,
+      VerifyFull.Options(checkTxes = false, dryRun = true))
+    assert(r.deleted.isEmpty, r.deleted)
+    val v = r.batches.orderBy("group_s").collect()
+    assert(v.map(x => (x.getAs[Long]("group_s"), x.getAs[Long]("group_e"))).toSeq ===
+      Seq((723745L, 723749L), (723755L, 723759L)))
+    assert(v.forall(_.getAs[Boolean]("blocks_ok")))
+  }
+
   test("an unreadable block container is doomed via coverage, not a crashed job") {
     // the reference treats an avro decode error as a failed batch, never a
     // crashed command — the lenient read turns garbage bytes into zero

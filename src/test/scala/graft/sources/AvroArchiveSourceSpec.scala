@@ -38,6 +38,32 @@ class AvroArchiveSourceSpec extends SparkSpec {
     assert(agg.getAs[Long]("mx") === 422L)
   }
 
+  test("Ethereum golden pair: hex adapter parses the real payload; txids reconcile") {
+    import graft.model.EthereumAdapter
+    val b = AvroArchiveSource.read(spark, s"$fixtures/ethereum/015437941.block.avro", "blocks")
+    val row = b.head()
+    assert(b.count() === 1L)
+    assert(row.getAs[Long]("height") === 15437941L)
+    assert(row.getAs[String]("blockchainType") === "ETHEREUM")
+    // the parsed payload's own hash/parent must equal the file metadata —
+    // the adapter reads the same fields the reference embedded
+    val p = b.select(col("blockId"), col("parentId"),
+      EthereumAdapter.parseBlock(col("json").cast("string")).as("p"))
+    val ids = p.select(col("blockId"), col("parentId"),
+      EthereumAdapter.blockHash(col("p")).as("h"),
+      EthereumAdapter.parentHash(col("p")).as("ph"),
+      EthereumAdapter.txIds(col("p")).as("txs")).head()
+    assert(ids.getString(2) === ids.getString(0))
+    assert(ids.getString(3) === ids.getString(1))
+    val declared = ids.getSeq[String](4).toSet
+    assert(declared.size === 23)
+    // the companion txes file holds exactly the declared transaction set —
+    // the verify command's reconciliation, on real production data
+    val t = AvroArchiveSource.read(spark, s"$fixtures/ethereum/015437941.txes.avro", "txes")
+    val archived = t.select("txid").collect().map(_.getString(0)).toSet
+    assert(archived === declared)
+  }
+
   test("decodes a range file and a glob of singles") {
     val range = AvroArchiveSource.read(
       spark, s"$fixtures/btc/000700000/range-000723745_000723749.blocks.avro", "blocks")
