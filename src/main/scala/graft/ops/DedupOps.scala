@@ -14,9 +14,9 @@ object DedupOps {
   private val ShingleOracle =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
-      |       (SELECT unnest(generate_series(1, 1000)) AS i) g
-      |  WHERE i <= greatest(1, len(ws) - 2)),
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
       |psh AS (SELECT sh.id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
       |sz AS (SELECT id, count(*) AS n FROM psh GROUP BY id),

@@ -59,8 +59,9 @@ object MultimodalOps {
     """SELECT doc_id,
       |       ascii(substr(text, i, 1)) // 16 AS feature,
       |       count(*) AS value
-      |FROM documents, (SELECT unnest(generate_series(1, 1000)) AS i) g
-      |WHERE i <= length(text)
+      |FROM (SELECT doc_id, text,
+      |             unnest(generate_series(1, length(text))) AS i
+      |      FROM documents)
       |GROUP BY doc_id, feature
       |ORDER BY doc_id, feature""".stripMargin
   ) { (s, d) =>

@@ -152,10 +152,13 @@ object SimOps {
       |                unnest(v) AS x FROM members),
       |sums AS (SELECT cid, dim, sum(CAST(round(x * 10000) AS BIGINT)) AS sv,
       |                count(*) AS n
-      |         FROM dims GROUP BY cid, dim)
-      |SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim,
-      |       round(sv / n / 10000.0, 6) AS v
-      |FROM sums ORDER BY cid, dim""".stripMargin
+      |         FROM dims GROUP BY cid, dim),
+      |initdims AS (SELECT cid, unnest(generate_series(0, len(cv) - 1)) AS dim,
+      |                    unnest(cv) AS cx FROM init)
+      |SELECT CAST(i.cid AS BIGINT) AS cid, CAST(i.dim AS BIGINT) AS dim,
+      |       coalesce(round(s.sv / s.n / 10000.0, 6), i.cx) AS v
+      |FROM initdims i LEFT JOIN sums s ON s.cid = i.cid AND s.dim = i.dim
+      |ORDER BY cid, dim""".stripMargin
   ) { (s, d) =>
     graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
       .select(col("vec_id").as("cid"), posexplode(col("embedding")))

@@ -166,9 +166,9 @@ object TextOps {
     "text-contamination",
     """WITH sh5 AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+4], ' ') AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
-      |       (SELECT unnest(generate_series(1, 1000)) AS i) g
-      |  WHERE i <= greatest(1, len(ws) - 4)),
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
       |bench AS (SELECT DISTINCT s FROM sh5 WHERE id < 50)
       |SELECT id AS doc_id, count(*) AS n_shared
       |FROM sh5 JOIN bench USING (s)

@@ -27,12 +27,21 @@ import org.apache.spark.util.SerializableConfiguration
   * the output path's scheme — local paths, HDFS and object stores (the
   * reference's S3 backend, src/storage/objects.rs:170-330) take the same
   * code path. The never-overwrite protocol is: write the container to a
-  * hidden temp object, then atomically claim the final name
+  * hidden temp object, then claim the final name
   * (`create(target, overwrite=false)` IS the claim on HDFS — the namenode
   * serializes it; on `file://` the claim drops to a java.nio O_EXCL create
   * because Hadoop's local create is check-then-act), then swap the claimed
-  * marker for the data via rename. A crashed task can only ever leave a
-  * hidden temp orphan, never a partial file under a final name.
+  * marker for the data in ONE atomic rename. A crashed task can only ever
+  * leave a hidden temp orphan, never a partial file under a final name.
+  *
+  * Atomicity caveat, scoped honestly: the claim is atomic on HDFS and
+  * `file://` only. On S3A, `create(overwrite=false)` is itself
+  * check-then-act (a HEAD then PUT), so concurrent writers of the SAME
+  * target can both "win" — last PUT wins, same best-effort semantics as
+  * the reference's own S3 backend, whose never-overwrite is also a
+  * list-then-put (objects.rs:112-167,170-230). Callers that need a hard
+  * guarantee on object stores must fence at the job level (the archive
+  * commands already do: one task owns one chunk by partitioning).
   */
 object AvroArchiveSink {
 
@@ -73,9 +82,10 @@ object AvroArchiveSink {
     case other     => throw new IllegalArgumentException(s"codec: $other")
   }
 
-  /** Atomically claim a target path. On HDFS/object stores
-    * `create(overwrite = false)` is the atomic claim (the reference's S3
-    * backend relies on the same create-if-absent, objects.rs:170-230); on
+  /** Claim a target path. On HDFS `create(overwrite = false)` is the
+    * atomic claim; on object stores it is best-effort check-then-act (see
+    * the class scaladoc caveat — the reference's S3 backend has the same
+    * semantics, objects.rs:170-230); on
     * `file://` Hadoop's local create is a non-atomic check-then-act, so
     * the claim drops to java.nio's O_EXCL create. Returns false when the
     * target already exists (the reference's never-overwrite skip,
@@ -92,15 +102,25 @@ object AvroArchiveSink {
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     }
 
-  /** Swap a successfully-claimed marker for the written temp container.
-    * Only the claim winner ever reaches this, so the delete+rename pair
-    * cannot race another writer of the same target.
+  /** Swap a successfully-claimed marker for the written temp container in
+    * ONE atomic rename — never delete-then-rename, which would reopen the
+    * claim window (a speculative/retried task could re-claim the name
+    * between the two calls and both writers would commit). On `file://`
+    * that is java.nio's ATOMIC_MOVE (rename(2) replaces the marker
+    * atomically); elsewhere it is `FileContext.rename(OVERWRITE)`, which
+    * HDFS serializes in the namenode.
     */
-  private def commitClaimed(fs: FileSystem, tmp: Path, target: Path): Unit = {
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-  }
+  private def commitClaimed(fs: FileSystem, tmp: Path, target: Path): Unit =
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 
   private def tmpPath(outDir: String): Path =
     new Path(outDir, s".graft-tmp-${UUID.randomUUID()}")
