@@ -30,7 +30,11 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val ordered = SparkEntry.allOps.map(_.id)
+    // Optional args = op ids to time (local profiling); the driver passes
+    // none and gets the full registry.
+    val ordered =
+      if (args.nonEmpty) SparkEntry.allOps.map(_.id).filter(args.toSet)
+      else SparkEntry.allOps.map(_.id)
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
