@@ -200,6 +200,130 @@ object SimOps {
       .orderBy("vec_id", "dim")
   }
 
+  /** Recall@3 of BOTH approximate indexes (LSH buckets and IVF lists)
+    * against the exact brute-force top-3, per query and per method — the
+    * accuracy evaluation run before deploying any approximate index, and
+    * the measurement behind "IVF is the scale path where LSH recall
+    * disappoints" (on this corpus: LSH ≈ 0, IVF ≈ 0.5). All three inputs
+    * are top-k tables (query-set-sized), so the evaluation itself is free
+    * at any corpus scale ([[graft.sim.Similarity.annRecall]]).
+    */
+  val simAnnRecall: Op = Op.sql(
+    "sim-ann-recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |a3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM withb q JOIN withb c ON q.bucket = c.bucket
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id AS n_id, c.v AS nv, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |lists AS (SELECT n_id, nv, cid FROM asgn WHERE rn = 1),
+       |prb AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, cc.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+       |                          (sqrt(list_dot_product(q.v, q.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e q, cents cc WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, qv, cid FROM prb WHERE rn <= 2),
+       |i3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT p.q_id, l.n_id,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY round(list_dot_product(p.qv, l.nv) /
+       |                            (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                             sqrt(list_dot_product(l.nv, l.nv))), 6) DESC,
+       |                      l.n_id) AS rn
+       |    FROM probes p JOIN lists l USING (cid)) t
+       |  WHERE rn <= 3),
+       |keff AS (SELECT q_id, count(*) AS k_eff FROM x3 GROUP BY q_id),
+       |lh AS (SELECT x3.q_id, count(*) AS n_hits FROM x3
+       |       JOIN a3 ON x3.q_id = a3.q_id AND x3.n_id = a3.n_id GROUP BY x3.q_id),
+       |ih AS (SELECT x3.q_id, count(*) AS n_hits FROM x3
+       |       JOIN i3 ON x3.q_id = i3.q_id AND x3.n_id = i3.n_id GROUP BY x3.q_id)
+       |SELECT method, q_id, n_hits, recall FROM (
+       |  SELECT 'lsh' AS method, k.q_id,
+       |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |         round(coalesce(h.n_hits, 0) * 1.0 / k.k_eff, 6) AS recall
+       |  FROM keff k LEFT JOIN lh h USING (q_id)
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, k.q_id,
+       |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |         round(coalesce(h.n_hits, 0) * 1.0 / k.k_eff, 6) AS recall
+       |  FROM keff k LEFT JOIN ih h USING (q_id)) u
+       |ORDER BY method, q_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val cents = e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))
+    val exact = Similarity.bruteForceTopK(q, c, k = 3)
+    val lsh = Similarity.annRecall(exact, Similarity.annTopK(q, c, k = 3))
+      .select(lit("lsh").as("method"), col("q_id"), col("n_hits"), col("recall"))
+    val ivf = Similarity.annRecall(exact, Similarity.ivfTopK(q, c, cents, k = 3, nprobe = 2))
+      .select(lit("ivf").as("method"), col("q_id"), col("n_hits"), col("recall"))
+    lsh.union(ivf).orderBy("method", "q_id")
+  }
+
+  /** Per-vector embedding health stats: dimensionality, L2 norm, element
+    * range, unit-norm flag — the sanity pass a pipeline runs on an
+    * embedding column before trusting cosine math downstream. Pure per-row
+    * projection over codegen dot products; zero shuffle.
+    */
+  val simEmbedStats: Op = Op.sql(
+    "sim-embed-stats",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id, len(v) AS dims,
+      |       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+      |       round(list_min(v), 6) AS min_x,
+      |       round(list_max(v), 6) AS max_x,
+      |       (abs(round(sqrt(list_dot_product(v, v)), 6) - 1.0) < 0.001) AS is_unit
+      |FROM e ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val v = col("embedding").cast("array<double>")
+    val l2 = round(Similarity.norm(v), 6)
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dims"),
+      l2.as("l2_norm"),
+      round(array_min(v), 6).as("min_x"),
+      round(array_max(v), 6).as("max_x"),
+      (abs(l2 - 1.0) < 0.001).as("is_unit"))
+      .orderBy("vec_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
-    simQuantizeInt8)
+    simQuantizeInt8, simAnnRecall, simEmbedStats)
 }

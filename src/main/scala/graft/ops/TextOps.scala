@@ -187,6 +187,102 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction: count and mask emails, phone numbers and
+    * IPv4 addresses. The fixture text carries none, so each document gets a
+    * DETERMINISTIC synthetic PII suffix derived from its id (same
+    * construction on both sides) — the op then proves the patterns hit.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset so Spark and
+    * the oracle tokenize identically. Pure per-row projection — the scale
+    * shape of every scrubbing pass.
+    */
+  val textPiiScrub: Op = Op.sql(
+    "text-pii-scrub",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@mail.example.com or +1 555-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |         ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS pii
+      |  FROM documents)
+      |SELECT doc_id,
+      |       len(regexp_extract_all(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_email,
+      |       len(regexp_extract_all(pii, '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}')) AS n_phone,
+      |       len(regexp_extract_all(pii, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(pii,
+      |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+      |             '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrub_hash
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phonePat = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(pii,
+      emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(pii, lit(emailPat)).cast("long").as("n_email"),
+      regexp_count(pii, lit(phonePat)).cast("long").as("n_phone"),
+      regexp_count(pii, lit(ipPat)).cast("long").as("n_ip"),
+      md5(scrubbed).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary statistics (the Zipf report): global top-100 tokens
+    * by occurrence count with document frequency. The groupBy's map-side
+    * combine absorbs token skew ("the" at billions of rows never lands raw
+    * in one task) and the top-100 is a TakeOrdered over the
+    * vocabulary-sized count table — no global sort of token rows.
+    */
+  val textTokenHistogram: Op = Op.sql(
+    "text-token-histogram",
+    """SELECT w AS token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+  }
+
+  /** The data-mix report: per (source, language) document count, token
+    * volume, mean document length and corpus share — the table a training
+    * run's mixing weights are negotiated over. Group count is
+    * source×language-sized (tiny), and the corpus total broadcasts.
+    */
+  val textCorpusStats: Op = Op.sql(
+    "text-corpus-stats",
+    """WITH s AS (SELECT source, lang, count(*) AS n_docs,
+      |                  sum(len(string_split(text, ' '))) AS n_tokens,
+      |                  round(avg(length(text)), 4) AS mean_chars
+      |           FROM documents GROUP BY source, lang),
+      |t AS (SELECT count(*) AS total FROM documents)
+      |SELECT source, lang, n_docs, n_tokens, mean_chars,
+      |       round(n_docs * 1.0 / total, 6) AS share
+      |FROM s, t ORDER BY source, lang""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+      round(avg(length(col("text"))), 4).as("mean_chars"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    stats.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("mean_chars"),
+        round(col("n_docs").cast("double") / col("total"), 6).as("share"))
+      .orderBy("source", "lang")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textNormalize, textPackSequences, textSampleStratified, textContamination)
+    textNormalize, textPackSequences, textSampleStratified, textContamination,
+    textPiiScrub, textTokenHistogram, textCorpusStats)
 }

@@ -152,6 +152,28 @@ object Similarity {
     (codes, scale)
   }
 
+  /** Recall@k of an ANN result against the exact top-k: per-query hit
+    * count and recall fraction — the evaluation loop every ANN deployment
+    * runs before trading exactness for speed.
+    *
+    * Scale shape: both inputs are top-k tables (≤ k rows per query — query-
+    * set-sized, not corpus-sized), so every join/aggregate here is tiny no
+    * matter the corpus; the expensive parts are the upstream searches.
+    * Queries the ANN missed entirely still report (left join + zero fill),
+    * and recall divides by the EFFECTIVE exact k (a query with < k true
+    * neighbors is not penalized for the shortfall).
+    */
+  def annRecall(exact: DataFrame, ann: DataFrame): DataFrame = {
+    val hits = exact.select("q_id", "n_id")
+      .join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eff"), 6).as("recall"))
+  }
+
   /** Near-duplicate embedding pairs within a blocking key (label):
     * all-pairs inside blocks only, threshold on rounded cosine.
     */
