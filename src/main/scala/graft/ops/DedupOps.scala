@@ -202,6 +202,61 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** The keep/drop decision itself: near-dup clusters (minhash pairs at
+    * j ≥ 0.8 → connected components over the documents table) reduced to
+    * one representative per multi-member cluster — keep the LONGEST
+    * member, ties to the lowest doc_id. This is the step that actually
+    * shrinks a training corpus; everything upstream only finds the pairs.
+    *
+    * Representative selection is a groupBy `max(struct(len, -id))` — an
+    * associative aggregate with map-side combine, NOT a window partitioned
+    * by cluster: a boilerplate cluster with millions of members would
+    * funnel a cluster-keyed window, while struct-max partials merge
+    * anywhere. Output is dup clusters only (singletons pass through a
+    * real pipeline untouched and would dominate the output for no
+    * information).
+    */
+  val dedupClusterRep: Op = Op.sql(
+    "dedup-cluster-rep",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src),
+       |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len
+       |          FROM cl JOIN documents d ON d.doc_id = cl.id),
+       |reps AS (SELECT cluster, id, len,
+       |                row_number() OVER (PARTITION BY cluster
+       |                                   ORDER BY len DESC, id) AS rn
+       |         FROM sized),
+       |ns AS (SELECT cluster, count(*) AS n_members FROM sized GROUP BY cluster)
+       |SELECT ns.cluster, r.id AS keep_id, r.len AS keep_len, ns.n_members
+       |FROM ns JOIN reps r ON r.cluster = ns.cluster AND r.rn = 1
+       |WHERE ns.n_members > 1
+       |ORDER BY ns.cluster""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(
+      Dedup.shingleSets(docs, "doc_id", "text"), threshold = 0.8)
+    val clusters = graft.dedup.Clusters.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs.select("d1", "d2"))
+    clusters
+      .join(docs.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("id")).as("nid"))).as("m"))
+      .filter(col("n_members") > 1)
+      .select(col("cluster"), (-col("m.nid")).as("keep_id"),
+        col("m.len").as("keep_len"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
-    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster)
+    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
+    dedupClusterRep)
 }

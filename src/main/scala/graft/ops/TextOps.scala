@@ -282,7 +282,54 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Perplexity-proxy quality scoring: a unigram LM is fit on the corpus
+    * itself (p(w) = cnt/total) and every document is scored by its mean
+    * token log-probability — the classic "how surprising is this document
+    * under the corpus distribution" filter (low mean-logp ≈ rare-token
+    * soup, candidates for dropping). Two passes over the token stream:
+    * fit (one groupBy with map-side combine) and score.
+    *
+    * Engine-parity: per-token log-probs are snapped to integer micro-nats
+    * (round(lp·1e6)) BEFORE the per-document sum, so the aggregate is an
+    * exact integer total in any summation order — the same trick as
+    * sim-kmeans-centroids' integer-scaled element sums; a double sum's
+    * partial-merge order would differ between Spark partials and the
+    * oracle. The vocabulary broadcasts (unigram vocab is O(10M) rows at
+    * worst); were it ever broadcast-hostile, the plain join's hot-token
+    * skew is AQE-split territory.
+    */
+  val textUnigramLogprob: Op = Op.sql(
+    "text-unigram-logprob",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+      |t AS (SELECT count(*) AS tot FROM toks),
+      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+      |       FROM v, t),
+      |d AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n
+      |      FROM toks JOIN lm USING (w) GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens,
+      |       round(slp / n / 1000000.0, 6) AS mean_logp,
+      |       round(exp(-round(slp / n / 1000000.0, 6)), 4) AS ppl_proxy
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val lm = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round((log(col("cnt")) - log(col("tot"))) * 1000000).cast("long").as("lp"))
+    val meanLogp = round(col("slp") / col("n") / 1000000.0, 6)
+    toks.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum("lp").as("slp"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        meanLogp.as("mean_logp"),
+        round(exp(-meanLogp), 4).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
-    textPiiScrub, textTokenHistogram, textCorpusStats)
+    textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob)
 }

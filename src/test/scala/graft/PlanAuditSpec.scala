@@ -120,4 +120,35 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("delete-files")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("sim-embed-stats is a pure projection — zero exchanges") {
+    val p = plan("sim-embed-stats")
+    // per-row health stats must never shuffle the embedding table; the
+    // only allowed exchange is the output-ordering sort's range partition
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("text-token-histogram partial-aggregates and takes ordered top-k") {
+    val p = plan("text-token-histogram")
+    // a viral token's rows must combine map-side, and the top-100 must be
+    // TakeOrdered over the count table — never a global row sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text-corpus-stats broadcasts the corpus total") {
+    val p = plan("text-corpus-stats")
+    // the 1-row total must broadcast into the share projection — a
+    // sort-merge join against a 1-row side would shuffle the stats table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim-ann-recall evaluates over salted exact top-k, no cartesian") {
+    val p = plan("sim-ann-recall")
+    // the exact side must keep the salted two-phase shape; the recall
+    // joins run over top-k tables only
+    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

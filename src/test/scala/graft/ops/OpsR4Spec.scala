@@ -54,6 +54,28 @@ class OpsR4Spec extends SparkSpec {
     assert(cnts === cnts.sorted.reverse, "descending by cnt")
   }
 
+  test("dedup-cluster-rep: representative is a member, clusters are dup-only") {
+    val reps = DedupOps.dedupClusterRep.build(spark, sf()).collect()
+    assert(reps.nonEmpty, "fixture contains near-dup clusters")
+    reps.foreach { r =>
+      val (cluster, keepId, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(n >= 2, "dup clusters only")
+      assert(keepId >= cluster, "cluster label is the min member id")
+    }
+    assert(reps.map(_.getLong(0)).distinct.length === reps.length, "one rep per cluster")
+  }
+
+  test("text-unigram-logprob: mean_logp negative, ppl consistent") {
+    val r = SimOpsFixtures.textOp("text-unigram-logprob", spark, sf()).collect()
+    assert(r.length === 500)
+    r.foreach { row =>
+      val (lp, ppl) = (row.getDouble(2), row.getDouble(3))
+      assert(lp < 0.0, "log-prob of a non-certain token is negative")
+      assert(math.abs(ppl - math.rint(math.exp(-lp) * 1e4) / 1e4) < 1e-9,
+        "ppl_proxy = exp(-mean_logp) rounded")
+    }
+  }
+
   test("text-corpus-stats: shares sum to 1 over the whole corpus") {
     val r = SimOpsFixtures.textOp("text-corpus-stats", spark, sf()).collect()
     val shareSum = r.map(_.getDouble(5)).sum
