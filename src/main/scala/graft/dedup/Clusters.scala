@@ -30,9 +30,15 @@ object Clusters {
       nodes: DataFrame, // (id)
       edges: DataFrame, // (d1, d2)
       maxIter: Int = 20): DataFrame = {
+    // Both directions explode from ONE pass over the pair rows — a union
+    // of two selects evaluates the (possibly expensive) pair subtree
+    // twice on cache fill; with minhash upstream that doubled the whole
+    // op (measured 13.3 s → 8.1 s at sf0.1 for dedup-cluster-rep).
     val bidir = edges
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // localCheckpoint (not cache) each round: an iterative join's lineage
     // otherwise compounds and the optimizer re-plans the whole history

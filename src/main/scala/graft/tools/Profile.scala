@@ -54,6 +54,49 @@ object Profile {
       time("candidates-join")(Dedup.lshCandidates(Dedup.minhashSignatures(sh, 32), 32, 2).count())
       time("candidates-pairs")(lshCandidatesPairs(Dedup.minhashSignatures(sh, 32), 32, 2).count())
       time("full")(Dedup.minhashNearDups(sh, 0.8).count())
+      val pairs = Dedup.minhashNearDups(sh, 0.8).select("d1", "d2")
+      time("cc-on-pairs")(graft.dedup.Clusters.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs).count())
+      val cachedPairs = pairs.cache()
+      cachedPairs.count()
+      time("cc-cached-pairs")(graft.dedup.Clusters.connectedComponents(
+        docs.select(col("doc_id").as("id")), cachedPairs).count())
+      cachedPairs.unpersist()
+      time("cluster-rep-op")(
+        graft.ops.DedupOps.dedupClusterRep.build(spark, sfDir).count())
+      // inline CC with per-round timing over the minhash pair subtree
+      locally {
+        val edges = Dedup.minhashNearDups(sh, 0.8).select("d1", "d2")
+        val bidir = edges
+          .select(explode(array(
+            struct(col("d1").as("src"), col("d2").as("dst")),
+            struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .cache()
+        time("cc-bidir-fill")(bidir.count())
+        var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+          .localCheckpoint()
+        var sig = labels.agg(sum("lbl")).head().getLong(0)
+        var it = 0
+        var converged = false
+        while (!converged && it < 20) {
+          time(s"cc-round-$it") {
+            val nbrMin = bidir.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+              .groupBy(col("dst").as("id"))
+              .agg(min("lbl").as("nlbl"))
+            labels = labels.join(nbrMin, Seq("id"), "left")
+              .select(col("id"),
+                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+              .localCheckpoint()
+            val newSig = labels.agg(sum("lbl")).head().getLong(0)
+            converged = newSig == sig
+            sig = newSig
+            it += 1
+            labels.count()
+          }
+        }
+        bidir.unpersist()
+      }
     }
     spark.stop()
   }
