@@ -324,6 +324,53 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization ANN (ADC): 4 subspaces of 16 dims, per-subspace
+    * codebooks = the subvector slices of vec_ids 10/20/30/40 (the pluggable
+    * stand-in for per-subspace k-means output), corpus encoded as 4 small
+    * codes, queries score by summed distance-table lookups, top-3 per
+    * query. Completes the ANN tier ladder (brute-force → LSH → IVF → PQ):
+    * PQ is the memory-bound regime's answer — codes are 4 bytes/vector
+    * here vs 256 for the raw floats ([[graft.sim.Similarity.pqTopK]]).
+    */
+  val simPqAnn: Op = Op.sql(
+    "sim-pq-ann",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |       FROM e WHERE vec_id IN (10,20,30,40)),
+      |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+      |subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+      |csubs AS (SELECT cid, m, cv[m*16+1 : m*16+16] AS csv FROM cb, ms),
+      |asgn AS (
+      |  SELECT s.vec_id, s.m, c.cid,
+      |         row_number() OVER (PARTITION BY s.vec_id, s.m
+      |           ORDER BY round(list_dot_product(s.sv, c.csv), 6) DESC, c.cid) AS rn
+      |  FROM subs s JOIN csubs c USING (m) WHERE s.vec_id >= 10),
+      |codes AS (SELECT vec_id AS n_id, m, cid FROM asgn WHERE rn = 1),
+      |qdt AS (
+      |  SELECT s.vec_id AS q_id, s.m, c.cid,
+      |         round(list_dot_product(s.sv, c.csv), 6) AS d
+      |  FROM subs s JOIN csubs c USING (m) WHERE s.vec_id < 10),
+      |approx AS (
+      |  SELECT q.q_id, codes.n_id, round(sum(q.d), 6) AS approx_sim
+      |  FROM codes JOIN qdt q ON q.m = codes.m AND q.cid = codes.cid
+      |  GROUP BY q.q_id, codes.n_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, approx_sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY approx_sim DESC, n_id) AS rn
+      |  FROM approx)
+      |SELECT q_id, n_id, approx_sim FROM ranked WHERE rn <= 3
+      |ORDER BY q_id, approx_sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.pqTopK(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L)),
+      k = 3, m = 4)
+      .orderBy(col("q_id"), col("approx_sim").desc, col("n_id"))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
-    simQuantizeInt8, simAnnRecall, simEmbedStats)
+    simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn)
 }

@@ -130,6 +130,65 @@ object Similarity {
       .select("q_id", "n_id", "sim")
   }
 
+  /** Product-quantization ANN (asymmetric distance computation): the
+    * embedding is split into `m` equal-width subspaces; each corpus
+    * subvector is ENCODED as the id of its nearest per-subspace centroid
+    * (nearest by rounded dot, ties to the lowest id), and a query scores a
+    * corpus vector as the sum of its per-subspace (query-subvector ·
+    * centroid) table lookups — the classic PQ/ADC trade: store m small
+    * codes instead of the vector, score with m table lookups instead of a
+    * full dot product.
+    *
+    * Scale shape mirrors [[ivfTopK]]: the codebook is config-sized, so it
+    * collects once and both the corpus ENCODING and the query DISTANCE
+    * TABLES are pure projections over centroid literals — the corpus
+    * never shuffles for either. Scoring is a broadcast of the (tiny)
+    * query table set against the coded corpus, and the final top-k runs
+    * the salted two-phase [[graft.functions.TopK]] so no task ever holds
+    * one query's full scored corpus. Codebook choice is pluggable
+    * (per-subspace k-means upstream); any deterministic vector set works
+    * — here whole vectors whose subvector slices act as the per-subspace
+    * centroids.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      k: Int, m: Int = 4): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = codebook
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val dims = cents.head._2.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val sub = dims / m
+    def subvec(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * sub, (s + 1) * sub)
+    def sliceCol(c: Column, s: Int): Column =
+      slice(c.cast("array<double>"), s * sub + 1, sub)
+    def subDot(c: Column, s: Int, j: Int): Column =
+      round(dot(sliceCol(c, s), typedLit(subvec(cents(j)._2, s))), 6)
+    // code per subspace: lexicographic max of (dot, -j) structs — highest
+    // rounded dot, ties to the lowest centroid id; a projection, no joins
+    def codeCol(c: Column, s: Int): Column = {
+      val structs = cents.indices.map(j =>
+        struct(subDot(c, s, j).as("d"), lit(-j.toLong).as("nj")))
+      -greatest(structs: _*).getField("nj")
+    }
+    val coded = corpus.select(
+      col("vec_id").as("n_id") +:
+        (0 until m).map(s => codeCol(col("embedding"), s).as(s"c$s")): _*)
+    val qdt = queries.select(
+      col("vec_id").as("q_id") +:
+        (0 until m).map { s =>
+          array(cents.indices.map(j => subDot(col("embedding"), s, j)): _*).as(s"dt$s")
+        }: _*)
+    val approx = (0 until m)
+      .map(s => element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1))
+      .reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(qdt))
+      .select(col("q_id"), col("n_id"), round(approx, 6).as("approx_sim"))
+    graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
+      Seq(col("approx_sim").desc, col("n_id").asc), k)
+  }
+
   /** Symmetric int8 scalar quantization for ANN storage: per-vector scale
     * `s = max(|v|)/127`, codes `round(v/s)` clipped to [-127, 127] — a 4×
     * memory cut for candidate filtering, with the scale kept alongside for

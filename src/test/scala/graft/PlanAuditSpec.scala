@@ -144,6 +144,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sim-pq-ann encodes by projection and top-ks with salt") {
+    val p = plan("sim-pq-ann")
+    // encoding + distance tables are projections over codebook literals —
+    // the corpus must never sort-merge; the only join is the broadcast of
+    // the tiny query table set, and the top-k must be the salted two-phase
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("hashpartitioning(_salt"), p)
+  }
+
   test("sim-ann-recall evaluates over salted exact top-k, no cartesian") {
     val p = plan("sim-ann-recall")
     // the exact side must keep the salted two-phase shape; the recall

@@ -76,6 +76,19 @@ class OpsR4Spec extends SparkSpec {
     }
   }
 
+  test("sim-pq-ann: 3 hits per query, deterministic, ranked within query") {
+    val r1 = SimOps.simPqAnn.build(spark, sf()).collect()
+    val r2 = SimOps.simPqAnn.build(spark, sf()).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq, "reproducible")
+    val byQ = r1.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 3)
+      val sims = rows.map(_.getDouble(2)).toSeq
+      assert(sims === sims.sorted.reverse, "descending approx_sim per query")
+    }
+  }
+
   test("text-corpus-stats: shares sum to 1 over the whole corpus") {
     val r = SimOpsFixtures.textOp("text-corpus-stats", spark, sf()).collect()
     val shareSum = r.map(_.getDouble(5)).sum
