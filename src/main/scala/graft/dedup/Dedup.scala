@@ -172,7 +172,11 @@ object Dedup {
     * at all. Wider fingerprints fall back to a shuffle join where AQE's
     * skew-join splitting handles hot fingerprints.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String,
+  /** Per-document simhash fingerprints only (no group sizing) — the
+    * building block shared by [[simhash]] and the composed preprocess
+    * pipeline. Output: id, simhash.
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 20): DataFrame = {
     val words = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("w"))
@@ -182,10 +186,15 @@ object Dedup {
       .withColumn("bit", floor(col("h") / pow(lit(2), col("j"))).cast("long") % 2)
       .withColumn("vote", col("bit") * 2 - 1)
       .groupBy("id", "j").agg(sum("vote").as("v"))
-    val fp = votes
+    votes
       .withColumn("bitval",
         when(col("v") > 0, floor(pow(lit(2), col("j"))).cast("long")).otherwise(lit(0L)))
       .groupBy("id").agg(sum("bitval").as("simhash"))
+  }
+
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 20): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol, bits)
     val counts = fp.groupBy("simhash").agg(count(lit(1)).as("n_same"))
     val sized = if (bits <= 24) broadcast(counts) else counts
     fp.join(sized, Seq("simhash")).select("id", "simhash", "n_same")

@@ -64,6 +64,23 @@ object Multimodal {
       scaled(col("width")).as("out_w"), scaled(col("height")).as("out_h"))
   }
 
+  /** dHash-style perceptual fingerprint: 48 gradient-sign bits from 49
+    * evenly sampled bytes of the payload (stand-in for the downscaled
+    * grayscale row a real dHash compares). One codegen'd `aggregate` over
+    * a literal offset sequence — a zero-shuffle per-row projection; all
+    * arithmetic integer-exact (2^i via exact double pow, i ≤ 47).
+    */
+  def phash(text: org.apache.spark.sql.Column, bits: Int = 48): org.apache.spark.sql.Column = {
+    val nm1 = (length(text) - 1).cast("long")
+    def byteAt(i: org.apache.spark.sql.Column) = ascii(text.substr(
+      (floor((i.cast("long") * nm1) / lit(bits)) + 1).cast("int"), lit(1)))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => acc + when(byteAt(i) < byteAt(i + 1),
+        pow(lit(2), i).cast("long")).otherwise(lit(0L)))
+  }
+
   /** Frame sampling plan for a "video" payload: byte offsets of `nFrames`
     * evenly spaced sample points — pure column arithmetic, explodes into a
     * distributed (doc, frame) table the decoder consumes.

@@ -91,5 +91,57 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub)
+  /** Perceptual-hash near-dup detection over binary payloads: a dHash-style
+    * 48-bit fingerprint from 49 evenly sampled bytes (bit i = sampled
+    * byte i < byte i+1 — the gradient-sign hash real image dHash computes
+    * over downscaled pixels; byte sampling stands in for the decode stub),
+    * then 4×12-bit band blocking (same LSH-banding shape as dedup-simhash)
+    * and an exact Hamming-distance ≤ 6 verify inside candidate pairs.
+    *
+    * Scale shape: the fingerprint is a zero-shuffle per-row projection
+    * (one codegen'd aggregate over a literal offset sequence — no
+    * explode/groupBy per doc); candidates come from a band-key equi-join
+    * (AQE-splittable), never an all-pairs cross; the verify is a
+    * projection on pair rows.
+    */
+  val mmPhashDedup: Op = Op.sql(
+    "mm-phash-dedup",
+    """WITH m AS (SELECT doc_id, text, length(text)::BIGINT - 1 AS nm1 FROM documents),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ascii(substr(text, CAST(1 + (i * nm1) // 48 AS INTEGER), 1))
+      |            < ascii(substr(text, CAST(1 + ((i + 1) * nm1) // 48 AS INTEGER), 1))
+      |         THEN (2 ** i)::BIGINT ELSE 0 END AS bv
+      |  FROM m, (SELECT unnest(generate_series(0, 47)) AS i) g),
+      |fp AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS phash FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, b, (phash // (2 ** (12 * b))::BIGINT) % 4096 AS bk
+      |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) gb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, a.phash AS fp1, c.doc_id AS d2, c.phash AS fp2
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 6
+      |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fp = docs.select(col("doc_id"), Multimodal.phash(col("text")).as("phash"))
+    val bands = fp.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk",
+        floor(col("phash") / pow(lit(2), col("b") * lit(12))).cast("long") % 4096)
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.phash").as("fp1"),
+        col("c.doc_id").as("d2"), col("c.phash").as("fp2"))
+      .distinct()
+    val ham = bit_count(col("fp1").bitwiseXOR(col("fp2")))
+    cand.filter(ham <= 6)
+      .select(col("d1"), col("d2"), ham.cast("int").as("hamming"))
+      .orderBy("d1", "d2")
+  }
+
+  val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
+    mmPhashDedup)
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The composed training-data preprocessing pipeline: every per-document
+  * filter family the engine implements, fused into ONE declarative plan
+  * that emits a keep/drop decision table. This is the "run the whole
+  * preprocess as a single job" surface a 100 TB pipeline actually deploys —
+  * each rule is the same operator that exists standalone (exact dedup,
+  * simhash near-dup, quality trio, Gopher repetition, benchmark
+  * decontamination), so Catalyst shares the scan and schedules the five
+  * rule subtrees as one job set instead of five passes over the corpus.
+  */
+object PipelineOps {
+
+  /** Keep/drop decisions. Rules:
+    *  - f_exact_dup:    non-representative member of an md5 exact-dup group
+    *  - f_near_dup:     non-representative member of a shared simhash
+    *                    fingerprint group
+    *  - f_low_quality:  distinct-token ratio < 0.32 (rare-token-soup floor
+    *                    sits near p5 of the corpus)
+    *  - f_repetitive:   duplicate-2gram fraction > 0.16 (~p95)
+    *  - f_contaminated: ≥ 5 distinct 5-gram shingles shared with the
+    *                    benchmark slice (doc_id < 50; the slice itself is
+    *                    never flagged)
+    *  - keep = no flag set.
+    *
+    * Scale shapes are inherited from the standalone ops: digest/fingerprint
+    * groupBys with map-side combine (AQE splits viral dup groups), per-doc
+    * gram aggregation, broadcast benchmark shingle set. Nothing in the
+    * composition adds a corpus-sized shuffle beyond what the rules
+    * themselves need.
+    */
+  val pipelinePreprocess: Op = Op.sql(
+    "pipeline-preprocess",
+    """WITH base AS (SELECT doc_id, text, md5(text) AS th FROM documents),
+      |eg AS (SELECT th, min(doc_id) AS keep_id, count(*) AS nc FROM base GROUP BY th),
+      |exa AS (SELECT doc_id, (nc > 1 AND doc_id <> keep_id) AS f_exact_dup
+      |        FROM base JOIN eg USING (th)),
+      |words AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |           (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM words),
+      |votes AS (
+      |  SELECT id, j, CAST(sum(CASE WHEN (h // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 19)) AS j) g
+      |  GROUP BY id, j),
+      |fp AS (
+      |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY id),
+      |fg AS (SELECT simhash, min(id) AS keep_id, count(*) AS nc FROM fp GROUP BY simhash),
+      |near AS (SELECT id AS doc_id, (nc > 1 AND id <> keep_id) AS f_near_dup
+      |         FROM fp JOIN fg USING (simhash)),
+      |q AS (SELECT doc_id,
+      |        (round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |               / len(string_split(text, ' ')), 4) < 0.32) AS f_low_quality
+      |      FROM documents),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |       FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i FROM ws)),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+      |rep AS (SELECT doc_id,
+      |          (round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+      |           > 0.16) AS f_repetitive
+      |        FROM c2 GROUP BY doc_id),
+      |sh5 AS (SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+4], ' ') AS s
+      |        FROM (SELECT doc_id, ws,
+      |                unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i FROM ws)),
+      |bench AS (SELECT DISTINCT s FROM sh5 WHERE id < 50),
+      |shared AS (SELECT id AS doc_id, count(*) AS n_shared
+      |           FROM sh5 JOIN bench USING (s) WHERE id >= 50 GROUP BY id),
+      |con AS (SELECT d.doc_id, coalesce(n_shared >= 5, false) AS f_contaminated
+      |        FROM documents d LEFT JOIN shared USING (doc_id))
+      |SELECT d.doc_id, f_exact_dup, f_near_dup, f_low_quality, f_repetitive,
+      |       f_contaminated,
+      |       NOT (f_exact_dup OR f_near_dup OR f_low_quality OR f_repetitive
+      |            OR f_contaminated) AS keep
+      |FROM documents d
+      |JOIN exa USING (doc_id) JOIN near USING (doc_id) JOIN q USING (doc_id)
+      |JOIN rep USING (doc_id) JOIN con USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+
+    val base = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val eg = base.groupBy("th").agg(min("doc_id").as("keep_id"), count(lit(1)).as("nc"))
+    val exa = base.join(eg, Seq("th"))
+      .select(col("doc_id"),
+        (col("nc") > 1 && col("doc_id") =!= col("keep_id")).as("f_exact_dup"))
+
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val fg = fp.groupBy("simhash").agg(min("id").as("keep_id"), count(lit(1)).as("nc"))
+    val near = fp.join(fg, Seq("simhash"))
+      .select(col("id").as("doc_id"),
+        (col("nc") > 1 && col("id") =!= col("keep_id")).as("f_near_dup"))
+
+    val q = docs.select(col("doc_id"),
+      (round(TextAnalysis.distinctTokenCount(col("text")) * lit(1.0) /
+        TextAnalysis.tokenCount(col("text")), 4) < 0.32).as("f_low_quality"))
+
+    val rep = docs
+      .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg((round(sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))) * lit(1.0) /
+        sum("cnt"), 6) > 0.16).as("f_repetitive"))
+
+    def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("s"))
+    val bench = sh5(docs.filter(col("doc_id") < 50)).select("s").distinct()
+    val shared = sh5(docs.filter(col("doc_id") >= 50))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val con = docs.select("doc_id").join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_shared") >= 5, lit(false)).as("f_contaminated"))
+
+    docs.select("doc_id")
+      .join(exa, Seq("doc_id")).join(near, Seq("doc_id")).join(q, Seq("doc_id"))
+      .join(rep, Seq("doc_id")).join(con, Seq("doc_id"))
+      .withColumn("keep",
+        !(col("f_exact_dup") || col("f_near_dup") || col("f_low_quality") ||
+          col("f_repetitive") || col("f_contaminated")))
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(pipelinePreprocess)
+}

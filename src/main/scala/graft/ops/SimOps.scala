@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Similarity-search ops over the embeddings table (scale extensions). */
 object SimOps {
@@ -371,6 +372,95 @@ object SimOps {
       .orderBy(col("q_id"), col("approx_sim").desc, col("n_id"))
   }
 
+  /** Hybrid search: reciprocal-rank fusion of a lexical retriever (token
+    * Jaccard over the documents table) and the vector retriever (exact
+    * cosine over the embeddings table, doc_id = vec_id). Each retriever
+    * contributes its top-20; RRF = Σ 1/(60 + rank) over the lists a doc
+    * appears in (absent → 0, the standard convention); top-5 fused per
+    * query.
+    *
+    * Scale shape: both retrievals broadcast the query side and never
+    * shuffle the corpus (scoring is a projection; selection is the salted
+    * two-phase top-k). The fusion join and final ranking run on
+    * top-k-table-sized data — ≤ 40 rows per query regardless of corpus
+    * size. RRF contributions snap to integer micro-units (order-exact
+    * sums).
+    */
+  val simRrfHybrid: Op = Op.sql(
+    "sim-rrf-hybrid",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vsc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |vtop AS (
+       |  SELECT q_id, n_id, rv FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rv
+       |    FROM vsc) WHERE rv <= 20),
+       |ta AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ta FROM documents),
+       |lsc AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+       |         round(len(list_intersect(q.ta, c.ta)) * 1.0 /
+       |               len(list_distinct(list_concat(q.ta, c.ta))), 6) AS jac
+       |  FROM ta q JOIN ta c ON q.doc_id < 10 AND c.doc_id >= 10),
+       |ltop AS (
+       |  SELECT q_id, n_id, rl FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, n_id) AS rl
+       |    FROM lsc) WHERE rl <= 20),
+       |fused AS (
+       |  SELECT coalesce(v.q_id, l.q_id) AS q_id,
+       |         coalesce(v.n_id, l.n_id) AS n_id,
+       |         coalesce(rv, 0) AS r_vec, coalesce(rl, 0) AS r_lex,
+       |         coalesce(CAST(round(1000000.0 / (60 + rv)) AS BIGINT), 0) +
+       |         coalesce(CAST(round(1000000.0 / (60 + rl)) AS BIGINT), 0) AS rrf_micros
+       |  FROM vtop v FULL JOIN ltop l ON v.q_id = l.q_id AND v.n_id = l.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, r_vec, r_lex,
+       |         round(rrf_micros / 1000000.0, 6) AS rrf,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY rrf_micros DESC, n_id) AS rn
+       |  FROM fused)
+       |SELECT q_id, n_id, r_vec, r_lex, rrf FROM ranked WHERE rn <= 5
+       |ORDER BY q_id, rrf DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val vtop = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 20)
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .select("q_id", "n_id", "rv")
+    val ta = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("ta"))
+    val lsc = ta.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("n_id"), col("ta").as("ca"))
+      .crossJoin(broadcast(ta.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("ta").as("qa"))))
+      .select(col("q_id"), col("n_id"),
+        round(size(array_intersect(col("qa"), col("ca"))) * lit(1.0) /
+              size(array_distinct(concat(col("qa"), col("ca")))), 6).as("jac"))
+    val ltop = graft.functions.TopK
+      .topkPerGroup(lsc, Seq("q_id"), Seq(col("jac").desc, col("n_id").asc), 20)
+      .withColumn("rl", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("jac").desc, col("n_id"))))
+      .select("q_id", "n_id", "rl")
+    def contrib(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(round(lit(1000000.0) / (lit(60) + r)).cast("long"), lit(0L))
+    val fused = vtop.join(ltop, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        coalesce(col("rv"), lit(0)).as("r_vec"),
+        coalesce(col("rl"), lit(0)).as("r_lex"),
+        (contrib(col("rv")) + contrib(col("rl"))).as("rrf_micros"))
+    fused
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_micros").desc, col("n_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("r_vec"), col("r_lex"),
+        round(col("rrf_micros") / lit(1000000.0), 6).as("rrf"))
+      .orderBy(col("q_id"), col("rrf").desc, col("n_id"))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
-    simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn)
+    simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid)
 }

@@ -329,7 +329,111 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval: score every document against a fixed query term set
+    * and return the top-10 (the lexical half of a hybrid search stack;
+    * query terms span the df spectrum — 'dup' is rare, 'vector'/'spark'
+    * common). Okapi BM25 with k1=1.2, b=0.75 and the non-negative idf
+    * ln(1 + (N-df+0.5)/(df+0.5)).
+    *
+    * Scale shape: the token explode is filtered to query terms BEFORE any
+    * aggregation, so the tf table is sized by matching postings, not the
+    * corpus; df and the corpus totals are broadcast; the final top-10 is
+    * TakeOrderedAndProject. Per-term scores snap to integer micro-units
+    * before the per-doc sum (order-exact aggregation).
+    */
+  val textBm25Topk: Op = Op.sql(
+    "text-bm25-topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+      |       WHERE w IN ('dup', 'vector', 'spark') GROUP BY doc_id, w),
+      |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl),
+      |sc AS (SELECT tf.doc_id, dl.dl,
+      |         CAST(round(ln(1 + (tot.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)) *
+      |                    (tf.tf * 2.2) /
+      |                    (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n_docs / tot.tot_tokens))
+      |                    * 1000000) AS BIGINT) AS sc
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfc USING (w) CROSS JOIN tot)
+      |SELECT doc_id, dl, round(sum(sc) / 1000000.0, 6) AS bm25
+      |FROM sc GROUP BY doc_id, dl
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val queryTerms = Seq("dup", "vector", "spark")
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").isin(queryTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("tot_tokens"))
+    tf.join(dl, Seq("doc_id")).join(broadcast(dfc), Seq("w")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        round(idf * (col("tf") * lit(2.2)) / denom * lit(1000000)).cast("long").as("sc"))
+      .groupBy("doc_id", "dl")
+      .agg(round(sum("sc") / lit(1000000.0), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Repetition quality signals (the Gopher-style filter rules): per
+    * document, the fraction of word 2-grams that are repeats, the share of
+    * the single most frequent 2-gram, and the repeated-3-gram fraction.
+    * High values flag boilerplate / degenerate text for dropping.
+    *
+    * Scale shape: explode → groupBy (doc, gram) with map-side combine →
+    * groupBy doc — every key is doc-grained, no global state; a
+    * pathological single doc is one group, never a partition funnel.
+    */
+  val textRepetition: Op = Op.sql(
+    "text-repetition",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |       FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i FROM ws)),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+      |r2 AS (SELECT doc_id, sum(cnt) AS n2,
+      |              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup2,
+      |              max(cnt) AS top2
+      |       FROM c2 GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+      |       FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i FROM ws)),
+      |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g),
+      |r3 AS (SELECT doc_id, sum(cnt) AS n3,
+      |              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+      |       FROM c3 GROUP BY doc_id)
+      |SELECT r2.doc_id, n2 AS n_2grams,
+      |       round(dup2 * 1.0 / n2, 6) AS dup_2gram_frac,
+      |       round(top2 * 1.0 / n2, 6) AS top_2gram_frac,
+      |       round(dup3 * 1.0 / n3, 6) AS dup_3gram_frac
+      |FROM r2 JOIN r3 USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val r2 = gramCounts(2).groupBy("doc_id").agg(
+      sum("cnt").as("n2"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup2"),
+      max("cnt").as("top2"))
+    val r3 = gramCounts(3).groupBy("doc_id").agg(
+      sum("cnt").as("n3"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup3"))
+    r2.join(r3, Seq("doc_id"))
+      .select(col("doc_id"), col("n2").as("n_2grams"),
+        round(col("dup2") * lit(1.0) / col("n2"), 6).as("dup_2gram_frac"),
+        round(col("top2") * lit(1.0) / col("n2"), 6).as("top_2gram_frac"),
+        round(col("dup3") * lit(1.0) / col("n3"), 6).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
-    textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob)
+    textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
+    textBm25Topk, textRepetition)
 }

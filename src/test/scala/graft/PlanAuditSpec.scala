@@ -160,4 +160,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(_salt"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("text-bm25-topk partial-aggregates postings and takes ordered top-10") {
+    val p = plan("text-bm25-topk")
+    // tf must partial-aggregate (map-side combine on (doc, term)); the
+    // final selection is TakeOrderedAndProject, never a global sort; df
+    // and the corpus totals broadcast
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim-rrf-hybrid retrieves through salted top-k, fuses without cartesian") {
+    val p = plan("sim-rrf-hybrid")
+    // both retrievers select with the salted two-phase top-k; the fusion
+    // join runs over top-k tables only
+    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm-phash-dedup blocks on band keys — an equi-join, never a cross") {
+    val p = plan("mm-phash-dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
