@@ -66,20 +66,16 @@ object Multimodal {
 
   /** dHash-style perceptual fingerprint: 48 gradient-sign bits from 49
     * evenly sampled bytes of the payload (stand-in for the downscaled
-    * grayscale row a real dHash compares). One codegen'd `aggregate` over
-    * a literal offset sequence — a zero-shuffle per-row projection; all
-    * arithmetic integer-exact (2^i via exact double pow, i ≤ 47).
+    * grayscale row a real dHash compares). A native codegen expression
+    * ([[graft.functions.GradientSampleHash]]) — one tight byte loop, a
+    * zero-shuffle per-row projection. (The HOF spelling — aggregate over
+    * a literal offset sequence of ascii(substr) probes — measured ~2 s
+    * slower at sf0.1: the lambda tree re-appears in every derived
+    * join-key filter and each copy is a separate interpreted eval +
+    * janino compile.)
     */
-  def phash(text: org.apache.spark.sql.Column, bits: Int = 48): org.apache.spark.sql.Column = {
-    val nm1 = (length(text) - 1).cast("long")
-    def byteAt(i: org.apache.spark.sql.Column) = ascii(text.substr(
-      (floor((i.cast("long") * nm1) / lit(bits)) + 1).cast("int"), lit(1)))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => acc + when(byteAt(i) < byteAt(i + 1),
-        pow(lit(2), i).cast("long")).otherwise(lit(0L)))
-  }
+  def phash(text: org.apache.spark.sql.Column, bits: Int = 48): org.apache.spark.sql.Column =
+    graft.functions.GradientSampleHash(text, bits)
 
   /** Frame sampling plan for a "video" payload: byte offsets of `nFrames`
     * evenly spaced sample points — pure column arithmetic, explodes into a

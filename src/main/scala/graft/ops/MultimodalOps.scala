@@ -96,11 +96,11 @@ object MultimodalOps {
     * byte i < byte i+1 — the gradient-sign hash real image dHash computes
     * over downscaled pixels; byte sampling stands in for the decode stub),
     * then 4×12-bit band blocking (same LSH-banding shape as dedup-simhash)
-    * and an exact Hamming-distance ≤ 6 verify inside candidate pairs.
+    * and an exact Hamming-distance ≤ 10 verify inside candidate pairs.
     *
     * Scale shape: the fingerprint is a zero-shuffle per-row projection
-    * (one codegen'd aggregate over a literal offset sequence — no
-    * explode/groupBy per doc); candidates come from a band-key equi-join
+    * (a native codegen expression, [[graft.functions.GradientSampleHash]]
+    * — no explode/groupBy per doc); candidates come from a band-key equi-join
     * (AQE-splittable), never an all-pairs cross; the verify is a
     * projection on pair rows.
     */
@@ -121,7 +121,7 @@ object MultimodalOps {
       |  SELECT DISTINCT a.doc_id AS d1, a.phash AS fp1, c.doc_id AS d2, c.phash AS fp2
       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
       |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS INTEGER) AS hamming
-      |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 6
+      |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 10
       |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -137,7 +137,7 @@ object MultimodalOps {
         col("c.doc_id").as("d2"), col("c.phash").as("fp2"))
       .distinct()
     val ham = bit_count(col("fp1").bitwiseXOR(col("fp2")))
-    cand.filter(ham <= 6)
+    cand.filter(ham <= 10)
       .select(col("d1"), col("d2"), ham.cast("int").as("hamming"))
       .orderBy("d1", "d2")
   }

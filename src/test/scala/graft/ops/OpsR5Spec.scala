@@ -80,7 +80,7 @@ class OpsR5Spec extends SparkSpec {
     r.foreach { row =>
       assert(row.getLong(0) < row.getLong(1), "d1 < d2 canonical order")
       val h = row.getInt(2)
-      assert(h >= 0 && h <= 6)
+      assert(h >= 0 && h <= 10)
     }
     assert(r.map(row => (row.getLong(0), row.getLong(1))).distinct.length === r.length)
     // exact-duplicate texts must collide at hamming 0 and be band-mates
