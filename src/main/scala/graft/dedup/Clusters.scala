@@ -8,14 +8,26 @@ import org.apache.spark.sql.functions._
   * embedding-cosine — that turns pairs into keep/drop decisions: one
   * canonical document per component).
   *
-  * Min-label propagation: every node starts labeled with its own id; each
-  * round takes the min of its own and its neighbors' labels. Converges in
-  * O(component diameter) rounds — near-dup components are overwhelmingly
-  * tiny and dense (a burst of copies of one document), so the loop is
-  * 2–4 distributed joins in practice, each shuffling only the EDGE list
-  * (pair-count-sized, far below corpus-sized). Convergence is detected by
-  * the label-sum signature (labels only ever decrease), one cheap
-  * aggregate per round instead of a change-count join.
+  * Two structural choices make this scale-safe at 100 TB:
+  *
+  *  1. **Only edge endpoints iterate.** In a deduplicated corpus the
+  *     overwhelming majority of documents touch no near-dup edge; they are
+  *     singleton components by definition and never need a label round.
+  *     The loop runs over the edge-endpoint set (pair-count-sized), and
+  *     singletons get their own id from one final left join against the
+  *     node table. Round 4 iterated CORPUS-sized label tables — a full
+  *     corpus checkpoint per round was the #1 bench hog (86.6 s idle).
+  *
+  *  2. **Pointer jumping.** Each round does min-label propagation over the
+  *     edges AND then shortcuts every label to its label's label
+  *     (lbl ← lbl[lbl]). Propagation alone converges in O(component
+  *     diameter) rounds — unbounded for a chain-shaped near-dup cluster;
+  *     with the shortcut the effective distance to the component minimum
+  *     halves each round, so convergence is O(log diameter).
+  *
+  * Convergence is detected by the label-sum signature (labels only ever
+  * decrease, so an unchanged sum means a fixed point); the signature read
+  * is a trivial scan of the round's checkpoint, not a recompute.
   *
   * No reference analogue (the reference archives blocks, not documents) —
   * this is part of the training-data-pipeline extension surface.
@@ -40,19 +52,36 @@ object Clusters {
         struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
+    // Round 0 fuses into the init aggregation: lbl = min(id, min neighbor).
+    // Near-dup components are overwhelmingly cliques/stars around one
+    // representative, for which this is ALREADY the fixed point — the loop
+    // then runs a single confirmation round. Every loop round is exactly
+    // two jobs (checkpoint materialization + signature scan); job count is
+    // what a loaded cluster scheduler actually charges for.
+    //
     // localCheckpoint (not cache) each round: an iterative join's lineage
     // otherwise compounds and the optimizer re-plans the whole history
-    // every round — the classic iterative-algorithm heap blowup
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var sig = labels.agg(sum("lbl")).head().getLong(0)
+    // every round — the classic iterative-algorithm heap blowup.
+    var labels = bidir.groupBy(col("src")).agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    val init = labels.agg(sum("lbl"), count(lit(1))).head()
+    var sig = if (init.isNullAt(0)) 0L else init.getLong(0)
     var it = 0
-    var converged = false
+    var converged = init.getLong(1) == 0L
     while (!converged && it < maxIter) {
-      val nbrMin = bidir.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      // Min over self and neighbors' labels. Every dst is an endpoint, so
+      // the propagated table covers exactly the label table's key set.
+      val prop = bidir.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("lbl").as("nlbl"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val stepped = labels.join(prop, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // Pointer jump: lbl ← lbl[lbl]. Labels are always endpoint ids (mins
+      // of endpoint ids), so the self-join is total (inner-safe).
+      labels = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"))
         .localCheckpoint()
       val newSig = labels.agg(sum("lbl")).head().getLong(0)
       converged = newSig == sig
@@ -60,6 +89,7 @@ object Clusters {
       it += 1
     }
     bidir.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))
   }
 }

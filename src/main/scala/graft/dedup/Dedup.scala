@@ -141,13 +141,13 @@ object Dedup {
     */
   def minhashNearDups(shingles: DataFrame, threshold: Double = 0.8,
       k: Int = 32, r: Int = 2): DataFrame = {
-    // The shingle set feeds signatures AND the exact verify; measured, the
-    // double compute beats caching here (cache materialization costs more
-    // than recomputing the explode+prune). The candidate list's multiple
-    // consumers do NOT warrant a checkpoint either — measured ~25% slower
-    // with one: ReusedExchange already shares the band pipeline's shuffle
-    // output across the plan's consumers, so materialization only adds a
-    // blocking write.
+    // The shingle set feeds signatures AND the exact verify (4+ subtree
+    // evaluations) — callers should pass a persisted shingle set (see
+    // graft.ops.DedupOps.persistedShingles; round-5 A/B: cached wins).
+    // The candidate list's multiple consumers do NOT warrant a checkpoint
+    // — measured ~25% slower with one: ReusedExchange already shares the
+    // band pipeline's shuffle output across the plan's consumers, so
+    // materialization only adds a blocking write.
     val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
     jaccardPairs(
       shingles.join(

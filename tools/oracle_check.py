@@ -14,9 +14,12 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def norm_cell(v):
+    # BIT-EXACT float compare (repr = shortest round-trip, unique per
+    # double). The driver's hash is exact; a looser grain here shipped two
+    # false-green ops in round 4 (text-corpus-stats / text-repetition).
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 def norm(df):
