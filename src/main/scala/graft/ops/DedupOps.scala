@@ -265,7 +265,73 @@ object DedupOps {
       .orderBy("cluster")
   }
 
+  /** Cross-document duplicated passages (substring-dedup at shingle
+    * grain, after Lee et al. 2022's "Deduplicating Training Data Makes
+    * Language Models Better"): for every document, the maximal token
+    * spans covered by 8-gram shingles that appear in at least two
+    * documents — the passages an exact-substring dedup pass would cut.
+    * Output: one row per (doc, span): start/end token positions (1-based,
+    * end inclusive) and the number of shared shingles merged into it.
+    *
+    * Scale shape: one posexplode pass over the corpus (positions ride
+    * along); gram strings never leave their partition — every shuffle
+    * key is the shingle's xxhash64 (8 bytes vs ~50-byte gram strings;
+    * a 64-bit collision mislabels a span with p ≈ n²/2⁶⁵ — acceptable
+    * for a dedup heuristic, and the DuckDB oracle's exact-string run
+    * bounds it at test SF). Cross-doc sharedness is a hash-keyed groupBy
+    * of the DISTINCT (doc, hash) set (map-side combine; a boilerplate
+    * shingle in a billion docs is ONE aggregated row, and the left-semi
+    * join back is AQE-skew-splittable); span merging is a per-document
+    * window — doc-grained, bounded by document length, never a corpus
+    * funnel.
+    */
+  val dedupSubstringSpans: Op = Op.sql(
+    "dedup-substring-spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(ws[i:i+7], ' ') AS s
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM t)),
+      |shared AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY s
+      |           HAVING count(*) > 1),
+      |m AS (SELECT doc_id, pos FROM sh JOIN shared USING (s)),
+      |g AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |isl AS (SELECT doc_id, pos,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+      |       count(*) AS n_shingles
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val K = 8
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= K)
+    val sh = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val shared = sh.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val m = sh.join(shared, Seq("h"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    m.withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > K, lit(1)).otherwise(lit(0)))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), (max("pos") + K - 1).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+      .orderBy("doc_id", "span_start")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
-    dedupClusterRep)
+    dedupClusterRep, dedupSubstringSpans)
 }

@@ -461,6 +461,37 @@ object SimOps {
       .orderBy(col("q_id"), col("rrf").desc, col("n_id"))
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥ 0.30 of
+    * each query — threshold semantics instead of top-k rank (the dedup /
+    * retrieval-recall companion to sim-topk-cosine: "give me ALL close
+    * vectors", unbounded result size). Same scale shape as the brute
+    * baseline: queries broadcast, the corpus streams through one
+    * shuffle-free scoring projection — but NO ranking window at all, so
+    * this is strictly cheaper than top-k and the natural pre-filter in
+    * front of exact verification at 100 TB.
+    */
+  val simRangeSearch: Op = Op.sql(
+    "sim-range-search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+       |SELECT q_id, n_id, sim FROM scored WHERE sim >= 0.30
+       |ORDER BY q_id, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .filter(col("sim") >= 0.30)
+      .orderBy("q_id", "n_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
-    simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid)
+    simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
+    simRangeSearch)
 }

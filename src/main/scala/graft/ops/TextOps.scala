@@ -442,8 +442,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Downsampling weights to an equal-share source mix: for each source,
+    * the Bernoulli keep-probability that levels every source to
+    * total/n_sources documents (capped at 1 — downsample-only; an
+    * up-weighted source repeats epochs instead, which is a trainer
+    * decision, not a data op). n_keep is the expected post-sampling doc
+    * count. This is the table a data-mix negotiation turns into sampling
+    * config, and the companion to text-sample-stratified (which applies
+    * a per-stratum rate).
+    *
+    * Scale: one catalog-sized groupBy; the 1-row total broadcasts.
+    * Engine-parity: the weight snaps to integer micro-units computed from
+    * exact integers (least in integer space, division last); n_keep is
+    * pure integer arithmetic on the snapped weight.
+    */
+  val textMixWeights: Op = Op.sql(
+    "text-mix-weights",
+    """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM s),
+      |w AS (SELECT source, n_docs,
+      |        least(1000000, CAST(round(total * 1000000.0 / (n_sources * n_docs)) AS BIGINT)) AS w_e6
+      |      FROM s, t)
+      |SELECT source, n_docs, w_e6 / 1000000.0 AS weight,
+      |       (n_docs * w_e6) // 1000000 AS n_keep
+      |FROM w ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySrc.agg(sum("n_docs").as("total"), count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("w_e6", least(lit(1000000L),
+        round(col("total") * lit(1000000.0) / (col("n_sources") * col("n_docs")))
+          .cast("long")))
+      .select(col("source"), col("n_docs"),
+        (col("w_e6") / lit(1000000.0)).as("weight"),
+        expr("(n_docs * w_e6) div 1000000").as("n_keep"))
+      .orderBy("source")
+  }
+
+  /** Token-length histogram in log2 buckets ([2^k, 2^(k+1)) per bucket):
+    * the power-law length profile a packing / truncation policy is tuned
+    * against. The bucket is the BIT LENGTH of the token count
+    * (length(bin(n)) = floor(log2 n)+1) — log binning with pure
+    * integer→string ops, deliberately avoiding floor(log(n)) whose libm
+    * last-ULP differs across engines right at the bucket boundaries.
+    *
+    * Scale: per-row projection → groupBy over ≤ 63 buckets with map-side
+    * combine; the corpus never shuffles, only per-partition partials.
+    */
+  val textLengthHistogram: Op = Op.sql(
+    "text-length-histogram",
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+      |SELECT CAST(length(bin(n)) AS BIGINT) AS log2_bucket,
+      |       count(*) AS n_docs,
+      |       min(n) AS min_tokens, max(n) AS max_tokens,
+      |       CAST(sum(n) AS BIGINT) AS sum_tokens
+      |FROM d GROUP BY log2_bucket ORDER BY log2_bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(length(bin(col("n"))).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"),
+        sum("n").as("sum_tokens"))
+      .orderBy("log2_bucket")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
-    textBm25Topk, textRepetition)
+    textBm25Topk, textRepetition, textMixWeights, textLengthHistogram)
 }
