@@ -91,7 +91,7 @@ object AvroArchiveSink {
     * target already exists (the reference's never-overwrite skip,
     * src/storage/fs.rs:33-39 / stream.rs:49-52).
     */
-  private def claimTarget(fs: FileSystem, target: Path): Boolean =
+  private[sources] def claimTarget(fs: FileSystem, target: Path): Boolean =
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(target.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
@@ -110,7 +110,7 @@ object AvroArchiveSink {
     * atomically); elsewhere it is `FileContext.rename(OVERWRITE)`, which
     * HDFS serializes in the namenode.
     */
-  private def commitClaimed(fs: FileSystem, tmp: Path, target: Path): Unit =
+  private[sources] def commitClaimed(fs: FileSystem, tmp: Path, target: Path): Unit =
     if (fs.getScheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
