@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int)
+  case class MediaMeta(doc_id: Long, kind: Int, width: Int, height: Int,
+      n_payload: Int, header_ok: Int)
 
   /** Attach the opaque payload column (here: the utf-8 text bytes stand in
     * for image bytes; schema-wise identical to a real media column).
@@ -20,10 +21,43 @@ object Multimodal {
   def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
 
+  /** Synthesize [[ToyMedia]] containers from a document table: each text's
+    * bytes wrapped in a GRFT header whose kind/dims derive from the doc id
+    * (so an independent oracle can predict what a CORRECT parser must
+    * recover). Every `corruptEvery`-th id gets its magic clobbered — the
+    * decode stage's fallback path has to carry those rows, not drop them.
+    * Runs at the decode/connector seam (mapPartitions), like the ingest
+    * that would produce real media columns.
+    */
+  def toyMedia(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", corruptEvery: Long = 17L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val b = ToyMedia.wrap(kindFor(id), widthFor(id), heightFor(id), payload)
+          if (corruptEvery > 0 && id % corruptEvery == 0) b(0) = 'X'.toByte
+          (id, b)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** The deterministic header fields `toyMedia` stamps for a doc id. */
+  def kindFor(id: Long): Int = (1 + id % 3).toInt
+  def widthFor(id: Long): Int = (16 + (id * 37) % 624).toInt
+  def heightFor(id: Long): Int = (16 + (id * 53) % 464).toInt
+
   /** Partition-parallel decode: one decoder instance per partition, batch
     * iteration over payloads — the Scala shape of a mapInPandas/mapInArrow
-    * decode stage. STUB: metadata is a deterministic function of byte
-    * length; a real decoder would parse the container header here.
+    * decode stage. The header parse is REAL ([[ToyMedia.parse]]: magic,
+    * version, kind, big-endian dims, length reconciliation); only the
+    * pixel/sample work behind it is absent offline. A payload that fails
+    * the parse degrades to opaque-blob metadata (`header_ok = 0`, dims
+    * from byte-length arithmetic) instead of erroring the batch — a
+    * corrupt object at 100 TB must cost one row, not a stage retry loop.
     */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -31,8 +65,12 @@ object Multimodal {
       .mapPartitions { rows =>
         // decoder init would happen once per partition here
         rows.map { case (id, bytes) =>
-          val n = bytes.length
-          MediaMeta(id, n, n % 640, (n * 7) % 480)
+          ToyMedia.parse(bytes) match {
+            case Some((kind, w, h, np)) => MediaMeta(id, kind, w, h, np, 1)
+            case None =>
+              val n = bytes.length
+              MediaMeta(id, 0, n % 640, (n * 7) % 480, n, 0)
+          }
         }
       }
   }

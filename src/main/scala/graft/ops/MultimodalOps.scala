@@ -11,19 +11,33 @@ import graft.multimodal.Multimodal
   */
 object MultimodalOps {
 
-  /** Decode stub over binary payloads via partition-parallel mapPartitions:
-    * metadata = deterministic function of payload length.
+  /** Header decode over binary payloads via partition-parallel
+    * mapPartitions. The payloads are [[graft.multimodal.ToyMedia]]
+    * containers (GRFT magic, version, kind, big-endian u16 dims, u32
+    * length) synthesized from the fixture — the PARSE is real byte-level
+    * header decoding with a corrupt-magic fallback path (every 17th doc);
+    * only the pixel work behind the header is stubbed offline. The oracle
+    * predicts what a correct parser must recover from arithmetic the
+    * Spark side never sees as such — a mis-read endian or offset fails
+    * the hash.
     */
   val mmDecodeStub: Op = Op.sql(
     "mm-decode-stub",
-    """SELECT doc_id,
-      |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-      |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-      |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nt FROM documents)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS INTEGER) AS kind,
+      |       CAST(CASE WHEN doc_id % 17 = 0 THEN (nt + 14) % 640
+      |                 ELSE 16 + (doc_id * 37) % 624 END AS INTEGER) AS width,
+      |       CAST(CASE WHEN doc_id % 17 = 0 THEN ((nt + 14) * 7) % 480
+      |                 ELSE 16 + (doc_id * 53) % 464 END AS INTEGER) AS height,
+      |       CAST(CASE WHEN doc_id % 17 = 0 THEN nt + 14 ELSE nt END AS INTEGER) AS n_payload,
+      |       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER) AS header_ok
+      |FROM d ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
-    Multimodal.decodeStub(s, media).toDF().orderBy("doc_id")
+    val media = Multimodal.toyMedia(Tables.documents(s, d))
+    Multimodal.decodeStub(s, media).toDF()
+      .select("doc_id", "kind", "width", "height", "n_payload", "header_ok")
+      .orderBy("doc_id")
   }
 
   /** Frame-sampling plan: 5 evenly spaced byte offsets per payload,
@@ -70,15 +84,19 @@ object MultimodalOps {
   }
 
   /** Resize plan stub: aspect-preserving target dims bounded by 224,
-    * derived from the decode stub's metadata.
+    * derived from the header-decoded metadata (corrupt payloads carry
+    * their fallback dims through — the plan resizes what decode reports).
     */
   val mmResizeStub: Op = Op.sql(
     "mm-resize-stub",
-    """WITH meta AS (
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nt FROM documents),
+      |meta AS (
       |  SELECT doc_id,
-      |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-      |         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
-      |  FROM documents)
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN (nt + 14) % 640
+      |                   ELSE 16 + (doc_id * 37) % 624 END AS INTEGER) AS width,
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN ((nt + 14) * 7) % 480
+      |                   ELSE 16 + (doc_id * 53) % 464 END AS INTEGER) AS height
+      |  FROM d)
       |SELECT doc_id, width, height,
       |       CASE WHEN greatest(width, height) <= 224 THEN width
       |            ELSE CAST(floor(width * 224.0 / greatest(width, height)) AS INTEGER) END AS out_w,
@@ -86,7 +104,7 @@ object MultimodalOps {
       |            ELSE CAST(floor(height * 224.0 / greatest(width, height)) AS INTEGER) END AS out_h
       |FROM meta ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val media = Multimodal.withBinaryPayload(Tables.documents(s, d), "doc_id", "text")
+    val media = Multimodal.toyMedia(Tables.documents(s, d))
     Multimodal.resizePlan(Multimodal.decodeStub(s, media).toDF())
       .orderBy("doc_id")
   }
