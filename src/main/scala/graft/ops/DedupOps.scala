@@ -331,7 +331,36 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Soft dedup: instead of dropping exact duplicates, weight every doc
+    * by 1/n_copies so a training run that samples by weight sees each
+    * distinct text once in expectation (the "soft dedup" alternative to
+    * hard removal — keeps the corpus intact for other consumers while
+    * neutralizing duplication bias).
+    *
+    * Scale shape: the count table is distinct-text-sized (md5 groupBy
+    * with map-side combine); the join back is hash-keyed and
+    * AQE-skew-splittable — a viral text duplicated a million times is
+    * one hot key, split at runtime, never a driver problem. The weight
+    * snaps at integer micro-units (integer-grain round is cross-engine
+    * exact).
+    */
+  val dedupWeights: Op = Op.sql(
+    "dedup-weights",
+    """WITH g AS (SELECT md5(text) AS h, count(*) AS n_copies FROM documents GROUP BY 1)
+      |SELECT d.doc_id, g.n_copies,
+      |       CAST(round(1000000.0 / g.n_copies) AS BIGINT) / 1000000.0 AS weight
+      |FROM documents d JOIN g ON md5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val g = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    docs.join(g, "h")
+      .select(col("doc_id"), col("n_copies"),
+        (round(lit(1000000.0) / col("n_copies")).cast("long") / lit(1000000.0)).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
-    dedupClusterRep, dedupSubstringSpans)
+    dedupClusterRep, dedupSubstringSpans, dedupWeights)
 }

@@ -508,8 +508,118 @@ object TextOps {
       .orderBy("log2_bucket")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * sketch): md5 over 4-token grams, then the minimum hash of every
+    * window of 4 consecutive gram hashes — guarantees at least one
+    * fingerprint per window (any match of ≥ 7 consecutive tokens between
+    * two documents shares a fingerprint), while keeping the sketch ~1/w
+    * of the gram stream. Output: one row per distinct selected hash per
+    * doc with the first window that selected it.
+    *
+    * Scale shape: ZERO shuffle — grams, windows, min-selection, and the
+    * per-fp dedup (sort + adjacent-distinct via an indexed filter HOF)
+    * are all row-local array ops; only the final explode leaves the row,
+    * and it explodes the ~n/w sketch, not the gram stream. md5 is the
+    * cross-engine hash (same lowercase hex in Spark and DuckDB; min over
+    * hex strings is the same order both sides).
+    */
+  val textWinnowing: Op = Op.sql(
+    "text-winnowing",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 4),
+      |g AS (SELECT doc_id,
+      |        [md5(array_to_string(ws[i:i+3], ' ')) FOR i IN generate_series(1, len(ws) - 3)] AS gs
+      |      FROM t),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS win_pos, list_min(gs[i:i+3]) AS fp
+      |      FROM (SELECT doc_id, gs, unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
+      |            FROM g))
+      |SELECT doc_id, min(win_pos) AS win_pos, fp
+      |FROM w GROUP BY doc_id, fp
+      |ORDER BY doc_id, win_pos, fp""".stripMargin
+  ) { (s, d) =>
+    val K = 4; val W = 4
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ws")) - (K - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(K))))).as("gs"))
+    val wins = grams.select(col("doc_id"),
+      array_sort(transform(sequence(lit(1), greatest(lit(1), size(col("gs")) - (W - 1))),
+        j => struct(array_min(slice(col("gs"), j, lit(W))).as("fp"),
+          j.cast("long").as("win_pos")))).as("ss"))
+    // adjacent-distinct over the (fp, win_pos)-sorted selections keeps the
+    // FIRST window per fp without leaving the row
+    wins.select(col("doc_id"),
+        explode(filter(col("ss"), (x, i) =>
+          when(i === 0, lit(true))
+            .otherwise(x.getField("fp") =!= element_at(col("ss"), i).getField("fp")))).as("sel"))
+      .select(col("doc_id"), col("sel.win_pos").as("win_pos"), col("sel.fp").as("fp"))
+      .orderBy("doc_id", "win_pos", "fp")
+  }
+
+  /** Bigram collocations ranked by pointwise mutual information, reported
+    * as the LIFT (= e^PMI: observed/expected co-occurrence ratio) — the
+    * phrase-mining signal a tokenizer/vocab builder reads. Min count 5;
+    * top 20 by lift.
+    *
+    * Engine-parity: lift is computed with DIVISION ONLY (no log —
+    * IEEE-exact and identical cross-engine when the expression tree
+    * matches, unlike libm ln whose last ULP differs), snapped to integer
+    * micro-units, ordered on the snapped value. Ranking by lift IS
+    * ranking by PMI (log is monotonic).
+    *
+    * Scale shape: unigram and bigram counts are groupBys with map-side
+    * combine (corpus-sized stream in, vocab-sized tables out); the
+    * min-count filter prunes before the two count-table joins; totals
+    * broadcast as 1-row frames; TakeOrdered top-k, no global sort.
+    */
+  val textCollocations: Op = Op.sql(
+    "text-collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+      |bi AS (SELECT w1, w2, count(*) AS c_xy
+      |       FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |             FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |                   FROM t WHERE len(ws) >= 2))
+      |       GROUP BY w1, w2),
+      |mm AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi),
+      |j AS (SELECT b.w1, b.w2, b.c_xy, u1.c AS c1, u2.c AS c2
+      |      FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+      |      WHERE b.c_xy >= 5)
+      |SELECT w1, w2, c_xy,
+      |       CAST(round(((c_xy / n_bi) / ((c1 / n_tok) * (c2 / n_tok))) * 1000000.0) AS BIGINT)
+      |         / 1000000.0 AS lift
+      |FROM j, nn, mm
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d).select(TextAnalysis.tokens(col("text")).as("ws"))
+    val uni = t.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = t.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val nTok = uni.agg(sum("c").as("n_tok"))
+    val nBi = bi.agg(sum("c_xy").as("n_bi"))
+    bi.filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        (round(((col("c_xy") / col("n_bi")) /
+          ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok")))) * lit(1000000.0))
+          .cast("long") / lit(1000000.0)).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
-    textBm25Topk, textRepetition, textMixWeights, textLengthHistogram)
+    textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
+    textWinnowing, textCollocations)
 }

