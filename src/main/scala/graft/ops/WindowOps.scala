@@ -182,6 +182,46 @@ object WindowOps {
       .agg(max("h").as("head"))
   }
 
+  /** Gap-based sessionization (scale extension): user activity split into
+    * sessions at ≥30-minute silences — the canonical event-stream
+    * sessionize, done with Spark's NATIVE `session_window` aggregation in
+    * batch (the same operator Structured Streaming uses for stateful
+    * sessions, so this plan lifts to the streaming path unchanged).
+    * Session bounds reported as the first/last event micros; values
+    * snapped to integer cents before summing (order-free).
+    *
+    * Scale shape: session_window is one shuffle on user_id with
+    * merge-on-overlap inside each partition — no self-join, no
+    * O(diameter) iteration; AQE splits hot users.
+    */
+  val winSessionize: Op = Op.sql(
+    "win-sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts, cents,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+      |SELECT user_id,
+      |       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+      |       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"),
+        expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), session_window(col("tsc"), "30 minutes"))
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+      .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+      .orderBy("user_id", "start_us")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
-    winChainLink, winGapDetect, winHeadSelect)
+    winChainLink, winGapDetect, winHeadSelect, winSessionize)
 }
