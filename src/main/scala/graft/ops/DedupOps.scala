@@ -360,7 +360,48 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The exact-verify tier of the fuzzy-dedup ladder: shingle-jaccard
+    * candidates at a loose 0.5 threshold re-scored with true character
+    * edit distance, kept at normalized similarity ≥ 0.8. Levenshtein is
+    * integer-exact on both engines (built-in in Spark codegen and
+    * DuckDB — no float hazard); the normalized similarity divides once
+    * and snaps at micro-units.
+    *
+    * Scale shape: the O(len²)-per-pair edit distance runs ONLY on the
+    * candidate pair table (shingle-blocked, df-pruned — pair-sized, not
+    * corpus-sized); the two text joins attach pair-count rows to the
+    * corpus (AQE picks broadcast when the pair set is small, which is
+    * the whole point of blocking first).
+    */
+  val dedupEditDistance: Op = Op.sql(
+    "dedup-edit-distance",
+    s"""WITH $ShingleOracle,
+       |cand AS (SELECT d1, d2 FROM jac WHERE jac >= 0.5),
+       |t AS (SELECT c.d1, c.d2, x.text AS t1, y.text AS t2
+       |      FROM cand c JOIN documents x ON c.d1 = x.doc_id
+       |                  JOIN documents y ON c.d2 = y.doc_id),
+       |sc AS (SELECT d1, d2, CAST(levenshtein(t1, t2) AS BIGINT) AS lev,
+       |         CAST(round((1 - levenshtein(t1, t2) / greatest(length(t1), length(t2)))
+       |              * 1000000.0) AS BIGINT) / 1000000.0 AS sim
+       |       FROM t)
+       |SELECT d1, d2, lev, sim FROM sc WHERE sim >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.jaccardPairs(persistedShingles(s, d), threshold = 0.5)
+      .select("d1", "d2")
+    val t = cand
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+    val lev = levenshtein(col("t1"), col("t2"))
+    t.select(col("d1"), col("d2"), lev.cast("long").as("lev"),
+        (round((lit(1) - lev / greatest(length(col("t1")), length(col("t2"))))
+          * lit(1000000.0)).cast("long") / lit(1000000.0)).as("sim"))
+      .filter(col("sim") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
-    dedupClusterRep, dedupSubstringSpans, dedupWeights)
+    dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance)
 }

@@ -192,4 +192,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("text-winnowing is shuffle-free row-local selection (ordering sort aside)") {
+    val p = plan("text-winnowing")
+    // grams, window minima and per-fp dedup all happen inside the row:
+    // no aggregate, no join, no hash exchange — only the output ordering's
+    // range exchange may appear
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("join-asof is one user-partitioned window, never a join") {
+    val p = plan("join-asof")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+  }
+
+  test("win-sessionize merges sessions with partial aggregation before the exchange") {
+    val p = plan("win-sessionize")
+    assert(p.contains("MergingSessions"), p)
+    assert(p.contains("partial_min"), p) // map-side combine feeds the shuffle
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup-substring-spans shuffles hashed shingles, never gram strings") {
+    val p = plan("dedup-substring-spans")
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every hash exchange keys on the long hash or the doc id — a gram
+    // string key would name the `col` explode output
+    assert(!p.contains("hashpartitioning(col#"), p)
+  }
+
+  test("dedup-edit-distance scores only blocked candidate pairs") {
+    val p = plan("dedup-edit-distance")
+    assert(p.contains("levenshtein"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
