@@ -211,14 +211,10 @@ object WindowOps {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
   ) { (s, d) =>
-    Tables.events(s, d)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"),
-        expr("ts div 1000").as("ts_us"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy(col("user_id"), session_window(col("tsc"), "30 minutes"))
-      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
-        count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
-      .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+    graft.streaming.Streams.sessionize(
+      Tables.events(s, d)
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"),
+          round(col("value") * 100).cast("long").as("cents")))
       .orderBy("user_id", "start_us")
   }
 

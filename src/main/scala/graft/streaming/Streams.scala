@@ -129,4 +129,19 @@ object Streams {
       .withColumn("digest", md5(concat_ws("\u0000", digestCols.map(col): _*)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Gap-based sessionization over (user_id, tsc: timestamp, cents) rows
+    * — `session_window` is batch/stream agnostic, so the SAME plan backs
+    * the win-sessionize batch op and the live path (watermark the input
+    * before calling for append-mode streaming; the watermark is what
+    * bounds session state at 100 TB/day event volumes). One shuffle on
+    * user_id, partial aggregation into MergingSessions.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("tsc"), gap))
+      .agg(min(unix_micros(col("tsc"))).as("start_us"),
+        max(unix_micros(col("tsc"))).as("end_us"),
+        count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+      .select("user_id", "start_us", "end_us", "n_events", "value_cents")
 }

@@ -172,6 +172,51 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Seq("a", "b", "e"))
   }
 
+  test("streamed session_window sessionize matches the batch op over real events") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy("ts_us")
+      .collect()
+      .map(r => (r.getLong(0), tsOfMicros(r.getLong(1)), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](spark, 2)
+    val src = input.toDF().toDF("user_id", "tsc", "cents")
+      .withWatermark("tsc", "30 minutes")
+    val q = Streams.sessionize(src).writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // arrival in event-time order across several batches (cross-batch
+    // session merge state), then two sentinel batches to push the
+    // watermark past every real session's close
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    val far = new Timestamp(ev.map(_._2.getTime).max + 365L * 86400000)
+    input.addData((-1L, far, 0L)); q.processAllAvailable()
+    input.addData((-1L, new Timestamp(far.getTime + 3600000), 0L))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    q.stop()
+    val batch = graft.ops.WindowOps.winSessionize.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
