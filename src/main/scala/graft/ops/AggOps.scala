@@ -220,7 +220,44 @@ object AggOps {
         array_min(col("breaks")).as("first_break"))
   }
 
+  /** Retention cohorts (scale extension): users grouped by signup week,
+    * then distinct active users counted per (cohort, weeks-since-signup)
+    * — the standard retention triangle, all integer arithmetic (weeks =
+    * micros div 7·86400·10⁶).
+    *
+    * Scale shape: the distinct (user, week) prune happens BEFORE the
+    * cohort join (map-side combine absorbs per-user event volume); the
+    * join keys on user_id with a signup-user-sized right side; the final
+    * count-distinct aggregates a (cohort, offset, user) stream that is
+    * already distinct per user-week.
+    */
+  val aggRetention: Op = Op.sql(
+    "agg-retention",
+    """WITH su AS (SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_week
+      |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |r AS (SELECT s.cohort_week, a.week - s.cohort_week AS week_offset, a.user_id
+      |      FROM act a JOIN su s ON a.user_id = s.user_id
+      |      WHERE a.week >= s.cohort_week)
+      |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+      |       CAST(week_offset AS BIGINT) AS week_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"),
+        col("event_type"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.select("user_id", "week").distinct()
+      .join(su, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
-    aggMetrics, aggLatencyQuantiles, aggChainVerify)
+    aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention)
 }

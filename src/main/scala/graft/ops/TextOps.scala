@@ -617,9 +617,67 @@ object TextOps {
       .limit(20)
   }
 
+  /** Heavy hitters through a 4×1024 count-min sketch: token counts folded
+    * into a FIXED-size integer sketch (four portable-polynomial hash rows),
+    * then the top-20 true tokens re-estimated from the sketch —
+    * `est = min over rows of cell` — with the classic one-sided error
+    * (`overcount ≥ 0`) visible as a column. The point at 100 TB: the
+    * sketch is 4096 cells NO MATTER the corpus or vocabulary size — the
+    * shape a streaming/distributed frequency estimator actually ships,
+    * vs the exact vocab-sized groupBy (text-token-histogram) it
+    * approximates.
+    *
+    * Scale shape: exact counts reduce corpus→vocab with map-side combine;
+    * the sketch build is vocab→4096 (another combine); estimation joins a
+    * broadcast-sized top-k against the 4096-cell table. Everything is
+    * integer arithmetic — no float anywhere.
+    */
+  val textHeavyHitters: Op = Op.sql(
+    "text-heavy-hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |h AS (SELECT w, c, list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |        (a, b) -> (a * 31 + b) % 1000003) AS h
+      |      FROM uni),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |cells AS (SELECT r, ((h * (r * 2 + 1) * 40503 + r * 65537) % 1048573) % 1024 AS bucket,
+      |                 CAST(sum(c) AS BIGINT) AS cell
+      |          FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+      |top AS (SELECT w, c, h FROM h ORDER BY c DESC, w LIMIT 20),
+      |est AS (SELECT t.w, t.c, min(cells.cell) AS est_count
+      |        FROM top t CROSS JOIN rows_ g
+      |        JOIN cells ON cells.r = g.r
+      |          AND cells.bucket = ((t.h * (g.r * 2 + 1) * 40503 + g.r * 65537) % 1048573) % 1024
+      |        GROUP BY t.w, t.c)
+      |SELECT w, c AS true_count, est_count, est_count - c AS overcount
+      |FROM est ORDER BY true_count DESC, w""".stripMargin
+  ) { (s, d) =>
+    val D = 4; val Wd = 1024L
+    def bucket(h: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      ((h * (r * 2 + 1) * lit(40503L) + r * lit(65537L)) % lit(1048573L)) % Wd
+    val uni = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val hashed = uni.withColumn("h", TextAnalysis.polyHash(col("w")))
+    val cells = hashed
+      .select(col("c"), explode(sequence(lit(0), lit(D - 1))).as("r"), col("h"))
+      .withColumn("bucket", bucket(col("h"), col("r")))
+      .groupBy("r", "bucket").agg(sum("c").as("cell"))
+    val top = hashed.orderBy(col("c").desc, col("w")).limit(20)
+    broadcast(top)
+      .select(col("w"), col("c"), explode(sequence(lit(0), lit(D - 1))).as("r"), col("h"))
+      .withColumn("bucket", bucket(col("h"), col("r")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("w", "c").agg(min("cell").as("est_count"))
+      .select(col("w"), col("c").as("true_count"), col("est_count"),
+        (col("est_count") - col("c")).as("overcount"))
+      .orderBy(col("true_count").desc, col("w"))
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
-    textWinnowing, textCollocations)
+    textWinnowing, textCollocations, textHeavyHitters)
 }

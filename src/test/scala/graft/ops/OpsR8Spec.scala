@@ -40,6 +40,41 @@ class OpsR8Spec extends SparkSpec {
     }
   }
 
+  test("text-heavy-hitters: one-sided CMS error over the true top-20") {
+    val r = TextOps.textHeavyHitters.build(spark, sf()).collect()
+    assert(r.length === 20)
+    val trues = r.map(_.getLong(1))
+    assert(trues.zip(trues.tail).forall { case (a, b) => a >= b }, "true-count descending")
+    r.foreach { row =>
+      assert(row.getLong(2) >= row.getLong(1), "CMS never undercounts")
+      assert(row.getLong(3) === row.getLong(2) - row.getLong(1))
+      assert(row.getLong(3) >= 0)
+    }
+    // the reported tokens are the exact top-20 by a straight recount
+    val exact = graft.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(20)
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq === exact.toSeq)
+  }
+
+  test("agg-retention: week-0 equals the cohort size; later weeks never exceed it") {
+    val rows = graft.ops.AggOps.aggRetention.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0 && n >= 1) }
+    val cohortSizes = graft.Tables.events(spark, sf())
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(expr("(ts div 1000) div 604800000000")).as("cw"))
+      .groupBy("cw").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val week0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    assert(week0 === cohortSizes,
+      "every signup user is active in their own signup week")
+    rows.foreach { case (cw, _, n) => assert(n <= cohortSizes(cw)) }
+  }
+
   test("win-sessionize: sessions partition each user's events at >=30min gaps") {
     val gapUs = 30L * 60 * 1000000
     val byUser = events().groupBy(_._2).map { case (u, es) =>
