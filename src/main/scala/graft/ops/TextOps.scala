@@ -675,9 +675,68 @@ object TextOps {
       .orderBy(col("true_count").desc, col("w"))
   }
 
+  /** Bigram-LM quality scoring: per-doc mean log-probability under a
+    * corpus-fit bigram model with add-one smoothing,
+    * P(y|x) = (C(x,y)+1)/(C(x)+V) — the next rung above
+    * text-unigram-logprob on the CCNet-style LM-filter ladder (a bigram
+    * model penalizes scrambled word ORDER, which a unigram model cannot
+    * see). Same engine-parity discipline: each distinct bigram's log-prob
+    * snaps to integer micro-nats once, and docs integer-sum them
+    * (order-exact aggregation).
+    *
+    * Scale shape: the model is fit on DISTINCT bigrams (corpus stream →
+    * vocab²-bounded count tables with map-side combine); the per-doc pass
+    * joins the pair stream to the broadcast-sized model and reduces
+    * per-doc. Docs under two tokens have no bigrams and drop out, same
+    * as the oracle.
+    */
+  val textBigramLogprob: Op = Op.sql(
+    "text-bigram-logprob",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
+      |cxy AS (SELECT w1, w2, count(*) AS cxy FROM pr GROUP BY 1, 2),
+      |cx AS (SELECT w1, count(*) AS cx FROM pr GROUP BY 1),
+      |vs AS (SELECT count(DISTINCT w) AS v
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |lm AS (SELECT w1, w2, CAST(round((ln(cxy + 1) - ln(cx + v)) * 1000000) AS BIGINT) AS lp
+      |       FROM cxy JOIN cx USING (w1), vs),
+      |d AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n
+      |      FROM pr JOIN lm USING (w1, w2) GROUP BY doc_id)
+      |SELECT doc_id, n AS n_bigrams,
+      |       round(slp / n / 1000000.0, 6) AS mean_logp,
+      |       round(exp(-round(slp / n / 1000000.0, 6)), 4) AS ppl_proxy
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val cx = pairs.groupBy("w1").agg(count(lit(1)).as("cx"))
+    val vsize = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("v"))
+    val lm = cxy.join(cx, "w1").crossJoin(broadcast(vsize))
+      .select(col("w1"), col("w2"),
+        round((log(col("cxy") + 1) - log(col("cx") + col("v"))) * 1000000)
+          .cast("long").as("lp"))
+    val meanLogp = round(col("slp") / col("n") / 1000000.0, 6)
+    pairs.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy("doc_id").agg(sum("lp").as("slp"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        meanLogp.as("mean_logp"),
+        round(exp(-meanLogp), 4).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
-    textWinnowing, textCollocations, textHeavyHitters)
+    textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob)
 }

@@ -75,6 +75,22 @@ class OpsR7Spec extends SparkSpec {
     assert(r.head.getDouble(3) > 1.0)
   }
 
+  test("text-bigram-logprob: one score per multi-token doc, coherent with token counts") {
+    val r = TextOps.textBigramLogprob.build(spark, sf()).collect()
+    val nTok = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r.length === nTok.count(_._2 >= 2))
+    r.foreach { row =>
+      assert(row.getLong(1) === nTok(row.getLong(0)) - 1L, "n_bigrams = n_tokens - 1")
+      assert(row.getDouble(2) < 0.0, "log-probs are negative")
+      assert(row.getDouble(3) > 1.0, "perplexity proxy above 1")
+    }
+    // the bigram model separates docs more than the unigram model ranks
+    // alone would: scores exist and vary
+    assert(r.map(_.getDouble(2)).distinct.length > 1)
+  }
+
   test("dedup-weights: weights neutralize duplication in expectation") {
     val r = DedupOps.dedupWeights.build(spark, sf()).collect()
     val nDocs = graft.Tables.documents(spark, sf()).count()
