@@ -491,7 +491,65 @@ object SimOps {
       .orderBy("q_id", "n_id")
   }
 
+  /** Per-label cluster quality: size, centroid (integer-exact micro-unit
+    * element sums — the KMeans discipline) and mean squared distance to
+    * the centroid (within-cluster inertia), the health report a
+    * label/cluster assignment is judged by before it blocks a dedup or
+    * routes an IVF probe.
+    *
+    * Engine-parity: per-dimension squared deviations snap to integer
+    * pico-units ((x−c)·(x−c) by multiplication, never pow), so every sum
+    * — across dims inside a row, across rows in a label — is an integer
+    * sum with no float order sensitivity; the one terminal division
+    * snaps at micro grain.
+    *
+    * Scale shape: centroid sums reduce the exploded dim stream with
+    * map-side combine into a (labels × dims)-sized table; the assembled
+    * centroid array broadcasts back to the corpus, where the deviation
+    * fold is a row-local zip_with/aggregate — the corpus shuffles once
+    * (label groupBy of one long per row).
+    */
+  val simLabelStats: Op = Op.sql(
+    "sim-label-stats",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dx AS (SELECT vec_id, label, unnest(generate_series(0, len(v) - 1)) AS dim,
+      |              unnest(v) AS x FROM e),
+      |ce AS (SELECT label, dim, CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS se6,
+      |              count(*) AS n FROM dx GROUP BY 1, 2),
+      |cd AS (SELECT label, dim, (se6 / 1000000.0) / n AS c FROM ce),
+      |d2 AS (SELECT dx.vec_id, dx.label,
+      |         CAST(sum(CAST(round((x - c) * (x - c) * 1000000000000.0) AS BIGINT)) AS BIGINT) AS d2e12
+      |       FROM dx JOIN cd ON dx.label = cd.label AND dx.dim = cd.dim
+      |       GROUP BY 1, 2),
+      |ag AS (SELECT label, count(*) AS n_vecs, sum(d2e12) AS sd2 FROM d2 GROUP BY 1)
+      |SELECT label, n_vecs,
+      |       CAST(round(sd2 / (n_vecs * 1000000.0)) AS BIGINT) / 1000000.0 AS mean_dist2
+      |FROM ag ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .select(col("label"), col("pos").as("dim"),
+        round(col("col") * 1000000).cast("long").as("xe6"))
+      .groupBy("label", "dim").agg(sum("xe6").as("se6"), count(lit(1)).as("n"))
+    val centArr = cent.groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("se6"), col("n")))),
+        x => (x.getField("se6") / lit(1000000.0)) / x.getField("n")).as("cv"))
+    e.join(broadcast(centArr), "label")
+      .select(col("label"),
+        aggregate(
+          zip_with(col("v"), col("cv"),
+            (x, c) => round((x - c) * (x - c) * lit(1000000000000.0)).cast("long")),
+          lit(0L), (a, b) => a + b).as("d2e12"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2e12").as("sd2"))
+      .select(col("label"), col("n_vecs"),
+        (round(col("sd2") / (col("n_vecs") * lit(1000000.0))).cast("long")
+          / lit(1000000.0)).as("mean_dist2"))
+      .orderBy("label")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
-    simRangeSearch)
+    simRangeSearch, simLabelStats)
 }

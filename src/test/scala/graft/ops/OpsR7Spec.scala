@@ -91,6 +91,30 @@ class OpsR7Spec extends SparkSpec {
     assert(r.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("sim-label-stats matches a from-scratch scala inertia computation") {
+    val vecs = graft.Tables.embeddings(spark, sf())
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val byLabel = vecs.groupBy(_._1)
+    val r = SimOps.simLabelStats.build(spark, sf()).collect()
+    assert(r.map(_.getLong(1)).sum === vecs.length.toLong, "labels partition the corpus")
+    r.foreach { row =>
+      val (label, n, got) = (row.getInt(0), row.getLong(1), row.getDouble(2))
+      val vs = byLabel(label).map(_._2)
+      assert(vs.length.toLong === n)
+      val dims = vs.head.length
+      val cent = (0 until dims).map { j =>
+        vs.map(v => math.round(v(j) * 1e6)).sum / 1e6 / vs.length
+      }
+      val meanD2 = vs.map(v =>
+        (0 until dims).map(j => math.round((v(j) - cent(j)) * (v(j) - cent(j)) * 1e12)).sum
+      ).sum.toDouble / vs.length / 1e12
+      assert(math.abs(got - meanD2) < 2e-6, s"label $label: $got vs $meanD2")
+      assert(got > 0.0)
+    }
+  }
+
   test("dedup-weights: weights neutralize duplication in expectation") {
     val r = DedupOps.dedupWeights.build(spark, sf()).collect()
     val nDocs = graft.Tables.documents(spark, sf()).count()
