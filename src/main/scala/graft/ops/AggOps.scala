@@ -257,7 +257,68 @@ object AggOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Ordered conversion funnel (scale extension): users who signed up,
+    * then clicked strictly AFTER the signup, then purchased strictly
+    * after that click — order-sensitive stage matching (a click before
+    * signup does not count), the analytics shape sessionized event
+    * pipelines feed. Conversion is integer micro-units vs the previous
+    * stage.
+    *
+    * Scale shape: each stage is one filtered groupBy joined to the
+    * previous stage's user-keyed table (monotone shrinking); the three
+    * 1-row counts cross-join and the stage rows EXPLODE from that single
+    * row — never a union of N aggregated selects (which would re-execute
+    * the subtree N times). Timestamps compare at micro grain on both
+    * engines.
+    */
+  val aggFunnel: Op = Op.sql(
+    "agg-funnel",
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+      |         n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_e6 FROM n
+      |  UNION ALL SELECT 2, 'click_after_signup', n2,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE CAST(round(n2 * 1000000.0 / n1) AS BIGINT) END FROM n
+      |  UNION ALL SELECT 3, 'purchase_after_click', n3,
+      |    CASE WHEN n2 = 0 THEN 0 ELSE CAST(round(n3 * 1000000.0 / n2) AS BIGINT) END FROM n)
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_us") > col("t1")).groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_us") > col("t2")).groupBy("user_id").agg(min("ts_us").as("t3"))
+    def conv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0L))
+        .otherwise(round(num * lit(1000000.0) / den).cast("long"))
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("signup").as("stage_name"),
+          col("n1").as("n_users"), lit(1000000L).as("conv_e6")),
+        struct(lit(2L).as("stage"), lit("click_after_signup").as("stage_name"),
+          col("n2").as("n_users"), conv(col("n2"), col("n1")).as("conv_e6")),
+        struct(lit(3L).as("stage"), lit("purchase_after_click").as("stage_name"),
+          col("n3").as("n_users"), conv(col("n3"), col("n2")).as("conv_e6")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_users").as("n_users"), col("r.conv_e6").as("conv_e6"))
+      .orderBy("stage")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
-    aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention)
+    aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel)
 }

@@ -75,6 +75,28 @@ class OpsR8Spec extends SparkSpec {
     rows.foreach { case (cw, _, n) => assert(n <= cohortSizes(cw)) }
   }
 
+  test("agg-funnel matches a per-user scala scan of ordered stage times") {
+    val ev = events()
+    val byUser = ev.groupBy(_._2)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.foreach { case (_, es) =>
+      val t1 = es.filter(_._3 == "signup").map(_._4).sorted.headOption
+      val t2 = t1.flatMap(t => es.filter(e => e._3 == "click" && e._4 > t)
+        .map(_._4).sorted.headOption)
+      val t3 = t2.flatMap(t => es.filter(e => e._3 == "purchase" && e._4 > t)
+        .map(_._4).sorted.headOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    val r = graft.ops.AggOps.aggFunnel.build(spark, sf()).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._1 === n1 && r(2L)._1 === n2 && r(3L)._1 === n3)
+    assert(n1 >= n2 && n2 >= n3, "funnel shrinks monotonically")
+    assert(r(1L)._2 === 1000000L)
+    assert(r(2L)._2 === math.round(n2 * 1e6 / n1))
+  }
+
   test("win-sessionize: sessions partition each user's events at >=30min gaps") {
     val gapUs = 30L * 60 * 1000000
     val byUser = events().groupBy(_._2).map { case (u, es) =>
