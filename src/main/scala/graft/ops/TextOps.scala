@@ -734,9 +734,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking at token grain (the FastCDC/rsync idea:
+    * cut where a rolling window's hash hits a divisor, so chunk
+    * boundaries survive insertions — unlike fixed-size chunking where
+    * one added token shifts every later boundary). A boundary lands
+    * after token i when the 4-token window hash ≡ 0 (mod 16); every
+    * chunk is then md5'd and counted corpus-wide — the sub-document
+    * dedup unit (two docs sharing a paragraph share its chunks even at
+    * different offsets).
+    *
+    * Scale shape: boundary detection, cut assembly and chunk extraction
+    * are row-local array ops (zero shuffle); the only corpus shuffle is
+    * the md5-keyed chunk count (map-side combine; a boilerplate chunk in
+    * a billion docs aggregates to one row) and its AQE-splittable join
+    * back.
+    */
+  val textCdcChunks: Op = Op.sql(
+    "text-cdc-chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |th AS (SELECT doc_id, ws, len(ws) AS n,
+      |        [list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, j, 1))::BIGINT FOR j IN generate_series(1, length(w))]),
+      |           (a, x) -> (a * 31 + x) % 1000003) FOR w IN ws] AS h
+      |       FROM t),
+      |b AS (SELECT doc_id, ws, n,
+      |        [i FOR i IN generate_series(4, n)
+      |         IF i < n AND
+      |            list_reduce(list_prepend(0::BIGINT, h[i-3:i]),
+      |              (a, x) -> (a * 31 + x) % 1000003) % 16 = 0] AS bounds
+      |      FROM th),
+      |cuts AS (SELECT doc_id, ws, list_prepend(0::BIGINT, list_append(bounds, n::BIGINT)) AS cs
+      |         FROM b),
+      |ch AS (SELECT doc_id,
+      |         CAST(k AS BIGINT) AS chunk_no,
+      |         cs[k] + 1 AS t_start, cs[k + 1] AS t_end,
+      |         md5(array_to_string(ws[CAST(cs[k] + 1 AS INTEGER):CAST(cs[k + 1] AS INTEGER)], ' ')) AS chunk_hash
+      |       FROM (SELECT doc_id, ws, cs, unnest(generate_series(1, len(cs) - 1)) AS k FROM cuts)),
+      |dup AS (SELECT chunk_hash, count(*) AS n_dups FROM ch GROUP BY 1)
+      |SELECT ch.doc_id, ch.chunk_no, CAST(ch.t_start AS BIGINT) AS t_start,
+      |       CAST(ch.t_end AS BIGINT) AS t_end,
+      |       CAST(ch.t_end - ch.t_start + 1 AS BIGINT) AS n_tokens,
+      |       ch.chunk_hash, dup.n_dups
+      |FROM ch JOIN dup USING (chunk_hash)
+      |ORDER BY doc_id, chunk_no""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    // the codegen kernel returns the full cut list [0, b₁, …, n]
+    val chunks = t
+      .withColumn("cs", graft.functions.CdcCuts(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(1), size(col("cs")) - 1),
+          k => struct(
+            (element_at(col("cs"), k) + 1).as("t_start"),
+            element_at(col("cs"), k + 1).as("t_end")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
+        col("col.t_start").as("t_start"), col("col.t_end").as("t_end"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("col.t_start").cast("int"),
+            (col("col.t_end") - col("col.t_start") + 1).cast("int")))).as("chunk_hash"))
+    val dup = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("n_dups"))
+    chunks.join(dup, "chunk_hash")
+      .select(col("doc_id"), col("chunk_no"), col("t_start"), col("t_end"),
+        (col("t_end") - col("t_start") + 1).as("n_tokens"),
+        col("chunk_hash"), col("n_dups"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
-    textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob)
+    textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
+    textCdcChunks)
 }
