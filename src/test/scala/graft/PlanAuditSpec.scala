@@ -233,4 +233,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("text-cdc-chunks cuts row-locally; only the chunk-hash count shuffles") {
+    val p = plan("text-cdc-chunks")
+    // the cut list comes from the codegen kernel, not nested HOF lambdas
+    assert(p.contains("cdccuts") || p.contains("CdcCuts"), p)
+    // exactly one aggregation family: the md5-keyed duplicate count
+    assert(p.contains("hashpartitioning(chunk_hash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

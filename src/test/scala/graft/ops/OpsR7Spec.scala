@@ -91,6 +91,30 @@ class OpsR7Spec extends SparkSpec {
     assert(r.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("text-cdc-chunks: chunks tile every document exactly") {
+    val nTok = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byDoc = TextOps.textCdcChunks.build(spark, sf()).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.keySet === nTok.keySet, "every doc is chunked")
+    byDoc.foreach { case (doc, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      assert(cs.head._2 === 1L, s"doc $doc starts at token 1")
+      assert(cs.last._3 === nTok(doc), s"doc $doc ends at its last token")
+      cs.toSeq.sliding(2).foreach {
+        case Seq((_, _, e1, _, _), (_, s2, _, _, _)) =>
+          assert(s2 === e1 + 1, s"doc $doc chunks are contiguous")
+        case _ => ()
+      }
+      cs.foreach { case (_, s0, e0, n0, dups) =>
+        assert(n0 === e0 - s0 + 1)
+        assert(dups >= 1L)
+      }
+    }
+  }
+
   test("sim-label-stats matches a from-scratch scala inertia computation") {
     val vecs = graft.Tables.embeddings(spark, sf())
       .select(col("label"), col("embedding").cast("array<double>"))
