@@ -154,6 +154,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-k uniform sample: the k documents with the smallest
+    * md5(doc_id) — deterministic, seedless, reproducible across runs and
+    * engines (the eval-set carve that must not drift between pipeline
+    * versions). Where text-sample-stratified applies a per-stratum RATE,
+    * this draws an exact COUNT, uniformly.
+    *
+    * Scale shape: TakeOrderedAndProject on the hash rank — per-partition
+    * top-k partials merge at the driver; the corpus is never globally
+    * sorted and never shuffles.
+    */
+  val textSampleUniform: Op = Op.sql(
+    "text-sample-uniform",
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hash
+      |FROM documents
+      |ORDER BY rank_hash, doc_id LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rank_hash"))
+      .orderBy("rank_hash", "doc_id")
+      .limit(100)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any 5-word
     * shingle with the benchmark set (here: doc_id < 50 plays the held-out
     * benchmark), with the shared-shingle count per flagged doc — the
@@ -806,5 +828,5 @@ object TextOps {
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
-    textCdcChunks)
+    textCdcChunks, textSampleUniform)
 }
