@@ -242,4 +242,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(chunk_hash"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("text-collocations prunes at min-count and joins without cartesian") {
+    val p = plan("text-collocations")
+    assert(p.contains("partial_count"), p) // map-side combine on both count tables
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20, no global sort
+  }
+
+  test("text-heavy-hitters reduces corpus→vocab→sketch with map-side combine") {
+    val p = plan("text-heavy-hitters")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p) // sketch-cell build combines before its exchange
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text-sample-uniform takes ordered k without a global sort") {
+    val p = plan("text-sample-uniform")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }
