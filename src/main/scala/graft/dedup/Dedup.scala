@@ -39,9 +39,17 @@ object Dedup {
       n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true): DataFrame = {
     // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
     // partition-local, so the only shuffle here is the df prune below.
+    // Shingles leave this seam as their xxhash64 — every downstream
+    // shuffle (df prune, pair groupBy, signature build) moves 8-byte keys
+    // instead of ~25-byte gram strings, and the signature hash family can
+    // start from the already-uniform long instead of an md5 per row. A
+    // 64-bit collision merges two shingles corpus-wide with
+    // p ≈ (distinct shingles)²/2⁶⁵ — noise against the jaccard threshold,
+    // and the string-exact DuckDB oracles bound it at test SF.
     val sh = docs
       .select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("s"))
+        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("raw"))
+      .select(col("id"), xxhash64(col("raw")).as("s"))
     if (skewSafe) {
       // 100 TB form: a viral shingle ("the of the" in a billion docs) would
       // make the window partition hot; the two-pass prune pre-aggregates df
@@ -91,13 +99,14 @@ object Dedup {
   }
 
   /** Universal hash family over ONE base digest per shingle:
-    * h_i(s) = (a_i * h(s) + b_i) mod p, p = 2^31−1. One md5 per shingle
-    * row instead of k — the md5 is the dominant cost at scale; the affine
-    * members are two long ops each. Products stay < 2^62.
+    * h_i(s) = (a_i * h(s) + b_i) mod p, p = 2^31−1. The base is the
+    * shingle's xxhash64 (already computed at the shingleSets seam) folded
+    * into [0, p) — no per-row digest at all (the md5 this replaced was
+    * the dominant signature cost at scale); the affine members are two
+    * long ops each. Products stay < 2^62.
     */
   private val P = 2147483647L // Mersenne prime 2^31-1
-  private def baseHash =
-    conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+  private def baseHash = pmod(col("s"), lit(P))
   private def familyMember(i: Int, h: org.apache.spark.sql.Column) = {
     val a = ((i * 2654435761L) % P) | 1L
     val b = (i * 40503L * 65537L) % P

@@ -68,9 +68,9 @@ class DedupSpec extends SparkSpec {
 
   test("skew-safe df prune is equivalent to the window prune") {
     val win = Dedup.shingleSets(docs, "doc_id", "text", maxDf = 3)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val two = Dedup.shingleSets(docs, "doc_id", "text", maxDf = 3, skewSafe = true)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(win === two)
     assert(win.nonEmpty)
     // maxDf=3 prunes the shingles shared by 4 near-identical docs
