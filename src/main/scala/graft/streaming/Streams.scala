@@ -130,6 +130,32 @@ object Streams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Live click→purchase attribution candidates: a watermarked
+    * stream-stream INNER join — each purchase paired with the same user's
+    * clicks in the `horizon` before it (inclusive). Stream-stream joins
+    * REQUIRE the bounded time-range condition: it is what lets Spark
+    * expire click state past the watermark + horizon, so state is
+    * O(horizon × click rate), not unbounded. The exact most-recent-click
+    * argmax stays in the batch op (join-asof) — emitting candidates and
+    * reducing downstream is the streaming-safe split of that operator.
+    */
+  def clickAttributionLive(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("tsc").as("c_ts"))
+      .withWatermark("c_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("tsc").as("p_ts"))
+      .withWatermark("p_ts", horizon)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   /** Gap-based sessionization over (user_id, tsc: timestamp, cents) rows
     * — `session_window` is batch/stream agnostic, so the SAME plan backs
     * the win-sessionize batch op and the live path (watermark the input

@@ -217,6 +217,52 @@ class StreamsSpec extends SparkSpec {
       s"streamed ${streamed.size} sessions vs batch ${batch.size}")
   }
 
+  test("watermarked stream-stream click attribution matches a batch recompute") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .orderBy("ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Timestamp)](spark, 2)
+    val src = input.toDF().toDF("user_id", "event_id", "event_type", "tsc")
+    val out = Streams.clickAttributionLive(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = out.writeStream
+      .format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+      input.addData(chunk.map { case (u, id, t, us) => (u, id, t, tsOfMicros(us)) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("attr_out")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch recompute: every (purchase, click) of one user with the click
+    // inside the hour before the purchase, inclusive
+    val horizonUs = 3600L * 1000000
+    val clicks = ev.filter(_._3 == "click").groupBy(_._1)
+    val expected = (for {
+      (u, pid, t, pts) <- ev if t == "purchase"
+      (_, cid, _, cts) <- clicks.getOrElse(u, Array.empty)
+      if cts <= pts && cts >= pts - horizonUs
+    } yield (pid, cid)).toSet
+    assert(streamed === expected,
+      s"streamed ${streamed.size} pairs vs expected ${expected.size}")
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
