@@ -823,10 +823,57 @@ object TextOps {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** Per-document TF-IDF top terms: each doc's 5 most characteristic
+    * tokens by tf × (N/df) — the rational-form idf (rank-equivalent to
+    * tf·log(N/df) since log is monotonic and tf ≥ 1 ties resolve the
+    * same), so scoring is DIVISION-ONLY and IEEE-exact cross-engine,
+    * snapped at micro grain. The keyword-extraction primitive behind
+    * tagging, routing and topic seeding.
+    *
+    * Scale shape: tf and df reduce the token stream with map-side
+    * combine; the df join keys on the term (vocab-sized right side,
+    * AQE-splittable); the corpus-count broadcasts; ranking windows per
+    * doc_id — doc-grained, never a global funnel.
+    */
+  val textTfidfTopk: Op = Op.sql(
+    "text-tfidf-topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, w AS term, tf,
+      |         CAST(round(tf * (n / df) * 1000000.0) AS BIGINT) AS score_e6
+      |       FROM tf JOIN df USING (w), nn),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score_e6 DESC, term) AS rank
+      |       FROM sc)
+      |SELECT doc_id, term, tf, score_e6 / 1000000.0 AS score,
+      |       CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val nn = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val sc = tf.join(df, "w").crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("w").as("term"), col("tf"),
+        round(col("tf") * (col("n") / col("df")) * lit(1000000.0))
+          .cast("long").as("score_e6"))
+    val rankW = Window.partitionBy("doc_id").orderBy(col("score_e6").desc, col("term"))
+    sc.withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("score_e6") / lit(1000000.0)).as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
-    textCdcChunks, textSampleUniform)
+    textCdcChunks, textSampleUniform, textTfidfTopk)
 }

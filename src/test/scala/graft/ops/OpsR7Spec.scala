@@ -91,6 +91,32 @@ class OpsR7Spec extends SparkSpec {
     assert(r.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("text-tfidf-topk matches a from-scratch scala tf-idf on every doc") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toLong
+    val dfMap = docs.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val expected = docs.map { case (id, ws) =>
+      val scored = ws.groupBy(identity).toSeq.map { case (w, xs) =>
+        (w, math.round(xs.length * (n.toDouble / dfMap(w)) * 1e6))
+      }
+      id -> scored.sortBy { case (w, s0) => (-s0, w) }.take(5)
+        .zipWithIndex.map { case ((w, s0), i) => (w, s0, i + 1L) }
+    }.toMap
+    val got = TextOps.textTfidfTopk.build(spark, sf()).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(4)).map(r =>
+          (r.getString(1), math.round(r.getDouble(3) * 1e6), r.getLong(4))).toSeq
+      }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) === exp, s"doc $id top terms diverge")
+    }
+  }
+
   test("text-cdc-chunks: chunks tile every document exactly") {
     val nTok = graft.Tables.documents(spark, sf())
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
