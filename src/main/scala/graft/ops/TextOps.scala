@@ -870,10 +870,62 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Distribution drift per source: total-variation distance between each
+    * source's unigram distribution and the whole corpus's —
+    * TVD = ½·Σ|p_s(w) − p(w)| over the corpus vocabulary (terms a source
+    * lacks contribute their full corpus mass). The data-mix monitoring
+    * signal: a source whose language shifted (or was contaminated) drifts
+    * before any downstream metric moves. TVD instead of KL/JSD on
+    * purpose: absolute values and divisions only — IEEE-exact
+    * cross-engine, no libm log — with per-term contributions snapped to
+    * integer pico-units so the vocabulary sum is order-free.
+    *
+    * Scale shape: all three count tables reduce with map-side combine;
+    * the evaluation grid is #sources × vocabulary (distributed, never
+    * the corpus stream); the 1-row corpus total broadcasts.
+    */
+  val textSourceDrift: Op = Op.sql(
+    "text-source-drift",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cw AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+      |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+      |sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+      |grid AS (SELECT ns.source, ns.n_s, cw.w, cw.c_w,
+      |                coalesce(sw.c_sw, 0) AS c_sw
+      |         FROM ns CROSS JOIN cw
+      |         LEFT JOIN sw ON sw.source = ns.source AND sw.w = cw.w),
+      |term AS (SELECT source, n_s,
+      |           CAST(round(abs(c_sw / n_s - c_w / n) * 1000000000000.0) AS BIGINT) AS d_e12
+      |         FROM grid, nn)
+      |SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+      |       CAST(round(sum(d_e12) / 2000000.0) AS BIGINT) / 1000000.0 AS tvd
+      |FROM term GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val cw = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nn = cw.agg(sum("c_w").as("n"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    ns.crossJoin(cw)
+      .join(sw, Seq("source", "w"), "left")
+      .withColumn("c_sw", coalesce(col("c_sw"), lit(0L)))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("n_s"),
+        round(abs(col("c_sw") / col("n_s") - col("c_w") / col("n"))
+          * lit(1000000000000.0)).cast("long").as("d_e12"))
+      .groupBy("source")
+      .agg(min("n_s").as("n_tokens"), sum("d_e12").as("sd"))
+      .select(col("source"), col("n_tokens"),
+        (round(col("sd") / lit(2000000.0)).cast("long") / lit(1000000.0)).as("tvd"))
+      .orderBy("source")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
-    textCdcChunks, textSampleUniform, textTfidfTopk)
+    textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift)
 }

@@ -117,6 +117,30 @@ class OpsR7Spec extends SparkSpec {
     }
   }
 
+  test("text-source-drift: TVD bounds hold and a scala recompute agrees") {
+    val rows = TextOps.textSourceDrift.build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, sf())
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(0), w)))
+    val n = toks.length.toDouble
+    val cw = toks.groupBy(_._2).map { case (w, xs) => w -> xs.length }
+    val bySrc = toks.groupBy(_._1)
+    rows.foreach { row =>
+      val (src, nTok, tvd) = (row.getString(0), row.getLong(1), row.getDouble(2))
+      assert(tvd >= 0.0 && tvd <= 1.0, "TVD is a [0,1] metric")
+      val mine = bySrc(src).map(_._2)
+      assert(mine.length.toLong === nTok)
+      val cSw = mine.groupBy(identity).map { case (w, xs) => w -> xs.length }
+      val sum = cw.map { case (w, c) =>
+        math.round(math.abs(
+          cSw.getOrElse(w, 0).toLong / mine.length.toDouble - c / n) * 1e12)
+      }.sum
+      val expected = math.round(sum / 2000000.0) / 1e6
+      assert(math.abs(tvd - expected) < 1e-9, s"source $src: $tvd vs $expected")
+    }
+  }
+
   test("text-cdc-chunks: chunks tile every document exactly") {
     val nTok = graft.Tables.documents(spark, sf())
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
