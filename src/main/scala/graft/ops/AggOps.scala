@@ -318,7 +318,42 @@ object AggOps {
       .orderBy("stage")
   }
 
+  /** Daily/weekly active users with the stickiness ratio (DAU over the
+    * containing week's WAU) — the engagement row every event pipeline
+    * reports. Integer day/week bucketing (days nest exactly in weeks);
+    * the ratio snaps at micro grain.
+    *
+    * Scale shape: both distinct-user counts are groupBys with partial
+    * aggregation; the day→week join attaches a weeks-sized table
+    * (broadcast at any realistic horizon).
+    */
+  val aggActiveUsers: Op = Op.sql(
+    "agg-active-users",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  epoch_us(ts) // 604800000000 AS week FROM events),
+      |dau AS (SELECT day, min(week) AS week, count(DISTINCT user_id) AS dau
+      |        FROM e GROUP BY day),
+      |wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM e GROUP BY week)
+      |SELECT d.day, d.dau, w.wau,
+      |       CAST(round(d.dau * 1000000.0 / w.wau) AS BIGINT) / 1000000.0 AS stickiness
+      |FROM dau d JOIN wau w ON d.week = w.week
+      |ORDER BY d.day""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
+        expr("(ts div 1000) div 604800000000").as("week"))
+    val dau = e.groupBy("day")
+      .agg(min("week").as("week"), countDistinct("user_id").as("dau"))
+    val wau = e.groupBy("week").agg(countDistinct("user_id").as("wau"))
+    dau.join(broadcast(wau), "week")
+      .select(col("day"), col("dau"), col("wau"),
+        (round(col("dau") * lit(1000000.0) / col("wau")).cast("long")
+          / lit(1000000.0)).as("stickiness"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
-    aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel)
+    aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
+    aggActiveUsers)
 }

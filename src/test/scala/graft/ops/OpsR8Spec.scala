@@ -97,6 +97,26 @@ class OpsR8Spec extends SparkSpec {
     assert(r(2L)._2 === math.round(n2 * 1e6 / n1))
   }
 
+  test("agg-active-users: DAU <= WAU, stickiness in (0,1], scala recount agrees") {
+    val rows = graft.ops.AggOps.aggActiveUsers.build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val ev = events()
+    val dayUsers = ev.groupBy(e => e._4 / 86400000000L)
+      .map { case (d, es) => d -> es.map(_._2).distinct.length.toLong }
+    val weekUsers = ev.groupBy(e => e._4 / 604800000000L)
+      .map { case (w, es) => w -> es.map(_._2).distinct.length.toLong }
+    assert(rows.length === dayUsers.size)
+    rows.foreach { r =>
+      val (day, dau, wau, st) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau === dayUsers(day))
+      assert(wau === weekUsers(day * 86400000000L / 604800000000L))
+      assert(dau <= wau, "a day's actives are within its week's")
+      assert(st > 0.0 && st <= 1.0)
+      assert(st === math.round(dau * 1e6 / wau) / 1e6)
+    }
+  }
+
   test("win-sessionize: sessions partition each user's events at >=30min gaps") {
     val gapUs = 30L * 60 * 1000000
     val byUser = events().groupBy(_._2).map { case (u, es) =>
