@@ -244,6 +244,41 @@ object ScalarOps {
       .orderBy("height")
   }
 
+  /** Parse the event stream's JSON props payload and profile the
+    * extracted field per event type — the semi-structured side-channel
+    * every event pipeline carries (parse-json-block's little sibling:
+    * per-event property bags instead of block payloads). Extraction is
+    * `get_json_object` (codegen'd Jackson path eval) against DuckDB's
+    * json_extract; the mean snaps at micro grain from integer sums.
+    *
+    * Scale shape: per-row JSON extraction in the scan projection, then a
+    * handful-of-types groupBy with map-side combine.
+    */
+  val parseEventProps: Op = Op.sql(
+    "parse-event-props",
+    """WITH e AS (SELECT event_type,
+      |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |           FROM events WHERE props IS NOT NULL)
+      |SELECT event_type, count(*) AS n,
+      |       min(k) AS k_min, max(k) AS k_max,
+      |       CAST(sum(k) AS BIGINT) AS k_sum,
+      |       CAST(round(sum(k) * 1000000.0 / count(*)) AS BIGINT) / 1000000.0 AS k_avg
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("props").isNotNull)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"),
+        sum("k").as("k_sum"))
+      .select(col("event_type"), col("n"), col("k_min"), col("k_max"), col("k_sum"),
+        (round(col("k_sum") * lit(1000000.0) / col("n")).cast("long")
+          / lit(1000000.0)).as("k_avg"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(parseFilename, validateNonNull, hexDecode, hexNumber,
-    fmtPadded, tsMillis, jsonUnquote, parseJsonBlock, projectTxid, buildRecord)
+    fmtPadded, tsMillis, jsonUnquote, parseJsonBlock, projectTxid, buildRecord,
+    parseEventProps)
 }
