@@ -189,11 +189,13 @@ object SourceSinkOps {
         // Offline: a deterministic flaky stand-in (every 1000th height
         // fails once) exercises the retry path without changing output.
         val delays = graft.sources.Retry.schedule()
-        var failedOnce = Set.empty[Long]
-        heights.map { h =>
+        val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+        val cap = graft.sources.Concurrency.blocksParallel(
+          graft.sources.Concurrency.apiParallel(16))
+        graft.sources.Concurrency.boundedFetch(heights, cap) { h =>
           graft.sources.Retry.withRetries(delays, sleep = _ => ()) { () =>
-            if (h % 1000 == 0 && !failedOnce(h)) {
-              failedOnce += h
+            if (h % 1000 == 0 && !failedOnce.contains(h)) {
+              failedOnce.add(h)
               throw new java.io.IOException(s"transient fetch error at $h")
             }
             (h, s"blk-$h")
