@@ -240,7 +240,50 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** Range join via bin replication: every `error` event opens a 15-minute
+    * incident window; count the events (and distinct users) landing inside
+    * each window. The naive plan for an interval-containment join with no
+    * equi key is a broadcast-nested-loop — O(events × windows), dead at
+    * 100 TB with a corpus-sized window table. The scale shape used here is
+    * the classic BINNED range join: pick a bin width ≥ the maximum window
+    * length, replicate each window to the (≤2) bins it overlaps, map each
+    * probe row to the single bin containing it, equi-join on the bin key,
+    * and re-check exact containment after the join. The inequality join
+    * becomes one shuffle on an integer key — AQE-skew-splittable when one
+    * time bin is hot — and each (window, event) match is produced exactly
+    * once because an event lives in exactly one bin.
+    */
+  val joinRangeBin: Op = Op.sql(
+    "join-range-bin",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+      |w AS (SELECT event_id AS window_id, ts_us AS start_us,
+      |             ts_us + 900000000 AS end_us
+      |      FROM e WHERE event_type = 'error')
+      |SELECT w.window_id, w.start_us, count(*) AS n_events,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN e ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
+      |GROUP BY 1, 2 ORDER BY window_id""".stripMargin
+  ) { (s, d) =>
+    val binUs = 900000000L // 15 min; must be >= the max window length
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts_us").as("start_us"),
+        (col("ts_us") + binUs).as("end_us"))
+      .withColumn("bin",
+        explode(expr(s"sequence(start_us div $binUs, (end_us - 1) div $binUs)")))
+    val probes = ev.select(col("event_id"), col("user_id"),
+      col("ts_us").as("e_ts_us"), expr(s"ts_us div $binUs").as("bin"))
+    wins.join(probes, Seq("bin"))
+      .filter(col("e_ts_us") >= col("start_us") && col("e_ts_us") < col("end_us"))
+      .groupBy("window_id", "start_us")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy("window_id")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
-    joinAsof)
+    joinAsof, joinRangeBin)
 }

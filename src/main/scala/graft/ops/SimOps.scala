@@ -549,7 +549,98 @@ object SimOps {
       .orderBy("label")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means clusters the
+    * embedding space, then near-duplicates are resolved ONLY inside each
+    * cluster — pairwise cosine within an epsilon-ball, keeping one
+    * representative per ball (here the lowest vec_id, the paper's
+    * arbitrary-keeper rule). This is the semantic analogue of
+    * dedup-embedding-lsh: where LSH blocks by random sign projections,
+    * SemDeDup blocks by LEARNED structure, so paraphrases that share no
+    * surface form still collide.
+    *
+    * Scale shape: the clustering is sim-kmeans-centroids (one shuffle +
+    * config-sized collect per Lloyd round); the k centroids BROADCAST to a
+    * shuffle-free assignment pass; the pairwise stage joins on cid, so its
+    * cost is Σ|cluster|² — bounded by choosing k ∝ corpus/target-cluster-
+    * size exactly as the paper does (k=50k for LAION) — never corpus².
+    * Cosines snap to integer micro-units before every compare (the
+    * decimal-round of a derived double is not cross-engine stable).
+    */
+  val simSemanticDedup: Op = Op.sql(
+    "sim-semantic-dedup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |         FROM e ORDER BY vec_id LIMIT 4),
+      |asgn AS (
+      |  SELECT e.vec_id, e.v, ic.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_dot_product(e.v, ic.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) *
+      |                           sqrt(list_dot_product(ic.cv, ic.cv))), 6) DESC,
+      |                    ic.cid) AS rn
+      |  FROM e CROSS JOIN init ic),
+      |members0 AS (SELECT vec_id, v, cid FROM asgn WHERE rn = 1),
+      |dims AS (SELECT cid, unnest(generate_series(0, len(v) - 1)) AS dim,
+      |                unnest(v) AS x FROM members0),
+      |sums AS (SELECT cid, dim, sum(CAST(round(x * 10000) AS BIGINT)) AS sv,
+      |                count(*) AS n
+      |         FROM dims GROUP BY cid, dim),
+      |initdims AS (SELECT cid, unnest(generate_series(0, len(cv) - 1)) AS dim,
+      |                    unnest(cv) AS cx FROM init),
+      |cent AS (SELECT i.cid,
+      |                list(coalesce(round(s.sv / s.n / 10000.0, 6), i.cx)
+      |                     ORDER BY i.dim) AS cv
+      |         FROM initdims i LEFT JOIN sums s ON s.cid = i.cid AND s.dim = i.dim
+      |         GROUP BY i.cid),
+      |sc AS (SELECT e.vec_id, e.v, c.cid,
+      |              CAST(round(list_dot_product(e.v, c.cv) /
+      |                         (sqrt(list_dot_product(e.v, e.v)) *
+      |                          sqrt(list_dot_product(c.cv, c.cv))) * 1000000)
+      |                   AS BIGINT) AS cos_u
+      |       FROM e CROSS JOIN cent c),
+      |sc2 AS (SELECT vec_id, v, cid,
+      |               row_number() OVER (PARTITION BY vec_id
+      |                 ORDER BY cos_u DESC, cid) AS rn
+      |        FROM sc),
+      |m AS (SELECT vec_id, v, cid FROM sc2 WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT a.vec_id FROM m a JOIN m b
+      |  ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  AND CAST(round(list_dot_product(a.v, b.v) /
+      |                 (sqrt(list_dot_product(a.v, a.v)) *
+      |                  sqrt(list_dot_product(b.v, b.v))) * 1000000)
+      |           AS BIGINT) >= 350000)
+      |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid,
+      |       dropped.vec_id IS NULL AS keep
+      |FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id
+      |ORDER BY m.vec_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def cosU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
+        * 1000000).cast("long")
+    val cents = graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val members = e.crossJoin(broadcast(cents))
+      .withColumn("cos_u", cosU(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val other = members.select(col("cid").as("b_cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dropped = members.join(other,
+        col("cid") === col("b_cid") && col("b_id") < col("vec_id") &&
+          cosU(col("embedding"), col("b_emb")) >= 350000, "left_semi")
+      .select(col("vec_id").as("d_id"))
+    members.join(dropped, col("vec_id") === col("d_id"), "left")
+      .select(col("vec_id"), col("cid"), col("d_id").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
-    simRangeSearch, simLabelStats)
+    simRangeSearch, simLabelStats, simSemanticDedup)
 }

@@ -176,6 +176,46 @@ object StreamOps {
     Seq((stopped || !q.isActive, drained.value.toLong)).toDF("stopped", "drained")
   }
 
+  /** Streaming ingest dedup, batch shape: first occurrence per content
+    * digest wins (earliest timestamp, then lowest event id), with the
+    * number of duplicates that would have been dropped. The live path is
+    * [[graft.streaming.Streams.dedupIngest]] —
+    * `dropDuplicatesWithinWatermark` with the digest-state horizon that
+    * keeps streaming state bounded at 100 TB/day (exercised in
+    * StreamsSpec); this op is the deterministic full-data shape of the
+    * same keep-first semantics that the DuckDB oracle can check.
+    *
+    * Scale shape: one groupBy(digest) with map-side combine; the argmin is
+    * a struct min (no window, no sort of the corpus). The digest
+    * deliberately excludes the DOUBLE `value` column: binary-to-decimal
+    * string formatting of doubles is engine-specific, and a digest must
+    * be reproducible everywhere.
+    */
+  val streamDedup: Op = Op.sql(
+    "stream-dedup",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |                  md5(concat(CAST(user_id AS VARCHAR), '|', event_type))
+      |                    AS digest
+      |           FROM events),
+      |k AS (SELECT digest,
+      |             min(struct_pack(ts := ts_us, id := event_id)) AS f,
+      |             count(*) AS n_seen
+      |      FROM e GROUP BY digest)
+      |SELECT digest, f.ts AS ts_us, f.id AS event_id, n_seen - 1 AS n_dropped
+      |FROM k ORDER BY digest""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        md5(concat_ws("|", col("user_id"), col("event_type"))).as("digest"))
+      .groupBy("digest")
+      .agg(min(struct(col("ts_us").as("ts"), col("event_id").as("id"))).as("f"),
+        count(lit(1)).as("n_seen"))
+      .select(col("digest"), col("f.ts").as("ts_us"), col("f.id").as("event_id"),
+        (col("n_seen") - 1).as("n_dropped"))
+      .orderBy("digest")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
-    lateData, reorgRepair, sinkNotifyPulsar, gracefulStop)
+    lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup)
 }

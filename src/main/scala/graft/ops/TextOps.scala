@@ -922,10 +922,153 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the mean per-token log-ratio of a target-domain unigram LM (here the
+    * `en` slice plays the target) over the raw-corpus unigram LM, both
+    * add-one smoothed on the shared vocabulary. High scores mark documents
+    * whose token distribution looks like the target domain — the weights a
+    * resampling pass then draws against.
+    *
+    * Scale shape: two token-stream groupBys with map-side combine (target
+    * counts and raw counts), a vocabulary-sized LM table that BROADCASTS to
+    * the scoring join (the corpus token stream never shuffles for scoring),
+    * and the house micro-nat snap: per-token log-ratios round to integer
+    * micro-nats BEFORE the per-doc sum, so the aggregate is an exact
+    * integer in any partial-merge order.
+    */
+  val textDsir: Op = Op.sql(
+    "text-dsir",
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |              FROM documents),
+      |raw AS (SELECT w, count(*) AS cr FROM toks GROUP BY w),
+      |tgt AS (SELECT w, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+      |tot AS (SELECT count(*) AS tr,
+      |               count(*) FILTER (WHERE lang = 'en') AS tt,
+      |               count(DISTINCT w) AS vsz
+      |        FROM toks),
+      |lm AS (SELECT raw.w,
+      |              CAST(round((ln(coalesce(ct, 0) + 1) - ln(tt + vsz)
+      |                          - ln(cr + 1) + ln(tr + vsz)) * 1000000)
+      |                   AS BIGINT) AS lp
+      |       FROM raw LEFT JOIN tgt ON raw.w = tgt.w CROSS JOIN tot),
+      |sc AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n
+      |       FROM toks JOIN lm USING (w) GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens, round(slp / n / 1000000.0, 6) AS dsir_logratio
+      |FROM sc ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val raw = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en").groupBy("w").agg(count(lit(1)).as("ct"))
+    val tot = toks.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") === "en", 1)).as("tt"),
+      countDistinct("w").as("vsz"))
+    val lm = raw.join(tgt, Seq("w"), "left").crossJoin(broadcast(tot))
+      .select(col("w"),
+        round((log(coalesce(col("ct"), lit(0)) + 1) - log(col("tt") + col("vsz"))
+          - log(col("cr") + 1) + log(col("tr") + col("vsz"))) * 1000000)
+          .cast("long").as("lp"))
+    toks.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum("lp").as("slp"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("slp") / col("n") / 1000000.0, 6).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Apply the data-mix: draw a deterministic per-source document quota
+    * against a fixed per-source token budget (B = 1000 tokens). Where
+    * text-mix-weights REPORTS the negotiated weights, this op EXECUTES
+    * them: quota_s = ceil(n_docs_s × min(1, B / tokens_s)) — all-integer
+    * arithmetic, so the quota is bit-identical on every engine — and the
+    * quota is filled in md5(doc_id) order, the same seedless deterministic
+    * draw text-sample-uniform uses (re-running the pipeline on the same
+    * corpus selects the same documents).
+    *
+    * Scale shape: the per-source stats table is catalog-sized and
+    * BROADCASTS; ranking is a window partitioned by source (no global
+    * sort). A pathological single-source corpus would funnel that window
+    * to one task — at that shape switch the rank to the salted two-phase
+    * top-k used by topk-largest-group; for real multi-source mixes the
+    * source partitioning is the natural parallelism.
+    */
+  val textMixApply: Op = Op.sql(
+    "text-mix-apply",
+    """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |st AS (SELECT source, count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS tok
+      |       FROM d GROUP BY source),
+      |q AS (SELECT source,
+      |             CASE WHEN tok <= 1000 THEN nd
+      |                  ELSE (nd * 1000 + tok - 1) // tok END AS quota
+      |      FROM st),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM d)
+      |SELECT r.doc_id, r.source, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(r.rk AS BIGINT) AS rk
+      |FROM r JOIN q ON r.source = q.source AND r.rk <= q.quota
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000L
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val st = docs.groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum("n_tokens").as("tok"))
+    val quotas = st.select(col("source"),
+      when(col("tok") <= budget, col("nd"))
+        .otherwise(expr(s"(nd * $budget + tok - 1) div tok")).as("quota"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashing-trick document features (Weinberger et al. 2009): project the
+    * bag-of-words onto a fixed 16-bucket space keyed by md5(token) — the
+    * featurizer that turns raw text into a dense-ish integer vector with
+    * NO vocabulary table at all (no fit step, no dictionary to ship), the
+    * standard trick for training quality classifiers over web-scale
+    * corpora. Output is the exploded (doc_id, dim, tf) table — integer
+    * term frequencies, array-free by house rule — which feeds the
+    * sim-tier ops directly.
+    *
+    * Scale shape: one token explode → groupBy(doc_id, dim) with map-side
+    * combine; output is ≤16 rows per document. No joins, no broadcast, no
+    * vocabulary state: the hash IS the dictionary, which is what makes
+    * this featurizer viable at 100 TB where a fitted vocabulary would be
+    * a multi-billion-row table.
+    */
+  val textHashEmbedding: Op = Op.sql(
+    "text-hash-embedding",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |              FROM documents)
+      |SELECT doc_id,
+      |       CAST(CAST(concat('0x', substr(md5(w), 1, 4)) AS UBIGINT) % 16
+      |            AS BIGINT) AS dim,
+      |       count(*) AS tf
+      |FROM toks GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % 16).as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "dim")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
-    textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift)
+    textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
+    textDsir, textMixApply, textHashEmbedding)
 }

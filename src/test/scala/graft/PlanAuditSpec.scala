@@ -262,4 +262,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("join-range-bin turns the interval join into a bin equi-join") {
+    val p = plan("join-range-bin")
+    // The whole point: an interval-containment join with no equi key must
+    // NOT plan as a nested-loop/cartesian — the bin key makes it an
+    // equi-join (hash or sort-merge, Catalyst's pick).
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bin"), p)
+  }
+
+  test("text-dsir broadcasts the LM table; the token stream never shuffles for scoring") {
+    val p = plan("text-dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side combine on both LM fits
+  }
+
+  test("text-mix-apply broadcasts quotas and ranks per source, not globally") {
+    val p = plan("text-mix-apply")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(source"), p) // window keyed by source
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text-hash-embedding is one explode + one combined aggregation, no joins") {
+    val p = plan("text-hash-embedding")
+    assert(!p.contains("Join"), p) // the hash IS the dictionary
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sim-semantic-dedup pairs only inside clusters — equi on cid, never corpus²") {
+    val p = plan("sim-semantic-dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // the dropped-set probe is a semi join
+  }
+
+  test("stream-dedup keeps first-per-digest via struct-min aggregation, no window") {
+    val p = plan("stream-dedup")
+    assert(p.contains("partial_min"), p) // map-side combine
+    assert(!p.contains("Window"), p)
+  }
 }
