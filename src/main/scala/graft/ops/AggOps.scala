@@ -352,8 +352,32 @@ object AggOps {
       .orderBy("day")
   }
 
+  /** Per-user lifetime value from purchase events: top-25 spenders with
+    * purchase count and total spend. The DOUBLE `value` column is snapped
+    * to integer cents PER ROW before any aggregation — a double sum's
+    * partial-merge order differs between Spark partials and the oracle
+    * (and between any two cluster topologies); an integer cents sum is
+    * exact in every order. The ranking is TakeOrderedAndProject over the
+    * users-sized aggregate — no global sort of the event stream.
+    */
+  val aggUserValue: Op = Op.sql(
+    "agg-user-value",
+    """SELECT user_id, count(*) AS n_purchases,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY cents DESC, user_id LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .orderBy(col("cents").desc, col("user_id"))
+      .limit(25)
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
-    aggActiveUsers)
+    aggActiveUsers, aggUserValue)
 }

@@ -1064,11 +1064,112 @@ object TextOps {
       .orderBy("doc_id", "dim")
   }
 
+  /** Quality-filter calibration: bucket every document into deciles of its
+    * mean unigram log-probability (the text-unigram-logprob score) and
+    * report each bucket's population and score range — the table a
+    * threshold decision ("drop the bottom two deciles") is read off.
+    *
+    * Cross-engine bucketing safety: scores are INTEGER micro-nats, decile
+    * boundaries come from exact linear-interpolation percentile (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). A boundary either equals an
+    * order statistic exactly (frac = 0 — both engines return the datum
+    * verbatim) or lies strictly BETWEEN two adjacent integer order
+    * statistics (both engines' values differ at most in ULPs but stay
+    * inside the open interval, where no integer score lives) — so
+    * `boundary <= score` is engine-stable without rounding games.
+    *
+    * Scale shape: the scoring pass is the broadcast-LM shape of
+    * text-unigram-logprob; the percentile is one aggregation to a single
+    * 9-element row that BROADCASTS back; bucket assignment is a per-row
+    * 9-element filter (no window, no sort — at 100 TB swap the exact
+    * percentile for approx_percentile and nothing else changes).
+    */
+  val textQualityDeciles: Op = Op.sql(
+    "text-quality-deciles",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+      |t AS (SELECT count(*) AS tot FROM toks),
+      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+      |       FROM v, t),
+      |sc AS (SELECT doc_id,
+      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
+      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
+      |b AS (SELECT quantile_cont(mean_u,
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+      |      FROM sc),
+      |a AS (SELECT doc_id, mean_u,
+      |             len(list_filter(bnds, x -> x <= mean_u)) AS bucket
+      |      FROM sc, b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+      |       min(mean_u) AS lo_u, max(mean_u) AS hi_u
+      |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val lm = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round((log(col("cnt")) - log(col("tot"))) * 1000000).cast("long").as("lp"))
+    val scores = toks.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(round(sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("mean_u"))
+    val bnds = scores.agg(
+      expr("percentile(mean_u, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+        .as("bnds"))
+    scores.crossJoin(broadcast(bnds))
+      .select(col("mean_u"),
+        size(filter(col("bnds"), x => x <= col("mean_u"))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("mean_u").as("lo_u"), max("mean_u").as("hi_u"))
+      .orderBy("bucket")
+  }
+
+  /** Language-ID classifier evaluation: the confusion table of the truth
+    * label vs the langGuess heuristic, with per-cell corpus share and the
+    * per-truth-class hit rate — the QA report that decides whether the
+    * cheap classifier is good enough to gate the mix on. Counts are a
+    * languages²-sized groupBy (tiny at any corpus size, map-side combine
+    * does the work); shares snap to integer micro-units against broadcast
+    * totals.
+    */
+  val textLangidEval: Op = Op.sql(
+    "text-langid-eval",
+    """WITH g AS (SELECT lang,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |       w -> w IN ('the','a','of','and','to','in','is'))) > 0
+      |       THEN 'en' ELSE 'unk' END AS guess
+      |  FROM documents),
+      |c AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess),
+      |cls AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_class FROM c GROUP BY lang),
+      |t AS (SELECT count(*) AS total FROM documents)
+      |SELECT c.lang, c.guess, c.n,
+      |       CAST(round(c.n * 1000000.0 / t.total) AS BIGINT) / 1000000.0 AS share,
+      |       CAST(round(c.n * 1000000.0 / cls.n_class) AS BIGINT) / 1000000.0
+      |         AS class_frac
+      |FROM c JOIN cls ON c.lang = cls.lang CROSS JOIN t
+      |ORDER BY c.lang, guess""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.langGuess(col("text")).as("guess"))
+    val c = g.groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val cls = c.groupBy("lang").agg(sum("n").as("n_class"))
+    val t = g.agg(count(lit(1)).as("total"))
+    c.join(broadcast(cls), Seq("lang")).crossJoin(broadcast(t))
+      .select(col("lang"), col("guess"), col("n"),
+        (round(col("n") * lit(1000000.0) / col("total")).cast("long")
+          / lit(1000000.0)).as("share"),
+        (round(col("n") * lit(1000000.0) / col("n_class")).cast("long")
+          / lit(1000000.0)).as("class_frac"))
+      .orderBy("lang", "guess")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
-    textDsir, textMixApply, textHashEmbedding)
+    textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
+    textLangidEval)
 }

@@ -303,4 +303,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), p) // map-side combine
     assert(!p.contains("Window"), p)
   }
+
+  test("text-quality-deciles buckets without a window or global sort of scores") {
+    val p = plan("text-quality-deciles")
+    assert(!p.contains("Window"), p) // no ntile funnel — broadcast boundaries
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_percentile") || p.contains("percentile"), p)
+  }
+
+  test("agg-user-value filters before aggregating and takes ordered top-25") {
+    val p = plan("agg-user-value")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("text-langid-eval reduces to a languages-squared table before any join") {
+    val p = plan("text-langid-eval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
