@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, Tables}
+import graft.text.TextAnalysis
+
+/** Corpus-curation ops: the snapshot-over-snapshot and per-source policy
+  * layer of a training-data pipeline (scale extensions — no reference
+  * analogue; the reference archives chain data, these cover the curation
+  * decisions a data team layers on top: paragraph-grain dedup, incremental
+  * dedup against prior crawl dumps, per-domain caps, dedup-threshold
+  * calibration, output-shard planning).
+  */
+object CurationOps {
+
+  /** Paragraph-grain content blocks: the fixture corpus is single-line, so
+    * non-overlapping 10-token windows stand in for paragraphs (the unit
+    * Dolma/CCNet-style pipelines dedup at). One row per block instance,
+    * keyed by the block's md5 — a per-row projection + explode, no shuffle;
+    * trailing partials (<10 tokens) are dropped so every hash covers the
+    * same-size unit. Docs shorter than one block are filtered BEFORE the
+    * `sequence` call (Spark generates descending sequences for b < a where
+    * DuckDB returns empty — the guard keeps the engines aligned).
+    */
+  private val BlockTokens = 10
+  private[ops] def blockInstances(s: SparkSession, d: String): DataFrame = {
+    val b = BlockTokens
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= b)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor(size(col("ws")) / b).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("ws"), i * b + 1, lit(b)))))).as("h"))
+  }
+
+  private val BlockOracle =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 10),
+      |b AS (SELECT doc_id, md5(array_to_string(ws[i*10+1:i*10+10], ' ')) AS h
+      |      FROM (SELECT doc_id, ws,
+      |              unnest(generate_series(0, len(ws) // 10 - 1)) AS i FROM t))""".stripMargin
+
+  private def microFrac(num: Column, den: Column): Column =
+    round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0)
+
+  /** Within-corpus paragraph dedup report: per document, how many of its
+    * content blocks also appear (byte-identical) in at least one OTHER
+    * document, and the duplicated fraction — the signal a pipeline uses to
+    * scrub boilerplate paragraphs without dropping whole documents
+    * (complements dedup-substring-spans, which works at overlapping 8-gram
+    * grain and reports positions; this is the cheap fixed-block variant).
+    *
+    * Scale shape: sharedness is a groupBy of the DISTINCT (doc, hash) set
+    * (map-side combine — a boilerplate block in a billion docs is one
+    * aggregated row); the flag join back is hash-keyed (AQE-skew-
+    * splittable) and the final agg is doc-grained. Block hashes are the
+    * only shuffled payload (16 bytes, never gram strings).
+    */
+  val dedupParagraph: Op = Op.sql(
+    "dedup-paragraph",
+    s"""WITH $BlockOracle,
+       |sh AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM b)
+       |       GROUP BY h HAVING count(*) > 1),
+       |per AS (SELECT b.doc_id, count(*) AS n_blocks,
+       |               CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_dup_blocks
+       |        FROM b LEFT JOIN sh ON b.h = sh.h GROUP BY b.doc_id)
+       |SELECT doc_id, n_blocks, n_dup_blocks,
+       |       CAST(round(n_dup_blocks * 1000000.0 / n_blocks) AS BIGINT) / 1000000.0
+       |         AS dup_frac
+       |FROM per ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val inst = blockInstances(s, d)
+    val shared = inst.distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1).as("dup"))
+    inst.join(shared, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("dup"), lit(0))).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        microFrac(col("n_dup_blocks"), col("n_blocks")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental dedup against a prior snapshot: the corpus splits into an
+    * "already shipped" snapshot (doc_id % 10 < 8 — the stand-in for last
+    * month's crawl) and a new delta; every NEW document reports how many of
+    * its content blocks were already present anywhere in the old snapshot,
+    * plus the drop verdict at the 50% overlap policy. This is the
+    * crawl-over-crawl dedup pass (new dumps re-serve most of the old web)
+    * — exact doc-hash incremental matching is a degenerate subset of it.
+    *
+    * Scale shape: the old-snapshot hash set is a DISTINCT projection (at
+    * 100 TB it would be a persisted side table maintained across runs, or
+    * a bloom filter pre-screen before the exact join — the join here IS
+    * the exact tier); the new-side probe is a hash-keyed left join sized
+    * by the delta, not the archive. Neither side ever holds gram strings —
+    * 16-byte hashes only.
+    */
+  val dedupIncremental: Op = Op.sql(
+    "dedup-incremental",
+    s"""WITH $BlockOracle,
+       |oldh AS (SELECT DISTINCT h FROM b WHERE doc_id % 10 < 8),
+       |newb AS (SELECT doc_id, h FROM b WHERE doc_id % 10 >= 8),
+       |per AS (SELECT n.doc_id, count(*) AS n_blocks,
+       |               CAST(sum(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_seen
+       |        FROM newb n LEFT JOIN oldh o ON n.h = o.h GROUP BY n.doc_id)
+       |SELECT doc_id, n_blocks, n_seen,
+       |       CAST(round(n_seen * 1000000.0 / n_blocks) AS BIGINT) / 1000000.0
+       |         AS seen_frac,
+       |       (n_seen * 2 >= n_blocks) AS drop_doc
+       |FROM per ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val inst = blockInstances(s, d)
+    val oldh = inst.filter(col("doc_id") % 10 < 8)
+      .select(col("h")).distinct()
+      .select(col("h"), lit(1).as("seen"))
+    inst.filter(col("doc_id") % 10 >= 8)
+      .join(oldh, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("seen"), lit(0))).as("n_seen"))
+      .select(col("doc_id"), col("n_blocks"), col("n_seen"),
+        microFrac(col("n_seen"), col("n_blocks")).as("seen_frac"),
+        (col("n_seen") * 2 >= col("n_blocks")).as("drop_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap (the FineWeb-style anti-spam policy: no
+    * domain may contribute more than K documents, keep the best): top-10
+    * per source by length (the cheap quality proxy), ties to the lowest
+    * doc_id, with the within-source rank.
+    *
+    * Scale shape: the cap runs through the shared salted two-phase top-k
+    * ([[graft.functions.TopK]]) — a spam domain with a billion pages never
+    * funnels one window task; phase 2 sees ≤ k·salts rows per source. The
+    * rank window afterwards runs on the CAPPED table (≤ k rows per source
+    * — configuration-sized, not data-sized).
+    */
+  val textCapPerSource: Op = Op.sql(
+    "text-cap-per-source",
+    """SELECT source, doc_id, n_chars, rn FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val capped = graft.functions.TopK.topkPerGroup(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+      groupCols = Seq("source"),
+      orderCols = Seq(col("n_chars").desc, col("doc_id").asc),
+      k = 10)
+    capped
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .orderBy("source", "rn")
+  }
+
+  /** Dedup-threshold calibration: the pair-count / docs-affected curve
+    * over candidate cosine thresholds — the table a team reads before
+    * committing to a SemDeDup epsilon (how much of the corpus does each
+    * threshold touch?). One scored pair table feeds every threshold row
+    * via an explode (never N re-executions of the pair subtree — the
+    * one-aggregated-DF rule), and thresholds are integer milli-units so
+    * the group key is hash-exact.
+    *
+    * Scale shape: the pair table is label-blocked (the same bounded
+    * blocking as dedup-embedding-cosine); the sweep multiplies it by a
+    * constant 8, and the per-threshold agg has map-side combine. n_pairs
+    * is derived from the endpoint explode (count/2 — exact, every pair
+    * contributes exactly two endpoint rows).
+    */
+  val dedupThresholdSweep: Op = Op.sql(
+    "dedup-threshold-sweep",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |             round(list_dot_product(a.v, b.v) /
+      |                   (sqrt(list_dot_product(a.v, a.v)) *
+      |                    sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |thr AS (SELECT CAST(unnest([200, 300, 350, 400, 500, 600, 700, 800]) AS BIGINT)
+      |               AS thr_milli),
+      |ep AS (SELECT thr.thr_milli, sim, unnest([d1, d2]) AS dd FROM p, thr)
+      |SELECT thr_milli,
+      |       CAST(sum(CASE WHEN sim >= thr_milli / 1000.0 THEN 1 ELSE 0 END) / 2
+      |            AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT CASE WHEN sim >= thr_milli / 1000.0 THEN dd END)
+      |            AS BIGINT) AS n_docs
+      |FROM ep GROUP BY thr_milli ORDER BY thr_milli""".stripMargin
+  ) { (s, d) =>
+    val thresholds = Seq(200, 300, 350, 400, 500, 600, 700, 800)
+    val pairs = graft.sim.Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.2)
+    val hit = col("sim") >= col("thr_milli").cast("double") / lit(1000.0)
+    pairs
+      .select(explode(array(thresholds.map(t => lit(t.toLong)): _*)).as("thr_milli"),
+        col("d1"), col("d2"), col("sim"))
+      .select(col("thr_milli"), hit.as("hit"),
+        explode(array(col("d1"), col("d2"))).as("dd"))
+      .groupBy("thr_milli")
+      .agg((sum(when(col("hit"), 1).otherwise(0)) / 2).cast("long").as("n_pairs"),
+        countDistinct(when(col("hit"), col("dd"))).as("n_docs"))
+      .orderBy("thr_milli")
+  }
+
+  /** Output-shard planning: deterministic hash-sharding of the corpus into
+    * 8 training shards with the balance report (docs, tokens, load factor
+    * vs perfect balance per shard) — the table that decides whether the
+    * shard count needs a bump before the expensive materialization runs.
+    * Modulo-on-id stands in for the portable id hash; at 100 TB sharding
+    * is exactly this one projection + a shard-count-sized agg, and the
+    * balance check costs one broadcast of an 8-row total.
+    */
+  val textShardBalance: Op = Op.sql(
+    "text-shard-balance",
+    """WITH t AS (SELECT doc_id % 8 AS shard,
+      |                  len(string_split(text, ' ')) AS nt FROM documents),
+      |per AS (SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |               CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY shard),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+      |SELECT shard, n_docs, n_tokens,
+      |       CAST(round(n_tokens * 8000000.0 / tot) AS BIGINT) / 1000000.0
+      |         AS load_factor
+      |FROM per, tot ORDER BY shard""".stripMargin
+  ) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select((col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (round(col("n_tokens") * lit(8000000.0) / col("tot")).cast("long") /
+          lit(1000000.0)).as("load_factor"))
+      .orderBy("shard")
+  }
+
+  val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, textCapPerSource,
+    dedupThresholdSweep, textShardBalance)
+}
