@@ -131,6 +131,90 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter pre-screen for incremental dedup — the cheap first tier
+    * in front of [[dedupIncremental]]'s exact hash join: the old snapshot's
+    * blocks fill a bloom filter (k=3 independent polynomial folds — the
+    * portable hash family of [[graft.text.TextAnalysis.polyHash]], three
+    * multiplier/modulus pairs), and every NEW document reports its
+    * bloom-positive block count next to the exact membership count, so the
+    * false-positive overhead of the screen is directly observable
+    * (n_bloom_hits ≥ n_true_hits always; the gap is what the exact tier
+    * re-checks for nothing).
+    *
+    * Scale shape: the filter is ~1M positions here (≥10 bits/element at
+    * bench SF). The relational spelling — a DISTINCT position table probed
+    * by a hash-keyed join — is the oracle-exact form; a production run
+    * compiles the same positions into a broadcast bitmap (Spark's own
+    * bloom-join machinery, or a codegen Expression over a bit array) so
+    * the probe costs zero shuffle. Either way the build side is one
+    * map-side-combined DISTINCT over the OLD snapshot, and the probe is
+    * sized by the new delta.
+    */
+  val dedupBloomScreen: Op = Op.sql(
+    "dedup-bloom-screen",
+    s"""WITH $BlockOracle,
+       |bs AS (SELECT doc_id, array_to_string(ws[i*10+1:i*10+10], ' ') AS b
+       |       FROM (SELECT doc_id, ws,
+       |               unnest(generate_series(0, len(ws) // 10 - 1)) AS i FROM t)),
+       |hs AS (SELECT doc_id, b,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           [ascii(substr(b, i, 1))::BIGINT FOR i IN generate_series(1, length(b))]),
+       |           (a, x) -> (a * 31 + x) % 1000003) AS h1,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           [ascii(substr(b, i, 1))::BIGINT FOR i IN generate_series(1, length(b))]),
+       |           (a, x) -> (a * 37 + x) % 999983) AS h2,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           [ascii(substr(b, i, 1))::BIGINT FOR i IN generate_series(1, length(b))]),
+       |           (a, x) -> (a * 41 + x) % 999979) AS h3
+       |       FROM bs),
+       |bits AS (SELECT DISTINCT pos FROM
+       |           (SELECT unnest([h1, h2, h3]) AS pos FROM hs WHERE doc_id % 10 < 8)),
+       |oldb AS (SELECT DISTINCT b FROM bs WHERE doc_id % 10 < 8),
+       |np AS (SELECT doc_id, b, h1, h2, h3,
+       |              row_number() OVER (ORDER BY doc_id, h1, h2, h3) AS inst
+       |       FROM hs WHERE doc_id % 10 >= 8),
+       |probe AS (SELECT n.doc_id, n.inst, n.b, count(bits.pos) AS n_set
+       |          FROM (SELECT doc_id, inst, b, unnest([h1, h2, h3]) AS pos FROM np) n
+       |          LEFT JOIN bits ON n.pos = bits.pos
+       |          GROUP BY n.doc_id, n.inst, n.b)
+       |SELECT p.doc_id, count(*) AS n_blocks,
+       |       CAST(sum(CASE WHEN p.n_set = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |       CAST(sum(CASE WHEN oldb.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_true_hits
+       |FROM probe p LEFT JOIN oldb ON p.b = oldb.b
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+  ) { (s, d) =>
+    val b = BlockTokens
+    val bs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= b)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor(size(col("ws")) / b).cast("int") - 1),
+          i => concat_ws(" ", slice(col("ws"), i * b + 1, lit(b))))))
+      .select(col("doc_id"), col("pos").as("blk"), col("col").as("b"))
+    val hs = bs.select(col("doc_id"), col("blk"), col("b"),
+      graft.functions.BloomFolds(col("b")).as("hv"))
+    val bits = hs.filter(col("doc_id") % 10 < 8)
+      .select(explode(col("hv")).as("pos"))
+      .distinct()
+      .select(col("pos"), lit(1).as("set"))
+    val oldb = hs.filter(col("doc_id") % 10 < 8)
+      .select(col("b")).distinct()
+      .select(col("b"), lit(1).as("seen"))
+    val probe = hs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("blk"), col("b"), explode(col("hv")).as("pos"))
+      .join(bits, Seq("pos"), "left")
+      .groupBy("doc_id", "blk", "b")
+      .agg(sum(coalesce(col("set"), lit(0))).as("n_set"))
+    probe.join(oldb, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n_set") === 3, 1).otherwise(0)).as("n_bloom_hits"),
+        sum(coalesce(col("seen"), lit(0))).as("n_true_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document cap (the FineWeb-style anti-spam policy: no
     * domain may contribute more than K documents, keep the best): top-10
     * per source by length (the cheap quality proxy), ties to the lowest
@@ -242,6 +326,6 @@ object CurationOps {
       .orderBy("shard")
   }
 
-  val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, textCapPerSource,
-    dedupThresholdSweep, textShardBalance)
+  val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
+    textCapPerSource, dedupThresholdSweep, textShardBalance)
 }

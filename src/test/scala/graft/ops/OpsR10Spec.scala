@@ -59,6 +59,30 @@ class OpsR10Spec extends SparkSpec {
     assert(out.exists(_._3 > 0), "fixture has cross-snapshot overlap")
   }
 
+  test("dedup-bloom-screen: bloom hits dominate exact hits; exact hits match brute force") {
+    val ds = docs()
+    def rawBlocks(text: String): Seq[String] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 10) Seq.empty
+      else (0 until ws.length / 10).map(i => ws.slice(i * 10, i * 10 + 10).mkString(" "))
+    }
+    val inst = ds.flatMap { case (id, text, _, _) => rawBlocks(text).map(id -> _) }
+    val oldBlocks = inst.filter(_._1 % 10 < 8).map(_._2).toSet
+    val out = CurationOps.dedupBloomScreen.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out.forall(_._1 % 10 >= 8), "only new-snapshot docs are reported")
+    out.foreach { case (id, nb, bloom, exact) =>
+      assert(bloom >= exact, s"doc $id: bloom hits ($bloom) must dominate exact ($exact)")
+      assert(bloom <= nb && exact <= nb, s"doc $id: hit counts bounded by block count")
+    }
+    val expectedExact = inst.filter(_._1 % 10 >= 8).groupBy(_._1).view
+      .mapValues(bs => bs.count(b => oldBlocks(b._2)).toLong).toMap
+    out.foreach { case (id, _, _, exact) =>
+      assert(exact === expectedExact(id), s"doc $id exact membership count")
+    }
+    assert(out.map(_._4).sum > 0, "fixture has cross-snapshot overlap to screen")
+  }
+
   test("text-cap-per-source: exact top-10 per source by (n_chars desc, doc_id)") {
     val ds = docs()
     val out = CurationOps.textCapPerSource.build(spark, sf()).collect()
