@@ -185,21 +185,17 @@ object Dedup {
     * building block shared by [[simhash]] and the composed preprocess
     * pipeline. Output: id, simhash.
     */
+  /** Per-doc simhash via the row-local codegen kernel
+    * ([[graft.functions.SimhashFingerprint]]): ZERO shuffle — the prior
+    * explode(words) × explode(bits) → two-groupBy formulation pushed a
+    * 20× corpus-token stream through two exchanges for what is a pure
+    * per-row function of the token array.
+    */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 20): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("w"))
-    val hashed = words.select(col("id"), TextAnalysis.polyHash(col("w")).as("h"))
-    val votes = hashed
-      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("j"), col("h"))
-      .withColumn("bit", floor(col("h") / pow(lit(2), col("j"))).cast("long") % 2)
-      .withColumn("vote", col("bit") * 2 - 1)
-      .groupBy("id", "j").agg(sum("vote").as("v"))
-    votes
-      .withColumn("bitval",
-        when(col("v") > 0, floor(pow(lit(2), col("j"))).cast("long")).otherwise(lit(0L)))
-      .groupBy("id").agg(sum("bitval").as("simhash"))
-  }
+      bits: Int = 20): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimhashFingerprint(TextAnalysis.tokens(col(textCol)), bits)
+        .as("simhash"))
 
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 20): DataFrame = {

@@ -278,12 +278,12 @@ object DedupOps {
     * key is the shingle's xxhash64 (8 bytes vs ~50-byte gram strings;
     * a 64-bit collision mislabels a span with p ≈ n²/2⁶⁵ — acceptable
     * for a dedup heuristic, and the DuckDB oracle's exact-string run
-    * bounds it at test SF). Cross-doc sharedness is a hash-keyed groupBy
-    * of the DISTINCT (doc, hash) set (map-side combine; a boilerplate
-    * shingle in a billion docs is ONE aggregated row, and the left-semi
-    * join back is AQE-skew-splittable); span merging is a per-document
-    * window — doc-grained, bounded by document length, never a corpus
-    * funnel.
+    * bounds it at test SF). Cross-doc sharedness is one hash-keyed
+    * groupBy computing min/max doc_id per shingle (min != max ⟺ shared;
+    * map-side combine makes a boilerplate shingle in a billion docs ONE
+    * aggregated row, and the left-semi join back is AQE-skew-splittable);
+    * span merging is a per-document window — doc-grained, bounded by
+    * document length, never a corpus funnel.
     */
   val dedupSubstringSpans: Op = Op.sql(
     "dedup-substring-spans",
@@ -310,14 +310,23 @@ object DedupOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= K)
+    // Persisted: the stream feeds two consumers (sharedness agg + the
+    // position join back); without the persist the scan+tokenize+hash
+    // pass runs twice. ~24 B/gram cached (MEMORY_AND_DISK spills at
+    // scale); Spark's cache manager dedups the identical plan across
+    // calls, same as persistedShingles.
     val sh = toks
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
           i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-    val shared = sh.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id): one
+    // groupBy with map-side combine instead of distinct + count-distinct
+    // (two corpus-sized shuffles collapse into one of partial (h,min,max)).
+    val shared = sh.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("h")
     val m = sh.join(shared, Seq("h"), "left_semi").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -106,12 +106,15 @@ object PipelineOps {
       (round(TextAnalysis.distinctTokenCount(col("text")) * lit(1.0) /
         TextAnalysis.tokenCount(col("text")), 4) < 0.32).as("f_low_quality"))
 
+    // Row-local gram counting (graft.functions.RepetitionStats kernel) —
+    // every doc's 2-grams live in its own token array, so the repetition
+    // flag needs ZERO shuffle (the explode→groupBy(doc_id, g) formulation
+    // this replaces shuffled the whole gram stream twice).
     val rep = docs
-      .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg((round(sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))) * lit(1.0) /
-        sum("cnt"), 6) > 0.16).as("f_repetitive"))
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats(TextAnalysis.tokens(col("text"))).as("r"))
+      .select(col("doc_id"),
+        (round(col("r.dup2") * lit(1.0) / col("r.n2"), 6) > 0.16).as("f_repetitive"))
 
     def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("id"),
