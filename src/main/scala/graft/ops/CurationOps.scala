@@ -326,6 +326,80 @@ object CurationOps {
       .orderBy("shard")
   }
 
+  /** Boilerplate removal with document reassembly — the step AFTER
+    * [[dedupParagraph]]'s report: every content block shared by ≥2
+    * documents (byte-identical 10-token window, the nav-bar/footer/cookie-
+    * banner signature) is stripped, and each document's clean text is
+    * rebuilt from its surviving blocks plus the unhashed trailing partial
+    * (CCNet/Dolma-style paragraph scrubbing that keeps the document
+    * instead of dropping it).
+    *
+    * Scale shape: the ONLY shuffled payloads are 16-byte block hashes and
+    * per-doc dropped-position int sets — document text never shuffles.
+    * Sharedness is one groupBy(h) with min/max(doc_id) and map-side
+    * combine (min≠max ⟺ ≥2 docs — a boilerplate block in a billion docs
+    * is one aggregated row); dropped positions come back doc-keyed as a
+    * tiny int array; reassembly is a row-local projection on the original
+    * scan (slice/filter/flatten over the token array — per-row HOFs at the
+    * final projection, not in any shuffle path). A same-block repeated
+    * WITHIN one doc only is kept (min=max) — within-doc repetition is
+    * text-repetition's business, not boilerplate.
+    */
+  val textBoilerplateStrip: Op = Op.sql(
+    "text-boilerplate-strip",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, i, ws[i*10+1:i*10+10] AS blk,
+      |             md5(array_to_string(ws[i*10+1:i*10+10], ' ')) AS h
+      |      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) // 10 - 1)) AS i
+      |            FROM t WHERE len(ws) >= 10)),
+      |sh AS (SELECT h FROM b GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      |agg AS (SELECT b.doc_id, count(*) AS n_blocks,
+      |               CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS n_dropped,
+      |               coalesce(flatten(list(blk ORDER BY i) FILTER (WHERE sh.h IS NULL)),
+      |                        []) AS kept
+      |        FROM b LEFT JOIN sh ON b.h = sh.h GROUP BY b.doc_id)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+      |       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |       CASE WHEN a.doc_id IS NULL THEN t.text
+      |            ELSE coalesce(array_to_string(
+      |                   list_concat(a.kept, t.ws[len(t.ws) // 10 * 10 + 1:len(t.ws)]), ' '),
+      |                 '')
+      |       END AS clean_text
+      |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    val b = BlockTokens
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("ws"))
+    val inst = docs.filter(size(col("ws")) >= b)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("ws")) / b).cast("int") - 1),
+        i => md5(concat_ws(" ", slice(col("ws"), i * b + 1, lit(b)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val shared = inst.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val dropped = inst.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set("pos").as("drp"))
+    val nb = (size(col("ws")) / b).cast("int")
+    val drpSafe = coalesce(col("drp"), array().cast("array<int>"))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(size(col("ws")) >= b, nb.cast("long")).otherwise(lit(0L)).as("n_blocks"),
+        coalesce(size(col("drp")).cast("long"), lit(0L)).as("n_dropped"),
+        when(size(col("ws")) < b, col("text")).otherwise(
+          array_join(concat(
+            flatten(transform(
+              filter(sequence(lit(0), nb - 1),
+                i => !array_contains(drpSafe, i)),
+              i => slice(col("ws"), i * b + 1, lit(b)))),
+            slice(col("ws"), nb * b + 1, size(col("ws")) - nb * b)), " "))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
-    textCapPerSource, dedupThresholdSweep, textShardBalance)
+    textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip)
 }

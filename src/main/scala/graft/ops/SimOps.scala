@@ -640,7 +640,57 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Matryoshka (MRL) truncation eval: how much top-3 recall survives when
+    * cosine runs on only the FIRST 16 of 64 dimensions (Kusupati et al.
+    * 2022 — MRL-trained embeddings keep their head dims information-dense,
+    * so prefix truncation is the cheapest ANN accelerator there is: 4×
+    * less memory and FLOPs with no index). Output: per-query hit count and
+    * recall of prefix-dim search against the full-dim exact top-3 — the
+    * number that decides whether a corpus's embeddings tolerate
+    * truncation.
+    *
+    * Scale shape: both searches are [[Similarity.bruteForceTopK]] (the
+    * corpus never shuffles — queries broadcast, salted two-phase top-k);
+    * the truncated side slices the vector at SCAN time so the cross-join
+    * moves 16-float vectors, not 64. The recall join is top-k-table-sized
+    * ([[Similarity.annRecall]]).
+    */
+  val simMrlRecall: Op = Op.sql(
+    "sim-mrl-recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |full3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |pe AS (SELECT vec_id, v[1:16] AS v FROM e),
+       |pre3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM pe q JOIN pe c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |keff AS (SELECT q_id, count(*) AS k_eff FROM full3 GROUP BY q_id),
+       |h AS (SELECT f.q_id, count(*) AS n_hits FROM full3 f
+       |      JOIN pre3 p ON f.q_id = p.q_id AND f.n_id = p.n_id GROUP BY f.q_id)
+       |SELECT k.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) * 1.0 / k.k_eff, 6) AS recall
+       |FROM keff k LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    def prefix(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val exact = Similarity.bruteForceTopK(q, c, k = 3)
+    val truncated = Similarity.bruteForceTopK(prefix(q), prefix(c), k = 3)
+    Similarity.annRecall(exact, truncated).orderBy("q_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
-    simRangeSearch, simLabelStats, simSemanticDedup)
+    simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall)
 }

@@ -1164,6 +1164,43 @@ object TextOps {
       .orderBy("lang", "guess")
   }
 
+  /** BPE tokenizer-training merge step: the frequency of every adjacent
+    * character pair inside words, weighted by word frequency — the count
+    * table whose argmax IS the next BPE merge (Sennrich et al. 2016; one
+    * round shown, the trainer loop re-runs it over the merged vocab).
+    * Top-20 by count, pair-lexicographic tiebreak.
+    *
+    * Scale shape: pair counting runs over the VOCABULARY (one groupBy of
+    * the token stream with map-side combine collapses the corpus to
+    * distinct words first — a 100 TB corpus has a ~10M-row vocab), and the
+    * pair table is alphabet²-bounded, so the second aggregation is
+    * trivially small; the top-20 is a TakeOrderedAndProject, never a
+    * global sort. Words shorter than 2 chars are filtered BEFORE the
+    * `sequence` call (Spark generates descending sequences for b < a
+    * where DuckDB returns empty).
+    */
+  val textBpePairs: Op = Op.sql(
+    "text-bpe-pairs",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+      |p AS (SELECT substr(w, i, 2) AS pair, freq
+      |      FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+      |            FROM v WHERE length(w) >= 2))
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1171,5 +1208,5 @@ object TextOps {
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
-    textLangidEval)
+    textLangidEval, textBpePairs)
 }

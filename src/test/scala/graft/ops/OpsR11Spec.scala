@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the late round-5 ops (text-boilerplate-strip,
+  * text-bpe-pairs, sim-mrl-recall) over sf0.001. The driver gate owns
+  * value-exactness against DuckDB; these recompute the semantics
+  * independently on collected rows: block strip/reassembly round-trip,
+  * BPE pair counting over the vocabulary, and prefix-dim recall against
+  * a brute-force double recompute.
+  */
+class OpsR11Spec extends SparkSpec {
+
+  private def docs() = graft.Tables.documents(spark, sf())
+    .select(col("doc_id"), col("text"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1)))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("text-boilerplate-strip: counts and reassembled text match brute force") {
+    val ds = docs()
+    // Reference block decomposition: non-overlapping 10-token windows,
+    // trailing partial NOT hashed but always kept in the clean text.
+    val inst = ds.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 10) Seq.empty
+      else (0 until ws.length / 10).map(i =>
+        (id, i, md5hex(ws.slice(i * 10, i * 10 + 10).mkString(" "))))
+    }
+    val docsPerHash = inst.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    val expected = ds.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 10) (id, 0L, 0L, text)
+      else {
+        val nb = ws.length / 10
+        val dropped = (0 until nb).filter(i =>
+          docsPerHash(md5hex(ws.slice(i * 10, i * 10 + 10).mkString(" "))).size > 1)
+        val keptTokens = (0 until nb).filterNot(dropped.contains)
+          .flatMap(i => ws.slice(i * 10, i * 10 + 10)) ++ ws.drop(nb * 10)
+        (id, nb.toLong, dropped.size.toLong, keptTokens.mkString(" "))
+      }
+    }.toSeq
+    val out = CurationOps.textBoilerplateStrip.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out.sorted === expected.sorted)
+    assert(out.exists(_._3 > 0), "fixture has at least one stripped block")
+    // Untouched documents round-trip exactly (split/join inverse).
+    val byId = ds.toMap
+    out.filter(_._3 == 0).foreach { case (id, _, _, clean) =>
+      assert(clean === byId(id), s"doc $id: no drops must mean identity")
+    }
+  }
+
+  test("text-bpe-pairs: top-20 pair counts match brute force over the vocab") {
+    val vocab = docs().flatMap(_._2.split(" ", -1)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val counts = vocab.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 2), f))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val out = TextOps.textBpePairs.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === expected)
+    assert(out.head._2 >= out.last._2, "descending by count")
+  }
+
+  test("sim-mrl-recall: recall matches a brute-force double recompute") {
+    val embs = graft.Tables.embeddings(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    def top3(dims: Int): Map[Long, Seq[Long]] = {
+      val qs = embs.filter(_._1 < 10)
+      val cs = embs.filter(_._1 >= 10)
+      qs.map { case (qid, qv0) =>
+        val qv = qv0.take(dims)
+        val scored = cs.map { case (nid, nv0) =>
+          val nv = nv0.take(dims)
+          val dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+          val sim = round6(dot / (math.sqrt(qv.map(x => x * x).sum) *
+            math.sqrt(nv.map(x => x * x).sum)))
+          (nid, sim)
+        }
+        qid -> scored.sortBy { case (nid, sim) => (-sim, nid) }.take(3).map(_._1).toSeq
+      }.toMap
+    }
+    val full = top3(dims = 64)
+    val pre = top3(dims = 16)
+    val out = SimOps.simMrlRecall.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._1) === full.keys.toSeq.sorted, "one row per query")
+    out.foreach { case (qid, hits, recall) =>
+      val expHits = full(qid).toSet.intersect(pre(qid).toSet).size.toLong
+      assert(hits === expHits, s"query $qid hit count")
+      assert(recall === round6(hits.toDouble / 3), s"query $qid recall")
+      assert(hits >= 0L && hits <= 3L)
+    }
+  }
+}
