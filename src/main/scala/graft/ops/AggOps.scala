@@ -376,8 +376,99 @@ object AggOps {
       .limit(25)
   }
 
+  /** HyperLogLog distinct-user sketch per event type (Flajolet et al.
+    * 2007), next to the exact count and the observed relative error. m=64
+    * buckets, md5-derived 60-bit hash (bucket = low 6 bits, rho = leading-
+    * zero rank of the remaining 54), raw estimate E = α·m²/Σ2^−r with
+    * α = 0.709, plus the paper's linear-counting small-range correction
+    * (E ≤ 2.5m and empty buckets V > 0 → m·ln(m/V)). The correction's ln
+    * is safe against the house libm ban because its input domain is
+    * ENUMERABLE — V ∈ 1..64, and the nearest any m·ln(m/V) comes to a
+    * round-half boundary is 9.5e-5 (asserted in OpsR11Spec), ~9 orders
+    * above any libm last-ULP disagreement; the branch condition compares
+    * identical doubles on both sides.
+    *
+    * Why it earns a slot: count(DISTINCT) at 100 TB is a full shuffle of
+    * every distinct key; the HLL sketch is a 64-row-per-group MERGEABLE
+    * aggregate — partial max(rho) per bucket combines map-side,
+    * re-combines across days/shards/clusters, and the final estimate
+    * reads 64 integers. This op runs both side by side so the error of
+    * switching is measured, not assumed.
+    *
+    * Engine parity: the harmonic sum is INTEGER — Σ 2^(55−r) as BIGINT
+    * (≤ 64·2^55 < 2^62), absent buckets contribute 2^55 exactly — so no
+    * float ever aggregates (summation order can't bend it); the single
+    * α·m²·2^55/zsum division is one identical IEEE expression both
+    * sides, then round-to-integer. bin()-length gives the integer bit
+    * rank (the libm-free floor(log2) idiom of text-length-histogram).
+    */
+  val aggHllDistinct: Op = Op.sql(
+    "agg-hll-distinct",
+    """WITH h AS (
+      |  SELECT event_type,
+      |         list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+      |                      FOR x IN [substr(md5(CAST(user_id AS VARCHAR)), i, 1)
+      |                                FOR i IN generate_series(1, 15)]],
+      |                     (a, x) -> a * 16 + x) AS h
+      |  FROM events),
+      |b AS (SELECT event_type, h % 64 AS bucket,
+      |             CASE WHEN h // 64 = 0 THEN 55
+      |                  ELSE 55 - length(bin(h // 64)) END AS rho
+      |      FROM h),
+      |r AS (SELECT event_type, bucket, max(rho) AS r FROM b GROUP BY event_type, bucket),
+      |z AS (SELECT event_type,
+      |             CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT)
+      |               + (64 - count(*)) * 36028797018963968 AS zsum,
+      |             64 - count(*) AS v
+      |      FROM r GROUP BY event_type),
+      |ew AS (SELECT event_type, v,
+      |              CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+      |              CAST(36028797018963968 AS DOUBLE) / zsum AS e_raw
+      |       FROM z),
+      |est AS (SELECT event_type,
+      |               CASE WHEN e_raw <= 160.0 AND v > 0
+      |                    THEN CAST(round(CAST(64 AS DOUBLE) *
+      |                                    ln(CAST(64 AS DOUBLE) / v)) AS BIGINT)
+      |                    ELSE CAST(round(e_raw) AS BIGINT) END AS n_hll
+      |        FROM ew),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY event_type)
+      |SELECT x.event_type, CAST(x.n_exact AS BIGINT) AS n_exact, e.n_hll,
+      |       CAST(round((e.n_hll - x.n_exact) * 1000000.0 / x.n_exact) AS BIGINT)
+      |         / 1000000.0 AS rel_err
+      |FROM x JOIN est e USING (event_type) ORDER BY x.event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val w = shiftright(col("h"), 6)
+    val buckets = ev
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(64)).as("bucket"),
+        when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("r"))
+    val zsum = buckets.groupBy("event_type")
+      .agg((sum(expr("shiftleft(1L, cast(55 - r as int))")) +
+        (lit(64) - count(lit(1))) * lit(36028797018963968L)).as("zsum"),
+        (lit(64) - count(lit(1))).as("v"))
+    val est = zsum
+      .withColumn("e_raw",
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) / col("zsum"))
+      .select(col("event_type"),
+        when(col("e_raw") <= 160.0 && col("v") > 0,
+          round(lit(64.0) * log(lit(64.0) / col("v"))).cast("long"))
+          .otherwise(round(col("e_raw")).cast("long")).as("n_hll"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_hll"),
+        (round((col("n_hll") - col("n_exact")) * lit(1000000.0) / col("n_exact"))
+          .cast("long") / lit(1000000.0)).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
-    aggActiveUsers, aggUserValue)
+    aggActiveUsers, aggUserValue, aggHllDistinct)
 }

@@ -68,6 +68,49 @@ class OpsR11Spec extends SparkSpec {
     assert(out.head._2 >= out.last._2, "descending by count")
   }
 
+  test("agg-hll-distinct: estimate matches an independent HLL recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h60(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = ev.groupBy(_._1).map { case (et, us) =>
+      val rhos = us.map(_._2).map(h60)
+        .groupBy(h => (h % 64).toInt)
+        .view.mapValues(_.map { h =>
+          val w = h >>> 6
+          if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max).toMap
+      val zsum = (0 until 64).map(b =>
+        rhos.get(b).map(r => 1L << (55 - r)).getOrElse(1L << 55)).sum
+      val v = 64 - rhos.size
+      val eRaw = 0.709 * 4096.0 * 36028797018963968.0 / zsum
+      val est =
+        if (eRaw <= 160.0 && v > 0) math.round(64.0 * math.log(64.0 / v))
+        else math.round(eRaw)
+      (et, us.map(_._2).distinct.length.toLong, est)
+    }.toSeq.sortBy(_._1)
+    val out = AggOps.aggHllDistinct.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) === expected)
+    // HLL with m=64 has ~13% standard error; 3 sigma is a safe fixture bound.
+    out.foreach { case (et, _, _, relErr) =>
+      assert(math.abs(relErr) < 0.4, s"$et: rel_err $relErr within 3-sigma of m=64 HLL")
+    }
+    // The linear-counting branch's ln is cross-engine-safe because its
+    // domain is enumerable: no m*ln(m/V) sits near a round-half boundary.
+    val worst = (1 to 64).map { vv =>
+      val x = 64.0 * math.log(64.0 / vv)
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    assert(worst > 1e-6, s"linear-counting rounding margin $worst")
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
