@@ -439,25 +439,9 @@ object AggOps {
       |FROM x JOIN est e USING (event_type) ORDER BY x.event_type""".stripMargin
   ) { (s, d) =>
     val ev = Tables.events(s, d)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long")
-    val w = shiftright(col("h"), 6)
-    val buckets = ev
-      .select(col("event_type"), h.as("h"))
-      .select(col("event_type"), pmod(col("h"), lit(64)).as("bucket"),
-        when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).as("rho"))
-      .groupBy("event_type", "bucket").agg(max("rho").as("r"))
-    val zsum = buckets.groupBy("event_type")
-      .agg((sum(expr("shiftleft(1L, cast(55 - r as int))")) +
-        (lit(64) - count(lit(1))) * lit(36028797018963968L)).as("zsum"),
-        (lit(64) - count(lit(1))).as("v"))
-    val est = zsum
-      .withColumn("e_raw",
-        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) / col("zsum"))
-      .select(col("event_type"),
-        when(col("e_raw") <= 160.0 && col("v") > 0,
-          round(lit(64.0) * log(lit(64.0) / col("v"))).cast("long"))
-          .otherwise(round(col("e_raw")).cast("long")).as("n_hll"))
+    val est = graft.sketch.Hll.estimate(
+      graft.sketch.Hll.sketch(ev, Seq("event_type"), col("user_id")),
+      Seq("event_type"))
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"))
     exact.join(est, Seq("event_type"))

@@ -216,6 +216,61 @@ object StreamOps {
       .orderBy("digest")
   }
 
+  /** Hourly distinct-user HLL estimates per event type — the batch shape
+    * of [[graft.streaming.Streams.hllSketchLive]] (same
+    * [[graft.sketch.Hll]] sketch projection and fold; the live path emits
+    * the mergeable (window, type, bucket, max rho) sketch per closed
+    * window and this fold is its read side, parity-tested in
+    * StreamsSpec). The windowed dashboard query a 100 TB/day event
+    * stream can actually afford: per (window, group) the state is 64
+    * integers, partials combine map-side and across micro-batches, and
+    * yesterday's sketches merge with today's without touching raw data.
+    * See agg-hll-distinct for the engine-parity argument (integer
+    * harmonic sum, enumerable-domain linear counting).
+    */
+  val streamHll: Op = Op.sql(
+    "stream-hll",
+    """WITH e AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_us,
+      |                  event_type, user_id FROM events),
+      |h AS (
+      |  SELECT win_us, event_type,
+      |         list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+      |                      FOR x IN [substr(md5(CAST(user_id AS VARCHAR)), i, 1)
+      |                                FOR i IN generate_series(1, 15)]],
+      |                     (a, x) -> a * 16 + x) AS h
+      |  FROM e),
+      |b AS (SELECT win_us, event_type, h % 64 AS bucket,
+      |             CASE WHEN h // 64 = 0 THEN 55
+      |                  ELSE 55 - length(bin(h // 64)) END AS rho
+      |      FROM h),
+      |r AS (SELECT win_us, event_type, bucket, max(rho) AS r
+      |      FROM b GROUP BY win_us, event_type, bucket),
+      |z AS (SELECT win_us, event_type,
+      |             CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT)
+      |               + (64 - count(*)) * 36028797018963968 AS zsum,
+      |             64 - count(*) AS v
+      |      FROM r GROUP BY win_us, event_type),
+      |ew AS (SELECT win_us, event_type, v,
+      |              CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+      |              CAST(36028797018963968 AS DOUBLE) / zsum AS e_raw
+      |       FROM z)
+      |SELECT win_us, event_type,
+      |       CASE WHEN e_raw <= 160.0 AND v > 0
+      |            THEN CAST(round(CAST(64 AS DOUBLE) *
+      |                            ln(CAST(64 AS DOUBLE) / v)) AS BIGINT)
+      |            ELSE CAST(round(e_raw) AS BIGINT) END AS n_hll
+      |FROM ew ORDER BY win_us, event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(expr("(ts div 1000) div 3600000000 * 3600000000").as("win_us"),
+        col("event_type"), col("user_id"))
+    graft.sketch.Hll.estimate(
+      graft.sketch.Hll.sketch(ev, Seq("win_us", "event_type"), col("user_id")),
+      Seq("win_us", "event_type"))
+      .orderBy("win_us", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
-    lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup)
+    lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
+    streamHll)
 }

@@ -170,4 +170,32 @@ object Streams {
         max(unix_micros(col("tsc"))).as("end_us"),
         count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
       .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+
+  /** Windowed HyperLogLog distinct-key sketch over a live stream of
+    * (tsc: timestamp, event_type, user_id) — emits one (window,
+    * event_type, bucket, max rho) row per closed window in append mode.
+    * The STATE per (window, group) key is 64 small integers regardless of
+    * cardinality, and max(rho) merges across micro-batches exactly like
+    * it merges map-side in batch ([[graft.sketch.Hll]] — the same
+    * projection backs the stream-hll batch op, parity-tested in
+    * StreamsSpec). The estimate is a read-time fold
+    * ([[graft.sketch.Hll.estimate]]) — kept OUT of the streaming query
+    * so the stream stays a single native windowed aggregation (Spark
+    * allows one streaming agg per query; the sketch, not the estimate,
+    * is the thing worth checkpointing anyway — sketches from different
+    * streams/days still merge, estimates don't).
+    */
+  def hllSketchLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame = {
+    val h = graft.sketch.Hll.hash60(col("user_id"))
+    events
+      .select(col("tsc"), col("event_type"),
+        graft.sketch.Hll.bucket(h).as("bucket"), graft.sketch.Hll.rho(h).as("rho"))
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"),
+        col("bucket"))
+      .agg(max("rho").as("r"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("bucket"), col("r"))
+  }
 }

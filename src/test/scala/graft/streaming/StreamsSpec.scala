@@ -263,6 +263,51 @@ class StreamsSpec extends SparkSpec {
       s"streamed ${streamed.size} pairs vs expected ${expected.size}")
   }
 
+  test("streamed windowed HLL sketch folds to the batch op's estimates") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .orderBy("ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Timestamp)](spark, 2)
+    val src = input.toDF().toDF("event_type", "user_id", "tsc")
+    val q = Streams.hllSketchLive(src).writeStream
+      .format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Append).start()
+    // event-time order across several micro-batches (cross-batch max-rho
+    // merge state), then sentinel batches to close every real window
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.map { case (t, u, us) => (t, u, tsOfMicros(us)) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val far = ev.map(_._3).max + 365L * 86400 * 1000000
+    input.addData(("sentinel", -1L, tsOfMicros(far))); q.processAllAvailable()
+    input.addData(("sentinel", -1L, tsOfMicros(far + 3600L * 1000000)))
+    q.processAllAvailable()
+    val sketch = spark.table("hll_out").filter(col("event_type") =!= "sentinel")
+    // read-time fold of the streamed sketch == the batch op end to end
+    val streamed = graft.sketch.Hll
+      .estimate(sketch, Seq("win_us", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ops.StreamOps.streamHll.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
