@@ -451,8 +451,96 @@ object AggOps {
       .orderBy("event_type")
   }
 
+  /** KMV distinct-set overlap between every pair of event types (Beyer
+    * et al. 2007): per pair, the estimated union size, intersection size
+    * and Jaccard from the two k=64-minimum-hash sketches, next to the
+    * exact intersection for error observability. The overlap companion to
+    * agg-hll-distinct — "how many users do click and purchase SHARE" at
+    * 100 TB without ever joining the raw key sets: sketches are k
+    * integers per group, pairwise math is k-row joins
+    * ([[graft.sketch.Kmv]]).
+    *
+    * When a pair's union sketch holds fewer than k values the sketches
+    * are the complete sets and the op reports exact numbers (same CASE
+    * branch both engines, integer comparison) — the sf0.001 fixture
+    * exercises that regime, sf0.01+ the estimating one.
+    *
+    * Scale shape: sketch build is distinct → salted two-phase top-k
+    * (a hot group never funnels one window task); everything after is
+    * #pairs × k rows. The exact column is the one corpus-sized join —
+    * it exists to MEASURE the sketch and is the thing a 100 TB run
+    * drops.
+    */
+  val aggKmvOverlap: Op = Op.sql(
+    "agg-kmv-overlap",
+    """WITH e AS (
+      |  SELECT DISTINCT event_type,
+      |         list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+      |                      FOR x IN [substr(md5(CAST(user_id AS VARCHAR)), i, 1)
+      |                                FOR i IN generate_series(1, 15)]],
+      |                     (a, x) -> a * 16 + x) AS h
+      |  FROM events),
+      |sk AS (SELECT event_type, h FROM (
+      |         SELECT event_type, h,
+      |                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |         FROM e) WHERE rn <= 64),
+      |tp AS (SELECT DISTINCT event_type FROM events),
+      |pr AS (SELECT a.event_type AS et_a, b.event_type AS et_b
+      |       FROM tp a JOIN tp b ON a.event_type < b.event_type),
+      |u AS (SELECT pr.et_a, pr.et_b, s.h,
+      |             max(CASE WHEN s.event_type = pr.et_a THEN 1 ELSE 0 END) AS in_a,
+      |             max(CASE WHEN s.event_type = pr.et_b THEN 1 ELSE 0 END) AS in_b
+      |      FROM pr JOIN sk s ON s.event_type IN (pr.et_a, pr.et_b)
+      |      GROUP BY pr.et_a, pr.et_b, s.h),
+      |r AS (SELECT et_a, et_b, h, in_a, in_b,
+      |             row_number() OVER (PARTITION BY et_a, et_b ORDER BY h) AS rn,
+      |             count(*) OVER (PARTITION BY et_a, et_b) AS n_u
+      |      FROM u),
+      |agg AS (SELECT et_a, et_b, max(n_u) AS n_u,
+      |               max(CASE WHEN rn <= 64 THEN h END) AS kth,
+      |               CAST(sum(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1
+      |                             THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+      |        FROM r GROUP BY et_a, et_b),
+      |w AS (SELECT et_a, et_b, n_u, c_both,
+      |             CASE WHEN n_u < 64 THEN n_u
+      |                  ELSE CAST(round(CAST(63 AS DOUBLE) *
+      |                                  CAST(1152921504606846976 AS DOUBLE) / kth)
+      |                            AS BIGINT) END AS est_union
+      |      FROM agg),
+      |ex AS (SELECT p.et_a, p.et_b, count(*) AS exact_inter
+      |       FROM pr p
+      |       JOIN (SELECT DISTINCT event_type, user_id FROM events) x
+      |         ON x.event_type = p.et_a
+      |       JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+      |         ON y.event_type = p.et_b AND y.user_id = x.user_id
+      |       GROUP BY p.et_a, p.et_b)
+      |SELECT w.et_a, w.et_b, w.est_union,
+      |       CASE WHEN n_u < 64 THEN c_both
+      |            ELSE CAST(round(CAST(c_both AS DOUBLE) * CAST(est_union AS DOUBLE) /
+      |                            CAST(64 AS DOUBLE)) AS BIGINT) END AS est_inter,
+      |       CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+      |       CAST(round(c_both * 1000000.0 /
+      |                  CASE WHEN n_u < 64 THEN n_u ELSE 64 END) AS BIGINT)
+      |         / 1000000.0 AS est_jac
+      |FROM w LEFT JOIN ex ON w.et_a = ex.et_a AND w.et_b = ex.et_b
+      |ORDER BY w.et_a, w.et_b""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val est = graft.sketch.Kmv.pairOverlap(
+      graft.sketch.Kmv.sketch(ev, "event_type", col("user_id")), "event_type")
+    val du = ev.select("event_type", "user_id").distinct()
+    val exact = du.select(col("event_type").as("et_a"), col("user_id"))
+      .join(du.select(col("event_type").as("et_b"), col("user_id")), Seq("user_id"))
+      .filter(col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b").agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, Seq("et_a", "et_b"), "left")
+      .select(col("et_a"), col("et_b"), col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"), col("est_jac"))
+      .orderBy("et_a", "et_b")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
-    aggActiveUsers, aggUserValue, aggHllDistinct)
+    aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap)
 }

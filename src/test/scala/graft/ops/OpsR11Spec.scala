@@ -111,6 +111,43 @@ class OpsR11Spec extends SparkSpec {
     assert(worst > 1e-6, s"linear-counting rounding margin $worst")
   }
 
+  test("agg-kmv-overlap: estimates match an independent KMV recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h60(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = 64
+    val sketches = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.map(h60).sorted.take(k).toSet).toMap
+    val users = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sketches.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield {
+      val union = (sketches(a) ++ sketches(b)).toSeq.sorted
+      val nU = union.size
+      val topk = union.take(k)
+      val cBoth = topk.count(h => sketches(a)(h) && sketches(b)(h)).toLong
+      val (estUnion, estInter) =
+        if (nU < k) (nU.toLong, cBoth)
+        else {
+          val eu = math.round(63.0 * 1152921504606846976.0 / topk.last)
+          (eu, math.round(cBoth.toDouble * eu.toDouble / 64.0))
+        }
+      (a, b, estUnion, estInter, users(a).intersect(users(b)).size.toLong)
+    }).sortBy(t => (t._1, t._2))
+    val out = AggOps.aggKmvOverlap.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === expected)
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
