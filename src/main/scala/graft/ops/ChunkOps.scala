@@ -180,6 +180,56 @@ object ChunkOps {
       .agg(count(lit(1)).as("would_delete"))
   }
 
+  /** Size-targeted compaction bin-packing: assign each small file to a
+    * merge bin so every bin lands near a target byte size (64 KB here) —
+    * the planner behind the small-files problem that kills object-store
+    * listings and Spark task counts at 100 TB, and the size-dimension
+    * generalization of the reference's ≤10-block merge_small
+    * (src/command/verify.rs:238). Documents stand in for the file
+    * catalog (doc_id = file, n_chars = bytes). Bin id = cumulative bytes
+    * BEFORE the file, integer-divided by the target: the streaming
+    * first-fit pack in one window pass, deterministic in (source,
+    * doc_id) order. Output: one row per bin with file count, bytes and
+    * fill factor.
+    *
+    * Scale shape: the cumulative sum windows per SOURCE (the l1 layout
+    * key — same sharding discipline as text-pack-sequences): no global
+    * cumsum funnel; each partition's catalog slice packs independently,
+    * which is exactly how a per-l1 compaction job would run. The window
+    * input is the file CATALOG, not data rows. Fill is micro-snapped
+    * integer arithmetic.
+    */
+  val compactBinPack: Op = Op.sql(
+    "compact-bin-pack",
+    """WITH f AS (SELECT source, doc_id, n_chars,
+      |                  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                    - n_chars AS before_b
+      |           FROM documents),
+      |b AS (SELECT source, doc_id, n_chars,
+      |             CAST(before_b // 65536 AS BIGINT) AS bin
+      |      FROM f)
+      |SELECT source, bin, count(*) AS n_files,
+      |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |       CAST(round(sum(n_chars) * 1000000.0 / 65536) AS BIGINT) / 1000000.0
+      |         AS fill
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (sum("n_chars").over(w) - col("n_chars")).as("before_b"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        floor(col("before_b") / 65536).cast("long").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
+        (round(sum("n_chars") * lit(1000000.0) / lit(65536)).cast("long") /
+          lit(1000000.0)).as("fill"))
+      .orderBy("source", "bin")
+  }
+
   val ops: Seq[Op] = Seq(splitChunks, partitionLayout, skipExisting,
-    compactRange, parallelFetch, deleteFiles, dryRun)
+    compactRange, parallelFetch, deleteFiles, dryRun, compactBinPack)
 }

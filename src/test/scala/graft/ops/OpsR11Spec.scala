@@ -148,6 +148,33 @@ class OpsR11Spec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("compact-bin-pack: bins match a sequential pack; files are conserved") {
+    val files = graft.Tables.documents(spark, sf())
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val target = 65536L
+    val expected = files.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, _, n) =>
+        val bin = cum / target; cum += n; (src, bin, n)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, bin), xs) =>
+      (src, bin, xs.size.toLong, xs.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val out = ChunkOps.compactBinPack.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === expected)
+    // conservation + contiguity: every file lands in exactly one bin and
+    // bins per source are 0..max with no holes
+    val bySrc = out.groupBy(_._1)
+    val docCounts = files.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    bySrc.foreach { case (src, bins) =>
+      assert(bins.map(_._3).sum === docCounts(src), s"$src file conservation")
+      assert(bins.map(_._2).sorted === (0L until bins.size.toLong), s"$src contiguous bins")
+    }
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
