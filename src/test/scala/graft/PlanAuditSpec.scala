@@ -324,4 +324,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("text-boilerplate-strip never hash-shuffles document text") {
+    // The op's scale claim: only 16-byte block hashes and per-doc position
+    // sets move between stages — document text appears in an exchange ONLY
+    // as the final output-ordering range exchange (which exists for the
+    // deterministic oracle compare, not the computation).
+    // AQE wraps exchanges in an adaptive plan whose stages aren't
+    // traversable pre-execution — audit the non-adaptive physical plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try SparkEntry.queries("text-boilerplate-strip")(spark, sf())
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val hashExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.output.map(_.name)
+    }
+    assert(hashExchanges.nonEmpty)
+    hashExchanges.foreach { cols =>
+      assert(!cols.exists(Set("text", "ws", "clean_text")),
+        s"hash shuffle carries document text: $cols")
+    }
+  }
+
+  test("sketch ops combine map-side and rank through the salted top-k") {
+    // HLL: the (group, bucket) max-rho sketch must partially aggregate
+    // before its exchange — that partial IS the mergeable sketch.
+    val hll = plan("agg-hll-distinct")
+    assert(hll.contains("partial_max"), hll)
+    val shll = plan("stream-hll")
+    assert(shll.contains("partial_max"), shll)
+    // KMV: the k-smallest build must rank per (salt, group), never a raw
+    // per-group window over the distinct-hash stream.
+    val kmv = plan("agg-kmv-overlap")
+    assert(kmv.contains("hashpartitioning(_salt"), kmv)
+  }
 }
