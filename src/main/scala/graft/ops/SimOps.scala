@@ -690,7 +690,71 @@ object SimOps {
     Similarity.annRecall(exact, truncated).orderBy("q_id")
   }
 
+  /** Embedding outlier detection — the data-cleaning pass before any
+    * index build: assign every vector to its nearest centroid (the
+    * deterministic 10..80 centroid table, same assignment rule as
+    * sim-ivf-ann: rounded cosine, ties to lowest cid) and flag vectors
+    * whose cosine distance exceeds their cluster's p95 (mislabeled /
+    * corrupt / out-of-domain candidates). One row per vector with the
+    * micro-snapped distance and the verdict.
+    *
+    * Scale shape: assignment is a zero-shuffle projection over broadcast
+    * centroid literals (the corpus never moves); the p95 table is one
+    * centroids-sized exact-percentile aggregate over integer micro-unit
+    * distances (Spark `percentile` == DuckDB `quantile_cont` at
+    * round 6 — the house-proven parity) broadcast back for the flag.
+    */
+  val simEmbedOutliers: Op = Op.sql(
+    "sim-embed-outliers",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+      |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+      |asgn AS (
+      |  SELECT e.vec_id, cc.cid,
+      |         round(list_dot_product(e.v, cc.cv) /
+      |               (sqrt(list_dot_product(e.v, e.v)) *
+      |                sqrt(list_dot_product(cc.cv, cc.cv))), 6) AS sim,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_dot_product(e.v, cc.cv) /
+      |                          (sqrt(list_dot_product(e.v, e.v)) *
+      |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+      |                    cc.cid) AS rn
+      |  FROM e, cents cc),
+      |d AS (SELECT vec_id, cid,
+      |             CAST(round((1 - sim) * 1000000) AS BIGINT) AS d_e6
+      |      FROM asgn WHERE rn = 1),
+      |p AS (SELECT cid, round(quantile_cont(d_e6, 0.95), 6) AS p95
+      |      FROM d GROUP BY cid)
+      |SELECT d.vec_id, d.cid, d.d_e6 / 1000000.0 AS dist,
+      |       (d.d_e6 > p.p95) AS is_outlier
+      |FROM d JOIN p USING (cid) ORDER BY d.vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cents: Array[(Long, Seq[Double])] = e
+      .filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centStructs = cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(Similarity.cosine(col("embedding").cast("array<double>"),
+        typedLit(cv)).as("s"), lit(-cid).as("nc"))
+    }
+    val assigned = e
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id"), (-col("_b.nc")).as("cid"),
+        round((lit(1) - col("_b.s")) * 1000000).cast("long").as("d_e6"))
+    val p95 = assigned.groupBy("cid")
+      .agg(expr("round(percentile(d_e6, 0.95), 6)").as("p95"))
+    assigned.join(broadcast(p95), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        (col("d_e6") / lit(1000000.0)).as("dist"),
+        (col("d_e6") > col("p95")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
-    simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall)
+    simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
+    simEmbedOutliers)
 }

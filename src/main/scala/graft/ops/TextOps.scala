@@ -1201,6 +1201,47 @@ object TextOps {
       .limit(20)
   }
 
+  /** Term-blocklist safety filter — the policy stage every production
+    * corpus passes through (brand-safety / NSFW / PII-adjacent term
+    * lists): per document, how many blocklist terms appear, total
+    * occurrences, and the drop verdict (≥ 4 distinct terms AND ≥ 12
+    * occurrences — conjunctive so one boilerplate word can't nuke a doc).
+    * The 8-term list stands in for a config-distributed lexicon.
+    *
+    * Scale shape: pure row-local projection — each term's count is a
+    * filter over the doc's own token array; the blocklist ships as plan
+    * literals (a real lexicon broadcasts). Zero shuffle, no explode: the
+    * corpus token stream never leaves its row.
+    */
+  val textBlocklistFilter: Op = {
+    val terms = Seq("scan", "window", "join", "query", "merge", "sort", "agg", "key")
+    val perTermSql = terms.map(t =>
+      s"len(list_filter(ws, x -> x = '$t'))").mkString("[", ", ", "]")
+    Op.sql(
+      "text-blocklist-filter",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, $perTermSql AS cnts FROM t)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(cnts, x -> x > 0)) AS BIGINT) AS n_terms_hit,
+         |       CAST(list_sum(cnts) AS BIGINT) AS n_occurrences,
+         |       (len(list_filter(cnts, x -> x > 0)) >= 4 AND list_sum(cnts) >= 12)
+         |         AS drop_doc
+         |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextAnalysis.tokens(col("text"))
+      val cnts = array(terms.map(t =>
+        size(filter(ws, x => x === lit(t)))): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), cnts.as("cnts"))
+        .select(col("doc_id"),
+          size(filter(col("cnts"), x => x > 0)).cast("long").as("n_terms_hit"),
+          aggregate(col("cnts"), lit(0L), (a, x) => a + x).as("n_occurrences"))
+        .select(col("doc_id"), col("n_terms_hit"), col("n_occurrences"),
+          (col("n_terms_hit") >= 4 && col("n_occurrences") >= 12).as("drop_doc"))
+        .orderBy("doc_id")
+    }
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1208,5 +1249,5 @@ object TextOps {
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
-    textLangidEval, textBpePairs)
+    textLangidEval, textBpePairs, textBlocklistFilter)
 }

@@ -175,6 +175,40 @@ class OpsR11Spec extends SparkSpec {
     }
   }
 
+  test("text-blocklist-filter: counts and verdicts match brute force") {
+    val terms = Seq("scan", "window", "join", "query", "merge", "sort", "agg", "key")
+    val expected = docs().map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val cnts = terms.map(t => ws.count(_ == t).toLong)
+      val hit = cnts.count(_ > 0).toLong
+      val occ = cnts.sum
+      (id, hit, occ, hit >= 4 && occ >= 12)
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.textBlocklistFilter.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out === expected)
+    assert(out.exists(_._4) && out.exists(!_._4), "both verdicts present")
+  }
+
+  test("sim-embed-outliers: every vector assigned once; outlier rate ~5% per cluster") {
+    val out = SimOps.simEmbedOutliers.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val nVecs = graft.Tables.embeddings(spark, sf()).count()
+    assert(out.map(_._1).distinct.size.toLong === nVecs, "one row per vector")
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val nOut = members.count(_._4)
+      // p95 flags the strictly-above-quantile tail: at most ~5% + the
+      // interpolation row, never more
+      assert(nOut <= math.ceil(members.size * 0.05) + 1,
+        s"cluster $cid: $nOut outliers of ${members.size}")
+      // every outlier is farther than every inlier's distance ceiling
+      if (nOut > 0) {
+        val maxIn = members.filter(!_._4).map(_._3).max
+        assert(members.filter(_._4).forall(_._3 > maxIn), s"cluster $cid separation")
+      }
+    }
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
