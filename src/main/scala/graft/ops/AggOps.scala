@@ -539,8 +539,63 @@ object AggOps {
       .orderBy("et_a", "et_b")
   }
 
+  /** Hourly event-rate anomaly detection: each (event_type, hour) count
+    * z-scored against that type's own hourly distribution, |z| ≥ 3
+    * flagged — the monitoring pass that catches an ingest stall or a
+    * runaway producer in an archive pipeline (the metrics the reference
+    * exports per src/metrics/archive.rs get WATCHED by exactly this
+    * query downstream).
+    *
+    * Engine parity: the z-score is algebraically collapsed to
+    * (n·nh − sn)/√(nh·sn2 − sn²) — every input an exactly-aggregated
+    * integer (counts, count of hours, Σn, Σn²), so the whole statistic
+    * is two exact int→double conversions, one IEEE sqrt (correctly
+    * rounded by spec — sqrt is NOT in the libm ban) and one division,
+    * identical both engines; zero variance is detected by INTEGER
+    * equality (nh·sn2 = sn²), never a float epsilon.
+    *
+    * Scale shape: two groupBys with map-side combine (hour-grain then
+    * type-grain); the per-type stats table is types-sized and broadcast
+    * back. Nothing row-grained ever shuffles twice.
+    */
+  val aggRateAnomaly: Op = Op.sql(
+    "agg-rate-anomaly",
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |                  count(*) AS n
+      |           FROM events GROUP BY event_type, hr),
+      |s AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sn,
+      |             CAST(sum(n * n) AS BIGINT) AS sn2
+      |      FROM c GROUP BY event_type),
+      |z AS (SELECT c.event_type, c.hr, c.n,
+      |             CASE WHEN nh * sn2 = sn * sn THEN CAST(0 AS DOUBLE)
+      |                  ELSE CAST(c.n * nh - sn AS DOUBLE) /
+      |                       sqrt(CAST(nh * sn2 - sn * sn AS DOUBLE)) END AS zr
+      |      FROM c JOIN s USING (event_type))
+      |SELECT event_type, hr, n,
+      |       CAST(round(zr * 1000000.0) AS BIGINT) / 1000000.0 AS z,
+      |       (abs(CAST(round(zr * 1000000.0) AS BIGINT)) >= 3000000) AS is_anomaly
+      |FROM z ORDER BY event_type, hr""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val stats = c.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+    val zr = when(col("nh") * col("sn2") === col("sn") * col("sn"), lit(0.0))
+      .otherwise((col("n") * col("nh") - col("sn")).cast("double") /
+        sqrt((col("nh") * col("sn2") - col("sn") * col("sn")).cast("double")))
+    val z6 = round(zr * lit(1000000.0)).cast("long")
+    c.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n"),
+        (z6 / lit(1000000.0)).as("z"),
+        (abs(z6) >= 3000000L).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
-    aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap)
+    aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
+    aggRateAnomaly)
 }

@@ -209,6 +209,35 @@ class OpsR11Spec extends SparkSpec {
     }
   }
 
+  test("agg-rate-anomaly: z-scores match a brute-force recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.keys.toSeq.groupBy(_._1).flatMap { case (et, keys) =>
+      val ns = keys.map(counts)
+      val nh = ns.size.toLong
+      val sn = ns.sum
+      val sn2 = ns.map(n => n * n).sum
+      keys.map { case (_, hr) =>
+        val n = counts((et, hr))
+        val zr =
+          if (nh * sn2 == sn * sn) 0.0
+          else (n * nh - sn).toDouble / math.sqrt((nh * sn2 - sn * sn).toDouble)
+        val z6 = math.round(zr * 1000000.0)
+        (et, hr, n, z6 / 1000000.0, math.abs(z6) >= 3000000L)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val out = AggOps.aggRateAnomaly.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(out === expected)
+    // z-scores of a distribution sum to ~0; micro-grain rounding keeps it tiny
+    val zsum = out.map(_._4).sum
+    assert(math.abs(zsum) < 0.01, s"z sum $zsum")
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
