@@ -400,6 +400,43 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Reproducibility manifest per training shard (the doc_id % 8 sharding
+    * of [[textShardBalance]]): document count, byte volume, and an
+    * ORDER-FREE content checksum — bit_xor of each document's md5-derived
+    * 60-bit content hash. XOR is commutative/associative and can't
+    * overflow, so the checksum is identical however partitions combine,
+    * and two independently-produced copies of a shard can be compared
+    * without sorting anything — the "did the rerun produce byte-identical
+    * data" gate a reproducible pipeline signs its outputs with.
+    *
+    * Scale shape: one groupBy with map-side combine over per-row
+    * projections; the manifest is shards-sized.
+    */
+  val textShardManifest: Op = Op.sql(
+    "text-shard-manifest",
+    """WITH t AS (
+      |  SELECT doc_id % 8 AS shard, n_chars,
+      |         list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+      |                      FOR x IN [substr(md5(text), i, 1)
+      |                                FOR i IN generate_series(1, 15)]],
+      |                     (a, x) -> a * 16 + x) AS h
+      |  FROM documents)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |       bit_xor(h) AS checksum
+      |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select((col("doc_id") % 8).as("shard"), col("n_chars"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("shard")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
-    textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip)
+    textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip,
+    textShardManifest)
 }

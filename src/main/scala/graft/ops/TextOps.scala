@@ -1242,6 +1242,62 @@ object TextOps {
     }
   }
 
+  /** Paragraph-grain language segmentation: per document (≥ 10 tokens),
+    * each non-overlapping 10-token block gets the stopword language guess
+    * of text-lang-id, and the doc reports block counts per language,
+    * adjacent-block switches, and the mixed-language verdict — the signal
+    * for splitting or dropping code-switching / boilerplate-stitched
+    * documents that a DOC-level language ID averages away.
+    *
+    * Scale shape: entirely row-local — a document's blocks live in its
+    * own token array, so guesses, counts and the switch scan are one
+    * projection (indexed HOFs over a per-row boolean array; the `when`
+    * guards keep Spark's descending `sequence` away from short docs).
+    * ZERO shuffle beyond the output ordering.
+    */
+  val textLangSegments: Op = Op.sql(
+    "text-lang-segments",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  len(string_split(text, ' ')) // 10 AS nb
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 10),
+      |g AS (SELECT doc_id, nb,
+      |             [len(list_filter(ws[i*10+1:i*10+10],
+      |                  w -> w IN ('the','a','of','and','to','in','is'))) > 0
+      |              FOR i IN generate_series(0, nb - 1)] AS gs
+      |      FROM t)
+      |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+      |       CAST(len(list_filter(gs, x -> x)) AS BIGINT) AS n_en_blocks,
+      |       CAST(CASE WHEN nb < 2 THEN 0
+      |                 ELSE len(list_filter(generate_series(2, nb),
+      |                          i -> gs[i] <> gs[i-1])) END AS BIGINT) AS n_switches,
+      |       (len(list_filter(gs, x -> x)) > 0 AND
+      |        len(list_filter(gs, x -> x)) < nb) AS is_mixed
+      |FROM g ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val b = 10
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val ws = TextAnalysis.tokens(col("text"))
+    val nb = (size(col("ws")) / b).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= b)
+      .select(col("doc_id"), nb.as("nb"),
+        transform(sequence(lit(0), nb - 1),
+          i => exists(slice(col("ws"), i * b + 1, lit(b)),
+            w => w.isin(stop: _*))).as("gs"))
+      .select(col("doc_id"), col("nb").cast("long").as("n_blocks"),
+        size(filter(col("gs"), x => x)).cast("long").as("n_en_blocks"),
+        when(col("nb") < 2, lit(0L))
+          .otherwise(size(filter(sequence(lit(2), col("nb")),
+            i => element_at(col("gs"), i) =!= element_at(col("gs"), i - 1)))
+            .cast("long")).as("n_switches"),
+        col("nb"), col("gs"))
+      .select(col("doc_id"), col("n_blocks"), col("n_en_blocks"), col("n_switches"),
+        (col("n_en_blocks") > 0 && col("n_en_blocks") < col("n_blocks"))
+          .as("is_mixed"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1249,5 +1305,5 @@ object TextOps {
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
-    textLangidEval, textBpePairs, textBlocklistFilter)
+    textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments)
 }

@@ -238,6 +238,46 @@ class OpsR11Spec extends SparkSpec {
     assert(math.abs(zsum) < 0.01, s"z sum $zsum")
   }
 
+  test("text-lang-segments: block guesses and switch counts match brute force") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val expected = docs().flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val nb = ws.length / 10
+      if (nb < 1) None
+      else {
+        val gs = (0 until nb).map(i =>
+          ws.slice(i * 10, i * 10 + 10).exists(stop))
+        val nEn = gs.count(identity).toLong
+        val switches = gs.sliding(2).count(p => p.length == 2 && p(0) != p(1)).toLong
+        Some((id, nb.toLong, nEn, switches, nEn > 0 && nEn < nb))
+      }
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.textLangSegments.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(out === expected)
+  }
+
+  test("text-shard-manifest: checksum is order-free and matches brute force") {
+    val ds = docs()
+    def h60(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = ds.groupBy(_._1 % 8).map { case (shard, xs) =>
+      (shard, xs.length.toLong,
+        xs.map(_._2).map(h60).foldLeft(0L)(_ ^ _))
+    }.toSeq.sortBy(_._1)
+    val out = CurationOps.textShardManifest.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(out === expected)
+    // order-free: reversing the fold order can't change a XOR checksum
+    val rev = ds.reverse.groupBy(_._1 % 8).view
+      .mapValues(_.map(_._2).map(h60).foldLeft(0L)(_ ^ _)).toMap
+    out.foreach { case (shard, _, ck) => assert(ck === rev(shard)) }
+  }
+
   test("sim-mrl-recall: recall matches a brute-force double recompute") {
     val embs = graft.Tables.embeddings(spark, sf())
       .collect()
