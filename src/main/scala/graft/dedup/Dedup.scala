@@ -129,12 +129,19 @@ object Dedup {
     * selects, which would recompute the signature aggregation k/r times.
     * Output: candidate pairs (d1 < d2), distinct across bands.
     */
-  def lshCandidates(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
+  /** One (id, bucket) row per band — the probe/index key set of the LSH
+    * membership structure (shared by [[lshCandidates]] and the streaming
+    * ingest index in [[graft.streaming.Streams.nearDupIngestLive]]).
+    */
+  def lshBandKeys(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
     val bandKeys = (0 until k / r).map { b =>
       concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
     }
-    val bands = signatures
-      .select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
+    signatures.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
+  }
+
+  def lshCandidates(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
+    val bands = lshBandKeys(signatures, k, r)
     val l = bands.select(col("bucket"), col("id").as("d1"))
     val rr = bands.select(col("bucket"), col("id").as("d2"))
     l.join(rr, Seq("bucket"))

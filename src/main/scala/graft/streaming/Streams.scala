@@ -171,6 +171,68 @@ object Streams {
         count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
       .select("user_id", "start_us", "end_us", "n_events", "value_cents")
 
+  /** Incremental NEAR-duplicate ingest for a live document feed — the
+    * streaming form of the dedup-incremental/dedup-minhash pair: each
+    * micro-batch is shingled, minhash-signed and LSH-banded
+    * ([[graft.dedup.Dedup]] — the exact same pipeline as the batch ops),
+    * then probed against the PERSISTED band index of everything already
+    * accepted; a doc sharing any band bucket with the index (or with an
+    * earlier-id doc in its own batch) is dropped, and survivors' band
+    * keys are appended to the index.
+    *
+    * The cross-batch dedup memory lives in the index FILES, not in
+    * streaming state — stream state stores nothing, so the horizon is
+    * unbounded (a crawl from last month still dedups against today)
+    * without the state-store growth that killed unwatermarked
+    * dropDuplicates. At 100 TB the index is a bucketed-by-`bucket`
+    * table (or a Delta/merge target) so the probe join co-locates
+    * without shuffling the index; plain parquet append here is the same
+    * plan shape. The LSH decision is signature-only (the batch op's
+    * exact-verify tier joins text; an ingest gate accepts the
+    * ~(1−j²)^bands false-accept rate in exchange for never reading
+    * accepted text again).
+    */
+  def nearDupIngestLive(
+      docs: DataFrame, // streaming (doc_id, text)
+      indexDir: String,
+      checkpointDir: String)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.dedup.Dedup.minhashSignatures(
+          graft.dedup.Dedup.shingleSets(batch, "doc_id", "text"))
+        val bands = graft.dedup.Dedup.lshBandKeys(sigs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val index =
+          try spark.read.parquet(indexDir).select(col("bucket")).distinct()
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.emptyDataFrame.select(lit("").as("bucket")).limit(0)
+          }
+        val dupVsIndex = bands.join(broadcast(index), Seq("bucket"), "left_semi")
+          .select(col("id"))
+        // first-wins within the batch: later ids sharing a bucket drop
+        val inBatchDup = bands
+          .join(bands.groupBy("bucket").agg(min("id").as("mn")), Seq("bucket"))
+          .filter(col("id") > col("mn"))
+          .select(col("id"))
+        val dropped = dupVsIndex.union(inBatchDup).distinct()
+          .withColumn("dup", lit(true))
+        val verdict = batch.select(col("doc_id"))
+          .join(dropped.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(!col("dup"), lit(true)).as("accepted"))
+        bands.join(verdict.filter(col("accepted")),
+          bands("id") === verdict("doc_id"), "left_semi")
+          .write.mode("append").parquet(indexDir)
+        onBatch(verdict, batchId)
+        bands.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Windowed HyperLogLog distinct-key sketch over a live stream of
     * (tsc: timestamp, event_type, user_id) — emits one (window,
     * event_type, bucket, max rho) row per closed window in append mode.

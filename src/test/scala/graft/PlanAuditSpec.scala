@@ -350,6 +350,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("row-local text ops have ZERO hash exchanges — scan-side projections only") {
+    // These ops' whole scale story is that per-document stats never need
+    // a shuffle; the only exchange allowed is the output-ordering range
+    // exchange for the deterministic oracle compare.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (op <- Seq("text-repetition", "text-blocklist-filter",
+        "text-lang-segments", "dedup-simhash")) {
+        val exec = SparkEntry.queries(op)(spark, sf()).queryExecution.executedPlan
+        val hashExchanges = exec.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+        // dedup-simhash aggregates fingerprint group sizes (one combine),
+        // the pure text ops none at all
+        val allowed = if (op == "dedup-simhash") 2 else 0
+        assert(hashExchanges.size <= allowed,
+          s"$op: ${hashExchanges.size} hash exchanges (allowed $allowed)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sketch ops combine map-side and rank through the salted top-k") {
     // HLL: the (group, bucket) max-rho sketch must partially aggregate
     // before its exchange — that partial IS the mergeable sketch.

@@ -308,6 +308,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("nearDupIngestLive drops cross-batch near-dups via the persisted band index") {
+    val indexDir = Files.createTempDirectory("graft-nd-idx").toString
+    val ckpt = Files.createTempDirectory("graft-nd-ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 2)
+    val verdicts = scala.collection.mutable.Map.empty[Long, Boolean]
+    val q = Streams.nearDupIngestLive(
+      input.toDF().toDF("doc_id", "text"), indexDir, ckpt) { (v, _) =>
+      v.collect().foreach(r => verdicts(r.getLong(0)) = r.getBoolean(1))
+    }
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val other = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    // doc 3 = doc 1 plus one appended token (jaccard 10/11 on 3-gram
+    // shingles -> shares a band with near-certainty, deterministically);
+    // doc 4 is fresh
+    input.addData((3L, base + " extra"), (4L, "uniform victor whiskey xray yankee zulu one two three four"))
+    q.processAllAvailable()
+    q.stop()
+    assert(verdicts(1L) && verdicts(2L), "first batch all accepted")
+    assert(!verdicts(3L), "cross-batch near-dup dropped via the index")
+    assert(verdicts(4L), "fresh doc accepted")
+    // the index holds band keys for accepted docs only
+    val idxIds = spark.read.parquet(indexDir).select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 2L, 4L))
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
