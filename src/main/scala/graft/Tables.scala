@@ -22,12 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark rejects by
-    * default; read it as a long of epoch-nanos (DuckDB parity: `epoch_ns(ts)`).
+  /** `events.ts` canonicalizes to a LongType of epoch-nanos whatever the
+    * file's physical type (DuckDB parity: `epoch_ns(ts)`). Generations of
+    * the driver testdata have shipped it as INT64 TIMESTAMP(NANOS) — which
+    * Spark reads as a nanos long only under the legacy flag — and as
+    * TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ; every downstream
+    * op does integer bucket arithmetic on nanos, so the seam absorbs the
+    * difference here. The NTZ value is interpreted in the session timezone
+    * (pinned UTC by every entry point), matching DuckDB's naive-timestamp
+    * epoch_ns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -134,8 +134,13 @@ object Dedup {
     * ingest index in [[graft.streaming.Streams.nearDupIngestLive]]).
     */
   def lshBandKeys(signatures: DataFrame, k: Int = 32, r: Int = 2): DataFrame = {
+    // Band key = xxhash64(band, row values): an 8-byte long, not a
+    // concat_ws string — the bucket is only ever an equality key (self-join
+    // / index probe), and long keys hash-probe and shuffle at a fraction of
+    // the ~25-byte string's cost. The band index salts the hash so equal
+    // row values in different bands never collide into one bucket.
     val bandKeys = (0 until k / r).map { b =>
-      concat_ws("_", lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}")): _*)
+      xxhash64((lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}"))): _*)
     }
     signatures.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
   }

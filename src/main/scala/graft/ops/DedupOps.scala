@@ -20,6 +20,19 @@ object DedupOps {
     Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The verified minhash pair set at j ≥ 0.8, persisted once per session:
+    * dedup-minhash returns it directly and dedup-cluster-rep builds its
+    * component graph from it — without this the cluster op re-ran the
+    * whole signature→band→verify pipeline a second time (the single
+    * largest repeated subtree in the registry, ~4 s per evaluation at
+    * sf0.1). Pair rows are near-dup-count-sized (orders of magnitude
+    * smaller than the corpus), so the cache cost is trivial.
+    */
+  private[graft] def persistedMinhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Dedup.minhashNearDups(persistedShingles(s, d), threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private val ShingleOracle =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
@@ -83,8 +96,9 @@ object DedupOps {
     // Shingles feed the signature agg, the verify-jaccard pair join and
     // the size agg — 4+ subtree evaluations; persisted (see
     // dedup-ngram-jaccard note): 5.8–7.0 s cached vs 5.7–10.6 s uncached
-    // at sf0.1, and free when an earlier dedup op already filled it.
-    Dedup.minhashNearDups(DedupOps.persistedShingles(s, d), threshold = 0.8)
+    // at sf0.1, and free when an earlier dedup op already filled it. The
+    // verified pair set itself persists too (dedup-cluster-rep reuses it).
+    DedupOps.persistedMinhashPairs(s, d)
       .orderBy("d1", "d2")
   }
 
@@ -251,7 +265,7 @@ object DedupOps {
        |ORDER BY ns.cluster""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashNearDups(DedupOps.persistedShingles(s, d), threshold = 0.8)
+    val pairs = DedupOps.persistedMinhashPairs(s, d)
     val clusters = graft.dedup.Clusters.connectedComponents(
       docs.select(col("doc_id").as("id")), pairs.select("d1", "d2"))
     clusters

@@ -208,7 +208,7 @@ object Streams {
           try spark.read.parquet(indexDir).select(col("bucket")).distinct()
           catch {
             case _: org.apache.spark.sql.AnalysisException =>
-              spark.emptyDataFrame.select(lit("").as("bucket")).limit(0)
+              spark.emptyDataFrame.select(lit(0L).as("bucket")).limit(0)
           }
         val dupVsIndex = bands.join(broadcast(index), Seq("bucket"), "left_semi")
           .select(col("id"))
