@@ -177,6 +177,44 @@ object MultimodalOps {
       .orderBy("d1", "d2")
   }
 
+  /** Per-modality corpus manifest over the DECODED metadata (kind 0 =
+    * corrupt-header, 1..3 = image/audio/video): item count, payload byte
+    * volume, min/max payload size and header-ok count — the mixed-modal
+    * balance table a multimodal training run reads before fixing batch
+    * composition, produced from the same mapPartitions decode seam as
+    * mm-decode-stub (the manifest sees what the decoder reports, not what
+    * the catalog claims).
+    *
+    * Scale shape: decode is partition-parallel; the manifest is one
+    * groupBy with map-side combine to a ≤4-row table.
+    */
+  val mmModalityManifest: Op = Op.sql(
+    "mm-modality-manifest",
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nt FROM documents),
+      |meta AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS INTEGER) AS kind,
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN nt + 14 ELSE nt END AS INTEGER) AS n_payload,
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER) AS header_ok
+      |  FROM d)
+      |SELECT kind, count(*) AS n_items,
+      |       CAST(sum(n_payload) AS BIGINT) AS total_bytes,
+      |       CAST(min(n_payload) AS BIGINT) AS min_bytes,
+      |       CAST(max(n_payload) AS BIGINT) AS max_bytes,
+      |       CAST(sum(header_ok) AS BIGINT) AS n_ok
+      |FROM meta GROUP BY kind ORDER BY kind""".stripMargin
+  ) { (s, d) =>
+    val media = Multimodal.toyMedia(Tables.documents(s, d))
+    Multimodal.decodeStub(s, media).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_payload").as("total_bytes"),
+        min("n_payload").cast("long").as("min_bytes"),
+        max("n_payload").cast("long").as("max_bytes"),
+        sum("header_ok").as("n_ok"))
+      .orderBy("kind")
+  }
+
   val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
-    mmPhashDedup)
+    mmPhashDedup, mmModalityManifest)
 }

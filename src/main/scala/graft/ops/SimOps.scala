@@ -753,8 +753,44 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Diversity-preserving corpus sample: one representative (min vec_id)
+    * per LSH sign-projection bucket, with bucket occupancy — the cheap
+    * geometric stratification that keeps one exemplar per similarity
+    * region instead of sampling uniformly (which over-draws dense
+    * regions). The same integer-exact bucket function as
+    * dedup-embedding-lsh / sim-lsh-ann, so the sample aligns with the
+    * dedup blocking a pipeline already computes.
+    *
+    * Scale shape: one projection (codegen dot products) + one groupBy on
+    * the bucket key with map-side combine; output is bucket-count-sized
+    * (≤ 2^planes rows). The corpus never joins or sorts.
+    */
+  val simBucketDiversity: Op = Op.sql(
+    "sim-bucket-diversity",
+    """WITH iv AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, j,
+      |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+      |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+      |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+      |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+      |bk AS (SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+      |SELECT bucket, CAST(min(vec_id) AS BIGINT) AS rep_id, count(*) AS n_members
+      |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.sim.Similarity.lshBucket(col("embedding")).as("bucket"))
+      .groupBy("bucket")
+      .agg(min("vec_id").as("rep_id"), count(lit(1)).as("n_members"))
+      .orderBy("bucket")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
-    simEmbedOutliers)
+    simEmbedOutliers, simBucketDiversity)
 }

@@ -1298,6 +1298,177 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document lexical diversity: token count, type count, type-token
+    * ratio and Shannon token entropy — the diversity signal that separates
+    * template/boilerplate pages (low entropy at any length) from natural
+    * prose, used alongside text-quality in filter ladders.
+    *
+    * Scale shape: ZERO shuffle — every statistic is a function of the
+    * row's own token array, computed by a native codegen kernel
+    * ([[graft.functions.TokenEntropy]]); the naive explode → groupBy(doc,
+    * w) → groupBy(doc) spelling shuffles the corpus token stream twice
+    * for what is a per-row map. Float discipline: one ln per TYPE snapped
+    * to integer micro-nats before any summation (order-free), one final
+    * division snapped at micro grain — the text-unigram-logprob pattern.
+    */
+  val textEntropy: Op = Op.sql(
+    "text-entropy",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |per AS (SELECT c.doc_id, n.n AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+      |               CAST(sum(c.c * CAST(round(ln(n.n * 1.0 / c.c) * 1000000) AS BIGINT))
+      |                    AS BIGINT) AS s_e6
+      |        FROM cnt c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id, n.n)
+      |SELECT doc_id, n_tokens, n_types,
+      |       CAST(round(n_types * 1000000.0 / n_tokens) AS BIGINT) / 1000000.0 AS ttr,
+      |       CAST(round(s_e6 * 1.0 / n_tokens) AS BIGINT) / 1000000.0 AS entropy
+      |FROM per ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TokenEntropy(TextAnalysis.tokens(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_types").as("n_types"),
+        (round(col("e.n_types") * lit(1000000.0) / col("e.n_tokens")).cast("long") /
+          lit(1000000.0)).as("ttr"),
+        (round(col("e.sum_e6") * lit(1.0) / col("e.n_tokens")).cast("long") /
+          lit(1000000.0)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Retrieval chunking with overlap (the RAG indexing unit): 64-token
+    * windows at stride 48 (16-token overlap so no answer span straddles a
+    * boundary unseen), each chunk hashed for downstream dedup/indexing.
+    * Complements text-cdc-chunks (content-defined boundaries for dedup)
+    * and text-pack-sequences (training-batch packing) — this is the
+    * retrieval-index unit.
+    *
+    * Scale shape: boundary arithmetic and chunk extraction are row-local
+    * array ops (transform + posexplode over the row's own token array) —
+    * zero shuffle; the output is chunk-grained, ~n_tokens/48 rows per doc.
+    */
+  val textChunkOverlap: Op = Op.sql(
+    "text-chunk-overlap",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, ws, n,
+      |             CASE WHEN n <= 64 THEN 0 ELSE (n - 17) // 48 END AS extra FROM t),
+      |ch AS (SELECT doc_id, ws, n, k,
+      |              CAST(k * 48 + 1 AS BIGINT) AS t_start,
+      |              CAST(least(k * 48 + 64, n) AS BIGINT) AS t_end
+      |       FROM (SELECT doc_id, ws, n, unnest(generate_series(0, extra)) AS k FROM c))
+      |SELECT doc_id, CAST(k + 1 AS BIGINT) AS chunk_no, t_start, t_end,
+      |       t_end - t_start + 1 AS n_tokens,
+      |       md5(array_to_string(ws[CAST(t_start AS INTEGER):CAST(t_end AS INTEGER)], ' '))
+      |         AS chunk_hash
+      |FROM ch ORDER BY doc_id, chunk_no""".stripMargin
+  ) { (s, d) =>
+    val (w, st) = (64, 48)
+    val n = size(col("ws")).cast("long")
+    // extra = ceil((n-64)/48) for n > 64, via integer floor((n-17)/48);
+    // the n<=64 branch guards Spark's descending sequence on short rows.
+    val extra = when(n <= w, lit(0L))
+      .otherwise(floor((n - lit(w - st + 1)) / lit(st)).cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), n.as("n"),
+        posexplode(transform(sequence(lit(0L), extra),
+          k => struct((k * st + 1).as("t_start"),
+            least(k * st + w, n).as("t_end")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
+        col("col.t_start").as("t_start"), col("col.t_end").as("t_end"),
+        (col("col.t_end") - col("col.t_start") + 1).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("ws"), col("col.t_start").cast("int"),
+          (col("col.t_end") - col("col.t_start") + 1).cast("int")))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  /** Temperature-scaled source mixture (the multilingual-sampling rule:
+    * p_s ∝ p_raw^α flattens head sources and lifts the tail): α = 0.5, so
+    * the scaled mass is sqrt(n_s) — chosen because IEEE sqrt is exact on
+    * both engines where pow(x, 0.3) is libm-approximated. Each source's
+    * sqrt snaps to integer micro-units BEFORE the normalizing sum (the
+    * order-free integer-sum discipline), and both the raw and tempered
+    * shares snap at micro grain.
+    *
+    * Scale shape: one map-side-combined groupBy to source grain
+    * (catalog-sized), a 1-row total broadcast — the corpus stream never
+    * shuffles.
+    */
+  val textMixTemperature: Op = Op.sql(
+    "text-mix-temperature",
+    """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |r AS (SELECT source, n_docs,
+      |             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS r_e6 FROM per),
+      |tot AS (SELECT CAST(sum(r_e6) AS BIGINT) AS tot,
+      |               CAST(sum(n_docs) AS BIGINT) AS nt FROM r)
+      |SELECT source, n_docs,
+      |       CAST(round(n_docs * 1000000.0 / nt) AS BIGINT) / 1000000.0 AS p_raw,
+      |       CAST(round(r_e6 * 1000000.0 / tot) AS BIGINT) / 1000000.0 AS p_temp
+      |FROM r, tot ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("r_e6", round(sqrt(col("n_docs")) * 1000000).cast("long"))
+    val tot = per.agg(sum("r_e6").as("tot"), sum("n_docs").as("nt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (round(col("n_docs") * lit(1000000.0) / col("nt")).cast("long") /
+          lit(1000000.0)).as("p_raw"),
+        (round(col("r_e6") * lit(1000000.0) / col("tot")).cast("long") /
+          lit(1000000.0)).as("p_temp"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary-coverage curve: for each candidate vocabulary size K, the
+    * fraction of all corpus token OCCURRENCES covered by the top-K types
+    * — the table read before fixing a tokenizer's vocab size or an OOV
+    * policy (where does coverage plateau?).
+    *
+    * Scale shape: the count table reduces the token stream with map-side
+    * combine; the top-5000 head comes off it via TakeOrderedAndProject
+    * (per-partition partial top-k — the vocabulary is never globally
+    * sorted, which matters when web junk makes it billions of types);
+    * ranking then windows over the CAPPED head (≤ max(K) rows — bounded
+    * by configuration, the one place a single-partition window is
+    * legitimate), and the denominator is a 1-row broadcast.
+    */
+  val textVocabCoverage: Op = Op.sql(
+    "text-vocab-coverage",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cnt),
+      |rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM cnt),
+      |ks AS (SELECT CAST(unnest([100, 500, 1000, 2000, 5000]) AS BIGINT) AS k)
+      |SELECT k,
+      |       CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered,
+      |       tot AS total,
+      |       CAST(round(sum(CASE WHEN rk <= k THEN c ELSE 0 END) * 1000000.0 / tot)
+      |            AS BIGINT) / 1000000.0 AS coverage
+      |FROM rk, ks, tot GROUP BY k, tot ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ks = Seq(100, 500, 1000, 2000, 5000)
+    val cnt = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val head = cnt.orderBy(col("c").desc, col("w")).limit(ks.max)
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val tot = cnt.agg(sum("c").as("total"))
+    head
+      .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"),
+        col("rk"), col("c"))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(lit(0L))).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("total"),
+        (round(col("covered") * lit(1000000.0) / col("total")).cast("long") /
+          lit(1000000.0)).as("coverage"))
+      .orderBy("k")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1305,5 +1476,6 @@ object TextOps {
     textWinnowing, textCollocations, textHeavyHitters, textBigramLogprob,
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
-    textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments)
+    textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
+    textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage)
 }

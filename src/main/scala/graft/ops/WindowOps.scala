@@ -218,6 +218,49 @@ object WindowOps {
       .orderBy("user_id", "start_us")
   }
 
+  /** Event-transition matrix (the first-order Markov view of user
+    * behavior): for every (event_type → next event_type) pair across all
+    * per-user timelines, the transition count and probability — the table
+    * behind funnel discovery, anomaly baselines and session simulators.
+    * Transition probability snaps at micro grain after one integer
+    * division (row count / from-state total).
+    *
+    * Scale shape: the lead() window partitions by user_id — user-grained,
+    * never a corpus funnel (the same shape win-sessionize relies on);
+    * both aggregations reduce to the (types × types) grid with map-side
+    * combine, and the from-state totals join onto the grid (grid-sized,
+    * broadcastable).
+    */
+  val winNextEvent: Op = Op.sql(
+    "win-next-event",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (SELECT event_type, next_type, count(*) AS n FROM seq
+      |       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |ft AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+      |SELECT tr.event_type, tr.next_type, tr.n, ft.n_from,
+      |       CAST(round(tr.n * 1000000.0 / ft.n_from) AS BIGINT) / 1000000.0 AS p
+      |FROM tr JOIN ft USING (event_type)
+      |ORDER BY event_type, next_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val ft = tr.groupBy("event_type").agg(sum("n").as("n_from"))
+    tr.join(broadcast(ft), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
+        (round(col("n") * lit(1000000.0) / col("n_from")).cast("long") /
+          lit(1000000.0)).as("p"))
+      .orderBy("event_type", "next_type")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
-    winChainLink, winGapDetect, winHeadSelect, winSessionize)
+    winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent)
 }

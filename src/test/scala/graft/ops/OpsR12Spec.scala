@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the round-6 ops (text-entropy, text-chunk-overlap,
+  * text-mix-temperature, text-vocab-coverage, sim-bucket-diversity,
+  * win-next-event, mm-modality-manifest) over sf0.001. The driver gate
+  * owns value-exactness against DuckDB; these recompute the semantics
+  * independently on collected rows.
+  */
+class OpsR12Spec extends SparkSpec {
+
+  private def docs() = graft.Tables.documents(spark, sf())
+    .select(col("doc_id"), col("text"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1)))
+
+  test("text-entropy: kernel matches a brute-force recompute per doc") {
+    val expected = docs().map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length.toLong
+      val counts = ws.groupBy(identity).view.mapValues(_.length.toLong)
+      val sumE6 = counts.values.map(c =>
+        c * Math.round(Math.log(n.toDouble / c) * 1e6)).sum
+      (id, n, counts.size.toLong,
+        Math.round(counts.size * 1e6 / n) / 1e6,
+        Math.round(sumE6.toDouble / n) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.textEntropy.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(out === expected)
+    // Entropy is bounded by ln(n_types) (uniform) and nonnegative.
+    out.foreach { case (id, _, types, _, ent) =>
+      assert(ent >= 0.0 && ent <= Math.log(types.toDouble) + 1e-6, s"doc $id")
+    }
+  }
+
+  test("text-chunk-overlap: chunks tile every document at stride 48") {
+    val byDoc = TextOps.textChunkOverlap.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lens = docs().map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    assert(byDoc.keySet === lens.keySet, "every document produces chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val n = lens(id)
+      assert(sorted.head._3 == 1L, s"doc $id first chunk starts at 1")
+      assert(sorted.last._4 == n, s"doc $id last chunk ends at n")
+      sorted.foreach { case (_, _, st, en) =>
+        assert(en - st + 1 <= 64 && en <= n, s"doc $id window bounds")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, e1), (_, _, s2, _)) =>
+          assert(s2 - s1 == 48, s"doc $id stride")
+          assert(s2 <= e1 + 1, s"doc $id no gap between consecutive chunks")
+        case _ => ()
+      }
+    }
+  }
+
+  test("text-mix-temperature: tempering flattens the source distribution") {
+    val out = TextOps.textMixTemperature.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(Math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    assert(Math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    val byRaw = out.sortBy(-_._3)
+    // Head shares shrink, tail shares grow (sqrt flattening), and the
+    // raw ordering is preserved under the monotone transform.
+    assert(byRaw.head._4 <= byRaw.head._3 + 1e-9, "head source flattens down")
+    assert(byRaw.last._4 >= byRaw.last._3 - 1e-9, "tail source lifts up")
+    assert(byRaw.map(_._4).toSeq === byRaw.map(_._4).sortBy(x => -x).toSeq,
+      "sqrt preserves ordering")
+  }
+
+  test("text-vocab-coverage: monotone in k and consistent with token totals") {
+    val out = TextOps.textVocabCoverage.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val total = docs().iterator.map(_._2.split(" ", -1).length.toLong).sum
+    out.foreach { case (_, covered, tot, cov) =>
+      assert(tot === total)
+      assert(covered <= tot && cov <= 1.0)
+    }
+    out.sliding(2).foreach {
+      case Array((_, c1, _, _), (_, c2, _, _)) => assert(c2 >= c1)
+      case _ => ()
+    }
+    // The full fixture vocabulary is under the 5000 cap, so the last row
+    // covers everything.
+    val vocab = docs().flatMap(_._2.split(" ", -1)).distinct.length
+    if (vocab <= 5000) assert(out.last._2 === total)
+  }
+
+  test("sim-bucket-diversity: members partition the corpus, rep is the min") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val out = SimOps.simBucketDiversity.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum === emb.count())
+    val byBucket = emb.select(col("vec_id"),
+        graft.sim.Similarity.lshBucket(col("embedding")).as("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { case (b, rep, n) =>
+      assert(byBucket(b).min === rep, s"bucket $b rep")
+      assert(byBucket(b).length.toLong === n, s"bucket $b size")
+    }
+  }
+
+  test("win-next-event: transition counts are conserved per from-state") {
+    val out = WindowOps.winNextEvent.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (et, rows) =>
+      val nFrom = rows.head._4
+      assert(rows.forall(_._4 == nFrom), s"$et single n_from")
+      assert(rows.map(_._3).sum === nFrom, s"$et counts sum to n_from")
+      assert(Math.abs(rows.map(_._5).sum - 1.0) < 1e-3, s"$et probs sum to 1")
+    }
+    // Brute-force recompute of one from-state's row counts.
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.iterator.zip(ordered.iterator.drop(1)).map(p => (p._1._4, p._2._4))
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (et, nt, n, _, _) =>
+      assert(expected((et, nt)) === n, s"$et -> $nt")
+    }
+  }
+
+  test("mm-modality-manifest: totals reconcile with the decode stub") {
+    val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val decoded = MultimodalOps.mmDecodeStub.build(spark, sf()).collect()
+      .map(r => (r.getInt(1), r.getInt(4)))
+    val byKind = decoded.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2.toLong).sum)).toMap
+    assert(manifest.map(_._1).toSet === byKind.keySet)
+    manifest.foreach { case (k, n, bytes) =>
+      assert(byKind(k) === ((n, bytes)), s"kind $k")
+    }
+    assert(manifest.map(_._2).sum === decoded.length.toLong)
+  }
+}
