@@ -33,6 +33,24 @@ object DedupOps {
     Dedup.minhashNearDups(persistedShingles(s, d), threshold = 0.8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The document near-dup cluster table (connected components over the
+    * persisted minhash pairs), memoized per (session, dir) and shared by
+    * dedup-cluster-rep and dedup-survivorship. CacheManager plan-matching
+    * cannot dedup this one — the CC loop's localCheckpoints give every
+    * invocation a distinct physical lineage — so the memo is an explicit
+    * map. Cluster rows are corpus-count-sized ids (16 B/row).
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private[graft] def persistedDocClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    clusterCache.computeIfAbsent((s, d), _ =>
+      graft.dedup.Clusters.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        persistedMinhashPairs(s, d).select("d1", "d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val ShingleOracle =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
@@ -265,10 +283,7 @@ object DedupOps {
        |ORDER BY ns.cluster""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = DedupOps.persistedMinhashPairs(s, d)
-    val clusters = graft.dedup.Clusters.connectedComponents(
-      docs.select(col("doc_id").as("id")), pairs.select("d1", "d2"))
-    clusters
+    DedupOps.persistedDocClusters(s, d)
       .join(docs.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
@@ -424,7 +439,132 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Blocking-quality evaluation: precision/recall of simhash
+    * fingerprint-equality blocking against the exact-jaccard truth set at
+    * j ≥ 0.8 — the one-row scorecard a pipeline reads before trusting a
+    * cheap blocker as its dedup candidate source (complements
+    * sim-ann-recall, which scores the ANN ladder the same way).
+    *
+    * Scale shape: predicted pairs explode per fingerprint GROUP via the
+    * one-shuffle collect_list + [[graft.functions.ArrayOrderedPairs]]
+    * pattern (group sizes are near-dup-group-sized; a degenerate
+    * all-docs-one-fingerprint corpus would need the df-prune treatment
+    * upstream); the truth set rides the persisted shingle cache; all
+    * three joins are pair-table-sized.
+    */
+  val dedupSimhashEval: Op = Op.sql(
+    "dedup-simhash-eval",
+    s"""WITH $ShingleOracle,
+       |words AS (
+       |  SELECT DISTINCT doc_id AS wid, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT wid, list_reduce(list_prepend(0::BIGINT,
+       |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+       |           (a, b) -> (a * 31 + b) % 1000003) AS h
+       |  FROM words),
+       |votes AS (
+       |  SELECT wid, j, CAST(sum(CASE WHEN (h // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hashed, (SELECT unnest(generate_series(0, 19)) AS j) g
+       |  GROUP BY wid, j),
+       |fpx AS (
+       |  SELECT wid, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY wid),
+       |pred AS (SELECT a.wid AS d1, b.wid AS d2
+       |         FROM fpx a JOIN fpx b ON a.simhash = b.simhash AND a.wid < b.wid),
+       |tru AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |np AS (SELECT count(*) AS n_pred FROM pred),
+       |nt AS (SELECT count(*) AS n_true FROM tru),
+       |nh AS (SELECT count(*) AS n_hit FROM pred JOIN tru USING (d1, d2))
+       |SELECT n_pred, n_true, n_hit,
+       |       CASE WHEN n_pred = 0 THEN 0.0
+       |            ELSE CAST(round(n_hit * 1000000.0 / n_pred) AS BIGINT) / 1000000.0
+       |       END AS p_precision,
+       |       CASE WHEN n_true = 0 THEN 0.0
+       |            ELSE CAST(round(n_hit * 1000000.0 / n_true) AS BIGINT) / 1000000.0
+       |       END AS p_recall
+       |FROM np, nt, nh""".stripMargin
+  ) { (s, d) =>
+    val fp = Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+    val pred = fp.groupBy("simhash")
+      .agg(array_sort(collect_list("id")).as("ids"))
+      .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+    val tru = Dedup.jaccardPairs(DedupOps.persistedShingles(s, d), threshold = 0.8)
+      .select("d1", "d2")
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val nt = tru.agg(count(lit(1)).as("n_true"))
+    val nh = pred.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(
+        round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
+    np.crossJoin(nt).crossJoin(nh)
+      .select(col("n_pred"), col("n_true"), col("n_hit"),
+        frac(col("n_hit"), col("n_pred")).as("p_precision"),
+        frac(col("n_hit"), col("n_true")).as("p_recall"))
+  }
+
+  /** Corpus-level survivorship of the minhash keep/drop pass — the
+    * one-row answer to "how much does dedup actually buy us": total
+    * documents, documents caught in a near-dup cluster, dropped members
+    * (everything but each cluster's longest), bytes reclaimed and the
+    * drop rate. [[dedupClusterRep]] lists the decisions; this prices
+    * them.
+    *
+    * Scale shape: rides the persisted minhash pair set and the
+    * endpoint-only connected components; the survivorship reduction is a
+    * cluster-grained groupBy (map-side combine) collapsed to one row.
+    */
+  val dedupSurvivorship: Op = Op.sql(
+    "dedup-survivorship",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src),
+       |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len
+       |          FROM cl JOIN documents d ON d.doc_id = cl.id),
+       |per AS (SELECT cluster, count(*) AS n, CAST(sum(len) AS BIGINT) AS bytes,
+       |               CAST(max(len) AS BIGINT) AS keep_len
+       |        FROM sized GROUP BY cluster),
+       |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |               CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+       |               CAST(sum(CASE WHEN n > 1 THEN bytes - keep_len ELSE 0 END) AS BIGINT)
+       |                 AS bytes_dropped
+       |        FROM per)
+       |SELECT n_docs, n_dup_docs, n_dup_clusters,
+       |       n_dup_docs - n_dup_clusters AS n_dropped, bytes_dropped,
+       |       CAST(round((n_dup_docs - n_dup_clusters) * 1000000.0 / n_docs) AS BIGINT)
+       |         / 1000000.0 AS drop_frac
+       |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val per = DedupOps.persistedDocClusters(s, d)
+      .join(docs.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("len").as("bytes"),
+        max("len").cast("long").as("keep_len"))
+    per.agg(
+        sum("n").as("n_docs"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+        sum(when(col("n") > 1, col("bytes") - col("keep_len")).otherwise(0L))
+          .as("bytes_dropped"))
+      .select(col("n_docs"), col("n_dup_docs"), col("n_dup_clusters"),
+        (col("n_dup_docs") - col("n_dup_clusters")).as("n_dropped"),
+        col("bytes_dropped"),
+        (round((col("n_dup_docs") - col("n_dup_clusters")) * lit(1000000.0) /
+          col("n_docs")).cast("long") / lit(1000000.0)).as("drop_frac"))
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
-    dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance)
+    dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
+    dedupSimhashEval, dedupSurvivorship)
 }

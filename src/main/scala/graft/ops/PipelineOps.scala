@@ -87,7 +87,13 @@ object PipelineOps {
       |JOIN exa USING (doc_id) JOIN near USING (doc_id) JOIN q USING (doc_id)
       |JOIN rep USING (doc_id) JOIN con USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => flags(s, d).orderBy("doc_id") }
+
+  /** The five per-document flags + keep verdict as one unordered DF — the
+    * shared subtree behind pipeline-preprocess and pipeline-filter-funnel.
+    */
+  private[ops] def flags(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
 
     val base = docs.select(col("doc_id"), md5(col("text")).as("th"))
@@ -133,8 +139,127 @@ object PipelineOps {
       .withColumn("keep",
         !(col("f_exact_dup") || col("f_near_dup") || col("f_low_quality") ||
           col("f_repetitive") || col("f_contaminated")))
-      .orderBy("doc_id")
   }
 
-  val ops: Seq[Op] = Seq(pipelinePreprocess)
+  /** The filter-ladder funnel over [[pipelinePreprocess]]'s rule set: how
+    * many documents survive each successive rule when applied in pipeline
+    * order (exact dup → near dup → quality → repetition → contamination),
+    * with the marginal drop count and rate per stage — the attribution
+    * table that says WHICH rule is eating the corpus (a document failing
+    * two rules charges only the first, as a sequential pipeline would).
+    *
+    * Scale shape: one pass over the shared flag subtree reduced to a
+    * single aggregated row (map-side combine), from which the 5 stage
+    * rows EXPLODE — never 5 re-executions of the flag computation (the
+    * one-aggregated-DF rule). Drop rate snaps at micro grain against the
+    * stage's own inflow.
+    */
+  val pipelineFilterFunnel: Op = Op.sql(
+    "pipeline-filter-funnel",
+    """WITH base AS (SELECT doc_id, text, md5(text) AS th FROM documents),
+      |eg AS (SELECT th, min(doc_id) AS keep_id, count(*) AS nc FROM base GROUP BY th),
+      |exa AS (SELECT doc_id, (nc > 1 AND doc_id <> keep_id) AS f_exact_dup
+      |        FROM base JOIN eg USING (th)),
+      |words AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |           (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM words),
+      |votes AS (
+      |  SELECT id, j, CAST(sum(CASE WHEN (h // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 19)) AS j) g
+      |  GROUP BY id, j),
+      |fp AS (
+      |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY id),
+      |fg AS (SELECT simhash, min(id) AS keep_id, count(*) AS nc FROM fp GROUP BY simhash),
+      |near AS (SELECT id AS doc_id, (nc > 1 AND id <> keep_id) AS f_near_dup
+      |         FROM fp JOIN fg USING (simhash)),
+      |q AS (SELECT doc_id,
+      |        (round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |               / len(string_split(text, ' ')), 4) < 0.32) AS f_low_quality
+      |      FROM documents),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |       FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 1))) AS i FROM ws)),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+      |rep AS (SELECT doc_id,
+      |          (round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+      |           > 0.16) AS f_repetitive
+      |        FROM c2 GROUP BY doc_id),
+      |sh5 AS (SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+4], ' ') AS s
+      |        FROM (SELECT doc_id, ws,
+      |                unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i FROM ws)),
+      |bench AS (SELECT DISTINCT s FROM sh5 WHERE id < 50),
+      |shared AS (SELECT id AS doc_id, count(*) AS n_shared
+      |           FROM sh5 JOIN bench USING (s) WHERE id >= 50 GROUP BY id),
+      |con AS (SELECT d.doc_id, coalesce(n_shared >= 5, false) AS f_contaminated
+      |        FROM documents d LEFT JOIN shared USING (doc_id)),
+      |fl AS (SELECT d.doc_id, f_exact_dup, f_near_dup, f_low_quality,
+      |              f_repetitive, f_contaminated
+      |       FROM documents d
+      |       JOIN exa USING (doc_id) JOIN near USING (doc_id) JOIN q USING (doc_id)
+      |       JOIN rep USING (doc_id) JOIN con USING (doc_id)),
+      |agg AS (SELECT count(*) AS n0,
+      |          CAST(sum(CASE WHEN f_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |          CAST(sum(CASE WHEN NOT f_exact_dup AND f_near_dup
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |          CAST(sum(CASE WHEN NOT f_exact_dup AND NOT f_near_dup
+      |                         AND f_low_quality THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+      |          CAST(sum(CASE WHEN NOT f_exact_dup AND NOT f_near_dup
+      |                         AND NOT f_low_quality AND f_repetitive
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+      |          CAST(sum(CASE WHEN NOT f_exact_dup AND NOT f_near_dup
+      |                         AND NOT f_low_quality AND NOT f_repetitive
+      |                         AND f_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS d5
+      |        FROM fl)
+      |SELECT stage, rule, n_in, n_dropped, n_in - n_dropped AS n_out,
+      |       CAST(round(n_dropped * 1000000.0 / n_in) AS BIGINT) / 1000000.0
+      |         AS drop_frac
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'exact-dup' AS rule,
+      |         n0 AS n_in, d1 AS n_dropped FROM agg
+      |  UNION ALL SELECT 2, 'near-dup', n0 - d1, d2 FROM agg
+      |  UNION ALL SELECT 3, 'low-quality', n0 - d1 - d2, d3 FROM agg
+      |  UNION ALL SELECT 4, 'repetitive', n0 - d1 - d2 - d3, d4 FROM agg
+      |  UNION ALL SELECT 5, 'contaminated', n0 - d1 - d2 - d3 - d4, d5 FROM agg)
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val f = flags(s, d)
+    val clear = (cs: Seq[String]) => cs.map(c => !col(c)).reduce(_ && _)
+    val agg = f.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f_exact_dup"), 1L).otherwise(0L)).as("d1"),
+      sum(when(clear(Seq("f_exact_dup")) && col("f_near_dup"), 1L)
+        .otherwise(0L)).as("d2"),
+      sum(when(clear(Seq("f_exact_dup", "f_near_dup")) && col("f_low_quality"), 1L)
+        .otherwise(0L)).as("d3"),
+      sum(when(clear(Seq("f_exact_dup", "f_near_dup", "f_low_quality")) &&
+        col("f_repetitive"), 1L).otherwise(0L)).as("d4"),
+      sum(when(clear(Seq("f_exact_dup", "f_near_dup", "f_low_quality",
+        "f_repetitive")) && col("f_contaminated"), 1L).otherwise(0L)).as("d5"))
+    val stages = Seq(
+      (1L, "exact-dup", col("n0"), col("d1")),
+      (2L, "near-dup", col("n0") - col("d1"), col("d2")),
+      (3L, "low-quality", col("n0") - col("d1") - col("d2"), col("d3")),
+      (4L, "repetitive", col("n0") - col("d1") - col("d2") - col("d3"), col("d4")),
+      (5L, "contaminated",
+        col("n0") - col("d1") - col("d2") - col("d3") - col("d4"), col("d5")))
+    agg.select(explode(array(stages.map { case (st, rule, nIn, nDrop) =>
+        struct(lit(st).as("stage"), lit(rule).as("rule"),
+          nIn.cast("long").as("n_in"), nDrop.cast("long").as("n_dropped"))
+      }: _*)).as("x"))
+      .select(col("x.stage").as("stage"), col("x.rule").as("rule"),
+        col("x.n_in").as("n_in"), col("x.n_dropped").as("n_dropped"),
+        (col("x.n_in") - col("x.n_dropped")).as("n_out"),
+        (round(col("x.n_dropped") * lit(1000000.0) / col("x.n_in")).cast("long") /
+          lit(1000000.0)).as("drop_frac"))
+      .orderBy("stage")
+  }
+
+  val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel)
 }

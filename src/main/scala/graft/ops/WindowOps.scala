@@ -261,6 +261,51 @@ object WindowOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Top event paths (sequence mining at depth 3): the 20 most frequent
+    * consecutive 3-event sequences across all per-user timelines — the
+    * "what do users actually do" table behind funnel design, next to
+    * win-next-event's order-1 transitions.
+    *
+    * Scale shape: two lead() columns over the same user-grained window
+    * (ONE window sort serves both); the path aggregation reduces to the
+    * types³ grid with map-side combine; top-20 is TakeOrderedAndProject
+    * (per-partition partials — the grid is never globally sorted), and
+    * the rank window runs over the capped 20 rows only.
+    */
+  val winTopPaths: Op = Op.sql(
+    "win-top-paths",
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT e1, e2, e3, count(*) AS n FROM seq
+      |      WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rank
+      |       FROM p)
+      |SELECT CAST(rank AS BIGINT) AS rank, e1, e2, e3, n
+      |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+    paths
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))).cast("long"))
+      .select("rank", "e1", "e2", "e3", "n")
+      .orderBy("rank")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
-    winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent)
+    winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
+    winTopPaths)
 }

@@ -131,6 +131,72 @@ class OpsR12Spec extends SparkSpec {
     }
   }
 
+  test("pipeline-filter-funnel: stages chain and reconcile with preprocess") {
+    val out = PipelineOps.pipelineFilterFunnel.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.map(_._2).toSeq ===
+      Seq("exact-dup", "near-dup", "low-quality", "repetitive", "contaminated"))
+    // Each stage's inflow is the previous stage's outflow.
+    out.sliding(2).foreach {
+      case Array((_, _, _, _, out1), (_, _, in2, _, _)) => assert(out1 === in2)
+      case _ => ()
+    }
+    // The final outflow equals pipeline-preprocess's keep count; stage 1's
+    // inflow is the corpus size.
+    val pre = PipelineOps.pipelinePreprocess.build(spark, sf()).collect()
+    assert(out.head._3.toInt === pre.length)
+    assert(out.last._5.toInt === pre.count(_.getBoolean(6)))
+    // A doc failing multiple rules charges only its FIRST rule: the sum of
+    // per-stage drops equals the total non-keep count.
+    assert(out.map(_._4).sum.toInt === pre.count(r => !r.getBoolean(6)))
+  }
+
+  test("dedup-simhash-eval: confusion counts reconcile with the pair ops") {
+    val r = DedupOps.dedupSimhashEval.build(spark, sf()).collect().head
+    val (nPred, nTrue, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nPred && nHit <= nTrue)
+    // Truth set matches dedup-minhash's verified pair count (same j>=0.8
+    // exact-jaccard semantics).
+    val minhash = DedupOps.dedupMinhash.build(spark, sf()).count()
+    assert(nTrue === minhash)
+    // Predicted set matches dedup-simhash's same-fingerprint group sizes.
+    val fromGroups = DedupOps.dedupSimhash.build(spark, sf()).collect()
+      .map(_.getLong(2)).groupBy(identity).map { case (n, xs) =>
+        (xs.size / n) * n * (n - 1) / 2
+      }.sum
+    assert(nPred === fromGroups)
+  }
+
+  test("dedup-survivorship: totals reconcile with dedup-cluster-rep") {
+    val r = DedupOps.dedupSurvivorship.build(spark, sf()).collect().head
+    val reps = DedupOps.dedupClusterRep.build(spark, sf()).collect()
+      .map(row => (row.getLong(1), row.getAs[Number](2).longValue(),
+        row.getAs[Number](3).longValue()))
+    val nDocs = graft.Tables.documents(spark, sf()).count()
+    assert(r.getLong(0) === nDocs)
+    assert(r.getLong(2) === reps.length.toLong, "dup cluster count")
+    assert(r.getLong(1) === reps.map(_._3).sum, "dup member count")
+    assert(r.getLong(3) === reps.map(_._3 - 1).sum, "dropped = members - reps")
+    assert(r.getLong(4) >= 0L)
+  }
+
+  test("win-top-paths: counts match a brute-force path recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      o.iterator.zip(o.iterator.drop(1)).zip(o.iterator.drop(2))
+        .map { case ((a, b), c) => (a, b, c) }
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val expected = paths.toSeq.map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    val out = WindowOps.winTopPaths.build(spark, sf()).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(out === expected)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
