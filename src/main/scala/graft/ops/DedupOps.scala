@@ -20,6 +20,17 @@ object DedupOps {
     Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The exact-jaccard pair table at the loose j ≥ 0.5 threshold,
+    * persisted once per session: dedup-ngram-jaccard returns it,
+    * dedup-edit-distance re-scores it, and dedup-simhash-eval's truth set
+    * is its j ≥ 0.8 slice (thresholding only filters — the scored pair
+    * set is one computation). Pair rows are candidate-count-sized.
+    */
+  private[graft] def persistedJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Dedup.jaccardPairs(persistedShingles(s, d), threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The verified minhash pair set at j ≥ 0.8, persisted once per session:
     * dedup-minhash returns it directly and dedup-cluster-rep builds its
     * component graph from it — without this the cluster op re-ran the
@@ -98,7 +109,7 @@ object DedupOps {
     // dedup-cluster-rep reuse this fill through CacheManager plan matching.
     // MEMORY_AND_DISK: at 100 TB the shingle set spills instead of
     // evicting mid-job.
-    Dedup.jaccardPairs(DedupOps.persistedShingles(s, d), threshold = 0.5)
+    DedupOps.persistedJaccardPairs(s, d)
       .orderBy("d1", "d2")
   }
 
@@ -426,8 +437,7 @@ object DedupOps {
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cand = Dedup.jaccardPairs(persistedShingles(s, d), threshold = 0.5)
-      .select("d1", "d2")
+    val cand = persistedJaccardPairs(s, d).select("d1", "d2")
     val t = cand
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
@@ -490,8 +500,8 @@ object DedupOps {
       .agg(array_sort(collect_list("id")).as("ids"))
       .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
       .select(col("p.d1"), col("p.d2"))
-    val tru = Dedup.jaccardPairs(DedupOps.persistedShingles(s, d), threshold = 0.8)
-      .select("d1", "d2")
+    val tru = DedupOps.persistedJaccardPairs(s, d)
+      .filter(col("jac") >= 0.8).select("d1", "d2")
     val np = pred.agg(count(lit(1)).as("n_pred"))
     val nt = tru.agg(count(lit(1)).as("n_true"))
     val nh = pred.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
