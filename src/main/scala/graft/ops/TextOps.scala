@@ -1469,6 +1469,86 @@ object TextOps {
       .orderBy("k")
   }
 
+  /** Flesch-style readability scoring with deterministic structural
+    * proxies (sentence = [.!?] run, syllable = vowel run, each word ≥ 1
+    * syllable via the max guard) — the classic readability gate next to
+    * text-quality's ratio stack. The formula's constants multiply
+    * IEEE-exactly on both engines with a fixed left-associated expression
+    * tree; the score snaps at micro grain as the last op.
+    *
+    * Scale shape: pure per-row regexp_count projections — zero shuffle.
+    */
+  val textReadability: Op = Op.sql(
+    "text-readability",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+      |           AS n_sentences,
+      |         CAST(greatest(len(string_split(text, ' ')),
+      |                       len(regexp_extract_all(text, '[aeiouy]+'))) AS BIGINT)
+      |           AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       CAST(round((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+      |                   - 84.6 * (n_syllables * 1.0 / n_words)) * 1000000.0)
+      |            AS BIGINT) / 1000000.0 AS flesch
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val nWords = TextAnalysis.tokenCount(col("text")).cast("long")
+    val nSentences = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val nSyllables = greatest(nWords,
+      regexp_count(col("text"), lit("[aeiouy]+")).cast("long"))
+    val score = lit(206.835) - lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences")) -
+      lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), nSentences.as("n_sentences"),
+        nSyllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (round(score * lit(1000000.0)).cast("long") / lit(1000000.0)).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility per language: subtokens-per-word under the
+    * BPE-ish pre-tokenization (letter runs | digit runs | single symbol —
+    * the same regex as text-tokens) — the tokenizer-efficiency report
+    * that decides whether a vocabulary under-serves a language (fertility
+    * creep is the standard multilingual-tokenizer health metric).
+    *
+    * Scale shape: per-row regexp counts, then one map-side-combined
+    * groupBy to language grain; fertility divides the language totals
+    * once and snaps at micro grain.
+    */
+  val textTokenizerFertility: Op = Op.sql(
+    "text-tokenizer-fertility",
+    """WITH t AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+      |           AS nst
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(nw) AS BIGINT) AS n_words,
+      |       CAST(sum(nst) AS BIGINT) AS n_subtokens,
+      |       CAST(round(sum(nst) * 1000000.0 / sum(nw)) AS BIGINT) / 1000000.0
+      |         AS fertility
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nw"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("nst"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("nst").as("n_subtokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        (round(col("n_subtokens") * lit(1000000.0) / col("n_words")).cast("long") /
+          lit(1000000.0)).as("fertility"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1477,5 +1557,6 @@ object TextOps {
     textCdcChunks, textSampleUniform, textTfidfTopk, textSourceDrift,
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
-    textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage)
+    textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
+    textReadability, textTokenizerFertility)
 }

@@ -197,6 +197,38 @@ class OpsR12Spec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("text-readability: proxies and formula match a brute-force recompute") {
+    val out = TextOps.textReadability.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val expected = docs().map { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val s = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val syl = math.max(w, "[aeiouy]+".r.findAllIn(text).length.toLong)
+      val score = 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (syl * 1.0 / w)
+      (id, w, s, syl, Math.round(score * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    assert(out === expected)
+  }
+
+  test("text-tokenizer-fertility: language totals reconcile with text-tokens") {
+    val out = TextOps.textTokenizerFertility.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val nDocs = graft.Tables.documents(spark, sf()).count()
+    assert(out.map(_._2).sum === nDocs)
+    // Fertility >= 1: every whitespace word yields at least one subtoken.
+    out.foreach { case (lang, _, w, st, f) =>
+      assert(st >= w, s"$lang subtokens cover words")
+      assert(f >= 1.0, s"$lang fertility")
+      assert(Math.abs(f - Math.round(st * 1e6 / w) / 1e6) < 1e-12, s"$lang snap")
+    }
+    // Totals agree with the per-doc text-tokens op.
+    val tok = TextOps.textTokens.build(spark, sf()).collect()
+    assert(out.map(_._3).sum === tok.map(_.getAs[Number]("n_tokens").longValue()).sum)
+    assert(out.map(_._4).sum === tok.map(_.getAs[Number]("n_subtokens").longValue()).sum)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
