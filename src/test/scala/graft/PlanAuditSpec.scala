@@ -357,7 +357,10 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (op <- Seq("text-repetition", "text-blocklist-filter",
-        "text-lang-segments", "dedup-simhash")) {
+        "text-lang-segments", "dedup-simhash",
+        // round 6: entropy/TTR ride the TokenEntropy kernel, chunking and
+        // readability are per-row array/regexp projections
+        "text-entropy", "text-chunk-overlap", "text-readability")) {
         val exec = SparkEntry.queries(op)(spark, sf()).queryExecution.executedPlan
         val hashExchanges = exec.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -371,6 +374,22 @@ class PlanAuditSpec extends SparkSpec {
           s"$op: ${hashExchanges.size} hash exchanges (allowed $allowed)")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("text-vocab-coverage caps the vocabulary via TakeOrdered, no global sort") {
+    val p = plan("text-vocab-coverage")
+    // The head must come off the count table as per-partition top-k
+    // partials (TakeOrderedAndProject); a global Sort of the vocabulary
+    // before the limit would be the billions-of-types anti-pattern.
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("mix/fertility reports broadcast their 1-row totals") {
+    for (op <- Seq("text-mix-temperature")) {
+      val p = plan(op)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), s"$op\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$op\n$p")
+    }
   }
 
   test("sketch ops combine map-side and rank through the salted top-k") {
