@@ -593,9 +593,56 @@ object AggOps {
       .orderBy("event_type", "hr")
   }
 
+  /** Cohort lifetime value (the revenue companion to agg-retention's
+    * user-count triangle): purchase cents per signup-week cohort by week
+    * offset, with the running cumulative — the LTV curve a growth team
+    * reads cohort-over-cohort. Money stays integer cents end to end
+    * (`round(value*100)` per event, integer sums — no float aggregation
+    * anywhere).
+    *
+    * Scale shape: the signup table is one min-groupBy; the revenue join
+    * is user-keyed (AQE-splittable); the cumulative windows over each
+    * cohort's offset row set — cohort-grained and bounded by the week
+    * count, never an event-stream funnel.
+    */
+  val aggCohortLtv: Op = Op.sql(
+    "agg-cohort-ltv",
+    """WITH su AS (SELECT user_id, min(epoch_us(ts) // 604800000000) AS cw
+      |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |rev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w,
+      |               CAST(round(value * 100) AS BIGINT) AS cents
+      |        FROM events WHERE event_type = 'purchase'),
+      |per AS (SELECT su.cw, rev.w - su.cw AS off, CAST(sum(cents) AS BIGINT) AS cents
+      |        FROM rev JOIN su USING (user_id)
+      |        WHERE rev.w >= su.cw GROUP BY 1, 2)
+      |SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+      |       cents,
+      |       CAST(sum(cents) OVER (PARTITION BY cw ORDER BY off) AS BIGINT)
+      |         AS cum_cents
+      |FROM per ORDER BY cohort_week, week_offset""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"),
+        col("event_type"), col("value"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cw"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(su, "user_id")
+      .filter(col("week") >= col("cw"))
+      .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+      .agg(sum("cents").as("cents"))
+    per.select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("cents"),
+        sum("cents").over(Window.partitionBy("cw").orderBy("off")).as("cum_cents"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
-    aggRateAnomaly)
+    aggRateAnomaly, aggCohortLtv)
 }

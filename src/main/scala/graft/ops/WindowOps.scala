@@ -305,7 +305,51 @@ object WindowOps {
       .orderBy("rank")
   }
 
+  /** Leading-edge debounce / frequency capping (event-stream cleaning):
+    * collapse each burst — a maximal chain of same-(user, type) events
+    * whose inter-event gap stays under the debounce window — to its first
+    * occurrence plus the burst length. The double-click / retry-storm /
+    * repeated-impression scrubber every event pipeline runs before
+    * counting anything; complements win-sessionize (which groups at
+    * 30-min grain for session analytics, not cleaning). The window is
+    * grain-matched to the fixture's hours-to-days event spacing (24 h —
+    * the impression-capping setting); production tunes it per signal.
+    *
+    * Scale shape: the gap-islands pattern over a (user, type)-grained
+    * window — the same bounded-partition shape as win-sessionize; the
+    * burst reduction is a groupBy with map-side combine.
+    */
+  val winDebounce: Op = Op.sql(
+    "win-debounce",
+    """WITH s AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w < 86400000000
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts, event_id) AS grp FROM s)
+      |SELECT user_id, event_type,
+      |       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+      |       count(*) AS burst_len
+      |FROM g GROUP BY user_id, event_type, grp
+      |ORDER BY user_id, event_type, first_us""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val us = expr("ts div 1000")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(us - lag(us, 1).over(w) < 86400000000L, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min(us).cast("long").as("first_us"), count(lit(1)).as("burst_len"))
+      .select("user_id", "event_type", "first_us", "burst_len")
+      .orderBy("user_id", "event_type", "first_us")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
-    winTopPaths)
+    winTopPaths, winDebounce)
 }

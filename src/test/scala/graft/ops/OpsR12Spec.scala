@@ -229,6 +229,37 @@ class OpsR12Spec extends SparkSpec {
     assert(out.map(_._4).sum === tok.map(_.getAs[Number]("n_subtokens").longValue()).sum)
   }
 
+  test("win-debounce: bursts partition events and match a brute-force islands pass") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val W = 86400000000L
+    val expected = ev.groupBy(e => (e._1, e._2)).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._3, r._4)).map(_._3)
+      val bursts = o.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), t) if t - cur.head < W => (t :: cur) :: rest
+        case (acc, t) => List(t) :: acc
+      }
+      bursts.map(b => (b.last, b.size.toLong)) // first ts, burst length
+    }.toSeq.sorted
+    val out = WindowOps.winDebounce.build(spark, sf()).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(out === expected)
+    assert(out.map(_._2).sum === ev.length.toLong, "bursts partition all events")
+  }
+
+  test("agg-cohort-ltv: cumulative is a prefix sum and reconciles per cohort") {
+    val out = AggOps.aggCohortLtv.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (cw, rows) =>
+      val o = rows.sortBy(_._2)
+      val prefix = o.map(_._3).scanLeft(0L)(_ + _).drop(1)
+      assert(o.map(_._4).toSeq === prefix.toSeq, s"cohort $cw cumulative")
+      assert(o.forall(_._2 >= 0), s"cohort $cw offsets nonnegative")
+    }
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
