@@ -573,8 +573,47 @@ object DedupOps {
           col("n_docs")).cast("long") / lit(1000000.0)).as("drop_frac"))
   }
 
+  /** Document-frequency spectrum of the 3-word shingle vocabulary — the
+    * calibration table behind shingleSets' df ≤ 20 prune: how many
+    * distinct shingles (and how many (doc, shingle) rows, which is what
+    * the pair join actually pays) live at each document frequency, with
+    * everything above the prune threshold collapsed into one overflow
+    * bucket. Reading this table is how the maxDf knob gets set per
+    * corpus; the overflow row IS the viral-shingle mass the prune
+    * protects the O(df²) pair generation from.
+    *
+    * Scale shape: per-doc distinct shingles explode once (hashed — gram
+    * strings never leave their partition), one map-side-combined groupBy
+    * to df grain, one to the ≤21-row spectrum.
+    */
+  val dedupDfSpectrum: Op = Op.sql(
+    "dedup-df-spectrum",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |b AS (SELECT CASE WHEN df <= 20 THEN df ELSE 21 END AS bucket, df FROM df)
+      |SELECT CAST(bucket AS BIGINT) AS df_bucket, count(*) AS n_shingles,
+      |       CAST(sum(df) AS BIGINT) AS n_rows
+      |FROM b GROUP BY bucket ORDER BY df_bucket""".stripMargin
+  ) { (s, d) =>
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.text.TextAnalysis.wordShingles(col("text"), 3)))
+          .as("raw"))
+      .select(xxhash64(col("raw")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    df.select(when(col("df") <= 20, col("df")).otherwise(lit(21L)).as("df_bucket"),
+        col("df"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_rows"))
+      .orderBy("df_bucket")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
-    dedupSimhashEval, dedupSurvivorship)
+    dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum)
 }

@@ -215,6 +215,48 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
+  /** Cross-item duplicated frames: the sampled frames of mm-frame-sample,
+    * each identified by a 16-byte content window at its offset, grouped
+    * corpus-wide — frames appearing in ≥ 2 distinct items are shared
+    * footage (the intro/outro/watermark detection a video dedup pass runs
+    * on sampled frames instead of full decode). Single-byte payloads only,
+    * same contract as mm-phash-dedup.
+    *
+    * Scale shape: frame extraction is the same row-local explode as
+    * mm-frame-sample; sharedness is one 16-byte-hash-keyed groupBy with
+    * map-side combine (a boilerplate frame in a billion videos is one
+    * aggregated row) — frame bytes never shuffle, only their md5.
+    */
+  val mmFrameDedup: Op = Op.sql(
+    "mm-frame-dedup",
+    """WITH m AS (SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+      |           WHERE length(text) = strlen(text)),
+      |f AS (SELECT doc_id, text, n, greatest(1, n // 5) AS step FROM m),
+      |fr AS (SELECT doc_id, md5(substr(text, CAST(off + 1 AS INTEGER), 16)) AS fh
+      |       FROM (SELECT doc_id, text, step,
+      |                    unnest(generate_series(0, n - 1, step)) AS off FROM f)),
+      |g AS (SELECT fh, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
+      |      FROM fr GROUP BY fh)
+      |SELECT fh AS frame_hash, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(n_frames AS BIGINT) AS n_frames
+      |FROM g WHERE n_docs > 1 ORDER BY frame_hash""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) === octet_length(col("text")))
+    val media = docs.select(col("doc_id"), col("text"),
+      col("text").cast("binary").as("payload"))
+    Multimodal.frameOffsets(media)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"),
+        md5(col("text").substr((col("off") + 1).cast("int"), lit(16)).cast("binary"))
+          .as("fh"))
+      .groupBy("fh")
+      .agg(count(lit(1)).as("n_frames"), countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("fh").as("frame_hash"), col("n_docs"), col("n_frames"))
+      .orderBy("frame_hash")
+  }
+
   val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
-    mmPhashDedup, mmModalityManifest)
+    mmPhashDedup, mmModalityManifest, mmFrameDedup)
 }

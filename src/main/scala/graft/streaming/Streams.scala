@@ -16,6 +16,18 @@ case class FinalizedHeight(height: Long, hash: String, backfilled: Boolean)
 
 private case class FollowerState(lastHeight: Long)
 
+/** One input event for the streaming debounce: event-time timestamp (for
+  * the watermark), plus the micro-epoch the batch op keys on.
+  */
+case class DebounceEvent(user_id: Long, event_type: String,
+    tsc: java.sql.Timestamp, us: Long, event_id: Long)
+
+/** A closed debounce burst — identical shape to win-debounce's batch rows. */
+case class DebouncedBurst(user_id: Long, event_type: String,
+    first_us: Long, burst_len: Long)
+
+private case class DebounceState(firstUs: Long, lastUs: Long, n: Long)
+
 /** Streaming operators (SURVEY.md §2.7). The `stream` command's live tail
   * becomes Structured Streaming: readStream → transforms → foreachBatch
   * archive; the finalized follower's dedup + gap-fill is the one genuinely
@@ -78,6 +90,59 @@ object Streams {
             } // else: dedup — already emitted (next_block.rs: number <= last)
           }
           if (cur != Long.MinValue) state.update(FollowerState(cur))
+          out.iterator
+      }
+  }
+
+  /** Streaming leading-edge debounce — the live counterpart of the batch
+    * `win-debounce` op (identical burst semantics: a burst is a maximal
+    * same-(user, type) chain with inter-event gap under the window; it
+    * closes when the NEXT event arrives ≥ window later, or when the
+    * event-time watermark passes its last member + window). State per
+    * (user, type) is three longs; the event-time timeout guarantees every
+    * burst eventually closes and the state store stays
+    * active-burst-sized — the 100 TB-safe configuration (an unbounded
+    * "wait for the next event" state would leak keys forever).
+    *
+    * Caller must `withWatermark` the `tsc` column; parity with the batch
+    * op over the same rows is proven in StreamsSpec.
+    */
+  def debounceLive(events: Dataset[DebounceEvent],
+      windowUs: Long = 86400000000L): Dataset[DebouncedBurst] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebouncedBurst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), batch: Iterator[DebounceEvent],
+         state: GroupState[DebounceState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[DebouncedBurst]
+          if (state.hasTimedOut) {
+            // Watermark passed lastUs + window with no successor: the
+            // burst is closed by time, not by a new event.
+            state.getOption.foreach { st =>
+              out += DebouncedBurst(key._1, key._2, st.firstUs, st.n)
+            }
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            // Per-batch arrival is unordered; burst chaining is defined on
+            // event-time order (same sort the batch op's window performs).
+            batch.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              st match {
+                case null => st = DebounceState(e.us, e.us, 1L)
+                case s if e.us - s.lastUs < windowUs =>
+                  st = DebounceState(s.firstUs, e.us, s.n + 1)
+                case s =>
+                  out += DebouncedBurst(key._1, key._2, s.firstUs, s.n)
+                  st = DebounceState(e.us, e.us, 1L)
+              }
+            }
+            state.update(st)
+            // Close by timeout when no successor ever arrives. Timeout is
+            // event-time millis; the +1 guards the us→ms truncation.
+            state.setTimeoutTimestamp(st.lastUs / 1000 + windowUs / 1000 + 1)
+          }
           out.iterator
       }
   }

@@ -260,6 +260,44 @@ class OpsR12Spec extends SparkSpec {
     }
   }
 
+  test("dedup-df-spectrum: spectrum mass reconciles with a brute-force df pass") {
+    val out = DedupOps.dedupDfSpectrum.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val dfs = docs().flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (if (ws.length <= 3) Seq(ws.mkString(" "))
+       else ws.sliding(3).map(_.mkString(" ")).toSeq).distinct.map(s => (s, id))
+    }.groupBy(_._1).view.mapValues(_.length.toLong).values.toSeq
+    val expected = dfs.groupBy(df => if (df <= 20) df else 21L).view
+      .mapValues(v => (v.length.toLong, v.sum)).toSeq
+      .map { case (b, (n, rows)) => (b, n, rows) }.sortBy(_._1)
+    assert(out === expected)
+    // The spectrum's total row mass is the pre-prune (doc, shingle) count.
+    assert(out.map(_._3).sum === dfs.sum)
+  }
+
+  test("mm-frame-dedup: every reported frame is genuinely cross-item") {
+    val out = MultimodalOps.mmFrameDedup.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(f => f._2 > 1), "n_docs > 1")
+    assert(out.forall(f => f._3 >= f._2), "frames >= docs")
+    // Brute-force recompute over the sampled 16-byte windows (single-byte
+    // payloads only, mirroring the op's octet_length = length contract).
+    val expected = docs().filter { case (_, text) =>
+      text.getBytes("UTF-8").length == text.length
+    }.flatMap { case (id, text) =>
+      val n = text.length.toLong
+      val step = math.max(1L, n / 5)
+      (0L until n by step).map(off =>
+        (text.substring(off.toInt, math.min(n, off + 16).toInt), id))
+    }.groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).distinct.length.toLong, v.length.toLong))
+      .filter(_._2._1 > 1).toSeq
+    assert(out.length === expected.length)
+    assert(out.map(f => (f._2, f._3)).sorted.toSeq ===
+      expected.map(_._2).map { case (d, f) => (d, f) }.sorted.toSeq)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

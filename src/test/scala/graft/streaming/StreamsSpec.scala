@@ -344,4 +344,50 @@ class StreamsSpec extends SparkSpec {
     assert(m === Seq(95L -> "finalized", 96L -> "finalized",
       97L -> "head", 98L -> "head", 99L -> "head", 100L -> "head"))
   }
+
+  test("streamed debounce matches the batch op over real events") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"),
+        col("event_id"))
+      .orderBy("us")
+      .collect()
+      .map(r => DebounceEvent(r.getLong(0), r.getString(1),
+        tsOfMicros(r.getLong(2)), r.getLong(2), r.getLong(3)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DebounceEvent](spark, 2)
+    val src = input.toDS().withWatermark("tsc", "1 hour").as[DebounceEvent]
+    val q = Streams.debounceLive(src).writeStream
+      .format("memory").queryName("debounce_out")
+      .outputMode(OutputMode.Append).start()
+    // event-time order across several batches (bursts span batches), then
+    // sentinel batches to push the watermark past every real burst's close
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    val far = ev.map(_.us).max + 400L * 86400000000L
+    input.addData(DebounceEvent(-1L, "x", tsOfMicros(far), far, 0L))
+    q.processAllAvailable()
+    input.addData(DebounceEvent(-1L, "x", tsOfMicros(far + 86400000000L * 2),
+      far + 86400000000L * 2, 1L))
+    q.processAllAvailable()
+    val streamed = spark.table("debounce_out")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    q.stop()
+    val batch = graft.ops.WindowOps.winDebounce.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} bursts vs batch ${batch.size}")
+  }
 }
