@@ -436,7 +436,52 @@ object CurationOps {
       .orderBy("shard")
   }
 
+  /** Cross-source duplication matrix at content-block grain: for every
+    * ordered source pair, how many of source A's distinct 10-token blocks
+    * also appear in source B — the mix diagnostic that says which sources
+    * re-serve each other's content (mirrors, scrapes, syndication) before
+    * mixture weights get fit on double-counted mass. Block grain, not
+    * whole-document hashes, because real cross-source duplication is
+    * partial (same article, different chrome).
+    *
+    * Scale shape: the DISTINCT (block-hash, source) table reduces with
+    * map-side combine; the self-join keys on the 16-byte block hash,
+    * whose fan-out is bounded per hash by the source count (catalog-
+    * sized, not corpus-sized); the matrix is sources²-sized and the
+    * per-source totals broadcast.
+    */
+  val dedupSourceOverlap: Op = Op.sql(
+    "dedup-source-overlap",
+    s"""WITH $BlockOracle,
+       |hs AS (SELECT DISTINCT b.h, d.source
+       |       FROM b JOIN documents d USING (doc_id)),
+       |m AS (SELECT a.source AS source_a, c.source AS source_b, count(*) AS n_shared
+       |      FROM hs a JOIN hs c ON a.h = c.h AND a.source <> c.source
+       |      GROUP BY 1, 2),
+       |tot AS (SELECT source AS source_a, count(*) AS n_blocks FROM hs GROUP BY 1)
+       |SELECT m.source_a, m.source_b, m.n_shared, tot.n_blocks,
+       |       CAST(round(m.n_shared * 1000000.0 / tot.n_blocks) AS BIGINT) / 1000000.0
+       |         AS shared_frac
+       |FROM m JOIN tot USING (source_a)
+       |ORDER BY source_a, source_b""".stripMargin
+  ) { (s, d) =>
+    val hs = blockInstances(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("h"), col("source")).distinct()
+    val m = hs.select(col("h"), col("source").as("source_a"))
+      .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    val tot = hs.groupBy(col("source").as("source_a"))
+      .agg(count(lit(1)).as("n_blocks"))
+    m.join(broadcast(tot), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_blocks"),
+        (round(col("n_shared") * lit(1000000.0) / col("n_blocks")).cast("long") /
+          lit(1000000.0)).as("shared_frac"))
+      .orderBy("source_a", "source_b")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
     textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip,
-    textShardManifest)
+    textShardManifest, dedupSourceOverlap)
 }

@@ -298,6 +298,27 @@ class OpsR12Spec extends SparkSpec {
       expected.map(_._2).map { case (d, f) => (d, f) }.sorted.toSeq)
   }
 
+  test("dedup-source-overlap: matrix is symmetric in counts and matches brute force") {
+    val meta = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val blocks = docs().flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length / 10).map(i => (meta(id), ws.slice(i * 10, i * 10 + 10).mkString(" ")))
+    }.distinct
+    val bySource = blocks.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a != b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong, bySource(a).size.toLong)).toSeq.sortBy(t => (t._1, t._2))
+    val out = CurationOps.dedupSourceOverlap.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === expected)
+    // n_shared is symmetric (the denominator is not).
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    m.foreach { case ((a, b), n) => assert(m((b, a)) === n) }
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
