@@ -1549,6 +1549,71 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Leakage-safe train/val/test assignment: the split key is the CONTENT
+    * hash, not the doc id, so byte-identical duplicates can never straddle
+    * splits (the eval-contamination bug id-keyed splits ship). 90/5/5 by
+    * md5 hex range; deterministic, seedless, reproducible across runs and
+    * engines — and a per-row projection (zero shuffle) so the assignment
+    * never becomes a pipeline stage of its own.
+    */
+  val textTrainSplit: Op = Op.sql(
+    "text-train-split",
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+      |            WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       substr(md5(text), 1, 2) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val bucket = substring(md5(col("text")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < "e6", lit("train"))
+          .when(bucket < "f3", lit("val"))
+          .otherwise(lit("test")).as("split"),
+        bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window fit planning: for each candidate context length, how
+    * many documents fit whole, how many must truncate, and the fraction
+    * of corpus tokens lost to truncation — the table read before fixing a
+    * packing/truncation policy (complement of text-pack-sequences, which
+    * executes the policy this table selects).
+    *
+    * Scale shape: per-doc token counts are a zero-shuffle projection; the
+    * candidate grid multiplies the DOC-COUNT table by a constant 5 and
+    * aggregates with map-side combine; the output is grid-sized.
+    */
+  val textCtxFit: Op = Op.sql(
+    "text-ctx-fit",
+    """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |           FROM documents),
+      |g AS (SELECT CAST(unnest([128, 256, 512, 1024, 2048]) AS BIGINT) AS ctx),
+      |j AS (SELECT ctx, nt, CASE WHEN nt > ctx THEN nt - ctx ELSE 0 END AS lost
+      |      FROM t, g)
+      |SELECT ctx, CAST(sum(CASE WHEN nt <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+      |       CAST(sum(CASE WHEN nt > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |       CAST(sum(lost) AS BIGINT) AS tokens_lost,
+      |       CAST(round(sum(lost) * 1000000.0 / sum(nt)) AS BIGINT) / 1000000.0
+      |         AS lost_frac
+      |FROM j GROUP BY ctx ORDER BY ctx""".stripMargin
+  ) { (s, d) =>
+    val grid = Seq(128L, 256L, 512L, 1024L, 2048L)
+    Tables.documents(s, d)
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .select(col("nt"), explode(array(grid.map(lit): _*)).as("ctx"))
+      .select(col("ctx"), col("nt"),
+        when(col("nt") > col("ctx"), col("nt") - col("ctx")).otherwise(lit(0L)).as("lost"))
+      .groupBy("ctx")
+      .agg(sum(when(col("nt") <= col("ctx"), 1L).otherwise(0L)).as("n_fit"),
+        sum(when(col("nt") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"),
+        sum("lost").as("tokens_lost"),
+        (round(sum("lost") * lit(1000000.0) / sum("nt")).cast("long") /
+          lit(1000000.0)).as("lost_frac"))
+      .orderBy("ctx")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1558,5 +1623,5 @@ object TextOps {
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
-    textReadability, textTokenizerFertility)
+    textReadability, textTokenizerFertility, textTrainSplit, textCtxFit)
 }

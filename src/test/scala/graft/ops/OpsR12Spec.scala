@@ -319,6 +319,42 @@ class OpsR12Spec extends SparkSpec {
     m.foreach { case ((a, b), n) => assert(m((b, a)) === n) }
   }
 
+  test("text-train-split: duplicates can never straddle splits; shares are sane") {
+    val out = TextOps.textTrainSplit.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs().toMap
+    // Content-keyed: identical text => identical split, regardless of id.
+    out.groupBy(t => byId(t._1)).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, "same text, same split")
+    }
+    val shares = out.groupBy(_._2).view.mapValues(_.length.toDouble / out.length)
+    assert(shares("train") > 0.8 && shares("val") < 0.12 && shares("test") < 0.12,
+      shares.toMap.toString)
+    // Bucket boundaries respected.
+    out.foreach { case (_, split, b) =>
+      val expect = if (b < "e6") "train" else if (b < "f3") "val" else "test"
+      assert(split === expect)
+    }
+  }
+
+  test("text-ctx-fit: monotone in ctx and reconciles with token totals") {
+    val out = TextOps.textCtxFit.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val nts = docs().map(_._2.split(" ", -1).length.toLong)
+    out.foreach { case (ctx, fit, trunc, lost, frac) =>
+      assert(fit === nts.count(_ <= ctx).toLong)
+      assert(trunc === nts.count(_ > ctx).toLong)
+      assert(lost === nts.filter(_ > ctx).map(_ - ctx).sum)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    out.sliding(2).foreach {
+      case Array((_, f1, _, l1, _), (_, f2, _, l2, _)) =>
+        assert(f2 >= f1 && l2 <= l1, "larger ctx fits more, loses less")
+      case _ => ()
+    }
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
