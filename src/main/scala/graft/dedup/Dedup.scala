@@ -139,6 +139,16 @@ object Dedup {
     // / index probe), and long keys hash-probe and shuffle at a fraction of
     // the ~25-byte string's cost. The band index salts the hash so equal
     // row values in different bands never collide into one bucket.
+    // Two consequences of the hashed key, accepted by design: (a) this is
+    // band-key FORMAT v2 — a persisted band index written by the string
+    // format (nearDupIngestLive's indexDir) must be rebuilt, it cannot be
+    // appended to; (b) a cross-value 64-bit collision can alias two
+    // unrelated bands into one bucket. For the batch ops the exact-verify
+    // tier absorbs (b) entirely; for the verify-less streaming gate it
+    // adds a false-DROP probability ≈ (distinct band keys)²/2⁶⁵ on top of
+    // the documented LSH false-accept trade — negligible against the
+    // (1−j²)^bands design point, and bounded by the oracle-exact batch
+    // ops at test SF.
     val bandKeys = (0 until k / r).map { b =>
       xxhash64((lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}"))): _*)
     }

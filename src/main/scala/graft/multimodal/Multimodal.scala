@@ -123,6 +123,11 @@ object Multimodal {
     val n = length(col("payload")).cast("long")
     val step = greatest(lit(1L), floor(n / nFrames).cast("long"))
     media
+      // Empty payloads produce no frames. The guard matters beyond
+      // semantics: Spark's sequence(0, -1, 1) THROWS where the oracle's
+      // generate_series returns empty — an empty document would otherwise
+      // fail the whole job (fixtures carry none; real corpora do).
+      .filter(n > 0)
       .withColumn("off", explode(sequence(lit(0L), n - 1, step)))
       .withColumn("frame_no", floor(col("off") / step).cast("long"))
       .select(col("doc_id"), col("frame_no"), col("off"))

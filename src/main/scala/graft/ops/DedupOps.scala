@@ -51,16 +51,22 @@ object DedupOps {
     * invocation a distinct physical lineage — so the memo is an explicit
     * map. Cluster rows are corpus-count-sized ids (16 B/row).
     */
+  // Weak on the session: a stopped SparkSession (and the cluster
+  // DataFrames persisted under it) must be collectable — a strong
+  // (session, dir) map would pin every session ever used for the
+  // driver-JVM lifetime.
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
   private[graft] def persistedDocClusters(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    clusterCache.computeIfAbsent((s, d), _ =>
-      graft.dedup.Clusters.connectedComponents(
-        Tables.documents(s, d).select(col("doc_id").as("id")),
-        persistedMinhashPairs(s, d).select("d1", "d2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      d: String): org.apache.spark.sql.DataFrame = clusterCache.synchronized {
+    clusterCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d,
+        graft.dedup.Clusters.connectedComponents(
+          Tables.documents(s, d).select(col("doc_id").as("id")),
+          persistedMinhashPairs(s, d).select("d1", "d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val ShingleOracle =
     """sh AS (

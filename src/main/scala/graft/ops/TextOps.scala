@@ -954,7 +954,8 @@ object TextOps {
       |       FROM raw LEFT JOIN tgt ON raw.w = tgt.w CROSS JOIN tot),
       |sc AS (SELECT doc_id, sum(lp) AS slp, count(*) AS n
       |       FROM toks JOIN lm USING (w) GROUP BY doc_id)
-      |SELECT doc_id, n AS n_tokens, round(slp / n / 1000000.0, 6) AS dsir_logratio
+      |SELECT doc_id, n AS n_tokens,
+      |       CAST(round(slp * 1.0 / n) AS BIGINT) / 1000000.0 AS dsir_logratio
       |FROM sc ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     val toks = Tables.documents(s, d)
@@ -973,7 +974,12 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum("lp").as("slp"), count(lit(1)).as("n"))
       .select(col("doc_id"), col("n").as("n_tokens"),
-        round(col("slp") / col("n") / 1000000.0, 6).as("dsir_logratio"))
+        // Integer micro-snap, not round(double, 6): a log RATIO crosses
+        // zero, and round(-4e-10, 6) is -0.0 in DuckDB but 0.0 through
+        // Spark's BigDecimal — the signed-zero hash mismatch surfaced at
+        // sf0.1. A BIGINT has no -0, so the snap is sign-safe.
+        (round(col("slp") * lit(1.0) / col("n")).cast("long") /
+          lit(1000000.0)).as("dsir_logratio"))
       .orderBy("doc_id")
   }
 

@@ -26,7 +26,7 @@ case class DebounceEvent(user_id: Long, event_type: String,
 case class DebouncedBurst(user_id: Long, event_type: String,
     first_us: Long, burst_len: Long)
 
-private case class DebounceState(firstUs: Long, lastUs: Long, n: Long)
+private case class DebounceState(pending: List[Long])
 
 /** Streaming operators (SURVEY.md §2.7). The `stream` command's live tail
   * becomes Structured Streaming: readStream → transforms → foreachBatch
@@ -96,16 +96,22 @@ object Streams {
 
   /** Streaming leading-edge debounce — the live counterpart of the batch
     * `win-debounce` op (identical burst semantics: a burst is a maximal
-    * same-(user, type) chain with inter-event gap under the window; it
-    * closes when the NEXT event arrives ≥ window later, or when the
-    * event-time watermark passes its last member + window). State per
-    * (user, type) is three longs; the event-time timeout guarantees every
-    * burst eventually closes and the state store stays
-    * active-burst-sized — the 100 TB-safe configuration (an unbounded
-    * "wait for the next event" state would leak keys forever).
+    * same-(user, type) chain with inter-event gap under the window).
+    *
+    * Correctness under out-of-order arrival: events are NOT chained as
+    * they arrive (a late-but-admitted event would corrupt an
+    * already-chained burst's first/last). Instead, per-key state buffers
+    * the pending event times and bursts are re-derived from the sorted
+    * buffer each trigger; a burst emits only once it is CLOSED — its last
+    * member + window lies behind the event-time watermark, so no
+    * admissible future row (all have event time ≥ the watermark) can
+    * chain into it. State is therefore bounded by the watermark horizon +
+    * window per key, and the event-time timeout flushes the final burst
+    * when a key goes quiet — no key leaks.
     *
     * Caller must `withWatermark` the `tsc` column; parity with the batch
-    * op over the same rows is proven in StreamsSpec.
+    * op over the same rows — including out-of-order delivery — is proven
+    * in StreamsSpec.
     */
   def debounceLive(events: Dataset[DebounceEvent],
       windowUs: Long = 86400000000L): Dataset[DebouncedBurst] = {
@@ -116,34 +122,30 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), batch: Iterator[DebounceEvent],
          state: GroupState[DebounceState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[DebouncedBurst]
-          if (state.hasTimedOut) {
-            // Watermark passed lastUs + window with no successor: the
-            // burst is closed by time, not by a new event.
-            state.getOption.foreach { st =>
-              out += DebouncedBurst(key._1, key._2, st.firstUs, st.n)
-            }
-            state.remove()
-          } else {
-            var st = state.getOption.orNull
-            // Per-batch arrival is unordered; burst chaining is defined on
-            // event-time order (same sort the batch op's window performs).
-            batch.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-              st match {
-                case null => st = DebounceState(e.us, e.us, 1L)
-                case s if e.us - s.lastUs < windowUs =>
-                  st = DebounceState(s.firstUs, e.us, s.n + 1)
-                case s =>
-                  out += DebouncedBurst(key._1, key._2, s.firstUs, s.n)
-                  st = DebounceState(e.us, e.us, 1L)
-              }
-            }
-            state.update(st)
-            // Close by timeout when no successor ever arrives. Timeout is
-            // event-time millis; the +1 guards the us→ms truncation.
-            state.setTimeoutTimestamp(st.lastUs / 1000 + windowUs / 1000 + 1)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val pending = state.getOption.map(_.pending).getOrElse(Nil) ++
+            batch.map(_.us)
+          // Bursts re-derived from the full sorted pending set: chaining
+          // is order-defined, and only a total view of the not-yet-closed
+          // events chains correctly under cross-batch reordering.
+          val bursts = pending.sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((f, l, n) :: rest, t) if t - l < windowUs => (f, t, n + 1) :: rest
+            case (acc, t) => (t, t, 1L) :: acc
+          }.reverse
+          val (closed, open) = bursts.partition(_._2 + windowUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            // Keep only events still inside an open burst; re-arm the
+            // timeout for the newest one. (+1 ms AFTER the us-sum floors
+            // to ms: the timeout must land strictly past lastUs + window
+            // or the close condition can still be false when it fires.)
+            state.update(DebounceState(
+              pending.filter(t => open.exists(b => t >= b._1 && t <= b._2))))
+            state.setTimeoutTimestamp((open.last._2 + windowUs) / 1000 + 1)
           }
-          out.iterator
+          closed.iterator.map { case (first, _, n) =>
+            DebouncedBurst(key._1, key._2, first, n)
+          }
       }
   }
 

@@ -362,15 +362,25 @@ class StreamsSpec extends SparkSpec {
         tsOfMicros(r.getLong(2)), r.getLong(2), r.getLong(3)))
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[DebounceEvent](spark, 2)
-    val src = input.toDS().withWatermark("tsc", "1 hour").as[DebounceEvent]
+    val src = input.toDS().withWatermark("tsc", "90 days").as[DebounceEvent]
     val q = Streams.debounceLive(src).writeStream
       .format("memory").queryName("debounce_out")
       .outputMode(OutputMode.Append).start()
-    // event-time order across several batches (bursts span batches), then
-    // sentinel batches to push the watermark past every real burst's close
+    // Delivery is deliberately OUT OF ORDER ACROSS batches: each chunk is
+    // shuffled and a random ~10% of it is held back into the NEXT batch,
+    // so late-but-admitted events (within the 90-day watermark delay)
+    // land behind already-seen later events — the cross-batch reordering
+    // case the pending-buffer design exists for (an as-they-arrive
+    // chaining impl corrupts first_us/lastUs here).
+    val rnd = new scala.util.Random(42)
+    var held = IndexedSeq.empty[DebounceEvent]
     ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
-      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      val shuffled = rnd.shuffle(chunk.toIndexedSeq)
+      val (hold, send) = shuffled.partition(_ => rnd.nextDouble() < 0.1)
+      input.addData(rnd.shuffle(send ++ held)); q.processAllAvailable()
+      held = hold
     }
+    if (held.nonEmpty) { input.addData(held); q.processAllAvailable() }
     val far = ev.map(_.us).max + 400L * 86400000000L
     input.addData(DebounceEvent(-1L, "x", tsOfMicros(far), far, 0L))
     q.processAllAvailable()
