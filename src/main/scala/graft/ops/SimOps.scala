@@ -11,10 +11,12 @@ object SimOps {
   // DOUBLE[]-cast before any dot product: DuckDB's list_dot_product
   // accumulates in float32 on FLOAT[] inputs and diverges from Spark's
   // double fold in the 6th decimal.
+  // The + 0.0 mirrors Similarity.cosine's signed-zero normalization
+  // (round(-4e-8, 6) is -0.0 in DuckDB, +0.0 via Spark's BigDecimal).
   private val CosineSql =
-    """round(list_dot_product(q.v, c.v) /
-      |      (sqrt(list_dot_product(q.v, q.v)) *
-      |       sqrt(list_dot_product(c.v, c.v))), 6)""".stripMargin
+    """(round(list_dot_product(q.v, c.v) /
+      |       (sqrt(list_dot_product(q.v, q.v)) *
+      |        sqrt(list_dot_product(c.v, c.v))), 6) + 0.0)""".stripMargin
 
   /** Brute-force cosine top-5 per query (queries = vec_id < 10, corpus =
     * the rest): the exact baseline every ANN variant is judged against.
@@ -108,9 +110,9 @@ object SimOps {
        |probes AS (SELECT q_id, qv, cid FROM prb WHERE rn <= 2),
        |scored AS (
        |  SELECT p.q_id, l.n_id,
-       |         round(list_dot_product(p.qv, l.nv) /
-       |               (sqrt(list_dot_product(p.qv, p.qv)) *
-       |                sqrt(list_dot_product(l.nv, l.nv))), 6) AS sim
+       |         (round(list_dot_product(p.qv, l.nv) /
+       |                (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                 sqrt(list_dot_product(l.nv, l.nv))), 6) + 0.0) AS sim
        |  FROM probes p JOIN lists l USING (cid)),
        |ranked AS (
        |  SELECT q_id, n_id, sim,
@@ -157,14 +159,16 @@ object SimOps {
       |initdims AS (SELECT cid, unnest(generate_series(0, len(cv) - 1)) AS dim,
       |                    unnest(cv) AS cx FROM init)
       |SELECT CAST(i.cid AS BIGINT) AS cid, CAST(i.dim AS BIGINT) AS dim,
-      |       coalesce(round(s.sv / s.n / 10000.0, 6), i.cx) AS v
+      |       (coalesce(round(s.sv / s.n / 10000.0, 6), i.cx) + 0.0) AS v
       |FROM initdims i LEFT JOIN sums s ON s.cid = i.cid AND s.dim = i.dim
       |ORDER BY cid, dim""".stripMargin
   ) { (s, d) =>
     graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
       .select(col("vec_id").as("cid"), posexplode(col("embedding")))
       .toDF("cid", "dim", "v")
-      .select(col("cid"), col("dim").cast("long"), col("v"))
+      // centroid coordinates cross zero — signed-zero-normalize (see
+      // Similarity.cosine note)
+      .select(col("cid"), col("dim").cast("long"), (col("v") + lit(0.0)).as("v"))
       .orderBy("cid", "dim")
   }
 
@@ -308,8 +312,8 @@ object SimOps {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT vec_id, len(v) AS dims,
       |       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
-      |       round(list_min(v), 6) AS min_x,
-      |       round(list_max(v), 6) AS max_x,
+      |       (round(list_min(v), 6) + 0.0) AS min_x,
+      |       (round(list_max(v), 6) + 0.0) AS max_x,
       |       (abs(round(sqrt(list_dot_product(v, v)), 6) - 1.0) < 0.001) AS is_unit
       |FROM e ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
@@ -319,8 +323,8 @@ object SimOps {
       col("vec_id"),
       size(col("embedding")).as("dims"),
       l2.as("l2_norm"),
-      round(array_min(v), 6).as("min_x"),
-      round(array_max(v), 6).as("max_x"),
+      (round(array_min(v), 6) + lit(0.0)).as("min_x"),
+      (round(array_max(v), 6) + lit(0.0)).as("max_x"),
       (abs(l2 - 1.0) < 0.001).as("is_unit"))
       .orderBy("vec_id")
   }
@@ -352,7 +356,7 @@ object SimOps {
       |         round(list_dot_product(s.sv, c.csv), 6) AS d
       |  FROM subs s JOIN csubs c USING (m) WHERE s.vec_id < 10),
       |approx AS (
-      |  SELECT q.q_id, codes.n_id, round(sum(q.d), 6) AS approx_sim
+      |  SELECT q.q_id, codes.n_id, (round(sum(q.d), 6) + 0.0) AS approx_sim
       |  FROM codes JOIN qdt q ON q.m = codes.m AND q.cid = codes.cid
       |  GROUP BY q.q_id, codes.n_id),
       |ranked AS (

@@ -28,8 +28,13 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Rounded cosine similarity (6 dp — ULP-stable across engines). */
+  // + 0.0 after the round: a cosine crosses zero, and round(-4e-8, 6) is
+  // -0.0 in DuckDB but +0.0 through Spark's BigDecimal — the signed-zero
+  // hash hazard (see text-dsir, PLANS.md round 6). IEEE -0.0 + 0.0 = +0.0
+  // and every other value is unchanged; the oracles' CosineSql carries the
+  // same normalization.
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(dot(a, b) / (norm(a) * norm(b)), 6) + lit(0.0)
 
   /** Brute-force top-k: queries broadcast-joined against the corpus —
     * scoring is one shuffle-free pass — then the salted two-phase top-k
@@ -184,7 +189,8 @@ object Similarity {
       .map(s => element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1))
       .reduce(_ + _)
     val scored = coded.crossJoin(broadcast(qdt))
-      .select(col("q_id"), col("n_id"), round(approx, 6).as("approx_sim"))
+      // + 0.0: approx_sim crosses zero (signed-zero normalization, see cosine)
+      .select(col("q_id"), col("n_id"), (round(approx, 6) + lit(0.0)).as("approx_sim"))
     graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
       Seq(col("approx_sim").desc, col("n_id").asc), k)
   }
