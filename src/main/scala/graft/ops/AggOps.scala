@@ -640,9 +640,94 @@ object AggOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Mergeable histogram quantile sketch — the quantile member of the
+    * sketch tier (HLL counts distincts, KMV measures overlap, this
+    * bounds quantiles): per event type, a 64-bucket equal-width count
+    * histogram over integer cents, read at p50/p90/p99 next to the exact
+    * percentile and the sketch's own error bound (one bucket width).
+    * The histogram is the state a 100 TB pipeline actually keeps —
+    * counts ADD across shards/days/micro-batches, unlike the exact sort.
+    *
+    * Engine parity: bucketing, ranks and the estimate are ALL-INTEGER
+    * ((c−mn)·64 div W, rank = ceil(q·n/100) via (q·n+99) div 100, est =
+    * bucket lower bound) — no float enters until the exact-percentile
+    * comparison column, which reuses the agg-latency-quantiles
+    * percentile↔quantile_cont parity at micro grain.
+    *
+    * Scale shape: one map-side-combined count per (type, bucket); the
+    * cumulative window runs over ≤64 rows per type; every join after the
+    * histogram is (types × 3)-sized.
+    */
+  val aggQuantileSketch: Op = Op.sql(
+    "agg-quantile-sketch",
+    """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |            FROM events),
+      |st AS (SELECT event_type, count(*) AS n, min(c) AS mn, max(c) AS mx
+      |       FROM ev GROUP BY 1),
+      |bk AS (SELECT ev.event_type,
+      |              least(63, ((ev.c - st.mn) * 64) // (st.mx - st.mn + 1)) AS b
+      |       FROM ev JOIN st USING (event_type)),
+      |cnts AS (SELECT event_type, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |cum AS (SELECT event_type, b, cnt,
+      |               sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cm
+      |        FROM cnts),
+      |qs AS (SELECT st.event_type, st.n, st.mn, st.mx, q.q,
+      |              (q.q * st.n + 99) // 100 AS r
+      |       FROM st, (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q) q),
+      |hit AS (SELECT qs.event_type, qs.q, qs.n, qs.mn, qs.mx, qs.r, min(cum.b) AS b
+      |        FROM qs JOIN cum ON cum.event_type = qs.event_type
+      |                        AND cum.cm >= qs.r
+      |        GROUP BY 1, 2, 3, 4, 5, 6),
+      |ex AS (SELECT event_type,
+      |              quantile_cont(c, 0.50) AS e50,
+      |              quantile_cont(c, 0.90) AS e90,
+      |              quantile_cont(c, 0.99) AS e99
+      |       FROM ev GROUP BY 1)
+      |SELECT h.event_type, h.q, h.n,
+      |       CAST(h.mn + (h.b * (h.mx - h.mn + 1)) // 64 AS BIGINT) AS est_cents,
+      |       CAST(round((CASE h.q WHEN 50 THEN ex.e50 WHEN 90 THEN ex.e90
+      |                   ELSE ex.e99 END) * 1000000.0) AS BIGINT) / 1000000.0
+      |         AS exact_cents,
+      |       CAST((h.mx - h.mn + 1 + 63) // 64 AS BIGINT) AS err_bound_cents
+      |FROM hit h JOIN ex USING (event_type)
+      |ORDER BY event_type, q""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val st = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
+    val bk = ev.join(broadcast(st), "event_type")
+      .select(col("event_type"),
+        least(lit(63L), expr("((c - mn) * 64) div (mx - mn + 1)")).as("b"))
+    val cum = bk.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("cm", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("b")))
+    val qs = st.select(col("event_type"), col("n"), col("mn"), col("mx"),
+        explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("q"))
+      .withColumn("r", expr("(q * n + 99) div 100"))
+    val hit = qs.join(cum.select(col("event_type"), col("b"), col("cm")), "event_type")
+      .filter(col("cm") >= col("r"))
+      .groupBy("event_type", "q", "n", "mn", "mx")
+      .agg(min("b").as("b"))
+    val ex = ev.groupBy("event_type").agg(
+      expr("percentile(c, 0.50D)").as("e50"),
+      expr("percentile(c, 0.90D)").as("e90"),
+      expr("percentile(c, 0.99D)").as("e99"))
+    hit.join(broadcast(ex), "event_type")
+      .select(col("event_type"), col("q"), col("n"),
+        expr("mn + (b * (mx - mn + 1)) div 64").as("est_cents"),
+        (round((when(col("q") === 50, col("e50"))
+          .when(col("q") === 90, col("e90"))
+          .otherwise(col("e99"))) * lit(1000000.0)).cast("long") /
+          lit(1000000.0)).as("exact_cents"),
+        expr("(mx - mn + 1 + 63) div 64").as("err_bound_cents"))
+      .orderBy("event_type", "q")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
-    aggRateAnomaly, aggCohortLtv)
+    aggRateAnomaly, aggCohortLtv, aggQuantileSketch)
 }

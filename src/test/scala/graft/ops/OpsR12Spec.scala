@@ -355,6 +355,35 @@ class OpsR12Spec extends SparkSpec {
     }
   }
 
+  test("agg-quantile-sketch: estimates stay within the sketch's own error bound") {
+    val out = AggOps.aggQuantileSketch.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, n, est, _, _) => assert(est >= 0 && n > 0) }
+    // Within a type, higher quantiles estimate no lower.
+    out.groupBy(_._1).foreach { case (et, rows) =>
+      val byQ = rows.sortBy(_._2).map(_._4)
+      assert(byQ.toSeq === byQ.sorted.toSeq, s"$et monotone")
+    }
+    // The sketch's actual guarantee: the RANK statistic (order statistic
+    // at r = ceil(q·n/100)) lies inside the estimated bucket — est ≤
+    // value(r) ≤ est + bound. The interpolated exact_cents column is
+    // informational (quantile_cont can gap past one bucket in a sparse
+    // tail; it carries no sketch guarantee).
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { case (et, q, n, est, _, bound) =>
+      val cs = ev.filter(_._1 == et).map(_._2).sorted
+      assert(n === cs.length.toLong)
+      val r = (q * n + 99) / 100
+      val rankVal = cs((r - 1).toInt)
+      assert(rankVal >= est && rankVal <= est + bound,
+        s"$et p$q: rank stat $rankVal outside [$est, ${est + bound}]")
+    }
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
