@@ -270,7 +270,48 @@ object StreamOps {
       .orderBy("win_us", "event_type")
   }
 
+  /** Hourly windowed p90 value estimate per event type from the
+    * fixed-range mergeable histogram sketch ([[graft.sketch.HistQuantile]])
+    * — the streaming-shaped quantile: unlike agg-quantile-sketch's
+    * data-dependent bounds (a two-pass batch luxury), the fixed range
+    * needs no pre-pass, so the SAME sketch accumulates in a watermarked
+    * streaming window ([[graft.streaming.Streams.quantileSketchLive]],
+    * batch parity in StreamsSpec) and merges by count addition across
+    * micro-batches/shards/days. All-integer: bucket, rank and estimate
+    * never touch a float.
+    */
+  val streamQuantile: Op = Op.sql(
+    "stream-quantile",
+    """WITH e AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_us,
+      |                  event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |           FROM events),
+      |b AS (SELECT win_us, event_type, least(63, c // 800) AS bucket,
+      |             count(*) AS cnt
+      |      FROM e GROUP BY 1, 2, 3),
+      |n AS (SELECT win_us, event_type, CAST(sum(cnt) AS BIGINT) AS n
+      |      FROM b GROUP BY 1, 2),
+      |cum AS (SELECT win_us, event_type, bucket, cnt,
+      |               sum(cnt) OVER (PARTITION BY win_us, event_type
+      |                              ORDER BY bucket) AS cm
+      |        FROM b),
+      |hit AS (SELECT n.win_us, n.event_type, n.n, min(cum.bucket) AS bq
+      |        FROM n JOIN cum ON cum.win_us = n.win_us
+      |                       AND cum.event_type = n.event_type
+      |                       AND cum.cm >= (9 * n.n + 9) // 10
+      |        GROUP BY 1, 2, 3)
+      |SELECT win_us, event_type, n, CAST(bq * 800 AS BIGINT) AS p90_est_cents
+      |FROM hit ORDER BY win_us, event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(expr("(ts div 1000) div 3600000000 * 3600000000").as("win_us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    graft.sketch.HistQuantile.estimate(
+      graft.sketch.HistQuantile.sketch(ev, Seq("win_us", "event_type"), col("c")),
+      Seq("win_us", "event_type"))
+      .orderBy("win_us", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
-    streamHll)
+    streamHll, streamQuantile)
 }

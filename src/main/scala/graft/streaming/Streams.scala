@@ -314,6 +314,24 @@ object Streams {
     * is the thing worth checkpointing anyway — sketches from different
     * streams/days still merge, estimates don't).
     */
+  /** Live windowed histogram-quantile sketch: watermarked hourly windows
+    * accumulate the fixed-range bucket counts
+    * ([[graft.sketch.HistQuantile]] — counts merge across micro-batches
+    * by plain aggregation); the p90 read is a read-time fold over the
+    * emitted sketch rows, exactly like [[hllSketchLive]]. State per
+    * (window, type) is ≤ 64 counters at ANY value cardinality.
+    * Input: (tsc timestamp, event_type, cents long).
+    */
+  def quantileSketchLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"),
+        graft.sketch.HistQuantile.bucket(col("cents")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("bucket"), col("cnt"))
+
   def hllSketchLive(events: DataFrame, windowDur: String = "1 hour",
       horizon: String = "30 minutes"): DataFrame = {
     val h = graft.sketch.Hll.hash60(col("user_id"))

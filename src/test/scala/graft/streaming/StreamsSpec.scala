@@ -345,6 +345,52 @@ class StreamsSpec extends SparkSpec {
       97L -> "head", 98L -> "head", 99L -> "head", 100L -> "head"))
   }
 
+  test("streamed windowed quantile sketch matches the batch op over real events") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy("us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Long)](spark, 2)
+    val src = input.toDF().toDF("event_type", "tsc", "cents")
+    val q = Streams.quantileSketchLive(src).writeStream
+      .format("memory").queryName("quant_out")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.map { case (et, us, c) => (et, tsOfMicros(us), c) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val far = ev.map(_._2).max + 365L * 86400 * 1000000
+    input.addData(("sentinel", tsOfMicros(far), 0L)); q.processAllAvailable()
+    input.addData(("sentinel", tsOfMicros(far + 3600L * 1000000), 0L))
+    q.processAllAvailable()
+    val sketch = spark.table("quant_out").filter(col("event_type") =!= "sentinel")
+    // read-time fold of the streamed sketch == the batch op end to end
+    val streamed = graft.sketch.HistQuantile
+      .estimate(sketch, Seq("win_us", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    q.stop()
+    val batch = graft.ops.StreamOps.streamQuantile.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed debounce matches the batch op over real events") {
     import java.sql.Timestamp
     import graft.Tables
