@@ -793,8 +793,58 @@ object SimOps {
       .orderBy("bucket")
   }
 
+  /** IVF list-balance report — the "is my index skewed" table read
+    * before trusting nprobe latency: per centroid, the inverted-list
+    * size, its share of the corpus, and the load factor vs perfect
+    * balance. A hot list (load ≫ 1) means probes that hit it scan a
+    * disproportionate corpus slice — the signal to re-train centroids or
+    * split the list. Same assignment rule as sim-ivf-ann (rounded-cosine
+    * argmax, ties to the lowest centroid id).
+    *
+    * Scale shape: assignment is the zero-shuffle broadcast-centroid
+    * projection; the report is one map-side-combined groupBy to the
+    * centroid-count grain plus a 1-row broadcast total.
+    */
+  val simIvfBalance: Op = Op.sql(
+    "sim-ivf-balance",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+      |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+      |asgn AS (
+      |  SELECT c.vec_id AS n_id, cc.cid,
+      |         row_number() OVER (PARTITION BY c.vec_id
+      |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+      |                          (sqrt(list_dot_product(c.v, c.v)) *
+      |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+      |                    cc.cid) AS rn
+      |  FROM e c, cents cc WHERE c.vec_id >= 10),
+      |lists AS (SELECT cid, count(*) AS list_size FROM asgn WHERE rn = 1 GROUP BY cid),
+      |tot AS (SELECT CAST(sum(list_size) AS BIGINT) AS n,
+      |               count(*) AS k FROM lists)
+      |SELECT CAST(l.cid AS BIGINT) AS cid, CAST(l.list_size AS BIGINT) AS list_size,
+      |       CAST(round(l.list_size * 1000000.0 / tot.n) AS BIGINT) / 1000000.0
+      |         AS share,
+      |       CAST(round(l.list_size * tot.k * 1000000.0 / tot.n) AS BIGINT) / 1000000.0
+      |         AS load_factor
+      |FROM lists l, tot ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val lists = Similarity.assignToCentroids(
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)))
+      .groupBy("cid").agg(count(lit(1)).as("list_size"))
+    val tot = lists.agg(sum("list_size").as("n"), count(lit(1)).as("k"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("cid").cast("long").as("cid"), col("list_size"),
+        (round(col("list_size") * lit(1000000.0) / col("n")).cast("long") /
+          lit(1000000.0)).as("share"),
+        (round(col("list_size") * col("k") * lit(1000000.0) / col("n")).cast("long") /
+          lit(1000000.0)).as("load_factor"))
+      .orderBy("cid")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
-    simEmbedOutliers, simBucketDiversity)
+    simEmbedOutliers, simBucketDiversity, simIvfBalance)
 }

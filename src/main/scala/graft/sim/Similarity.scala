@@ -135,6 +135,27 @@ object Similarity {
       .select("q_id", "n_id", "sim")
   }
 
+  /** Nearest-centroid assignment only (the IVF build step without the
+    * probe): (n_id, cid) per corpus vector under the same rounded-cosine
+    * argmax / lowest-cid tiebreak as [[ivfTopK]]. Zero shuffle — the
+    * centroids collect (config-sized by design) and score as a broadcast
+    * projection.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centStructs = cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(cosine(col("embedding").cast("array<double>"), typedLit(cv)).as("s"),
+        lit(-cid).as("nc"))
+    }
+    corpus
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
+  }
+
   /** Product-quantization ANN (asymmetric distance computation): the
     * embedding is split into `m` equal-width subspaces; each corpus
     * subvector is ENCODED as the id of its nearest per-subspace centroid

@@ -384,6 +384,20 @@ class OpsR12Spec extends SparkSpec {
     }
   }
 
+  test("sim-ivf-balance: shares sum to 1 and sizes reconcile with the ivf corpus") {
+    val out = SimOps.simIvfBalance.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val corpus = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") >= 10).count()
+    assert(out.map(_._2).sum === corpus, "every corpus vector lands in one list")
+    assert(Math.abs(out.map(_._3).sum - 1.0) < 1e-3)
+    val k = out.length
+    out.foreach { case (cid, size, share, load) =>
+      assert(Math.abs(load - share * k) < 1e-3, s"centroid $cid load = share*k")
+      assert(size > 0)
+    }
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
