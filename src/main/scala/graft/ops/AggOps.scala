@@ -725,9 +725,59 @@ object AggOps {
       .orderBy("event_type", "q")
   }
 
+  /** Value concentration ("whale share"): what fraction of total purchase
+    * value comes from users at or above the p99 per-user value — the
+    * concentration metric behind revenue-risk and abuse review. Money is
+    * integer cents end to end; the threshold is the exact p99 over the
+    * per-user totals (micro-snapped, the established percentile parity),
+    * and the shares divide once at micro grain.
+    *
+    * Scale shape: the per-user table reduces the event stream with
+    * map-side combine (user-sized, ≪ events); threshold + shares are two
+    * aggregations over it with a 1-row broadcast — the user table is
+    * never globally sorted (no rank window).
+    */
+  val aggWhaleShare: Op = Op.sql(
+    "agg-whale-share",
+    """WITH per AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |                    AS BIGINT) AS cents
+      |             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |thr AS (SELECT CAST(round(quantile_cont(cents, 0.99) * 1000000.0) AS BIGINT)
+      |               AS p99_e6 FROM per),
+      |agg AS (SELECT count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS total_cents,
+      |               CAST(sum(CASE WHEN per.cents * 1000000 >= thr.p99_e6
+      |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_whales,
+      |               CAST(sum(CASE WHEN per.cents * 1000000 >= thr.p99_e6
+      |                             THEN per.cents ELSE 0 END) AS BIGINT) AS whale_cents
+      |        FROM per, thr)
+      |SELECT n_users, total_cents, n_whales, whale_cents,
+      |       (SELECT p99_e6 FROM thr) / 1000000.0 AS p99_cents,
+      |       CAST(round(whale_cents * 1000000.0 / total_cents) AS BIGINT) / 1000000.0
+      |         AS whale_share
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val per = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val thr = per.agg(
+      round(expr("percentile(cents, 0.99D)") * lit(1000000.0)).cast("long").as("p99_e6"))
+    per.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("total_cents"),
+        sum(when(col("cents") * 1000000L >= col("p99_e6"), 1L).otherwise(0L))
+          .as("n_whales"),
+        sum(when(col("cents") * 1000000L >= col("p99_e6"), col("cents")).otherwise(0L))
+          .as("whale_cents"),
+        first("p99_e6").as("p99_e6"))
+      .select(col("n_users"), col("total_cents"), col("n_whales"), col("whale_cents"),
+        (col("p99_e6") / lit(1000000.0)).as("p99_cents"),
+        (round(col("whale_cents") * lit(1000000.0) / col("total_cents")).cast("long") /
+          lit(1000000.0)).as("whale_share"))
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
-    aggRateAnomaly, aggCohortLtv, aggQuantileSketch)
+    aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare)
 }

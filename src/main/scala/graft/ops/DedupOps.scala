@@ -618,8 +618,44 @@ object DedupOps {
       .orderBy("df_bucket")
   }
 
+  /** Near-dup cluster-size histogram: how many clusters exist at each
+    * member count (singletons included) — the power-law check on the
+    * dedup graph (a healthy corpus is overwhelmingly singletons with a
+    * thin dup tail; a fat tail means boilerplate or a mirror got
+    * crawled). Rides the memoized cluster table, so after
+    * dedup-cluster-rep this costs two tiny aggregations.
+    *
+    * Scale shape: cluster sizing is a map-side-combined groupBy over the
+    * cluster table; the histogram reduces the cluster-count table again —
+    * output is distinct-size-count rows.
+    */
+  val dedupClusterSizes: Op = Op.sql(
+    "dedup-cluster-sizes",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src),
+       |per AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY cluster)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+       |       CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
+  ) { (s, d) =>
+    DedupOps.persistedDocClusters(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
-    dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum)
+    dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes)
 }

@@ -398,6 +398,32 @@ class OpsR12Spec extends SparkSpec {
     }
   }
 
+  test("dedup-cluster-sizes: histogram mass reconciles with survivorship") {
+    val out = DedupOps.dedupClusterSizes.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val surv = DedupOps.dedupSurvivorship.build(spark, sf()).collect().head
+    assert(out.map(_._3).sum === surv.getLong(0), "doc mass = corpus")
+    assert(out.filter(_._1 > 1).map(_._3).sum === surv.getLong(1), "dup doc mass")
+    assert(out.filter(_._1 > 1).map(_._2).sum === surv.getLong(2), "dup cluster count")
+    out.foreach { case (sz, n, docs) => assert(docs === sz * n) }
+  }
+
+  test("agg-whale-share: threshold and shares reconcile with a brute-force pass") {
+    val r = AggOps.aggWhaleShare.build(spark, sf()).collect().head
+    val per = graft.Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(r.getLong(0) === per.size.toLong)
+    assert(r.getLong(1) === per.values.sum)
+    val p99 = r.getDouble(4)
+    val whales = per.values.filter(_ >= p99 - 1e-9)
+    assert(r.getLong(2) === whales.size.toLong)
+    assert(r.getLong(3) === whales.sum)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
