@@ -654,8 +654,42 @@ object DedupOps {
       .orderBy("cluster_size")
   }
 
+  /** Jaccard-threshold calibration for the TEXT dedup ladder (the
+    * companion of dedup-threshold-sweep's embedding-cosine sweep): the
+    * pair-count / docs-affected curve over jaccard thresholds 0.5–0.9,
+    * read before committing the minhash verify threshold. One scored
+    * pair table (the shared persisted j ≥ 0.5 set) feeds every threshold
+    * row via an explode — never N re-executions of the shingle subtree.
+    */
+  val dedupJaccardSweep: Op = Op.sql(
+    "dedup-jaccard-sweep",
+    s"""WITH $ShingleOracle,
+       |p AS (SELECT d1, d2, jac FROM jac WHERE jac >= 0.5),
+       |thr AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT) AS thr_milli),
+       |ep AS (SELECT thr.thr_milli, jac, unnest([d1, d2]) AS dd FROM p, thr)
+       |SELECT thr_milli,
+       |       CAST(sum(CASE WHEN jac >= thr_milli / 1000.0 THEN 1 ELSE 0 END) / 2
+       |            AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT CASE WHEN jac >= thr_milli / 1000.0 THEN dd END)
+       |            AS BIGINT) AS n_docs
+       |FROM ep GROUP BY thr_milli ORDER BY thr_milli""".stripMargin
+  ) { (s, d) =>
+    val thresholds = Seq(500, 600, 700, 800, 900)
+    val hit = col("jac") >= col("thr_milli").cast("double") / lit(1000.0)
+    persistedJaccardPairs(s, d)
+      .select(explode(array(thresholds.map(t => lit(t.toLong)): _*)).as("thr_milli"),
+        col("d1"), col("d2"), col("jac"))
+      .select(col("thr_milli"), hit.as("hit"),
+        explode(array(col("d1"), col("d2"))).as("dd"))
+      .groupBy("thr_milli")
+      .agg((sum(when(col("hit"), 1).otherwise(0)) / 2).cast("long").as("n_pairs"),
+        countDistinct(when(col("hit"), col("dd"))).as("n_docs"))
+      .orderBy("thr_milli")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
-    dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes)
+    dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
+    dedupJaccardSweep)
 }

@@ -424,6 +424,22 @@ class OpsR12Spec extends SparkSpec {
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
 
+  test("dedup-jaccard-sweep: monotone in the threshold and anchored at 0.8") {
+    val out = DedupOps.dedupJaccardSweep.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) => assert(p2 <= p1 && d2 <= d1)
+      case _ => ()
+    }
+    // The 0.8 row equals the verified minhash pair count (same threshold,
+    // same exact-jaccard semantics).
+    val minhash = DedupOps.dedupMinhash.build(spark, sf()).count()
+    assert(out.find(_._1 == 800L).get._2 === minhash)
+    // The 0.5 row equals dedup-ngram-jaccard's pair count.
+    val ngram = DedupOps.dedupNgramJaccard.build(spark, sf()).count()
+    assert(out.find(_._1 == 500L).get._2 === ngram)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
