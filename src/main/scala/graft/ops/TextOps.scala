@@ -1620,6 +1620,66 @@ object TextOps {
       .orderBy("ctx")
   }
 
+  /** Split-leakage audit at shingle grain — the deeper check behind
+    * text-train-split's exact-hash guarantee: for every test/val
+    * document, how many of its distinct 5-gram shingles also occur
+    * anywhere in the TRAIN split (near-duplicate leakage that survives
+    * content-hash splitting). The same n-gram-overlap machinery as
+    * text-contamination, pointed at the pipeline's own split instead of
+    * an external benchmark.
+    *
+    * Scale shape: both sides reduce to DISTINCT (split, shingle-hash)
+    * rows; the train-side membership is min/max-free — one left-semi
+    * hash join on 8-byte keys with map-side combine upstream, AQE-
+    * splittable. Unlike text-contamination's tiny-benchmark broadcast,
+    * BOTH sides here are corpus-scale, so the join is the honest shape.
+    */
+  val textSplitLeakage: Op = Op.sql(
+    "text-split-leakage",
+    """WITH sp AS (SELECT doc_id, text,
+      |                   CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+      |                        WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+      |                        ELSE 'test' END AS split
+      |            FROM documents),
+      |sh AS (SELECT doc_id, split, array_to_string(ws[i:i+4], ' ') AS s
+      |       FROM (SELECT doc_id, split, ws,
+      |                    unnest(generate_series(1, greatest(1, len(ws) - 4))) AS i
+      |             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp))),
+      |dsh AS (SELECT DISTINCT doc_id, split, s FROM sh),
+      |tr AS (SELECT DISTINCT s FROM dsh WHERE split = 'train'),
+      |ev AS (SELECT doc_id, split, count(*) AS n_shingles,
+      |              CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |                AS n_leaked
+      |       FROM dsh LEFT JOIN tr ON dsh.s = tr.s
+      |       WHERE dsh.split <> 'train'
+      |       GROUP BY doc_id, split)
+      |SELECT doc_id, split, n_shingles, n_leaked,
+      |       CAST(round(n_leaked * 1000000.0 / n_shingles) AS BIGINT) / 1000000.0
+      |         AS leak_frac
+      |FROM ev ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val bucket = substring(md5(col("text")), 1, 2)
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        when(bucket < "e6", lit("train"))
+          .when(bucket < "f3", lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val dsh = sp.select(col("doc_id"), col("split"),
+        explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("raw"))
+      .select(col("doc_id"), col("split"), xxhash64(col("raw")).as("h"))
+    val tr = dsh.filter(col("split") === "train").select("h").distinct()
+      .select(col("h"), lit(1).as("seen"))
+    dsh.filter(col("split") =!= "train")
+      .join(tr, Seq("h"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_leaked"))
+      .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
+        (round(col("n_leaked") * lit(1000000.0) / col("n_shingles")).cast("long") /
+          lit(1000000.0)).as("leak_frac"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1629,5 +1689,6 @@ object TextOps {
     textDsir, textMixApply, textHashEmbedding, textQualityDeciles,
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
-    textReadability, textTokenizerFertility, textTrainSplit, textCtxFit)
+    textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
+    textSplitLeakage)
 }

@@ -440,6 +440,33 @@ class OpsR12Spec extends SparkSpec {
     assert(out.find(_._1 == 500L).get._2 === ngram)
   }
 
+  test("text-split-leakage: leakage counts match a brute-force shingle audit") {
+    val ds = docs()
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+    def split(t: String): String = {
+      val b = md5hex2(t)
+      if (b < "e6") "train" else if (b < "f3") "val" else "test"
+    }
+    def sh5(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      (if (ws.length <= 5) Seq(ws.mkString(" "))
+       else ws.sliding(5).map(_.mkString(" ")).toSeq).toSet
+    }
+    val train = ds.filter(d => split(d._2) == "train").flatMap(d => sh5(d._2)).toSet
+    val expected = ds.filter(d => split(d._2) != "train").map { case (id, t) =>
+      val s = sh5(t)
+      (id, split(t), s.size.toLong, s.count(train.contains).toLong)
+    }.toSeq.sortBy(_._1)
+    val out = TextOps.textSplitLeakage.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === expected)
+    // Content-hash splitting already guarantees no EXACT duplicate
+    // straddles; near-dup leakage is what this op exists to surface.
+    assert(out.nonEmpty)
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
