@@ -197,10 +197,15 @@ object TextOps {
       |WHERE id >= 50
       |GROUP BY id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    // Shingles leave the explode as xxhash64 longs (the house hashed-
+    // shingle seam): the broadcast set and every probe carry 8-byte keys
+    // instead of ~50-byte gram strings. Collision bound as elsewhere —
+    // p ≈ (distinct shingles)²/2⁶⁵, checked by the string-exact oracle.
     val docs = Tables.documents(s, d)
     def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("id"),
-      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("s"))
+      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("raw"))
+      .select(col("id"), xxhash64(col("raw")).as("s"))
     val bench = sh5(docs.filter(col("doc_id") < 50)).select("s").distinct()
     sh5(docs.filter(col("doc_id") >= 50))
       .join(broadcast(bench), Seq("s"))
