@@ -695,26 +695,28 @@ object AggOps {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
       .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    // ONE groupBy computes the sketch bounds AND the exact comparison
+    // percentiles — folding them saves a full events scan and a join.
     val st = ev.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
-    val bk = ev.join(broadcast(st), "event_type")
+      .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"),
+        expr("percentile(c, 0.50D)").as("e50"),
+        expr("percentile(c, 0.90D)").as("e90"),
+        expr("percentile(c, 0.99D)").as("e99"))
+    val bk = ev.join(broadcast(st.select("event_type", "mn", "mx")), "event_type")
       .select(col("event_type"),
         least(lit(63L), expr("((c - mn) * 64) div (mx - mn + 1)")).as("b"))
     val cum = bk.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
       .withColumn("cm", sum("cnt").over(
         Window.partitionBy("event_type").orderBy("b")))
     val qs = st.select(col("event_type"), col("n"), col("mn"), col("mx"),
+        col("e50"), col("e90"), col("e99"),
         explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("q"))
       .withColumn("r", expr("(q * n + 99) div 100"))
     val hit = qs.join(cum.select(col("event_type"), col("b"), col("cm")), "event_type")
       .filter(col("cm") >= col("r"))
-      .groupBy("event_type", "q", "n", "mn", "mx")
+      .groupBy("event_type", "q", "n", "mn", "mx", "e50", "e90", "e99")
       .agg(min("b").as("b"))
-    val ex = ev.groupBy("event_type").agg(
-      expr("percentile(c, 0.50D)").as("e50"),
-      expr("percentile(c, 0.90D)").as("e90"),
-      expr("percentile(c, 0.99D)").as("e99"))
-    hit.join(broadcast(ex), "event_type")
+    hit
       .select(col("event_type"), col("q"), col("n"),
         expr("mn + (b * (mx - mn + 1)) div 64").as("est_cents"),
         (round((when(col("q") === 50, col("e50"))

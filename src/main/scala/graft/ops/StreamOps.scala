@@ -285,7 +285,7 @@ object StreamOps {
     """WITH e AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_us,
       |                  event_type, CAST(round(value * 100) AS BIGINT) AS c
       |           FROM events),
-      |b AS (SELECT win_us, event_type, least(63, c // 800) AS bucket,
+      |b AS (SELECT win_us, event_type, greatest(0, least(63, c // 800)) AS bucket,
       |             count(*) AS cnt
       |      FROM e GROUP BY 1, 2, 3),
       |n AS (SELECT win_us, event_type, CAST(sum(cnt) AS BIGINT) AS n

@@ -105,20 +105,29 @@ object Similarity {
     * pluggable (k-means upstream); any DETERMINISTIC centroid set gives
     * reproducible lists.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = centroids
+  /** Centroid table → driver-side literals (config-sized by design). */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
+    centroids
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    def centSim(emb: Column, c: Seq[Double]): Column =
-      cosine(emb.cast("array<double>"), typedLit(c))
-    // per-centroid (sim, -cid) structs: lexicographic max = highest sim,
-    // ties to the lowest centroid id — same tiebreak everywhere
-    def centStructs: Seq[Column] = cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(centSim(col("embedding"), cv).as("s"), lit(-cid).as("nc"))
+
+  /** Per-centroid (sim, -cid) structs over the `embedding` column:
+    * lexicographic max = highest rounded cosine, ties to the lowest
+    * centroid id — THE assignment tiebreak, shared by [[ivfTopK]] and
+    * [[assignToCentroids]] so the two can never silently diverge.
+    */
+  private def centroidStructs(cents: Array[(Long, Seq[Double])]): Seq[Column] =
+    cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(cosine(col("embedding").cast("array<double>"), typedLit(cv)).as("s"),
+        lit(-cid).as("nc"))
     }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(centroids)
+    def centStructs: Seq[Column] = centroidStructs(cents)
     val assigned = corpus
       .withColumn("_b", greatest(centStructs: _*))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -141,20 +150,10 @@ object Similarity {
     * centroids collect (config-sized by design) and score as a broadcast
     * projection.
     */
-  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = centroids
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val centStructs = cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(cosine(col("embedding").cast("array<double>"), typedLit(cv)).as("s"),
-        lit(-cid).as("nc"))
-    }
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
       .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
-  }
 
   /** Product-quantization ANN (asymmetric distance computation): the
     * embedding is split into `m` equal-width subspaces; each corpus

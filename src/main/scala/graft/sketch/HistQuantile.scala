@@ -13,22 +13,27 @@ import org.apache.spark.sql.functions._
   * stream-quantile and the live windowed path
   * ([[graft.streaming.Streams.quantileSketchLive]]).
   *
-  * All-integer discipline: bucket = min(63, cents div width), rank =
-  * ceil(0.9·n) via (9n+9) div 10, estimate = bucket lower bound — no
-  * float anywhere, so streamed and batch sketches are bit-identical.
+  * Exactness discipline: bucket = clamp(0, 63, floor(cents/width)) —
+  * the one division is IEEE-exact for |cents| < 2^53 and both engines
+  * floor it identically; rank = ceil(0.9·n) via (9n+9) div 10 and the
+  * estimate = bucket lower bound are pure integers — streamed and batch
+  * sketches are bit-identical.
   */
 object HistQuantile {
 
   val Buckets = 64
   /** 800-cent buckets cover [0, 512) dollars — the fixture's value range
-    * with headroom; values past the range clip into the top bucket (the
-    * standard fixed-range trade: the tail estimate saturates, counts stay
-    * exact).
+    * with headroom; values past EITHER edge clip into the boundary bucket
+    * (the standard fixed-range trade: edge estimates saturate, counts
+    * stay exact). The lower clamp is what keeps the per-key state bound
+    * true — without it a refund-style negative value would mint one
+    * counter per distinct negative bucket.
     */
   val WidthCents = 800L
 
   def bucket(cents: Column): Column =
-    least(lit(Buckets - 1L), floor(cents / WidthCents).cast("long"))
+    greatest(lit(0L),
+      least(lit(Buckets - 1L), floor(cents / WidthCents).cast("long")))
 
   /** The sketch: (keys..., bucket) → cnt. Mergeable by addition. */
   def sketch(ev: DataFrame, keys: Seq[String], cents: Column): DataFrame =

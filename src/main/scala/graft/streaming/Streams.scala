@@ -314,6 +314,20 @@ object Streams {
     * is the thing worth checkpointing anyway — sketches from different
     * streams/days still merge, estimates don't).
     */
+  def hllSketchLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame = {
+    val h = graft.sketch.Hll.hash60(col("user_id"))
+    events
+      .select(col("tsc"), col("event_type"),
+        graft.sketch.Hll.bucket(h).as("bucket"), graft.sketch.Hll.rho(h).as("rho"))
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"),
+        col("bucket"))
+      .agg(max("rho").as("r"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("bucket"), col("r"))
+  }
+
   /** Live windowed histogram-quantile sketch: watermarked hourly windows
     * accumulate the fixed-range bucket counts
     * ([[graft.sketch.HistQuantile]] — counts merge across micro-batches
@@ -331,18 +345,4 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
         col("bucket"), col("cnt"))
-
-  def hllSketchLive(events: DataFrame, windowDur: String = "1 hour",
-      horizon: String = "30 minutes"): DataFrame = {
-    val h = graft.sketch.Hll.hash60(col("user_id"))
-    events
-      .select(col("tsc"), col("event_type"),
-        graft.sketch.Hll.bucket(h).as("bucket"), graft.sketch.Hll.rho(h).as("rho"))
-      .withWatermark("tsc", horizon)
-      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"),
-        col("bucket"))
-      .agg(max("rho").as("r"))
-      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
-        col("bucket"), col("r"))
-  }
 }
