@@ -257,6 +257,53 @@ object MultimodalOps {
       .orderBy("frame_hash")
   }
 
+  /** Perceptual-hash calibration histogram: the hamming-distance
+    * distribution over ALL band-blocked candidate pairs (mm-phash-dedup
+    * keeps only ≤ 10) — the table that sets the hamming threshold: the
+    * near-dup mass should separate from the random-pair hump (which
+    * centers at ~24 for 48-bit fingerprints). Same fingerprint, banding
+    * and candidate join as the dedup op; only the final filter differs.
+    */
+  val mmPhashHistogram: Op = Op.sql(
+    "mm-phash-histogram",
+    """WITH m AS (SELECT doc_id, text, length(text)::BIGINT - 1 AS nm1 FROM documents
+      |           WHERE length(text) = strlen(text)),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ascii(substr(text, CAST(1 + (i * nm1) // 48 AS INTEGER), 1))
+      |            < ascii(substr(text, CAST(1 + ((i + 1) * nm1) // 48 AS INTEGER), 1))
+      |         THEN (2 ** i)::BIGINT ELSE 0 END AS bv
+      |  FROM m, (SELECT unnest(generate_series(0, 47)) AS i) g),
+      |fp AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS phash FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, b, (phash // (2 ** (12 * b))::BIGINT) % 4096 AS bk
+      |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) gb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, a.phash AS fp1, c.doc_id AS d2, c.phash AS fp2
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+      |SELECT CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming,
+      |       count(*) AS n_pairs
+      |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) === octet_length(col("text")))
+    val fp = docs.select(col("doc_id"), Multimodal.phash(col("text")).as("phash"))
+    val bands = fp.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk",
+        floor(col("phash") / pow(lit(2), col("b") * lit(12))).cast("long") % 4096)
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bk") === col("c.bk") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.phash").as("fp1"),
+        col("c.doc_id").as("d2"), col("c.phash").as("fp2"))
+      .distinct()
+    cand
+      .select(bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long").as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
-    mmPhashDedup, mmModalityManifest, mmFrameDedup)
+    mmPhashDedup, mmModalityManifest, mmFrameDedup, mmPhashHistogram)
 }

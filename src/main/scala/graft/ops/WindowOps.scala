@@ -349,7 +349,46 @@ object WindowOps {
       .orderBy("user_id", "event_type", "first_us")
   }
 
+  /** Gap-length distribution over the archive's missing-height intervals
+    * (win-gap-detect lists them; this prices them): how many gaps exist
+    * at each length, with the missing-height mass per length — the table
+    * that decides whether to heal with per-height fetches (many 1-gaps)
+    * or range re-archives (few long gaps). Reference behavior:
+    * src/command/fix.rs heals per missing height; the histogram is the
+    * planning view over the same interval algebra.
+    *
+    * Scale shape: rides the same islands pyramid as win-gap-detect
+    * (interval rows, never raw heights after the pyramid); the histogram
+    * is one map-side-combined groupBy over the gap table.
+    */
+  val winGapHistogram: Op = Op.sql(
+    "win-gap-histogram",
+    """WITH arch AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0),
+      |flags AS (SELECT k, CASE WHEN lag(k) OVER (ORDER BY k) IS NULL
+      |                          OR k - lag(k) OVER (ORDER BY k) > 1
+      |                         THEN 1 ELSE 0 END AS brk FROM arch),
+      |isl AS (SELECT k, sum(brk) OVER (ORDER BY k) AS g FROM flags),
+      |iv AS (SELECT min(k) AS s, max(k) AS e FROM isl GROUP BY g),
+      |gaps AS (SELECT next_s - 1 - e AS gap_len
+      |         FROM (SELECT s, e, lead(s) OVER (ORDER BY s) AS next_s FROM iv) t
+      |         WHERE next_s IS NOT NULL)
+      |SELECT CAST(gap_len AS BIGINT) AS gap_len, count(*) AS n_gaps,
+      |       CAST(gap_len * count(*) AS BIGINT) AS missing_heights
+      |FROM gaps GROUP BY gap_len ORDER BY gap_len""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+    val iv = Intervals.islands(arch, "o_orderkey")
+    val w = Window.orderBy("s")
+    iv.withColumn("next_s", lead("s", 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select((col("next_s") - 1 - col("e")).as("gap_len"))
+      .groupBy("gap_len").agg(count(lit(1)).as("n_gaps"))
+      .select(col("gap_len"), col("n_gaps"),
+        (col("gap_len") * col("n_gaps")).as("missing_heights"))
+      .orderBy("gap_len")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
-    winTopPaths, winDebounce)
+    winTopPaths, winDebounce, winGapHistogram)
 }

@@ -467,6 +467,28 @@ class OpsR12Spec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("win-gap-histogram: mass reconciles with win-gap-detect's gap list") {
+    val gaps = WindowOps.winGapDetect.build(spark, sf()).collect()
+      .map(r => r.getLong(2))
+    val out = WindowOps.winGapHistogram.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sum === gaps.length.toLong)
+    assert(out.map(_._3).sum === gaps.sum)
+    out.foreach { case (len, n, mass) =>
+      assert(mass === len * n)
+      assert(gaps.count(_ == len).toLong === n)
+    }
+  }
+
+  test("mm-phash-histogram: the dedup op's pairs are exactly the <=10 mass") {
+    val hist = MultimodalOps.mmPhashHistogram.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = MultimodalOps.mmPhashDedup.build(spark, sf()).count()
+    assert(hist.filter(_._1 <= 10).map(_._2).sum === kept)
+    // The random-pair hump sits near half the fingerprint width.
+    assert(hist.map(_._2).sum > kept, "histogram sees beyond the threshold")
+  }
+
   test("mm-modality-manifest: totals reconcile with the decode stub") {
     val manifest = MultimodalOps.mmModalityManifest.build(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
