@@ -17,7 +17,8 @@ object SparkEntry {
       graft.ops.SourceSinkOps.ops ++ graft.ops.StreamOps.ops ++
       graft.ops.TextOps.ops ++ graft.ops.DedupOps.ops ++
       graft.ops.SimOps.ops ++ graft.ops.MultimodalOps.ops ++
-      graft.ops.PipelineOps.ops ++ graft.ops.CurationOps.ops
+      graft.ops.PipelineOps.ops ++ graft.ops.CurationOps.ops ++
+      graft.ops.LayoutOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -79,8 +79,7 @@ object LayoutOps {
       col("l_partkey").as("p"), col("l_suppkey").as("s"))
     val zkey = spread16(bitwise_and(col("p"), lit(65535L)))
       .bitwiseOR(shiftleft(spread16(bitwise_and(col("s"), lit(65535L))), 1))
-    li.withColumn("zfile", expr("zkey div 4096").as("zfile"))
-      .withColumn("zkey", zkey)
+    li.withColumn("zkey", zkey)
       .withColumn("zfile", expr("zkey div 4096"))
       .groupBy("zfile")
       .agg(
