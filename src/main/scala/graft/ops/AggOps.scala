@@ -777,9 +777,132 @@ object AggOps {
           lit(1000000.0)).as("whale_share"))
   }
 
+  /** Multi-grain metrics in ONE pass via ROLLUP — the (flag, status) /
+    * (flag) / grand-total grains of the reference's per-kind stat report
+    * (src/command/verify.rs:62-96 keeps per-kind AND total counters by
+    * hand). Spark plans rollup as one Expand (×3 rows) feeding a single
+    * partially-aggregated exchange — at 100 TB that is one shuffle where
+    * the naive spelling (three separate groupBys unioned) scans and
+    * shuffles the corpus three times. Money columns are per-row
+    * integer-cent snapped BEFORE the sum, so the total is order-free and
+    * cross-engine exact; grouping() disambiguates real NULL keys from
+    * rollup subtotal rows.
+    */
+  val aggRollupMetrics: Op = Op.sql(
+    "agg-rollup-metrics",
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+      |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+      |       count(*) AS n,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("price_cents"),
+        grouping("l_returnflag").as("gf"), grouping("l_linestatus").as("gs"))
+      .select(
+        when(col("gf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("flag"),
+        when(col("gs") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("status"),
+        col("n"), col("sum_qty"), col("price_cents"))
+      .orderBy("flag", "status")
+  }
+
+  /** Shuffle-key skew audit — the planning table behind every salting
+    * decision this library makes (salted top-k in functions/TopK, AQE skew
+    * notes in PLANS.md). For each candidate shuffle key: key count, row
+    * count, the per-key count distribution (max / p50 / p99), the hottest
+    * key's row share, and the salt factor a 32-partition shuffle would
+    * need so the hottest key fits one partition's fair share
+    * (`ceil(max_c · 32 / n_rows)`; 1 = no salting needed). Two grouped
+    * scans (one per audited key) each reduced map-side to key-count rows;
+    * the quantiles run over the already-aggregated count column.
+    * Everything after the counts is integer arithmetic or snapped
+    * interpolated quantiles (Spark percentile == DuckDB quantile_cont).
+    */
+  val aggKeySkew: Op = Op.sql(
+    "agg-key-skew",
+    """WITH ec AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY k),
+      |lc AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY k),
+      |s AS (
+      |  SELECT 'events.user_id' AS key_name, count(*) AS n_keys,
+      |         CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_c,
+      |         CAST(round(quantile_cont(c, 0.5) * 1000000) AS BIGINT) / 1000000.0 AS p50,
+      |         CAST(round(quantile_cont(c, 0.99) * 1000000) AS BIGINT) / 1000000.0 AS p99
+      |  FROM ec
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey', count(*),
+      |         CAST(sum(c) AS BIGINT), max(c),
+      |         CAST(round(quantile_cont(c, 0.5) * 1000000) AS BIGINT) / 1000000.0,
+      |         CAST(round(quantile_cont(c, 0.99) * 1000000) AS BIGINT) / 1000000.0
+      |  FROM lc)
+      |SELECT key_name, n_keys, n_rows, max_c, p50, p99,
+      |       max_c * 1000000 // n_rows AS top_share_ppm,
+      |       (max_c * 32 + n_rows - 1) // n_rows AS salt_factor
+      |FROM s ORDER BY key_name""".stripMargin
+  ) { (s, d) =>
+    def audit(df: org.apache.spark.sql.DataFrame, keyCol: String, name: String) =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"), max("c").as("max_c"),
+          (expr("cast(round(percentile(c, 0.5D) * 1000000) as bigint)") / lit(1e6)).as("p50"),
+          (expr("cast(round(percentile(c, 0.99D) * 1000000) as bigint)") / lit(1e6)).as("p99"))
+        .select(lit(name).as("key_name"), col("n_keys"), col("n_rows"), col("max_c"),
+          col("p50"), col("p99"),
+          expr("max_c * 1000000 div n_rows").as("top_share_ppm"),
+          expr("(max_c * 32 + n_rows - 1) div n_rows").as("salt_factor"))
+    audit(Tables.events(s, d), "user_id", "events.user_id")
+      .unionByName(audit(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"))
+      .orderBy("key_name")
+  }
+
+  /** Robust per-value outlier detection via median absolute deviation —
+    * the value-level companion of agg-rate-anomaly's z-score on hourly
+    * counts: MAD survives the heavy-tailed value distributions where a
+    * mean/stddev gate flags half the tail. Three scans of events (median,
+    * MAD, outlier count), each reducing per event_type; the per-type stat
+    * tables are broadcast back so the corpus never shuffles. Medians are
+    * interpolated exact quantiles (cross-engine equal); the |v−m| > 3·MAD
+    * predicate is pure IEEE subtraction/multiplication so both engines
+    * agree on every comparison; reported medians are micro-snapped last.
+    */
+  val aggMadOutliers: Op = Op.sql(
+    "agg-mad-outliers",
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY event_type),
+      |d AS (SELECT e.event_type, e.value, m.med
+      |      FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      |       FROM d GROUP BY event_type)
+      |SELECT d.event_type, count(*) AS n,
+      |       CAST(round(max(d.med) * 1000000) AS BIGINT) / 1000000.0 AS med,
+      |       CAST(round(max(md.mad) * 1000000) AS BIGINT) / 1000000.0 AS mad,
+      |       CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * md.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (expr("cast(round(max(med) * 1000000) as bigint)") / lit(1e6)).as("med"),
+        (expr("cast(round(max(mad) * 1000000) as bigint)") / lit(1e6)).as("mad"),
+        sum(when(expr("abs(value - med) > 3 * mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
-    aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare)
+    aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
+    aggRollupMetrics, aggKeySkew, aggMadOutliers)
 }

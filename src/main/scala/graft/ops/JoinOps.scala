@@ -283,7 +283,61 @@ object JoinOps {
       .orderBy("window_id")
   }
 
+  /** Generic interval×interval overlap join — the interval-interval
+    * generalization of join-range-bin's window×point shape, and the batch
+    * planner query the reference runs per chunk ("which archive ranges
+    * intersect the requested range", src/storage/mod.rs:143-207) asked for
+    * N query ranges at once. Left side: per-(user, day) activity intervals
+    * from events; right side: a deliberately grid-UNALIGNED window set
+    * (4 h wide every 7 h) so the bucketing below is exercised as a real
+    * algorithm, not an equi-join in disguise.
+    *
+    * Scale shape: both interval sets explode to the 6 h buckets they
+    * touch (fan-out ≤ len/G + 1 — bounded by interval length, never by
+    * the other side's cardinality), equi-join on the 8-byte bucket id,
+    * refine with the exact overlap predicate, then DISTINCT collapses
+    * multi-bucket matches (pair-table-sized). The naive inequality join
+    * is O(|A|·|B|) and unplannable as anything but BNLJ at 100 TB; this
+    * is one integer-keyed shuffle. AQE broadcasts the window side when it
+    * is small — both plans are right at their scale.
+    */
+  val joinIntervalOverlap: Op = {
+    val G = 21600000000000L // 6h bucket, ns
+    val W = 25200000000000L // 7h window step
+    val L = 14400000000000L // 4h window width
+    Op.sql(
+      "join-interval-overlap",
+      s"""WITH a AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+         |                  min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) AS e
+         |           FROM events GROUP BY user_id, day),
+         |g AS (SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1 FROM events),
+         |wi AS (SELECT unnest(generate_series(0, CAST((t1 - t0) // $W AS BIGINT))) AS w_id,
+         |              t0 FROM g),
+         |w AS (SELECT w_id, t0 + w_id * $W AS ws, t0 + w_id * $W + $L AS we FROM wi)
+         |SELECT a.user_id, a.day, w.w_id,
+         |       (least(a.e, w.we) - greatest(a.s, w.ws)) // 1000 AS overlap_us
+         |FROM a JOIN w ON a.s <= w.we AND w.ws <= a.e
+         |ORDER BY user_id, day, w_id""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val a = ev.groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      val w = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select(explode(expr(s"sequence(0L, (t1 - t0) div $W)")).as("w_id"), col("t0"))
+        .select(col("w_id"), (col("t0") + col("w_id") * lit(W)).as("ws"))
+        .withColumn("we", col("ws") + lit(L))
+      val ab = a.withColumn("bucket", explode(expr(s"sequence(s div $G, e div $G)")))
+      val wb = w.withColumn("bucket", explode(expr(s"sequence(ws div $G, we div $G)")))
+      ab.join(wb, "bucket")
+        .filter(col("s") <= col("we") && col("ws") <= col("e"))
+        .select(col("user_id"), col("day"), col("w_id"),
+          expr("(least(e, we) - greatest(s, ws)) div 1000").as("overlap_us"))
+        .distinct()
+        .orderBy("user_id", "day", "w_id")
+    }
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
-    joinAsof, joinRangeBin)
+    joinAsof, joinRangeBin, joinIntervalOverlap)
 }
