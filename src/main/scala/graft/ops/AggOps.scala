@@ -899,10 +899,97 @@ object AggOps {
       .orderBy("event_type")
   }
 
+  /** Gini concentration coefficient over per-user purchase mass — the
+    * single-number inequality summary behind agg-whale-share's p99 cut.
+    * The textbook formula needs every value's GLOBAL rank; the naive
+    * spelling is one unpartitioned window over all users — the
+    * single-partition funnel this library bans. Here rank is computed by
+    * bucketed prefix-sum: users hash into 1000-cent value buckets, the
+    * bucket histogram (value-range/10³ rows — config-sized) takes one
+    * tiny ordered window for prefix counts, and each user's global rank
+    * is prefix-before-bucket + rank-within-bucket (window PARTITIONED by
+    * bucket). The oracle uses the naive global window — same result, but
+    * only one of the two spellings survives 10⁹ users. All arithmetic is
+    * exact integers until the final snapped division.
+    */
+  val aggGiniCents: Op = Op.sql(
+    "agg-gini-cents",
+    """WITH ux AS (SELECT user_id,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT user_id, x,
+      |             row_number() OVER (ORDER BY x, user_id) AS rk,
+      |             count(*) OVER () AS n,
+      |             CAST(sum(x) OVER () AS BIGINT) AS tot
+      |      FROM ux)
+      |SELECT CAST(max(n) AS BIGINT) AS n_users,
+      |       CAST(max(tot) AS BIGINT) AS total_cents,
+      |       CAST(sum((2 * rk - n - 1) * x) AS BIGINT) AS gini_num,
+      |       CAST(round(CAST(sum((2 * rk - n - 1) * x) AS BIGINT) * 1000000.0
+      |                  / (max(n) * max(tot))) AS BIGINT) / 1000000.0 AS gini
+      |FROM r""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ux = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+    val bux = ux.withColumn("b", expr("x div 100000"))
+    val bpre = bux.groupBy("b").agg(count(lit(1)).as("bc"))
+      .withColumn("pre", sum("bc").over(Window.orderBy("b")) - col("bc"))
+      .select("b", "pre")
+    val ranked = bux.join(broadcast(bpre), "b")
+      .withColumn("lrk",
+        row_number().over(Window.partitionBy("b").orderBy("x", "user_id")))
+      .withColumn("rk", col("pre") + col("lrk"))
+    val totals = ux.agg(count(lit(1)).as("n"), sum("x").as("tot"))
+    ranked.crossJoin(broadcast(totals))
+      .agg(max("n").cast("long").as("n_users"),
+        max("tot").cast("long").as("total_cents"),
+        sum((lit(2) * col("rk") - col("n") - 1) * col("x")).as("gini_num"))
+      .select(col("n_users"), col("total_cents"), col("gini_num"),
+        ((round(col("gini_num") * lit(1e6) /
+          (col("n_users") * col("total_cents")))).cast("long") / lit(1e6)).as("gini"))
+  }
+
+  /** Half-life-decayed freshness mass per event type — the recency
+    * weighting a training-data mix applies before sampling (fresh docs
+    * count full, year-old docs count 2^-365…). libm exp() is not
+    * cross-engine reproducible, so the decay is an integer right-shift:
+    * weight(v, age_days) = micro-units(v) >> age — exact halving per day,
+    * identical on every engine and order-free under summation. One scan,
+    * one map-side-combined groupBy; the global max-ts anchor is a 1-row
+    * broadcast.
+    */
+  val aggExpDecay: Op = Op.sql(
+    "agg-exp-decay",
+    """WITH g AS (SELECT max(epoch_ns(ts)) AS t1 FROM events),
+      |e AS (SELECT event_type,
+      |             CAST(round(value * 1000000) AS BIGINT) AS v6,
+      |             CAST((t1 - epoch_ns(ts)) // 86400000000000 AS BIGINT) AS age
+      |      FROM events, g)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(v6 >> CAST(LEAST(age, 62) AS INTEGER)) AS BIGINT) AS decayed_e6,
+      |       CAST(sum(v6) AS BIGINT) AS raw_e6
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val g = ev.agg(max("ts").as("t1"))
+    ev.crossJoin(broadcast(g))
+      .select(col("event_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("v6"),
+        expr("(t1 - ts) div 86400000000000").as("age"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("shiftright(v6, cast(least(age, 62) as int))")).as("decayed_e6"),
+        sum("v6").as("raw_e6"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
-    aggRollupMetrics, aggKeySkew, aggMadOutliers)
+    aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay)
 }

@@ -337,7 +337,48 @@ object JoinOps {
     }
   }
 
+  /** Star-schema revenue rollup — the canonical warehouse join chain
+    * (fact ⋈ orders ⋈ customer ⋈ nation ⋈ region) that the reference's
+    * single-table archive feeds once it lands in a lakehouse. Plan shape
+    * at 100 TB: exactly ONE big-big exchange (lineitem ⋈ orders on the
+    * order key — sort-merge at scale, and the key both tables should be
+    * bucketed on); the dimension hops are explicit broadcasts so the
+    * fact rows never shuffle again after the first join. nation/region
+    * broadcast at any scale; customer is the borderline dim — it fits a
+    * few-GB broadcast budget to ~10⁸ rows, beyond which that hop becomes
+    * the plan's second bucketed join (drop the hint, AQE picks SMJ).
+    * Revenue snaps to integer cents per row (identical expression tree
+    * both engines) before the order-free sum.
+    */
+  val joinStarRevenue: Op = Op.sql(
+    "join-star-revenue",
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |            AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)").as("cents"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
-    joinAsof, joinRangeBin, joinIntervalOverlap)
+    joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue)
 }

@@ -388,7 +388,56 @@ object WindowOps {
       .orderBy("gap_len")
   }
 
+  /** CUSUM changepoint detection over per-type daily event counts — the
+    * drift monitor a production ingest runs to catch a source going dark
+    * or doubling (the batch analogue of agg-rate-anomaly's per-hour
+    * z-flags: CUSUM finds WHERE the level shifted, not just which hours
+    * are odd). The classic statistic max_k |S_k − k·T/D| is scaled by D
+    * to stay in exact integers: score_k = |D·S_k − k·T| (same argmax).
+    * Windows run over the per-type DAILY table — bounded by the time
+    * span, never by corpus size; ties break to the earliest day, so the
+    * argmax row_number is deterministic cross-engine.
+    */
+  val winCusumChangepoint: Op = Op.sql(
+    "win-cusum-changepoint",
+    """WITH c AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY event_type, day),
+      |w AS (SELECT event_type, day, n,
+      |             sum(n) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |             count(*) OVER (PARTITION BY event_type) AS nd
+      |      FROM c),
+      |s AS (SELECT event_type, day, nd, total,
+      |             abs(nd * cum - k * total) AS score,
+      |             row_number() OVER (PARTITION BY event_type
+      |               ORDER BY abs(nd * cum - k * total) DESC, day) AS pick
+      |      FROM w)
+      |SELECT event_type, day AS cp_day, CAST(score AS BIGINT) AS score,
+      |       nd AS n_days, total
+      |FROM s WHERE pick = 1 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val w = c
+      .withColumn("cum", sum("n").over(byType.orderBy("day")))
+      .withColumn("k", row_number().over(byType.orderBy("day")))
+      .withColumn("total", sum("n").over(byType))
+      .withColumn("nd", count(lit(1)).over(byType))
+      .withColumn("score", abs(col("nd") * col("cum") - col("k") * col("total")))
+    w.withColumn("pick",
+        row_number().over(byType.orderBy(col("score").desc, col("day"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("score"),
+        col("nd").as("n_days"), col("total"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
-    winTopPaths, winDebounce, winGapHistogram)
+    winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint)
 }

@@ -404,4 +404,31 @@ class PlanAuditSpec extends SparkSpec {
     val kmv = plan("agg-kmv-overlap")
     assert(kmv.contains("hashpartitioning(_salt"), kmv)
   }
+
+  test("join-star-revenue broadcasts every dimension hop, no nested loop") {
+    val p = plan("join-star-revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("join-interval-overlap equi-joins on the bucket id, never a cross") {
+    val p = plan("join-interval-overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BNLJ allowed is the 1-row global-span anchor feeding the
+    // window grid, never the interval pair join itself
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg-gini-cents ranks inside value buckets, not one global window") {
+    val p = plan("agg-gini-cents")
+    // the per-user rank window must be partitioned by the bucket column
+    assert(p.contains("windowspecdefinition(b"), p)
+  }
+
+  test("agg-rollup-metrics is one Expand into one partial-aggregated exchange") {
+    val p = plan("agg-rollup-metrics")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }

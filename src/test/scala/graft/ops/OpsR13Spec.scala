@@ -75,6 +75,89 @@ class OpsR13Spec extends SparkSpec {
     }
   }
 
+  test("join-star-revenue: matches a brute in-memory star join") {
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue()
+    val nat = graft.Tables.nation(spark, sf()).collect()
+      .map(r => asL(r, 0) -> (r.getString(1), asL(r, 2))).toMap
+    val reg = graft.Tables.region(spark, sf()).collect()
+      .map(r => asL(r, 0) -> r.getString(1)).toMap
+    val cust = graft.Tables.customer(spark, sf()).collect()
+      .map(r => asL(r, 0) -> asL(r, 2)).toMap
+    val ord = graft.Tables.orders(spark, sf()).collect()
+      .map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val brute = graft.Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        val (nName, rk) = nat(cust(ord(r.getLong(0))))
+        ((reg(rk), nName),
+          math.round(r.getDouble(1) * (1 - r.getDouble(2)) * 100))
+      }
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val out = JoinOps.joinStarRevenue.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === brute)
+  }
+
+  test("win-cusum-changepoint: argmax matches a scalar CUSUM recompute") {
+    val days = graft.Tables.events(spark, sf()).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(_._1).view.mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    val out = WindowOps.winCusumChangepoint.build(spark, sf()).collect()
+    assert(out.map(_.getString(0)).toSet === days.keySet.toSet)
+    out.foreach { r =>
+      val byDay = days(r.getString(0)).toSeq.sortBy(_._1)
+      val total = byDay.map(_._2).sum
+      val nd = byDay.length.toLong
+      var cum = 0L
+      val scores = byDay.zipWithIndex.map { case ((day, n), i) =>
+        cum += n
+        (day, math.abs(nd * cum - (i + 1) * total))
+      }
+      val best = scores.maxBy(s => (s._2, -s._1))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((best._1, best._2, nd, total)))
+    }
+  }
+
+  test("agg-gini-cents: bucketed prefix-sum rank equals the sorted-rank Gini") {
+    val xs = graft.Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(identity) // (user asc) then stable sort by value below
+      .sortBy(_._2)
+    val n = xs.length.toLong
+    val tot = xs.map(_._2).sum
+    val num = xs.zipWithIndex.map { case ((_, x), i) => (2L * (i + 1) - n - 1) * x }.sum
+    val r = AggOps.aggGiniCents.build(spark, sf()).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((n, tot, num)))
+    assert(r.getDouble(3) == math.round(num * 1e6 / (n * tot)) / 1e6)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) < 1)
+  }
+
+  test("agg-exp-decay: shift decay matches a scalar recompute and is monotone") {
+    val ev = graft.Tables.events(spark, sf()).select("event_type", "value", "ts")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val t1 = ev.map(_._3).max
+    val brute = ev.groupBy(_._1).view.mapValues { g =>
+      val v6 = g.map { case (_, v, ts) =>
+        val age = math.min((t1 - ts) / 86400000000000L, 62L)
+        (math.round(v * 1e6), math.round(v * 1e6) >> age)
+      }
+      (g.length.toLong, v6.map(_._2).sum, v6.map(_._1).sum)
+    }.toMap
+    val out = AggOps.aggExpDecay.build(spark, sf()).collect()
+    assert(out.map(_.getString(0)).toSet === brute.keySet)
+    out.foreach { r =>
+      val (bn, bd, braw) = brute(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((bn, bd, braw)))
+      assert(bd <= braw, "decay can only shrink mass")
+    }
+  }
+
   test("join-interval-overlap: bucketed join equals the brute inequality join") {
     val W = 25200000000000L; val L = 14400000000000L
     val ev = graft.Tables.events(spark, sf()).select("user_id", "ts")
