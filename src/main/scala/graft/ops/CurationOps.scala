@@ -481,7 +481,38 @@ object CurationOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** k-anonymity audit over quasi-identifiers — the privacy compliance
+    * check a training corpus runs next to PII scrubbing
+    * (text-pii-scrub): treat (lang, source, 500-char size band) as a
+    * quasi-identifier tuple and count documents whose tuple group is
+    * smaller than k=5 — those are re-identifiable through metadata alone
+    * even with the text scrubbed. One map-side-combined groupBy to the
+    * quasi-id grain (bounded by the id-space cross product, not corpus
+    * size), then a per-lang fold of the group table. Pure integers.
+    */
+  val textKAnonymity: Op = Op.sql(
+    "text-k-anonymity",
+    """WITH q AS (SELECT lang, source, n_chars // 500 AS size_band,
+      |                  count(*) AS k
+      |           FROM documents GROUP BY lang, source, size_band)
+      |SELECT lang, count(*) AS n_groups,
+      |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+      |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS risky_docs,
+      |       CAST(sum(k) AS BIGINT) AS n_docs
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 500").as("size_band"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("k") < 5, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("risky_docs"),
+        sum("k").as("n_docs"))
+      .orderBy("lang")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
     textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip,
-    textShardManifest, dedupSourceOverlap)
+    textShardManifest, dedupSourceOverlap, textKAnonymity)
 }

@@ -378,7 +378,75 @@ object JoinOps {
       .orderBy("r_name", "n_name")
   }
 
+  /** MERGE/upsert — the lakehouse table-maintenance primitive (Delta
+    * MERGE INTO, Iceberg upsert) the reference approximates with its
+    * skip-existing + fix cycle (create-if-absent then heal,
+    * src/command/fix.rs:39-69): a base snapshot keyed by user absorbs a
+    * delta batch; matched keys update (counters add, last-seen takes the
+    * max), unmatched delta keys insert, untouched base rows carry over
+    * with their state intact. The split anchor (first 15 days = base,
+    * rest = delta) comes from a 1-row broadcast of the global min ts.
+    *
+    * Scale shape: both sides reduce to per-key states map-side BEFORE
+    * the merge, so the full-outer join — the honest MERGE shuffle —
+    * moves key-state rows, not events. At rest the base would be
+    * bucketed by user_id and the join co-located; engines with file
+    * pruning skip base files whose key zones miss the delta
+    * (index-zonemap is exactly that grade).
+    */
+  val joinMergeUpsert: Op = Op.sql(
+    "join-merge-upsert",
+    """WITH g AS (SELECT min(epoch_ns(ts)) // 86400000000000 + 15 AS split_day
+      |           FROM events),
+      |base AS (SELECT user_id, count(*) AS n,
+      |                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |                max(epoch_ns(ts)) AS last_ns
+      |         FROM events, g
+      |         WHERE epoch_ns(ts) // 86400000000000 < split_day
+      |         GROUP BY user_id),
+      |delta AS (SELECT user_id, count(*) AS n,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |                 max(epoch_ns(ts)) AS last_ns
+      |          FROM events, g
+      |          WHERE epoch_ns(ts) // 86400000000000 >= split_day
+      |          GROUP BY user_id)
+      |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+      |       CASE WHEN b.user_id IS NULL THEN 'inserted'
+      |            WHEN d.user_id IS NULL THEN 'unchanged'
+      |            ELSE 'updated' END AS status,
+      |       COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+      |       COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents,
+      |       GREATEST(COALESCE(b.last_ns, 0), COALESCE(d.last_ns, 0)) AS last_ns
+      |FROM base b FULL OUTER JOIN delta d USING (user_id)
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val g = ev.agg((min(expr("ts div 86400000000000")) + 15).as("split_day"))
+    val withDay = ev.crossJoin(broadcast(g))
+      .select(col("user_id"), col("value"), col("ts"),
+        (expr("ts div 86400000000000") < col("split_day")).as("is_base"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+        max("ts").as("last_ns"))
+    val base = state(withDay.filter(col("is_base")))
+    val delta = state(withDay.filter(!col("is_base")))
+    base.as("b").join(delta.as("d"),
+        col("b.user_id") === col("d.user_id"), "full_outer")
+      .select(
+        coalesce(col("b.user_id"), col("d.user_id")).as("user_id"),
+        when(col("b.user_id").isNull, "inserted")
+          .when(col("d.user_id").isNull, "unchanged")
+          .otherwise("updated").as("status"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.cents"), lit(0L)) + coalesce(col("d.cents"), lit(0L))).as("cents"),
+        greatest(coalesce(col("b.last_ns"), lit(0L)),
+          coalesce(col("d.last_ns"), lit(0L))).as("last_ns"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
-    joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue)
+    joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
+    joinMergeUpsert)
 }

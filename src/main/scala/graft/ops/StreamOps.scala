@@ -311,7 +311,43 @@ object StreamOps {
       .orderBy("win_us", "event_type")
   }
 
+  /** Windowed heavy hitters — the top-3 users per (hour, event type) by
+    * event count, completing the streaming sketch tier (HLL distinct,
+    * histogram quantile, now top-k). Batch shape: one map-side-combined
+    * count per (window, type, user) then the shared salted two-phase
+    * top-k (functions/TopK — never a per-(window,type) window over raw
+    * counts). The live path ([[graft.streaming.Streams.topkCountsLive]])
+    * runs the same count aggregation under a watermark — counts merge
+    * across micro-batches, ranks don't, so the top-k is a read-time fold
+    * exactly like stream-hll's estimate; StreamsSpec drives parity. At
+    * 100 TB the live state is per-(window, active user) — a production
+    * deployment fronts it with the count-min screen (text-heavy-hitters)
+    * to cap state; the exact tier here is what that screen verifies
+    * against. Ties break to the smaller user id, deterministic on both
+    * engines.
+    */
+  val streamTopk: Op = Op.sql(
+    "stream-topk",
+    """WITH c AS (SELECT epoch_ns(ts) // 3600000000000 * 3600000000 AS win_us,
+      |                  event_type, user_id, count(*) AS n
+      |           FROM events GROUP BY win_us, event_type, user_id),
+      |r AS (SELECT win_us, event_type, user_id, n,
+      |             row_number() OVER (PARTITION BY win_us, event_type
+      |               ORDER BY n DESC, user_id) AS rk
+      |      FROM c)
+      |SELECT win_us, event_type, user_id, n FROM r WHERE rk <= 3
+      |ORDER BY win_us, event_type, n DESC, user_id""".stripMargin
+  ) { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000 * 3600000000").as("win_us"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    graft.functions.TopK.topkPerGroup(counts, Seq("win_us", "event_type"),
+        Seq(col("n").desc, col("user_id")), 3)
+      .orderBy(col("win_us"), col("event_type"), col("n").desc, col("user_id"))
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
-    streamHll, streamQuantile)
+    streamHll, streamQuantile, streamTopk)
 }

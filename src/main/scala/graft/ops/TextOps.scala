@@ -1685,6 +1685,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus novelty curve — the diminishing-returns view data curation
+    * prices collection against: walking the corpus in doc_id order, what
+    * fraction of each 50-doc batch's distinct 3-gram shingles has never
+    * appeared before? A falling curve says new data is mostly re-treading
+    * old n-grams (time to diversify sources). First-occurrence
+    * attribution is one `min(doc_id)` groupBy over the hashed shingle
+    * stream — shuffles move 8-byte xxhash64 keys, never gram strings
+    * (the dedup-substring-spans discipline; the string-exact oracle
+    * bounds collisions at test SF). The per-doc totals and the novelty
+    * attribution then meet in a doc-keyed join, both sides already
+    * doc-grained.
+    */
+  val textNoveltyCurve: Op = Op.sql(
+    "text-novelty-curve",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      |       FROM (SELECT doc_id, ws,
+      |                    unnest(generate_series(1, len(ws) - 2)) AS i FROM t)),
+      |fst AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+      |nv AS (SELECT fd AS doc_id, count(*) AS novel FROM fst GROUP BY fd),
+      |tt AS (SELECT doc_id, count(*) AS total FROM sh GROUP BY doc_id),
+      |j AS (SELECT tt.doc_id, COALESCE(nv.novel, 0) AS novel, tt.total
+      |      FROM tt LEFT JOIN nv USING (doc_id))
+      |SELECT doc_id // 50 AS bucket, count(*) AS n_docs,
+      |       CAST(sum(novel) AS BIGINT) AS novel_shingles,
+      |       CAST(sum(total) AS BIGINT) AS total_shingles,
+      |       CAST(round(CAST(sum(novel) AS DOUBLE) * 1000000
+      |                  / CAST(sum(total) AS DOUBLE)) AS BIGINT)
+      |         / 1000000.0 AS novelty
+      |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("raw"))
+      .select(col("doc_id"), xxhash64(col("raw")).as("h"))
+    val nv = sh.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    val tt = sh.groupBy("doc_id").agg(count(lit(1)).as("total"))
+    tt.join(nv, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("novel"), lit(0L)).as("novel"), col("total"))
+      .groupBy(expr("doc_id div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("novel").as("novel_shingles"),
+        sum("total").as("total_shingles"),
+        (round(sum("novel").cast("double") * lit(1000000) /
+          sum("total").cast("double")).cast("long") / lit(1e6)).as("novelty"))
+      .orderBy("bucket")
+  }
+
   val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1695,5 +1747,5 @@ object TextOps {
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
-    textSplitLeakage)
+    textSplitLeakage, textNoveltyCurve)
 }

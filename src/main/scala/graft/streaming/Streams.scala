@@ -345,4 +345,24 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
         col("bucket"), col("cnt"))
+
+  /** Live windowed per-key counts backing the stream-topk op: watermarked
+    * hourly windows accumulate (window, event_type, user) event counts —
+    * counts merge across micro-batches by plain summation, ranks don't,
+    * so the top-k itself is a read-time fold over the emitted rows
+    * (functions/TopK), exactly like [[hllSketchLive]]'s estimate. State
+    * is per ACTIVE (window, user) pair within the watermark horizon; a
+    * 100-TB deployment fronts this with the count-min screen to cap
+    * state, and this exact tier is what that screen verifies against.
+    * Input: (tsc timestamp, event_type, user_id).
+    */
+  def topkCountsLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("user_id"), col("n"))
 }

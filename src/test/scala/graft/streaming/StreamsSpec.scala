@@ -308,6 +308,51 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed windowed counts fold to the batch stream-topk") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .orderBy("ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Timestamp)](spark, 2)
+    val src = input.toDF().toDF("event_type", "user_id", "tsc")
+    val q = Streams.topkCountsLive(src).writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Append).start()
+    // several micro-batches so per-(window, user) counts merge across
+    // batches, then sentinels past the horizon to close every window
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.map { case (t, u, us) => (t, u, tsOfMicros(us)) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val far = ev.map(_._3).max + 365L * 86400 * 1000000
+    input.addData(("sentinel", -1L, tsOfMicros(far))); q.processAllAvailable()
+    input.addData(("sentinel", -1L, tsOfMicros(far + 3600L * 1000000)))
+    q.processAllAvailable()
+    val counts = spark.table("topk_out").filter(col("event_type") =!= "sentinel")
+    // read-time top-k fold of the streamed counts == the batch op
+    val streamed = graft.functions.TopK.topkPerGroup(counts,
+        Seq("win_us", "event_type"), Seq(col("n").desc, col("user_id")), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = graft.ops.StreamOps.streamTopk.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("nearDupIngestLive drops cross-batch near-dups via the persisted band index") {
     val indexDir = Files.createTempDirectory("graft-nd-idx").toString
     val ckpt = Files.createTempDirectory("graft-nd-ckpt").toString
