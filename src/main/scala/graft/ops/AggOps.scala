@@ -986,10 +986,65 @@ object AggOps {
       .orderBy("event_type")
   }
 
+  /** Two-level HLL merge — the op that PROVES the sketch tier's whole
+    * point: weekly distinct users computed by merging the per-day
+    * sketches (one max(rho) re-aggregation over day-grained sketch rows)
+    * instead of rescanning the week of raw events. max is associative,
+    * so the daily → weekly merge is exact — the oracle computes the week
+    * grain directly from raw data and the hashes land identically. At
+    * 100 TB this is the nightly pattern: persist the (day, group,
+    * bucket, r) sketch table (64 rows per group per day), answer any
+    * coarser-grain distinct query from it at sketch cost.
+    */
+  val aggHllMerge: Op = Op.sql(
+    "agg-hll-merge",
+    """WITH e AS (SELECT epoch_ns(ts) // 86400000000000 // 7 AS week,
+      |                  event_type, user_id FROM events),
+      |h AS (
+      |  SELECT week, event_type,
+      |         list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+      |                      FOR x IN [substr(md5(CAST(user_id AS VARCHAR)), i, 1)
+      |                                FOR i IN generate_series(1, 15)]],
+      |                     (a, x) -> a * 16 + x) AS h
+      |  FROM e),
+      |b AS (SELECT week, event_type, h % 64 AS bucket,
+      |             CASE WHEN h // 64 = 0 THEN 55
+      |                  ELSE 55 - length(bin(h // 64)) END AS rho
+      |      FROM h),
+      |r AS (SELECT week, event_type, bucket, max(rho) AS r
+      |      FROM b GROUP BY week, event_type, bucket),
+      |z AS (SELECT week, event_type,
+      |             CAST(sum(1::BIGINT << CAST(55 - r AS INTEGER)) AS BIGINT)
+      |               + (64 - count(*)) * 36028797018963968 AS zsum,
+      |             64 - count(*) AS v
+      |      FROM r GROUP BY week, event_type),
+      |ew AS (SELECT week, event_type, v,
+      |              CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+      |              CAST(36028797018963968 AS DOUBLE) / zsum AS e_raw
+      |       FROM z)
+      |SELECT week, event_type,
+      |       CASE WHEN e_raw <= 160.0 AND v > 0
+      |            THEN CAST(round(CAST(64 AS DOUBLE) *
+      |                            ln(CAST(64 AS DOUBLE) / v)) AS BIGINT)
+      |            ELSE CAST(round(e_raw) AS BIGINT) END AS n_hll
+      |FROM ew ORDER BY week, event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(expr("ts div 86400000000000").as("day"),
+        col("event_type"), col("user_id"))
+    val daily = graft.sketch.Hll.sketch(ev, Seq("day", "event_type"), col("user_id"))
+    val weekly = daily.withColumn("week", expr("day div 7"))
+      .groupBy("week", "event_type", "bucket")
+      .agg(max("r").as("r"))
+    graft.sketch.Hll.estimate(weekly, Seq("week", "event_type"))
+      .orderBy("week", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
-    aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay)
+    aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
+    aggHllMerge)
 }

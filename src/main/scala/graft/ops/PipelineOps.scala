@@ -261,5 +261,46 @@ object PipelineOps {
       .orderBy("stage")
   }
 
-  val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel)
+  /** Dataset data card — the datasheet table every published corpus
+    * ships: document counts, size mass and size extrema at FOUR grains
+    * (lang×source, lang, source, global) computed in ONE pass via
+    * GROUPING SETS (Spark plans one Expand ×4 into a single partially
+    * aggregated exchange; the naive spelling is four scans unioned).
+    * grouping() disambiguates rollup rows from real values; the mean is
+    * one double division of two exact integer sums, snapped last.
+    */
+  val pipelineDataCard: Op = Op.sql(
+    "pipeline-data-card",
+    """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+      |       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       CAST(round(CAST(sum(n_chars) AS DOUBLE) * 1000000
+      |                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+      |         / 1000000.0 AS mean_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+      |ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty[org.apache.spark.sql.Column]),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        (round(sum("n_chars").cast("double") * lit(1000000) /
+          count(lit(1)).cast("double")).cast("long") / lit(1e6)).as("mean_chars"),
+        grouping("lang").as("gl"), grouping("source").as("gs"))
+      .select(
+        when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("total_chars"), col("min_chars"), col("max_chars"),
+        col("mean_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
+    pipelineDataCard)
 }

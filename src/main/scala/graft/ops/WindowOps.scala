@@ -437,7 +437,85 @@ object WindowOps {
       .orderBy("event_type")
   }
 
+  /** Centered 7-day rolling median over per-type daily counts — the
+    * robust trend smoother that pairs with win-cusum-changepoint
+    * (changepoint says WHERE the level shifted; the rolling median is
+    * the denoised level line monitoring dashboards plot). An aggregate
+    * quantile as a window function over an explicit ROWS frame — exact
+    * interpolated median, cross-engine equal, snapped last. Windows run
+    * over the per-type DAILY table (span-bounded, never corpus-sized).
+    */
+  val winRollingMedian: Op = Op.sql(
+    "win-rolling-median",
+    """WITH c AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY event_type, day)
+      |SELECT event_type, day, n,
+      |       CAST(round(quantile_cont(n, 0.5) OVER (
+      |              PARTITION BY event_type ORDER BY day
+      |              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000)
+      |            AS BIGINT) / 1000000.0 AS med7
+      |FROM c ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    c.withColumn("med7",
+        expr("percentile(n, 0.5D)").over(w).multiply(lit(1000000))
+          .cast("long").cast("double").divide(lit(1e6)))
+      .orderBy("event_type", "day")
+  }
+
+  /** Last-touch attribution — every purchase's value is credited to the
+    * user's most recent preceding non-purchase event ('direct' if none),
+    * then revenue rolls up per channel. The as-of selection is ONE
+    * user-partitioned running `last(ignoreNulls)` window over the merged
+    * event stream (the join-asof pattern — never a per-purchase range
+    * join); the rollup is channel-grained. Ordering (ts, is-purchase,
+    * event_id) makes equal-timestamp credit deterministic on both
+    * engines and matches the oracle's max(struct(ts, id)) pick.
+    */
+  val winAttribution: Op = Op.sql(
+    "win-attribution",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts, event_type FROM events
+      |      WHERE event_type <> 'purchase'),
+      |m AS (SELECT p.event_id, p.value,
+      |             max(CASE WHEN c.event_id IS NULL THEN NULL
+      |                      ELSE struct_pack(ts := c.ts, id := c.event_id,
+      |                                       ch := c.event_type) END) AS best
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |      GROUP BY 1, 2)
+      |SELECT COALESCE(best.ch, 'direct') AS channel,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM m GROUP BY channel ORDER BY channel""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("ts"), col("event_id"), col("event_type").as("ch")))
+      .otherwise(lit(null))
+    ev.withColumn("best", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("best.ch"), lit("direct")).as("channel"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .orderBy("channel")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
-    winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint)
+    winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
+    winRollingMedian, winAttribution)
 }

@@ -82,6 +82,86 @@ class OpsR14Spec extends SparkSpec {
     assert(sorted.head.getDouble(4) >= sorted.last.getDouble(4))
   }
 
+  test("pipeline-data-card: the four grains are mutually consistent") {
+    val out = PipelineOps.pipelineDataCard.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val leaves = out.filter { case ((l, s), _) => l != "ALL" && s != "ALL" }
+    val grand = out(("ALL", "ALL"))
+    assert(grand._1 == leaves.values.map(_._1).sum)
+    assert(grand._2 == leaves.values.map(_._2).sum)
+    assert(grand._3 == leaves.values.map(_._3).min)
+    assert(grand._4 == leaves.values.map(_._4).max)
+    out.filter { case ((l, s), _) => l != "ALL" && s == "ALL" }.foreach {
+      case ((l, _), (n, tc, mn, mx)) =>
+        val mine = leaves.filter(_._1._1 == l).values
+        assert(n == mine.map(_._1).sum && tc == mine.map(_._2).sum)
+        assert(mn == mine.map(_._3).min && mx == mine.map(_._4).max)
+    }
+    assert(grand._1 == graft.Tables.documents(spark, sf()).count())
+  }
+
+  test("win-rolling-median: matches a sliding-window scalar recompute") {
+    val byType = graft.Tables.events(spark, sf()).select("event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toSeq.sortBy(_._1))
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val out = WindowOps.winRollingMedian.build(spark, sf()).collect()
+    out.foreach { r =>
+      val days = byType(r.getString(0))
+      val i = days.indexWhere(_._1 == r.getLong(1))
+      val frame = days.slice(math.max(0, i - 3), math.min(days.length, i + 4)).map(_._2)
+      assert(r.getLong(2) == days(i)._2)
+      assert(r.getDouble(3) == math.round(med(frame) * 1e6) / 1e6,
+        s"${r.getString(0)} day ${r.getLong(1)}")
+    }
+  }
+
+  test("win-attribution: matches a scalar last-touch recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._2)
+    val credited = ev.filter(_._3 == "purchase").map { case (pid, u, _, pts, v) =>
+      val touches = byUser(u).filter(e => e._3 != "purchase" && e._4 <= pts)
+      val ch = if (touches.isEmpty) "direct"
+        else touches.maxBy(e => (e._4, e._1))._3
+      (ch, math.round(v * 100))
+    }
+    val brute = credited.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val out = WindowOps.winAttribution.build(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === brute)
+  }
+
+  test("agg-hll-merge: daily-sketch merge equals the direct week-grain sketch") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(expr("ts div 86400000000000 div 7").as("week"),
+        col("event_type"), col("user_id"))
+    val direct = graft.sketch.Hll.estimate(
+      graft.sketch.Hll.sketch(ev, Seq("week", "event_type"), col("user_id")),
+      Seq("week", "event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val merged = AggOps.aggHllMerge.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === direct, "max-merge associativity broke")
+    // m=64 has ~13% standard error — allow 3σ at fixture cardinalities
+    val truth = graft.Tables.events(spark, sf())
+      .groupBy(expr("ts div 86400000000000 div 7").as("week"), col("event_type"))
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - truth(k)).toDouble / truth(k) < 0.40, s"$k: $est vs ${truth(k)}")
+    }
+  }
+
   test("stream-topk: every emitted row is in its window-group's true top-3") {
     val counts = graft.Tables.events(spark, sf())
       .select(expr("ts div 3600000000000 * 3600000000").as("w"),
