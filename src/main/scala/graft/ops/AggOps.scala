@@ -1040,11 +1040,87 @@ object AggOps {
       .orderBy("week", "event_type")
   }
 
+  /** Funnel hop latency — agg-funnel says how many users convert at each
+    * stage; this says HOW LONG each hop takes (p50/p90 of
+    * signup→first-click and click→first-purchase, sequenced the same
+    * strictly-after way). The per-user stage times reduce map-side
+    * exactly as in agg-funnel; the latency quantiles then run over
+    * converting-user-sized tables. The two hop rows aggregate DIFFERENT
+    * join subtrees, so the union re-executes nothing (the
+    * one-aggregated-DF explode rule applies to shared subtrees only).
+    */
+  val aggFunnelLatency: Op = Op.sql(
+    "agg-funnel-latency",
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+      |l1 AS (SELECT s2.t2 - s1.t1 AS lat FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+      |l2 AS (SELECT s3.t3 - s2.t2 AS lat FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+      |SELECT * FROM (
+      |  SELECT 'signup_to_click' AS hop, count(*) AS n_users,
+      |         CAST(round(quantile_cont(lat, 0.5) * 1000000) AS BIGINT) / 1000000.0 AS p50_us,
+      |         CAST(round(quantile_cont(lat, 0.9) * 1000000) AS BIGINT) / 1000000.0 AS p90_us
+      |  FROM l1
+      |  UNION ALL
+      |  SELECT 'click_to_purchase', count(*),
+      |         CAST(round(quantile_cont(lat, 0.5) * 1000000) AS BIGINT) / 1000000.0,
+      |         CAST(round(quantile_cont(lat, 0.9) * 1000000) AS BIGINT) / 1000000.0
+      |  FROM l2)
+      |ORDER BY hop""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_us") > col("t1")).groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_us") > col("t2")).groupBy("user_id").agg(min("ts_us").as("t3"))
+    def hop(lat: org.apache.spark.sql.DataFrame, name: String) =
+      lat.agg(count(lit(1)).as("n_users"),
+        (expr("cast(round(percentile(lat, 0.5D) * 1000000) as bigint)") / lit(1e6)).as("p50_us"),
+        (expr("cast(round(percentile(lat, 0.9D) * 1000000) as bigint)") / lit(1e6)).as("p90_us"))
+        .select(lit(name).as("hop"), col("n_users"), col("p50_us"), col("p90_us"))
+    hop(s2.join(s1, "user_id").select((col("t2") - col("t1")).as("lat")), "signup_to_click")
+      .unionByName(hop(s3.join(s2, "user_id").select((col("t3") - col("t2")).as("lat")),
+        "click_to_purchase"))
+      .orderBy("hop")
+  }
+
+  /** Cumulative distinct-user growth curve — first-seen-day attribution
+    * (one per-user min, map-side combined) then a running sum over the
+    * span-bounded hourly table; the classic "how fast is the audience
+    * growing" line, computed without ever running a per-day
+    * count(DISTINCT) over growing prefixes (that naive spelling rescans
+    * the corpus D times).
+    */
+  val aggDistinctGrowth: Op = Op.sql(
+    "agg-distinct-growth",
+    """WITH f AS (SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS h0
+      |           FROM events GROUP BY user_id),
+      |n AS (SELECT h0 AS hour, count(*) AS new_users FROM f GROUP BY h0)
+      |SELECT hour, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+      |FROM n ORDER BY hour""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .groupBy("user_id").agg(min(expr("ts div 3600000000000")).as("h0"))
+      .groupBy(col("h0").as("hour")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(Window.orderBy("hour")))
+      .orderBy("hour")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
-    aggHllMerge)
+    aggHllMerge, aggFunnelLatency, aggDistinctGrowth)
 }

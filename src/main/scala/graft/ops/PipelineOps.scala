@@ -301,6 +301,53 @@ object PipelineOps {
       .orderBy("lang", "source")
   }
 
+  /** Deequ-style column profile — per-column null counts and exact
+    * distinct cardinalities over the events table, the data-quality
+    * contract a pipeline asserts before training ever sees a shard.
+    * ALL columns profile in ONE scan: a single agg computes every
+    * column's stats (Spark plans the multi-distinct via one Expand),
+    * and the per-column rows EXPLODE from that one aggregated row —
+    * never one scan per column, and never N unions of one aggregated
+    * subtree (the house rule). At 100 TB the distinct counts switch to
+    * the HLL sketch tier (agg-hll-distinct) — this is the exact
+    * contract tier.
+    */
+  val pipelineColumnProfile: Op = Op.sql(
+    "pipeline-column-profile",
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+      |  count(DISTINCT event_id) AS nd1,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+      |  count(DISTINCT user_id) AS nd2,
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+      |  count(DISTINCT event_type) AS nd3,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+      |  count(DISTINCT value) AS nd4,
+      |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+      |  count(DISTINCT props) AS nd5
+      |  FROM events)
+      |SELECT col_name, n_nulls, n_distinct, CAST(n AS BIGINT) AS n_rows FROM (
+      |  SELECT 'event_id' AS col_name, nn1 AS n_nulls, nd1 AS n_distinct, n FROM s
+      |  UNION ALL SELECT 'user_id', nn2, nd2, n FROM s
+      |  UNION ALL SELECT 'event_type', nn3, nd3, n FROM s
+      |  UNION ALL SELECT 'value', nn4, nd4, n FROM s
+      |  UNION ALL SELECT 'props', nn5, nd5, n FROM s)
+      |ORDER BY col_name""".stripMargin
+  ) { (s, d) =>
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    Tables.events(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"), col("n").as("n_rows"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
-    pipelineDataCard)
+    pipelineDataCard, pipelineColumnProfile)
 }

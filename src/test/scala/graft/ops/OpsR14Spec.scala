@@ -162,6 +162,63 @@ class OpsR14Spec extends SparkSpec {
     }
   }
 
+  test("agg-funnel-latency: hop latencies match a scalar funnel walk") {
+    val ev = graft.Tables.events(spark, sf())
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000))
+    val byUser = ev.groupBy(_._1)
+    def interp(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val hops = byUser.values.toSeq.flatMap { g =>
+      val t1 = g.filter(_._2 == "signup").map(_._3).minOption
+      val t2 = t1.flatMap(t => g.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => g.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      Seq(t1.zip(t2).map { case (a, b) => ("signup_to_click", b - a) },
+        t2.zip(t3).map { case (a, b) => ("click_to_purchase", b - a) }).flatten
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = AggOps.aggFunnelLatency.build(spark, sf()).collect()
+    assert(out.map(_.getString(0)).toSet === hops.keySet)
+    out.foreach { r =>
+      val lats = hops(r.getString(0))
+      assert(r.getLong(1) == lats.length)
+      assert(r.getDouble(2) == math.round(interp(lats.toSeq, 0.5) * 1e6) / 1e6)
+      assert(r.getDouble(3) == math.round(interp(lats.toSeq, 0.9) * 1e6) / 1e6)
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("agg-distinct-growth: the curve is monotone and ends at total users") {
+    val ev = graft.Tables.events(spark, sf()).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 3600000000000L))
+    val firstHour = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val brute = firstHour.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = AggOps.aggDistinctGrowth.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toMap === brute)
+    out.foldLeft(0L) { case (acc, (_, nw, cum)) =>
+      assert(cum == acc + nw); cum
+    }
+    assert(out.last._3 == firstHour.size)
+  }
+
+  test("pipeline-column-profile: counts match per-column scalar recomputes") {
+    val rows = graft.Tables.events(spark, sf())
+      .select("event_id", "user_id", "event_type", "value", "props").collect()
+    val out = PipelineOps.pipelineColumnProfile.build(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val vals = rows.map(_.get(i))
+      val exp = (vals.count(_ == null).toLong,
+        vals.filter(_ != null).distinct.length.toLong, rows.length.toLong)
+      assert(out(c) === exp, c)
+    }
+  }
+
   test("stream-topk: every emitted row is in its window-group's true top-3") {
     val counts = graft.Tables.events(spark, sf())
       .select(expr("ts div 3600000000000 * 3600000000").as("w"),
