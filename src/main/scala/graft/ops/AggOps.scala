@@ -1122,5 +1122,59 @@ object AggOps {
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
-    aggHllMerge, aggFunnelLatency, aggDistinctGrowth)
+    aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest)
+
+  /** Welch's t-statistic between two event cohorts — the A/B-testing
+    * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE
+    * conditional-aggregation scan (never two selects of one aggregated
+    * subtree); everything stays exact integer cents until the closing
+    * mean/variance divisions, whose expression tree (division, sqrt —
+    * both IEEE-exact) is written identically on both engines, then the
+    * statistic snaps to micro-units. At 100 TB this is one
+    * map-side-combined pass regardless of cohort sizes.
+    */
+  lazy val aggAbTest: Op = Op.sql(
+    "agg-ab-test",
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |s AS (SELECT
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS q_a,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN v * v ELSE 0 END) AS BIGINT) AS q_b
+      |  FROM c)
+      |SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+      |  CAST(round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1000000) AS BIGINT)
+      |    / 1000000.0 AS mean_a,
+      |  CAST(round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1000000) AS BIGINT)
+      |    / 1000000.0 AS mean_b,
+      |  CAST(round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |             / sqrt((CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+      |                     / CAST(n_a * (n_a - 1) AS DOUBLE)) / CAST(n_a AS DOUBLE)
+      |                  + (CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+      |                     / CAST(n_b * (n_b - 1) AS DOUBLE)) / CAST(n_b AS DOUBLE))
+      |             * 1000000) AS BIGINT) / 1000000.0 AS t_stat
+      |FROM s""".stripMargin
+  ) { (s, d) =>
+    def m(t: String, e: String) = sum(when(col("event_type") === t, expr(e)).otherwise(0L))
+    val stats = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("v"))
+      .agg(m("click", "1L").as("n_a"), m("click", "v").as("s_a"), m("click", "v * v").as("q_a"),
+        m("view", "1L").as("n_b"), m("view", "v").as("s_b"), m("view", "v * v").as("q_b"))
+    def meanD(sc: String, nc: String) = col(sc).cast("double") / col(nc).cast("double")
+    def varOverN(nc: String, sc: String, qc: String) =
+      ((col(nc) * col(qc) - col(sc) * col(sc)).cast("double") /
+        (col(nc) * (col(nc) - 1)).cast("double")) / col(nc).cast("double")
+    stats.select(lit("click").as("group_a"), lit("view").as("group_b"),
+      col("n_a"), col("n_b"),
+      (round(meanD("s_a", "n_a") * lit(1000000)).cast("long") / lit(1e6)).as("mean_a"),
+      (round(meanD("s_b", "n_b") * lit(1000000)).cast("long") / lit(1e6)).as("mean_b"),
+      (round((meanD("s_a", "n_a") - meanD("s_b", "n_b")) /
+        sqrt(varOverN("n_a", "s_a", "q_a") + varOverN("n_b", "s_b", "q_b")) *
+        lit(1000000)).cast("long") / lit(1e6)).as("t_stat"))
+  }
 }

@@ -514,8 +514,40 @@ object WindowOps {
       .orderBy("channel")
   }
 
+  /** Hour-of-day × day-of-week seasonality matrix — the load profile
+    * capacity planning and anomaly baselines read (agg-rate-anomaly's
+    * z-scores flag deviations FROM this matrix). One map-side-combined
+    * groupBy to the 7×24 grain; the share denominator is a 1-row
+    * broadcast. Bucket arithmetic is pure integer epoch math (epoch day
+    * 0 = Thursday, so dow = (days + 4) % 7 with Sunday = 0 — identical
+    * on both engines).
+    */
+  val winSeasonality: Op = Op.sql(
+    "win-seasonality",
+    """WITH e AS (SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |                  epoch_ns(ts) // 3600000000000 % 24 AS hod
+      |           FROM events),
+      |c AS (SELECT dow, hod, count(*) AS n FROM e GROUP BY dow, hod),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT dow, hod, n,
+      |       CAST(round(CAST(n AS DOUBLE) * 1000000 / CAST(total AS DOUBLE))
+      |            AS BIGINT) / 1000000.0 AS share
+      |FROM c, t ORDER BY dow, hod""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(expr("(ts div 86400000000000 + 4) % 7").as("dow"),
+        expr("ts div 3600000000000 % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("total"))
+    c.crossJoin(broadcast(t))
+      .select(col("dow"), col("hod"), col("n"),
+        (round(col("n").cast("double") * lit(1000000) /
+          col("total").cast("double")).cast("long") / lit(1e6)).as("share"))
+      .orderBy("dow", "hod")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
-    winRollingMedian, winAttribution)
+    winRollingMedian, winAttribution, winSeasonality)
 }

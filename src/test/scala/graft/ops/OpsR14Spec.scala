@@ -219,6 +219,40 @@ class OpsR14Spec extends SparkSpec {
     }
   }
 
+  test("win-seasonality: matrix matches scalar bucketing and shares sum to 1") {
+    val ev = graft.Tables.events(spark, sf()).select("ts").collect().map(_.getLong(0))
+    val brute = ev.map(t => ((t / 86400000000000L + 4) % 7, t / 3600000000000L % 24))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = WindowOps.winSeasonality.build(spark, sf()).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap === brute)
+    val total = ev.length.toDouble
+    out.foreach { r =>
+      assert(r.getDouble(3) == math.round(r.getLong(2) * 1e6 / total) / 1e6)
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 7 && r.getLong(1) >= 0 && r.getLong(1) < 24)
+    }
+    val shareSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+  }
+
+  test("agg-ab-test: Welch t matches a scalar recompute") {
+    val ev = graft.Tables.events(spark, sf()).select("event_type", "value")
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    def moments(t: String) = {
+      val xs = ev.filter(_._1 == t).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, sa, qa) = moments("click"); val (nb, sb, qb) = moments("view")
+    val ma = sa.toDouble / na; val mb = sb.toDouble / nb
+    val va = (na * qa - sa * sa).toDouble / (na * (na - 1L)).toDouble / na
+    val vb = (nb * qb - sb * sb).toDouble / (nb * (nb - 1L)).toDouble / nb
+    val t = (ma - mb) / math.sqrt(va + vb)
+    val r = AggOps.aggAbTest.build(spark, sf()).collect().head
+    assert((r.getLong(2), r.getLong(3)) === ((na, nb)))
+    assert(r.getDouble(4) == math.round(ma * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.round(mb * 1e6) / 1e6)
+    assert(r.getDouble(6) == math.round(t * 1e6) / 1e6)
+  }
+
   test("stream-topk: every emitted row is in its window-group's true top-3") {
     val counts = graft.Tables.events(spark, sf())
       .select(expr("ts div 3600000000000 * 3600000000").as("w"),
