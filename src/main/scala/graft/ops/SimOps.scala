@@ -843,8 +843,78 @@ object SimOps {
       .orderBy("cid")
   }
 
+  /** IVF nprobe tuning sweep — the recall-vs-cost curve that picks
+    * sim-ivf-ann's probe count at deployment. ONE assignment + ONE probe
+    * ranking at max(nprobe)=4 feed every configuration; each config is a
+    * probe-rank FILTER over the shared candidate table (the
+    * threshold-sweep discipline — never one pipeline re-run per config),
+    * graded against the exact brute top-3. See
+    * [[graft.sim.Similarity.ivfNprobeSweep]] for the plan shape.
+    */
+  val simNprobeSweep: Op = Op.sql(
+    "sim-nprobe-sweep",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id AS n_id, c.v AS nv, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |lists AS (SELECT n_id, nv, cid FROM asgn WHERE rn = 1),
+       |prb AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, cc.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+       |                          (sqrt(list_dot_product(q.v, q.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e q, cents cc WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, qv, rn AS probe_rank, cid FROM prb WHERE rn <= 4),
+       |sc AS (
+       |  SELECT p.q_id, p.probe_rank, l.n_id,
+       |         (round(list_dot_product(p.qv, l.nv) /
+       |                (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                 sqrt(list_dot_product(l.nv, l.nv))), 6) + 0.0) AS sim
+       |  FROM probes p JOIN lists l USING (cid)),
+       |conf AS (SELECT np, q_id, probe_rank, n_id, sim
+       |         FROM sc, (SELECT unnest([1, 2, 4]) AS np) WHERE probe_rank <= np),
+       |rk AS (SELECT np, q_id, n_id, sim,
+       |              row_number() OVER (PARTITION BY np, q_id
+       |                ORDER BY sim DESC, n_id) AS rn
+       |       FROM conf),
+       |exsc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |         FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |exact AS (SELECT q_id, n_id FROM (
+       |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, n_id) AS rn
+       |            FROM exsc) WHERE rn <= 3),
+       |per AS (SELECT np, rk.q_id, count(*) AS cands,
+       |               CAST(sum(CASE WHEN rk.rn <= 3 AND ex.n_id IS NOT NULL
+       |                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |        FROM rk LEFT JOIN exact ex
+       |          ON rk.q_id = ex.q_id AND rk.n_id = ex.n_id
+       |        GROUP BY np, rk.q_id)
+       |SELECT np AS nprobe, count(*) AS n_queries,
+       |       CAST(round(CAST(sum(cands) AS DOUBLE) * 1000000
+       |                  / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1000000.0 AS avg_candidates,
+       |       CAST(round(CAST(sum(hits) AS DOUBLE) * 1000000
+       |                  / CAST(count(*) * 3 AS DOUBLE)) AS BIGINT) / 1000000.0 AS recall_at_k
+       |FROM per GROUP BY np ORDER BY nprobe""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfNprobeSweep(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)),
+      k = 3, nprobes = Seq(1, 2, 4))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
-    simEmbedOutliers, simBucketDiversity, simIvfBalance)
+    simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep)
 }

@@ -144,6 +144,55 @@ object Similarity {
       .select("q_id", "n_id", "sim")
   }
 
+  /** IVF nprobe tuning sweep: one shared assignment + one probe ranking
+    * at max(nprobes), then every configuration's candidate set is a
+    * FILTER on the probe rank — the sweep never re-runs the assignment
+    * or re-scores a candidate (the dedup-threshold-sweep discipline:
+    * multiply one table by a constant-size config explode, never
+    * re-execute the subtree per config). Recall@k grades each
+    * configuration against the exact brute-force top-k (a q×k-sized
+    * broadcast side). Output per nprobe: query count, mean candidate
+    * count (the cost axis) and recall@k (the quality axis) — the table
+    * that picks nprobe for a 100-TB deployment.
+    */
+  def ivfNprobeSweep(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    val cents = collectCentroids(centroids)
+    def centStructs: Seq[Column] = centroidStructs(cents)
+    val assigned = corpus
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        (-col("_b.nc")).as("cid"))
+    val maxP = nprobes.max
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(slice(reverse(array_sort(array(centStructs: _*))), 1, maxP)))
+      .select(col("q_id"), col("q_emb"), (col("pos") + 1).as("probe_rank"),
+        (-col("col.nc")).as("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .select("q_id", "probe_rank", "n_id", "sim")
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("q_id"), col("n_id"), lit(1).as("ex"))
+    val conf = scored
+      .withColumn("np", explode(typedLit(nprobes)))
+      .filter(col("probe_rank") <= col("np"))
+    val w = Window.partitionBy("np", "q_id").orderBy(col("sim").desc, col("n_id"))
+    conf.withColumn("rn", row_number().over(w))
+      .join(broadcast(exact), Seq("q_id", "n_id"), "left")
+      .groupBy("np", "q_id")
+      .agg(count(lit(1)).as("cands"),
+        sum(when(col("rn") <= k && col("ex").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .groupBy(col("np").as("nprobe"))
+      .agg(count(lit(1)).as("n_queries"), sum("cands").as("sc"), sum("hits").as("sh"))
+      .select(col("nprobe"), col("n_queries"),
+        (round(col("sc").cast("double") * lit(1000000) /
+          col("n_queries").cast("double")).cast("long") / lit(1e6)).as("avg_candidates"),
+        (round(col("sh").cast("double") * lit(1000000) /
+          (col("n_queries") * k).cast("double")).cast("long") / lit(1e6)).as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
   /** Nearest-centroid assignment only (the IVF build step without the
     * probe): (n_id, cid) per corpus vector under the same rounded-cosine
     * argmax / lowest-cid tiebreak as [[ivfTopK]]. Zero shuffle — the

@@ -253,6 +253,21 @@ class OpsR14Spec extends SparkSpec {
     assert(r.getDouble(6) == math.round(t * 1e6) / 1e6)
   }
 
+  test("sim-nprobe-sweep: recall and cost are monotone in nprobe") {
+    val out = SimOps.simNprobeSweep.build(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(out.forall(_._2 == out.head._2), "query count is config-independent")
+    out.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 >= a._3, "candidate cost must grow with nprobe")
+      assert(b._4 >= a._4, "recall must not drop with more probes")
+    }
+    out.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+    // probing more than half the lists must find most of the true top-k
+    assert(out.last._4 > 0.5, s"recall@4-of-8-lists ${out.last._4}")
+  }
+
   test("stream-topk: every emitted row is in its window-group's true top-3") {
     val counts = graft.Tables.events(spark, sf())
       .select(expr("ts div 3600000000000 * 3600000000").as("w"),
