@@ -546,8 +546,40 @@ object WindowOps {
       .orderBy("dow", "hod")
   }
 
+  /** Fork run-length histogram — the reorg-depth planning view next to
+    * win-gap-histogram's hole-length view: heights with multiple
+    * candidate blocks (the fork set semi-join-fork settles, reference:
+    * src/command/verify.rs:325-369) collapse into maximal CONSECUTIVE
+    * runs, and the run-length distribution says how deep reorgs have cut
+    * (one-off orphans vs multi-block rollbacks — which sets the stream
+    * command's safe confirmation depth). Runs come from the bucketed
+    * islands pyramid (ops/Intervals — never one global window over the
+    * fork set); the histogram is one agg over island rows.
+    */
+  val winForkDepth: Op = Op.sql(
+    "win-fork-depth",
+    """WITH d AS (SELECT l_orderkey AS h FROM lineitem
+      |           GROUP BY l_orderkey HAVING count(*) > 1),
+      |g AS (SELECT h, h - row_number() OVER (ORDER BY h) AS grp FROM d),
+      |runs AS (SELECT grp, count(*) AS depth FROM g GROUP BY grp)
+      |SELECT depth, count(*) AS n_runs, depth * count(*) AS forked_heights
+      |FROM runs GROUP BY depth ORDER BY depth""".stripMargin
+  ) { (s, d) =>
+    val dups = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("h")
+    Intervals.islands(dups, "h")
+      .select((col("e") - col("s") + 1).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_runs"))
+      .select(col("depth"), col("n_runs"),
+        (col("depth") * col("n_runs")).as("forked_heights"))
+      .orderBy("depth")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
-    winRollingMedian, winAttribution, winSeasonality)
+    winRollingMedian, winAttribution, winSeasonality, winForkDepth)
 }
