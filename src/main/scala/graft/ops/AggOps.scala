@@ -1077,17 +1077,23 @@ object AggOps {
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts_us").as("t1"))
+    // t1/t2 are constant per user, so max() carries the previous stage's
+    // time through each aggregation — the latencies need NO join back to
+    // the earlier stages (which would re-execute their scan+agg chains).
     val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("ts_us") > col("t1")).groupBy("user_id").agg(min("ts_us").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("ts_us") > col("t2")).groupBy("user_id").agg(min("ts_us").as("t3"))
+      .filter(col("ts_us") > col("t1")).groupBy("user_id")
+      .agg(min("ts_us").as("t2"), max("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t2"), "user_id")
+      .filter(col("ts_us") > col("t2")).groupBy("user_id")
+      .agg(min("ts_us").as("t3"), max("t2").as("t2"))
     def hop(lat: org.apache.spark.sql.DataFrame, name: String) =
       lat.agg(count(lit(1)).as("n_users"),
         (expr("cast(round(percentile(lat, 0.5D) * 1000000) as bigint)") / lit(1e6)).as("p50_us"),
         (expr("cast(round(percentile(lat, 0.9D) * 1000000) as bigint)") / lit(1e6)).as("p90_us"))
         .select(lit(name).as("hop"), col("n_users"), col("p50_us"), col("p90_us"))
-    hop(s2.join(s1, "user_id").select((col("t2") - col("t1")).as("lat")), "signup_to_click")
-      .unionByName(hop(s3.join(s2, "user_id").select((col("t3") - col("t2")).as("lat")),
+    hop(s2.select((col("t2") - col("t1")).as("lat")), "signup_to_click")
+      .unionByName(hop(s3.select((col("t3") - col("t2")).as("lat")),
         "click_to_purchase"))
       .orderBy("hop")
   }

@@ -465,9 +465,14 @@ object CurationOps {
        |FROM m JOIN tot USING (source_a)
        |ORDER BY source_a, source_b""".stripMargin
   ) { (s, d) =>
+    // hs feeds BOTH self-join sides and the totals — persist the reduced
+    // (hash, source) set (block-hash × source sized) so the corpus-scale
+    // decompose+join+DISTINCT subtree runs once, not three times (the
+    // persistedJaccardPairs discipline).
     val hs = blockInstances(s, d)
       .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
       .select(col("h"), col("source")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = hs.select(col("h"), col("source").as("source_a"))
       .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
       .filter(col("source_a") =!= col("source_b"))

@@ -400,13 +400,13 @@ object JoinOps {
       |           FROM events),
       |base AS (SELECT user_id, count(*) AS n,
       |                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-      |                max(epoch_ns(ts)) AS last_ns
+      |                max(epoch_ns(ts) // 1000) AS last_us
       |         FROM events, g
       |         WHERE epoch_ns(ts) // 86400000000000 < split_day
       |         GROUP BY user_id),
       |delta AS (SELECT user_id, count(*) AS n,
       |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-      |                 max(epoch_ns(ts)) AS last_ns
+      |                 max(epoch_ns(ts) // 1000) AS last_us
       |          FROM events, g
       |          WHERE epoch_ns(ts) // 86400000000000 >= split_day
       |          GROUP BY user_id)
@@ -416,7 +416,7 @@ object JoinOps {
       |            ELSE 'updated' END AS status,
       |       COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
       |       COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents,
-      |       GREATEST(COALESCE(b.last_ns, 0), COALESCE(d.last_ns, 0)) AS last_ns
+      |       GREATEST(COALESCE(b.last_us, 0), COALESCE(d.last_us, 0)) AS last_us
       |FROM base b FULL OUTER JOIN delta d USING (user_id)
       |ORDER BY user_id""".stripMargin
   ) { (s, d) =>
@@ -428,7 +428,7 @@ object JoinOps {
     def state(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
-        max("ts").as("last_ns"))
+        max(expr("ts div 1000")).as("last_us"))
     val base = state(withDay.filter(col("is_base")))
     val delta = state(withDay.filter(!col("is_base")))
     base.as("b").join(delta.as("d"),
@@ -440,8 +440,8 @@ object JoinOps {
           .otherwise("updated").as("status"),
         (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
         (coalesce(col("b.cents"), lit(0L)) + coalesce(col("d.cents"), lit(0L))).as("cents"),
-        greatest(coalesce(col("b.last_ns"), lit(0L)),
-          coalesce(col("d.last_ns"), lit(0L))).as("last_ns"))
+        greatest(coalesce(col("b.last_us"), lit(0L)),
+          coalesce(col("d.last_us"), lit(0L))).as("last_us"))
       .orderBy("user_id")
   }
 

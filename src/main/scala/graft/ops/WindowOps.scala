@@ -463,8 +463,7 @@ object WindowOps {
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     c.withColumn("med7",
-        expr("percentile(n, 0.5D)").over(w).multiply(lit(1000000))
-          .cast("long").cast("double").divide(lit(1e6)))
+        round(expr("percentile(n, 0.5D)").over(w) * lit(1000000)).cast("long") / lit(1e6))
       .orderBy("event_type", "day")
   }
 

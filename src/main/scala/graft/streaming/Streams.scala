@@ -272,8 +272,19 @@ object Streams {
         val bands = graft.dedup.Dedup.lshBandKeys(sigs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val index =
-          try spark.read.parquet(indexDir).select(col("bucket")).distinct()
-          catch {
+          try {
+            val raw = spark.read.parquet(indexDir)
+            // Format guard: the band key became an xxhash64 LONG when the
+            // seam was hashed; an index written by the old string format
+            // would silently match NOTHING through implicit casts (every
+            // indexed near-dup re-admitted). Fail loudly instead — the
+            // documented contract is "rebuild the index on upgrade".
+            val bt = raw.schema("bucket").dataType
+            require(bt == org.apache.spark.sql.types.LongType,
+              s"near-dup index at $indexDir has $bt band keys; this build " +
+                "uses xxhash64 longs — rebuild the index (delete the dir)")
+            raw.select(col("bucket")).distinct()
+          } catch {
             case _: org.apache.spark.sql.AnalysisException =>
               spark.emptyDataFrame.select(lit(0L).as("bucket")).limit(0)
           }

@@ -35,14 +35,14 @@ class TopKPropertiesSpec extends SparkSpec {
       val got = TopK.topkPerGroup(df, Seq("g"),
           Seq(col("v").desc, col("id"), col("g")), k, salts)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .groupBy(_._1).view.mapValues(_.toSet).toMap
+        .groupBy(_._1).view.mapValues(_.toSeq).toMap
       val want = rows.groupBy(_._1).view.mapValues(
-        _.sortBy { case (_, v, id) => (-v, id) }.take(k).toSet).toMap
-      // full-row ordering makes duplicates of (v, id) within a group
-      // interchangeable; compare as multisets of the ordered keys
+        _.sortBy { case (_, v, id) => (-v, id) }.take(k)).toMap
+      // MULTISET compare (sorted Seq, no dedup): a regression that loses
+      // one copy of a duplicated boundary row must fail
       got.keySet == want.keySet && got.forall { case (g, s) =>
-        s.map(t => (t._2, t._3)).toSeq.sorted ==
-          want(g).map(t => (t._2, t._3)).toSeq.sorted
+        s.map(t => (t._2, t._3)).sorted ==
+          want(g).map(t => (t._2, t._3)).sorted
       }
     }
     val res = SCTest.check(params, prop)

@@ -16,7 +16,8 @@ class OpsR14Spec extends SparkSpec {
     val split = ev.map(_._3 / 86400000000000L).min + 15
     def state(rows: Seq[(Long, Double, Long)]) =
       rows.groupBy(_._1).view.mapValues { g =>
-        (g.length.toLong, g.map(e => math.round(e._2 * 100)).sum, g.map(_._3).max)
+        (g.length.toLong, g.map(e => math.round(e._2 * 100)).sum,
+          g.map(_._3 / 1000).max)
       }.toMap
     val base = state(ev.toSeq.filter(_._3 / 86400000000000L < split))
     val delta = state(ev.toSeq.filter(_._3 / 86400000000000L >= split))

@@ -382,6 +382,27 @@ class StreamsSpec extends SparkSpec {
     assert(idxIds === Set(1L, 2L, 4L))
   }
 
+  test("nearDupIngestLive refuses a stale string-format band index") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft-nd-v1idx").toString
+    val ckpt = Files.createTempDirectory("graft-nd-v1ckpt").toString
+    // a pre-hashed-seam index: string band keys
+    Seq((1L, "0_12_45")).toDF("id", "bucket").write.mode("overwrite").parquet(indexDir)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark, 2)
+    val q = Streams.nearDupIngestLive(
+      input.toDF().toDF("doc_id", "text"), indexDir, ckpt) { (_, _) => () }
+    input.addData((1L, "alpha bravo charlie delta echo foxtrot golf hotel"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("rebuild the index")),
+      s"expected the format-guard message, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("maturity tags the head margin") {
     val df = (95L to 100L).toDF("height")
       .select(col("height"), Streams.maturity(col("height"), lit(100L)).as("m"))
