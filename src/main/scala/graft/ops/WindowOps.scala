@@ -577,8 +577,79 @@ object WindowOps {
       .orderBy("depth")
   }
 
+  /** Stationary distribution of the event-transition Markov chain
+    * (win-next-event's matrix) by five unrolled power-iteration steps —
+    * the long-run "where do users spend their time" vector behind the
+    * transition probabilities. Iterative numerics are normally
+    * irreproducible across engines (libm, summation order); here every
+    * step is exact integer arithmetic: the matrix holds micro-unit
+    * probabilities p6 = n·10⁶ // rowsum, the state vector stays in
+    * micro-units, and each step is v'(j) = Σ v(i)·p6(i,j) // 10⁶ —
+    * floor division, order-free integer sums, bit-identical everywhere.
+    * The corpus is touched ONCE (the lead window); every iteration
+    * joins the types-sized vector with the types²-sized broadcast
+    * matrix. Floor leakage makes Σv6 drift a few ppm below 10⁶ per
+    * step — documented, deterministic, and irrelevant to the ranking.
+    */
+  val aggMarkovStationary: Op = {
+    val iters = 5
+    val step = (i: Int) =>
+      s"""v$i AS (SELECT p.next_type AS state,
+         |        CAST(sum(v${i - 1}.v6 * p.p6) // 1000000 AS BIGINT) AS v6
+         |        FROM v${i - 1} JOIN p ON v${i - 1}.state = p.event_type
+         |        GROUP BY p.next_type)""".stripMargin
+    Op.sql(
+      "agg-markov-stationary",
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |tr AS (SELECT event_type, next_type, count(*) AS n FROM seq
+         |       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |ft AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from FROM tr GROUP BY 1),
+         |p AS (SELECT tr.event_type, tr.next_type,
+         |             tr.n * 1000000 // ft.n_from AS p6
+         |      FROM tr JOIN ft USING (event_type)),
+         |states AS (SELECT DISTINCT event_type AS state FROM tr),
+         |v0 AS (SELECT state,
+         |              CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS v6
+         |       FROM states),
+         |${(1 to iters).map(step).mkString(",\n")}
+         |SELECT state, v6,
+         |       CAST(v6 AS BIGINT) / 1000000.0 AS share
+         |FROM v$iters ORDER BY state""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val ft = tr.groupBy("event_type").agg(sum("n").as("n_from"))
+      val p = tr.join(broadcast(ft), Seq("event_type"))
+        .select(col("event_type"), col("next_type"),
+          expr("n * 1000000 div n_from").as("p6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val states = p.select(col("event_type").as("state")).distinct()
+      val nStates = states.crossJoin(states.agg(count(lit(1)).as("ns")))
+      var v = nStates.select(col("state"), expr("1000000L div ns").as("v6")).distinct()
+      for (_ <- 1 to iters) {
+        v = v.join(broadcast(p), v("state") === p("event_type"))
+          .groupBy(col("next_type").as("state2"))
+          .agg(expr("cast(sum(v6 * p6) div 1000000 as bigint)").as("v6"))
+          .withColumnRenamed("state2", "state")
+      }
+      v.select(col("state"), col("v6"),
+          (col("v6").cast("long") / lit(1e6)).as("share"))
+        .orderBy("state")
+    }
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
-    winRollingMedian, winAttribution, winSeasonality, winForkDepth)
+    winRollingMedian, winAttribution, winSeasonality, winForkDepth,
+    aggMarkovStationary)
 }

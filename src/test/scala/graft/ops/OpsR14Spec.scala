@@ -269,6 +269,32 @@ class OpsR14Spec extends SparkSpec {
     assert(out.last._4 > 0.5, s"recall@4-of-8-lists ${out.last._4}")
   }
 
+  test("agg-markov-stationary: matches a scalar integer power iteration") {
+    val ev = graft.Tables.events(spark, sf())
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val tr = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = tr.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p6 = tr.map { case ((a, b), n) => (a, b) -> n * 1000000L / fromTot(a) }
+    val states = fromTot.keySet.toSeq.sorted
+    var v = states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to 5) {
+      v = states.map { j =>
+        j -> states.map(i => v(i) * p6.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    val out = WindowOps.aggMarkovStationary.build(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === v.filter(_._2 != 0L) || out === v,
+      s"got $out want $v")
+    // floor leakage stays within a few ppm of full mass
+    val mass = out.values.sum
+    assert(mass <= 1000000L && mass > 990000L, s"mass $mass")
+  }
+
   test("stream-topk: every emitted row is in its window-group's true top-3") {
     val counts = graft.Tables.events(spark, sf())
       .select(expr("ts div 3600000000000 * 3600000000").as("w"),
