@@ -45,6 +45,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the LAST ~2000 chars of output; the full line
+    // above (200+ ops) never fits, so every recorded round had parsed=null.
+    // Emit a second, compact line (slowest ops only) that always fits whole
+    // inside that tail and parses standalone.
+    val slow = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ops":${results.size},"note":"slowest 25 of ${results.size}; full per-op map in the previous line","queries":$slow,"sf":"$sfDir"}""")
+    // Robust channel for the full line: sbt prefixes piped stdout with
+    // "[info] ", which can defeat line-level JSON parsing downstream; the
+    // file has no prefix and no truncation.
+    try {
+      val w = new java.io.PrintWriter("bench_latest.json", "UTF-8")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -687,9 +687,46 @@ object DedupOps {
       .orderBy("thr_milli")
   }
 
+  /** Shingle CONTAINMENT pairs: inter / min(|A|, |B|) ≥ 0.8. Jaccard is
+    * symmetric and dilutes when sizes differ — a 100-word doc fully embedded
+    * in a 10,000-word doc has j ≈ 0.01 but containment 1.0. This is the
+    * sub-document-duplication detector (quotes, mirrored sections, doc-in-
+    * doc concatenation) that corpus curation runs NEXT TO jaccard dedup;
+    * Broder's original resemblance/containment pair (the minhash paper)
+    * defines exactly these two scores over the same shingle sets.
+    *
+    * Scale shape: identical to dedup-ngram-jaccard — the persisted shingle
+    * cache feeds one-shuffle pair generation (ArrayOrderedPairs, df ≤ 20
+    * bounding the fan-out), sizes join onto AGGREGATED pair rows. The score
+    * is a ratio of two integers — one IEEE division, cross-engine exact.
+    */
+  val dedupContainment: Op = Op.sql(
+    "dedup-containment",
+    s"""WITH $ShingleOracle,
+       |cont AS (
+       |  SELECT d1, d2, round(inter * 1.0 / least(x.n, y.n), 6) AS cont
+       |  FROM pairs JOIN sz x ON x.id = d1 JOIN sz y ON y.id = d2)
+       |SELECT d1, d2, cont FROM cont WHERE cont >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    val sh = persistedShingles(s, d)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    sh.groupBy("s").agg(array_sort(collect_list("id")).as("ids"))
+      .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("id").as("d1"), col("n").as("na")), Seq("d1"))
+      .join(sz.select(col("id").as("d2"), col("n").as("nb")), Seq("d2"))
+      .withColumn("cont", round(col("inter") * lit(1.0) /
+        least(col("na"), col("nb")), 6))
+      .filter(col("cont") >= 0.8)
+      .select("d1", "d2", "cont")
+      .orderBy("d1", "d2")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
-    dedupJaccardSweep)
+    dedupJaccardSweep, dedupContainment)
 }

@@ -445,8 +445,46 @@ object JoinOps {
       .orderBy("user_id")
   }
 
+  /** Salted equi-join: the skew-mitigation shape for a fact⋈dim join whose
+    * key distribution is heavy-tailed (one hot user lands an entire reducer
+    * at 100 TB). The dim side replicates 8× (one row per salt), the fact
+    * side picks a salt by hashing a NON-key column, and the join runs on
+    * (key, salt) — so the hottest key's rows spread over 8 reducers instead
+    * of one. The salt provably cannot change the result: every fact row
+    * still matches exactly one dim replica. The oracle is the UNSALTED
+    * join+agg — identical output is the exactness proof.
+    *
+    * Compare AQE's skewedJoin (runtime split of oversized sort-merge
+    * partitions): salting is the static variant that also covers
+    * hash-aggregate skew and works when AQE cannot re-plan (streaming,
+    * bucketed tables). Per-event value snaps to integer cents BEFORE the
+    * sum so reducer order cannot move the hash.
+    */
+  val joinSkewSalted: Op = Op.sql(
+    "join-skew-salted",
+    """WITH dim AS (SELECT DISTINCT user_id, user_id % 10 AS segment FROM events)
+      |SELECT dim.segment,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e JOIN dim ON e.user_id = dim.user_id
+      |GROUP BY dim.segment ORDER BY dim.segment""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val dim = ev.select("user_id").distinct()
+      .withColumn("segment", col("user_id") % 10)
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(7))))
+    ev.select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)).cast("int"))
+      .join(saltedDim, Seq("user_id", "salt"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("value_cents"))
+      .orderBy("segment")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
-    joinMergeUpsert)
+    joinMergeUpsert, joinSkewSalted)
 }

@@ -125,5 +125,45 @@ object LayoutOps {
       .orderBy("file_id")
   }
 
-  val ops: Seq[Op] = Seq(layoutZorder, indexZonemap)
+  /** Hive-partition balance audit for a `partitionBy(lang, source)` layout:
+    * per partition, row count, byte-weight proxy (sum of n_chars), skew in
+    * basis points of the corpus total, and the file-split count a writer
+    * should use for that partition (64 KiB target here; the constant scales
+    * with the deployment's target file size). The reference's layout is
+    * range-only (src/filenames.rs:60-88); this is the planner for the hive
+    * generalization: oversized partitions get `splits` output files (via
+    * repartition inside the partition), tiny ones coalesce to one.
+    *
+    * Scale shape: one catalog-grained groupBy; the corpus total is a window
+    * sum over the CATALOG rows (single-partition, but over ~|partitions|
+    * rows, not data rows — one pass, no second scan of the corpus). Exact
+    * integer arithmetic throughout (basis points via integer division) — no
+    * float in the hashed output.
+    */
+  val layoutPartitionSkew: Op = Op.sql(
+    "layout-partition-skew",
+    """WITH p AS (
+      |  SELECT lang, source, count(*) AS n_rows,
+      |         CAST(sum(n_chars) AS BIGINT) AS weight
+      |  FROM documents GROUP BY lang, source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM p)
+      |SELECT lang, source, n_rows, weight,
+      |       CAST((weight * 10000) // tw AS BIGINT) AS skew_bp,
+      |       CAST((weight + 65535) // 65536 AS BIGINT) AS splits
+      |FROM p, t ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("weight"))
+    parts.withColumn("tw",
+        sum("weight").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("lang"), col("source"), col("n_rows"), col("weight"),
+        expr("(weight * 10000) div tw").as("skew_bp"),
+        expr("(weight + 65535) div 65536").as("splits"))
+      .orderBy("lang", "source")
+  }
+
+  val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew)
 }

@@ -348,6 +348,51 @@ object PipelineOps {
       .orderBy("col_name")
   }
 
+  /** Incremental-recompute planner: diff the current snapshot against a
+    * prior one at CHUNK grain and emit, per chunk, the action an
+    * incremental pipeline run should take — `skip` (unchanged), `recompute`
+    * (rows changed inside the chunk) or `new` (chunk absent from the base).
+    * This is the metadata query that turns a 100-TB full rebuild into a
+    * touched-chunks-only rebuild — the incremental mirror of the
+    * reference's copy/compact planning (src/command/copy.rs, which re-reads
+    * whole ranges; chunk grain here matches its range files,
+    * src/filenames.rs:60-88).
+    *
+    * The base snapshot is simulated by predicate (rows with
+    * `o_orderkey % 997 == 0` arrived since the base was taken, and chunks
+    * with `chunk % 37 == 0` are entirely new) so both engines derive it
+    * from the same table — the plan shape is what matters: ONE scan, ONE
+    * chunk-grained shuffle, with the base/current counts computed as
+    * conditional aggregates of the same pass, never a self-join of two
+    * snapshot scans. Output is chunk-catalog sized.
+    */
+  val pipelineIncrementalDelta: Op = Op.sql(
+    "pipeline-incremental-delta",
+    """WITH c AS (
+      |  SELECT o_orderkey // 500 AS chunk,
+      |         CAST(count(*) AS BIGINT) AS cur_n,
+      |         CAST(count(*) FILTER (WHERE o_orderkey % 997 <> 0
+      |                                 AND (o_orderkey // 500) % 37 <> 0) AS BIGINT) AS base_n
+      |  FROM orders GROUP BY chunk)
+      |SELECT chunk, base_n, cur_n,
+      |       CASE WHEN base_n = 0 THEN 'new'
+      |            WHEN cur_n = base_n THEN 'skip'
+      |            ELSE 'recompute' END AS action
+      |FROM c ORDER BY chunk""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(expr("o_orderkey div 500").as("chunk"))
+      .agg(
+        count(lit(1)).as("cur_n"),
+        sum(when(col("o_orderkey") % 997 =!= 0 &&
+          expr("o_orderkey div 500") % 37 =!= 0, 1L).otherwise(0L)).as("base_n"))
+      .select(col("chunk"), col("base_n"), col("cur_n"),
+        when(col("base_n") === 0, "new")
+          .when(col("cur_n") === col("base_n"), "skip")
+          .otherwise("recompute").as("action"))
+      .orderBy("chunk")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
-    pipelineDataCard, pipelineColumnProfile)
+    pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta)
 }

@@ -913,8 +913,80 @@ object SimOps {
       k = 3, nprobes = Seq(1, 2, 4))
   }
 
+  /** IVF-PQ composed ANN ([[graft.sim.Similarity.ivfPqTopK]]): coarse IVF
+    * lists (centroids 10..80, same assignment tiebreak as sim-ivf-ann)
+    * restrict the candidate set, PQ codes (codebook 10/20/30/40, same
+    * encode/ADC semantics as sim-pq-ann) score it — the deployment shape
+    * that pairs sub-linear probing with 4-byte-per-vector storage. The
+    * oracle composes the two ops' CTEs verbatim, so any drift in either
+    * building block breaks this op too.
+    */
+  val simIvfPq: Op = Op.sql(
+    "sim-ivf-pq",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+      |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+      |asgn AS (
+      |  SELECT c.vec_id AS n_id, cc.cid,
+      |         row_number() OVER (PARTITION BY c.vec_id
+      |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+      |                          (sqrt(list_dot_product(c.v, c.v)) *
+      |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+      |                    cc.cid) AS rn
+      |  FROM e c, cents cc WHERE c.vec_id >= 10),
+      |lists AS (SELECT n_id, cid FROM asgn WHERE rn = 1),
+      |prb AS (
+      |  SELECT q.vec_id AS q_id, cc.cid,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+      |                          (sqrt(list_dot_product(q.v, q.v)) *
+      |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+      |                    cc.cid) AS rn
+      |  FROM e q, cents cc WHERE q.vec_id < 10),
+      |probes AS (SELECT q_id, cid FROM prb WHERE rn <= 2),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcid, v AS cv
+      |       FROM e WHERE vec_id IN (10,20,30,40)),
+      |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+      |subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+      |csubs AS (SELECT pcid, m, cv[m*16+1 : m*16+16] AS csv FROM cb, ms),
+      |pasgn AS (
+      |  SELECT s.vec_id, s.m, c.pcid,
+      |         row_number() OVER (PARTITION BY s.vec_id, s.m
+      |           ORDER BY round(list_dot_product(s.sv, c.csv), 6) DESC, c.pcid) AS rn
+      |  FROM subs s JOIN csubs c USING (m) WHERE s.vec_id >= 10),
+      |codes AS (SELECT vec_id AS n_id, m, pcid FROM pasgn WHERE rn = 1),
+      |qdt AS (
+      |  SELECT s.vec_id AS q_id, s.m, c.pcid,
+      |         round(list_dot_product(s.sv, c.csv), 6) AS d
+      |  FROM subs s JOIN csubs c USING (m) WHERE s.vec_id < 10),
+      |cand AS (SELECT p.q_id, l.n_id FROM probes p JOIN lists l USING (cid)),
+      |approx AS (
+      |  SELECT cand.q_id, cand.n_id, (round(sum(q.d), 6) + 0.0) AS approx_sim
+      |  FROM cand
+      |  JOIN codes ON codes.n_id = cand.n_id
+      |  JOIN qdt q ON q.q_id = cand.q_id AND q.m = codes.m AND q.pcid = codes.pcid
+      |  GROUP BY cand.q_id, cand.n_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, approx_sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY approx_sim DESC, n_id) AS rn
+      |  FROM approx)
+      |SELECT q_id, n_id, approx_sim FROM ranked WHERE rn <= 3
+      |ORDER BY q_id, approx_sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)),
+      e.filter(col("vec_id").isin(10L, 20L, 30L, 40L)),
+      k = 3, nprobe = 2, m = 4)
+      .orderBy(col("q_id"), col("approx_sim").desc, col("n_id"))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
-    simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep)
+    simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
+    simIvfPq)
 }

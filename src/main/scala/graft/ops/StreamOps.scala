@@ -347,7 +347,49 @@ object StreamOps {
       .orderBy(col("win_us"), col("event_type"), col("n").desc, col("user_id"))
   }
 
+  /** Watermark-delay audit: measure per-key event-time disorder (how late an
+    * event arrives relative to the running max event time of its key's
+    * stream, in arrival order = event_id) and aggregate per event_type the
+    * lateness profile a `withWatermark` delay must cover: max lateness, the
+    * p95, and the share of late arrivals in basis points. This is the
+    * offline calibration for every watermarked op in graft.streaming.Streams
+    * — set the delay at/above the observed p95+ and the dropped-row rate is
+    * the residual (1 - coverage) measured here. The reference handles the
+    * same phenomenon with its block "maturity" confirmations
+    * (src/command/stream.rs late-block logic) — a fixed-depth watermark.
+    *
+    * Scale shape: lateness is a running-max window PARTITIONED BY user_id
+    * (per-key streams — thousands of parallel partitions, never a global
+    * order); the per-type rollup is a 5-group agg with partial aggregation.
+    * Lateness is exact integer micros; p95 uses exact `percentile`, which
+    * matches DuckDB quantile_cont bit-for-bit on integer inputs at 6 dp.
+    */
+  val streamWatermarkAudit: Op = Op.sql(
+    "stream-watermark-audit",
+    """WITH l AS (
+      |  SELECT event_type,
+      |         (max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+      |            - epoch_ns(ts)) // 1000 AS late_us
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(late_us) AS BIGINT) AS max_late_us,
+      |       round(quantile_cont(late_us, 0.95), 6) AS p95_late_us,
+      |       CAST(count(*) FILTER (WHERE late_us > 0) * 10000 // count(*) AS BIGINT) AS late_bp
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+      .withColumn("late_us", expr("(max(ts) over (partition by user_id order by event_id rows between unbounded preceding and current row) - ts) div 1000"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("late_us").as("max_late_us"),
+        round(expr("percentile(late_us, 0.95D)"), 6).as("p95_late_us"),
+        expr("sum(case when late_us > 0 then 1 else 0 end) * 10000 div count(*)").as("late_bp"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
-    streamHll, streamQuantile, streamTopk)
+    streamHll, streamQuantile, streamTopk, streamWatermarkAudit)
 }

@@ -647,9 +647,46 @@ object WindowOps {
     }
   }
 
+  /** Burst / rate-limit audit: per user, the trailing-6-hour event count at
+    * every event (a RANGE frame over the event-time axis — the exact
+    * semantics of a token-bucket rate check, evaluated offline), rolled up
+    * to the per-user profile: peak trailing count, number of events that
+    * arrived while the user was over the K=4 budget, and total events. The
+    * flagged count is what a rate-limiting ingest (or an abuse gate in a
+    * crawl pipeline) would have deferred or dropped.
+    *
+    * Scale shape: ONE shuffle on user_id; the RANGE frame is evaluated by
+    * a single sliding pass per key (WindowExec keeps a moving frame — no
+    * per-row rescan), and the rollup rides the same partitioning, so no
+    * second exchange. All integer arithmetic on epoch-nanos.
+    */
+  val winBurstFlag: Op = Op.sql(
+    "win-burst-flag",
+    """WITH w AS (
+      |  SELECT user_id,
+      |         count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |           RANGE BETWEEN 21600000000000 PRECEDING AND CURRENT ROW) AS c
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(c) AS BIGINT) AS peak_6h,
+      |       CAST(count(*) FILTER (WHERE c >= 4) AS BIGINT) AS n_burst
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-21600000000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("c").as("peak_6h"),
+        sum(when(col("c") >= 4, 1L).otherwise(0L)).as("n_burst"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
-    aggMarkovStationary)
+    aggMarkovStationary, winBurstFlag)
 }

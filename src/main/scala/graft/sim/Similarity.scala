@@ -224,42 +224,92 @@ object Similarity {
     * — here whole vectors whose subvector slices act as the per-subspace
     * centroids.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-      k: Int, m: Int = 4): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = codebook
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val dims = cents.head._2.length
+  /** The PQ codebook compiled to column builders — shared by [[pqTopK]]
+    * and [[ivfPqTopK]] so encode/table/lookup semantics (rounded subspace
+    * dots, lowest-id tiebreak, element_at lookup order) can never diverge
+    * between the flat and the IVF-composed search.
+    */
+  private final case class PqModel(cents: Array[(Long, Seq[Double])], m: Int) {
+    private val dims = cents.head._2.length
     require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
-    val sub = dims / m
-    def subvec(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * sub, (s + 1) * sub)
-    def sliceCol(c: Column, s: Int): Column =
+    private val sub = dims / m
+    private def subvec(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * sub, (s + 1) * sub)
+    private def sliceCol(c: Column, s: Int): Column =
       slice(c.cast("array<double>"), s * sub + 1, sub)
-    def subDot(c: Column, s: Int, j: Int): Column =
+    private def subDot(c: Column, s: Int, j: Int): Column =
       round(dot(sliceCol(c, s), typedLit(subvec(cents(j)._2, s))), 6)
     // code per subspace: lexicographic max of (dot, -j) structs — highest
     // rounded dot, ties to the lowest centroid id; a projection, no joins
-    def codeCol(c: Column, s: Int): Column = {
+    private def codeCol(c: Column, s: Int): Column = {
       val structs = cents.indices.map(j =>
         struct(subDot(c, s, j).as("d"), lit(-j.toLong).as("nj")))
       -greatest(structs: _*).getField("nj")
     }
-    val coded = corpus.select(
-      col("vec_id").as("n_id") +:
-        (0 until m).map(s => codeCol(col("embedding"), s).as(s"c$s")): _*)
-    val qdt = queries.select(
-      col("vec_id").as("q_id") +:
-        (0 until m).map { s =>
-          array(cents.indices.map(j => subDot(col("embedding"), s, j)): _*).as(s"dt$s")
-        }: _*)
-    val approx = (0 until m)
+    /** `c0..c{m-1}` code columns for a corpus vector. */
+    def codeCols(c: Column): Seq[Column] =
+      (0 until m).map(s => codeCol(c, s).as(s"c$s"))
+    /** `dt0..dt{m-1}` distance-table array columns for a query vector. */
+    def dtCols(c: Column): Seq[Column] =
+      (0 until m).map { s =>
+        array(cents.indices.map(j => subDot(c, s, j)): _*).as(s"dt$s")
+      }
+    /** ADC score: sum of per-subspace table lookups (over codeCols/dtCols
+      * names in scope). */
+    def approx: Column = (0 until m)
       .map(s => element_at(col(s"dt$s"), col(s"c$s").cast("int") + 1))
       .reduce(_ + _)
+  }
+
+  private def collectCodebook(codebook: DataFrame): Array[(Long, Seq[Double])] =
+    codebook
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      k: Int, m: Int = 4): DataFrame = {
+    val pq = PqModel(collectCodebook(codebook), m)
+    val coded = corpus.select(
+      col("vec_id").as("n_id") +: pq.codeCols(col("embedding")): _*)
+    val qdt = queries.select(
+      col("vec_id").as("q_id") +: pq.dtCols(col("embedding")): _*)
     val scored = coded.crossJoin(broadcast(qdt))
       // + 0.0: approx_sim crosses zero (signed-zero normalization, see cosine)
-      .select(col("q_id"), col("n_id"), (round(approx, 6) + lit(0.0)).as("approx_sim"))
+      .select(col("q_id"), col("n_id"), (round(pq.approx, 6) + lit(0.0)).as("approx_sim"))
+    graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
+      Seq(col("approx_sim").desc, col("n_id").asc), k)
+  }
+
+  /** IVF-PQ composed search (the FAISS `IVFx,PQy` shape, minus residual
+    * encoding — codes quantize the raw vectors, a documented
+    * simplification): corpus vectors carry BOTH their IVF list id and
+    * their PQ codes from ONE projection pass; a query probes its `nprobe`
+    * nearest lists and ADC-scores only the probed lists' members. This is
+    * the memory-bound ANN deployment shape at 100 TB: the index is
+    * (cid + m codes) per vector, the scan per query touches
+    * nprobe/nlist of the corpus, and nothing ever shuffles the corpus —
+    * assignment and encoding are centroid-literal projections, and the
+    * probe set (queries × nprobe, with their distance tables) broadcasts.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, k: Int, nprobe: Int = 2, m: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    def centStructs: Seq[Column] = centroidStructs(cents)
+    val pq = PqModel(collectCodebook(codebook), m)
+    val assigned = corpus
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id").as("n_id") +: (-col("_b.nc")).as("cid") +:
+        pq.codeCols(col("embedding")): _*)
+    val probes = queries
+      .select(col("vec_id").as("q_id") +:
+        slice(reverse(array_sort(array(centStructs: _*))), 1, nprobe).as("_ps") +:
+        pq.dtCols(col("embedding")): _*)
+      .withColumn("_p", explode(col("_ps")))
+      .withColumn("cid", -col("_p.nc"))
+      .drop("_ps", "_p")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .select(col("q_id"), col("n_id"), (round(pq.approx, 6) + lit(0.0)).as("approx_sim"))
     graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
       Seq(col("approx_sim").desc, col("n_id").asc), k)
   }
