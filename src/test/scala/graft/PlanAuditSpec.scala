@@ -431,4 +431,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("sim-ivf-pq probes via broadcast; the corpus never shuffles") {
+    val p = plan("sim-ivf-pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // assignment+encoding are projections: no exchange keyed on the corpus id
+    assert(!p.contains("hashpartitioning(n_id"), p)
+  }
+
+  test("win-burst-flag rollup reuses the window's user_id partitioning") {
+    val p = plan("win-burst-flag")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges\n$p")
+  }
+
+  test("stream-watermark-audit computes lateness per key, never a global window") {
+    val p = plan("stream-watermark-audit")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("windowspecdefinition(event_id"), p)
+  }
+
+  test("pipeline-incremental-delta is one scan into one chunk-grained exchange") {
+    val p = plan("pipeline-incremental-delta")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+  }
+
+  test("join-skew-salted joins on (user_id, salt) with no cartesian") {
+    val p = plan("join-skew-salted")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("salt"), p)
+  }
+
+  test("dedup-containment pairs come from one aggregation, never a self cross") {
+    val p = plan("dedup-containment")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair generation is the in-task generator over per-shingle id lists
+    // (default prettyName of the ArrayOrderedPairs expression), not a
+    // shingle self-join
+    assert(p.toLowerCase.contains("arrayorderedpairs"), p)
+  }
 }
