@@ -724,9 +724,72 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** LSH expected-recall planner: the banded-minhash S-curve
+    * P(candidate | j) = 1 − (1 − j^r)^b evaluated per similarity grade of
+    * the ACTUAL pair distribution (j-buckets of the exact pair table,
+    * j ≥ 0.5), for the deployed r=2 at b ∈ {8, 16, 32}. `exp_candidates`
+    * is the recall mass each configuration would surface per bucket — the
+    * table that justifies (or re-sizes) dedup-minhash's 16×2 before a
+    * 100-TB run, where re-running LSH per configuration is unaffordable
+    * but this table is pair-bucket-sized.
+    *
+    * Cross-engine exactness: the curve needs powers, not libm — (1−j²)^b
+    * is spelled as repeated squaring (t², t⁴, … t³²), so every value is a
+    * chain of IEEE multiplies identical in both engines; bucket midpoints
+    * are exact dyadic rationals; outputs snap to integer basis points.
+    */
+  val dedupLshExpectedRecall: Op = Op.sql(
+    "dedup-lsh-expected-recall",
+    s"""WITH $ShingleOracle,
+       |bk AS (
+       |  SELECT least(CAST(floor(jac * 20) AS BIGINT), 19) AS bucket,
+       |         count(*) AS n_pairs
+       |  FROM jac WHERE jac >= 0.5 GROUP BY bucket),
+       |curve AS (
+       |  SELECT bucket, n_pairs, b,
+       |         1.0 - t16 * t16 AS p32, 1.0 - t8 * t8 AS p16, 1.0 - t4 * t4 AS p8
+       |  FROM (
+       |    SELECT bucket, n_pairs, b, t2 * t2 AS t4, t2 * t2 * t2 * t2 AS t8,
+       |           t2 * t2 * t2 * t2 * t2 * t2 * t2 * t2 AS t16
+       |    FROM (
+       |      SELECT bucket, n_pairs, b,
+       |             (1.0 - ((2 * bucket + 1) / 40.0) * ((2 * bucket + 1) / 40.0)) *
+       |             (1.0 - ((2 * bucket + 1) / 40.0) * ((2 * bucket + 1) / 40.0)) AS t2
+       |      FROM bk, (SELECT unnest([8, 16, 32]) AS b) bands))),
+       |graded AS (
+       |  SELECT bucket, n_pairs, b,
+       |         CASE WHEN b = 8 THEN p8 WHEN b = 16 THEN p16 ELSE p32 END AS p
+       |  FROM curve)
+       |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs, b AS n_bands,
+       |       CAST(round(p * 10000) AS BIGINT) AS recall_bp,
+       |       CAST(round(n_pairs * p) AS BIGINT) AS exp_candidates
+       |FROM graded ORDER BY bucket, n_bands""".stripMargin
+  ) { (s, d) =>
+    val bk = persistedJaccardPairs(s, d)
+      .groupBy(least(floor(col("jac") * 20).cast("long"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val jm = (lit(2) * col("bucket") + 1) / lit(40.0)
+    // t2 = (1 - j²)² — then squares of squares, never a pow() call
+    val t2 = (lit(1.0) - jm * jm) * (lit(1.0) - jm * jm)
+    val t4 = col("t2") * col("t2")
+    val t8 = col("t2") * col("t2") * col("t2") * col("t2")
+    val t16 = col("t2") * col("t2") * col("t2") * col("t2") *
+      col("t2") * col("t2") * col("t2") * col("t2")
+    bk.withColumn("b", explode(typedLit(Seq(8, 16, 32))))
+      .withColumn("t2", t2)
+      .withColumn("p",
+        when(col("b") === 8, lit(1.0) - t4 * t4)
+          .when(col("b") === 16, lit(1.0) - t8 * t8)
+          .otherwise(lit(1.0) - t16 * t16))
+      .select(col("bucket"), col("n_pairs"), col("b").as("n_bands"),
+        round(col("p") * 10000).cast("long").as("recall_bp"),
+        round(col("n_pairs") * col("p")).cast("long").as("exp_candidates"))
+      .orderBy("bucket", "n_bands")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
-    dedupJaccardSweep, dedupContainment)
+    dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall)
 }
