@@ -165,5 +165,147 @@ object LayoutOps {
       .orderBy("lang", "source")
   }
 
-  val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew)
+  /** Range-partition boundary planner: the 31 split points an
+    * `repartitionByRange(32, $"o_orderkey")` global sort would use, plus
+    * the achieved per-bucket balance (row count and key extent) — the
+    * planning table for the 100-TB total-order write (the reference's
+    * height-ranged file layout IS a range partitioning,
+    * src/filenames.rs:60-88). Boundaries here are EXACT equi-depth
+    * quantiles so the oracle can check them; at 100 TB the drop-in switch
+    * is `approx_percentile` or the RangePartitioner's reservoir sample —
+    * same plan shape, sampled boundaries.
+    *
+    * Scale shape: one aggregation computes all 31 boundaries in a single
+    * pass (`percentile(k, array(...))`); the boundary array broadcasts
+    * back and bucket assignment is a per-row projection (31-element array
+    * scan); the audit groupBy is 32-group. The corpus shuffles once, on
+    * the bucket id — exactly the exchange the range write itself performs.
+    */
+  val layoutRangeBoundaries: Op = Op.sql(
+    "layout-range-boundaries",
+    """WITH b AS (
+      |  SELECT [CAST(floor(q) AS BIGINT) FOR q IN
+      |            quantile_cont(o_orderkey, [x / 32.0 FOR x IN generate_series(1, 31)])] AS bl
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderkey AS k, len([x FOR x IN bl IF x <= o_orderkey]) AS bucket
+      |  FROM orders, b)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(k) AS lo_key, max(k) AS hi_key
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val fracs = (1 to 31).map(_ / 32.0)
+    val bounds = Tables.orders(s, d)
+      .agg(expr(s"percentile(o_orderkey, array(${fracs.mkString(", ")}))").as("qs"))
+      .select(transform(col("qs"), q => floor(q).cast("long")).as("bl"))
+    Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      .crossJoin(broadcast(bounds))
+      .select(col("k"),
+        size(filter(col("bl"), b => b <= col("k"))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("k").as("lo_key"), max("k").as("hi_key"))
+      .orderBy("bucket")
+  }
+
+  /** Sort-order advisor: the SAME zone-map probe (o_custkey ∈ [100, 200])
+    * graded against three physical layouts of orders — `natural`
+    * (insertion order: files tile o_orderkey, the reference's layout),
+    * `keysort` (files tile the probe column itself) and `zorder`
+    * (Morton interleave of custkey×orderkey) — as one decision table:
+    * files total, files whose custkey zone intersects the probe, and the
+    * read fraction in basis points. This is the table that decides a
+    * 100-TB re-clustering write: natural reads ~everything on a secondary
+    * probe, keysort is optimal for THIS column (and pessimal for any
+    * other), zorder buys both dimensions at a bounded premium.
+    *
+    * Scale shape: three catalog-grained zone aggregations off the same
+    * scan (different grouping keys — genuinely three exchanges, each
+    * file-catalog sized); the union rows are 3. No corpus-sized anything
+    * beyond the scans; all-integer output.
+    */
+  val layoutSortAdvisor: Op = Op.sql(
+    "layout-sort-advisor",
+    """WITH nat AS (
+      |  SELECT o_orderkey // 100 AS f, min(o_custkey) AS mn, max(o_custkey) AS mx
+      |  FROM orders GROUP BY f),
+      |ks AS (
+      |  SELECT o_custkey // 10 AS f, min(o_custkey) AS mn, max(o_custkey) AS mx
+      |  FROM orders GROUP BY f),
+      |ext AS (
+      |  SELECT min(o_custkey) AS cmn, max(o_custkey) AS cmx,
+      |         min(o_orderkey) AS omn, max(o_orderkey) AS omx
+      |  FROM orders),
+      |zb AS (
+      |  SELECT o_custkey AS p,
+      |         (o_custkey - cmn) * 64 // (cmx - cmn + 1) AS cb,
+      |         (o_orderkey - omn) * 64 // (omx - omn + 1) AS ob
+      |  FROM orders, ext),
+      |z1 AS (
+      |  SELECT p,
+      |         ((((cb & 65535) | ((cb & 65535) << 8)) & 16711935
+      |            | ((((cb & 65535) | ((cb & 65535) << 8)) & 16711935) << 4)) & 252645135) AS ph,
+      |         ((((ob & 65535) | ((ob & 65535) << 8)) & 16711935
+      |            | ((((ob & 65535) | ((ob & 65535) << 8)) & 16711935) << 4)) & 252645135) AS sh
+      |  FROM zb),
+      |z2 AS (
+      |  SELECT p,
+      |         (((ph | (ph << 2)) & 858993459
+      |            | ((((ph | (ph << 2)) & 858993459)) << 1)) & 1431655765) AS px,
+      |         (((sh | (sh << 2)) & 858993459
+      |            | ((((sh | (sh << 2)) & 858993459)) << 1)) & 1431655765) AS sx
+      |  FROM z1),
+      |zf AS (
+      |  SELECT (px | (sx << 1)) // 32 AS f, min(p) AS mn, max(p) AS mx
+      |  FROM z2 GROUP BY f),
+      |graded AS (
+      |  SELECT 'natural' AS layout, count(*) AS n_files,
+      |         CAST(sum(CASE WHEN mx >= 100 AND mn <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+      |  FROM nat
+      |  UNION ALL
+      |  SELECT 'keysort', count(*),
+      |         CAST(sum(CASE WHEN mx >= 100 AND mn <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM ks
+      |  UNION ALL
+      |  SELECT 'zorder', count(*),
+      |         CAST(sum(CASE WHEN mx >= 100 AND mn <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM zf)
+      |SELECT layout, CAST(n_files AS BIGINT) AS n_files, files_read,
+      |       files_read * 10000 // n_files AS read_bp
+      |FROM graded ORDER BY layout""".stripMargin
+  ) { (s, d) =>
+    def audit(layout: String, rows: org.apache.spark.sql.DataFrame,
+        fileCol: Column): org.apache.spark.sql.DataFrame =
+      rows
+        .groupBy(fileCol.as("f"))
+        .agg(min("p").as("mn"), max("p").as("mx"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mx") >= 100 && col("mn") <= 200, 1L).otherwise(0L)).as("files_read"))
+        .select(lit(layout).as("layout"), col("n_files"), col("files_read"),
+          expr("files_read * 10000 div n_files").as("read_bp"))
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey").as("p"), col("o_orderkey").as("ok"))
+    // equal-width 64-bucket normalization per dimension — Z-ORDER REQUIRES
+    // comparable bit widths (interleaving a 11-bit key with a 17-bit key
+    // puts only the wide key's bits in the tile prefix and the clustering
+    // silently vanishes; Delta's Z-order normalizes by range partition ids
+    // for the same reason)
+    val ext = Tables.orders(s, d).agg(
+      min("o_custkey").as("cmn"), max("o_custkey").as("cmx"),
+      min("o_orderkey").as("omn"), max("o_orderkey").as("omx"))
+    val zb = base.crossJoin(broadcast(ext))
+      .select(col("p"),
+        expr("(p - cmn) * 64 div (cmx - cmn + 1)").as("cb"),
+        expr("(ok - omn) * 64 div (omx - omn + 1)").as("ob"))
+    val zkey = spread16(bitwise_and(col("cb"), lit(65535L)))
+      .bitwiseOR(shiftleft(spread16(bitwise_and(col("ob"), lit(65535L))), 1))
+    audit("natural", base, expr("ok div 100"))
+      .union(audit("keysort", base, expr("p div 10")))
+      // 32-key Z tiles of the 12-bit normalized key; shiftright(,5) == // 32
+      .union(audit("zorder", zb, shiftright(zkey, 5)))
+      .orderBy("layout")
+  }
+
+  val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
+    layoutRangeBoundaries, layoutSortAdvisor)
 }
