@@ -35,7 +35,26 @@ object Bench {
     val ordered =
       if (args.nonEmpty) SparkEntry.allOps.map(_.id).filter(args.toSet)
       else SparkEntry.allOps.map(_.id)
-    val results = ordered.map { name =>
+    // The dedup family shares four persisted pipeline stages (shingles →
+    // jaccard pairs / minhash pairs → clusters); un-warmed, whichever op
+    // runs FIRST gets the whole fill attributed to it (ngram-jaccard
+    // showed 9 s of which ~7 s was shared fill). Time the fills as their
+    // own line items — the total stays honest (fills are inside it) and
+    // per-op numbers become the marginal cost a pipeline actually pays.
+    val fills: Seq[(String, () => Unit)] =
+      if (ordered.exists(_.startsWith("dedup-")))
+        Seq[(String, () => Unit)](
+          "fill:shingles" -> (() => { ops.DedupOps.persistedShingles(spark, sfDir).count(); () }),
+          "fill:jaccard-pairs" -> (() => { ops.DedupOps.persistedJaccardPairs(spark, sfDir).count(); () }),
+          "fill:minhash-pairs" -> (() => { ops.DedupOps.persistedMinhashPairs(spark, sfDir).count(); () }),
+          "fill:doc-clusters" -> (() => { ops.DedupOps.persistedDocClusters(spark, sfDir).count(); () }))
+      else Seq.empty
+    val fillTimes = fills.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      try run() catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = fillTimes ++ ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

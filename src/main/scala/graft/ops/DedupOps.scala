@@ -787,9 +787,70 @@ object DedupOps {
       .orderBy("bucket", "n_bands")
   }
 
+  /** Near-dup graph degree distribution — the first diagnostic read off
+    * any pair-producing dedup stage: a heavy right tail means boilerplate
+    * / template families (one doc near-dup to thousands), which is what
+    * decides between pairwise drops and cluster-representative keeps, and
+    * it prices the CC step (max degree bounds the propagation fan-out).
+    *
+    * Scale shape: two map-side-combined groupBys over the pair table
+    * (pair-count-sized, NOT corpus-sized); output is max-degree-sized.
+    */
+  val dedupGraphDegree: Op = Op.sql(
+    "dedup-graph-degree",
+    s"""WITH $ShingleOracle,
+       |e AS (SELECT d1, d2 FROM jac WHERE jac >= 0.5),
+       |bd AS (SELECT d1 AS id FROM e UNION ALL SELECT d2 AS id FROM e),
+       |deg AS (SELECT id, count(*) AS degree FROM bd GROUP BY id)
+       |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+  ) { (s, d) =>
+    graft.dedup.Graphs.degreeDistribution(persistedJaccardPairs(s, d))
+  }
+
+  /** Triangle census of the near-dup pair graph: edge/wedge/triangle
+    * counts and the global clustering coefficient 3T/W. High clustering
+    * says near-dup pairs close into families (template storms — safe to
+    * collapse whole clusters to one representative); low clustering says
+    * chains (drift series — collapsing to one representative loses
+    * legitimate variants). The standard degree-ordered node-iterator
+    * (Schank & Wagner 2005; Suri & Vassilvitskii's MR formulation): every
+    * edge is oriented from its lower-(degree, id) endpoint, wedges are
+    * generated only at each edge's LOW endpoint, and a semi-join against
+    * the canonical edge set closes them. Orientation bounds per-node
+    * wedge fan-out by out-degree ≤ O(√m) — a boilerplate hub with a
+    * million neighbors generates NO wedge storm because its edges all
+    * point INTO it.
+    *
+    * Cross-engine exactness: counts are integers end-to-end (wedge sum
+    * uses integer DIV), the one closing division is micro-snapped.
+    */
+  val dedupGraphTriangles: Op = Op.sql(
+    "dedup-graph-triangles",
+    s"""WITH $ShingleOracle,
+       |e AS (SELECT d1, d2 FROM jac WHERE jac >= 0.5),
+       |bd AS (SELECT d1 AS id FROM e UNION ALL SELECT d2 AS id FROM e),
+       |deg AS (SELECT id, count(*) AS dg FROM bd GROUP BY id),
+       |tri AS (
+       |  SELECT count(*) AS t FROM e e1
+       |  JOIN e e2 ON e2.d1 = e1.d1 AND e2.d2 > e1.d2
+       |  JOIN e e3 ON e3.d1 = e1.d2 AND e3.d2 = e2.d2),
+       |wd AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS w,
+       |              count(*) AS n_nodes FROM deg),
+       |ed AS (SELECT count(*) AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, w AS n_wedges, CAST(t AS BIGINT) AS n_triangles,
+       |       CASE WHEN w > 0
+       |            THEN CAST(round(3.0 * t * 1000000 / w) AS BIGINT) / 1000000.0
+       |            ELSE 0.0 END AS clustering
+       |FROM tri, wd, ed""".stripMargin
+  ) { (s, d) =>
+    graft.dedup.Graphs.triangleCensus(persistedJaccardPairs(s, d))
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
-    dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall)
+    dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
+    dedupGraphDegree, dedupGraphTriangles)
 }

@@ -306,6 +306,68 @@ object LayoutOps {
       .orderBy("layout")
   }
 
+  // Per-JVM-run unique root so concurrent harness runs (Verify + Bench)
+  // never share table locations (same discipline as SourceSinkOps).
+  private lazy val runRoot: String = java.nio.file.Files
+    .createTempDirectory("graft-layout-").toAbsolutePath.toString
+
+  /** Bucketed co-located join: both fact tables written `bucketBy` the
+    * join key, then joined WITHOUT any exchange — the bucketed layout IS
+    * the shuffle, paid once at write time and amortized over every
+    * subsequent join/aggregation on that key. This is the multi-table
+    * generalization of the reference's height-ranged file layout (a range
+    * file is a height-bucketed unit the verify command joins against its
+    * expectation by FILE, never by global shuffle —
+    * src/archiver/filenames.rs:51-83, src/command/verify.rs:221-278). At
+    * 100 TB the orders⋈lineitem shuffle is the single largest exchange in
+    * the warehouse; pre-bucketing both sides on the order key removes it
+    * from EVERY downstream run. PlanAuditSpec pins the contract: the
+    * executed join plan contains a SortMergeJoin and ZERO shuffle
+    * exchanges (the `merge` hint keeps the demonstration honest at test
+    * SF, where the small side would otherwise broadcast — at warehouse
+    * scale neither side broadcasts and SMJ-over-buckets is the plan).
+    *
+    * Exactness: revenue snaps to integer cents per row before the sum.
+    */
+  val layoutBucketedJoin: Op = Op.sql(
+    "layout-bucketed-join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val nBuckets = 8
+    // Table identity includes the data dir: one session may build against
+    // several SF dirs (the specs do), and a name-only memo would serve the
+    // first dir's rows to the second.
+    val dirTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    def bucketed(df: org.apache.spark.sql.DataFrame, key: String,
+        baseName: String): org.apache.spark.sql.DataFrame = {
+      val table = s"${baseName}_$dirTag"
+      if (!s.catalog.tableExists(table)) s.synchronized {
+        if (!s.catalog.tableExists(table))
+          df.write.mode("overwrite")
+            .bucketBy(nBuckets, key).sortBy(key)
+            .option("path", s"$runRoot/$table")
+            .saveAsTable(table)
+      }
+      s.table(table)
+    }
+    val o = bucketed(Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority"), "o_orderkey", "graft_bkt_orders")
+    val li = bucketed(Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice"), "l_orderkey", "graft_bkt_lineitem")
+    o.hint("merge")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+          .as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
-    layoutRangeBoundaries, layoutSortAdvisor)
+    layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin)
 }

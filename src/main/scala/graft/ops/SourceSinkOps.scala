@@ -41,7 +41,15 @@ object SourceSinkOps {
     val li = Tables.lineitem(s, d)
     val out = tmpDir("scan-avro")
     clearDir(out)
-    graft.sources.AvroArchiveSink.write(li, "lineitem", out, codec = "snappy")
+    // One container per partition is the sink's contract, and the fixture
+    // parquet is a single ~11 MB file → ONE input partition → a
+    // single-task encode AND a single-file (single-task) decode. Spread
+    // the row-at-a-time Avro encode across the cores first — this is
+    // exactly what a real archive job does by partitioning on the chunk
+    // column (write() scaladoc), spelled neutrally for a chunkless table.
+    val parts = s.sparkContext.defaultParallelism
+    graft.sources.AvroArchiveSink.write(li.repartition(parts), "lineitem", out,
+      codec = "snappy")
     graft.sources.AvroArchiveSource.read(s, s"$out/*.avro", li.schema)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))

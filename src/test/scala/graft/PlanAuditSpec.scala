@@ -467,6 +467,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("salt"), p)
   }
 
+  test("layout-bucketed-join joins exchange-free over the bucketed layout") {
+    val p = plan("layout-bucketed-join")
+    assert(p.contains("SortMergeJoin"), p)
+    // The SMJ's subtree (everything printed after it) must hold only the
+    // bucketed scans — any Exchange there means the bucket layout was NOT
+    // the join distribution and the write-time shuffle bought nothing. The
+    // exchanges above the join (final agg, orderBy) are expected.
+    val sub = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!sub.contains("Exchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
+  test("dedup-graph-triangles wedges only at the oriented low endpoint") {
+    val p = plan("dedup-graph-triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // the wedge self-join keys on the low endpoint u, the closing lookup
+    // is a LeftSemi on the canonical pair
+    assert(p.contains("hashpartitioning(u") || p.contains("[u"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("dedup-containment pairs come from one aggregation, never a self cross") {
     val p = plan("dedup-containment")
     assert(!p.contains("CartesianProduct"), p)
