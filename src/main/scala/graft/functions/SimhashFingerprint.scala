@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixture. Training-pipeline extension op (no reference analogue; the
   * reference archives blocks, not documents).
   */
-case class SimhashFingerprint(child: Expression, bits: Int)
+case class SimhashFingerprint(child: Expression, bits: Int, remix: Boolean)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -43,11 +43,11 @@ case class SimhashFingerprint(child: Expression, bits: Int)
   }
 
   override def nullSafeEval(input: Any): Any =
-    SimhashKernel.compute(input.asInstanceOf[ArrayData], bits)
+    SimhashKernel.compute(input.asInstanceOf[ArrayData], bits, remix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimhashKernel.compute($c, $bits);")
+      s"${ev.value} = graft.functions.SimhashKernel.compute($c, $bits, $remix);")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
     copy(child = newChild)
@@ -56,7 +56,16 @@ case class SimhashFingerprint(child: Expression, bits: Int)
 object SimhashFingerprint {
   import org.apache.spark.sql.graft.Bridge
   def apply(tokens: Column, bits: Int = 20): Column =
-    Bridge.column(SimhashFingerprint(Bridge.expression(tokens), bits))
+    Bridge.column(SimhashFingerprint(Bridge.expression(tokens), bits, remix = false))
+  /** Remixed variant: each bit j comes from the affine family member
+    * (h·a_j + b_j) mod P (P = 2³¹−1, same family as the minhash
+    * signatures) over the 20-bit base hash, so fingerprints wider than
+    * the base hash's 20 bits stay balanced — without the remix every bit
+    * ≥ 20 of the raw polynomial hash is constant-zero and a wide
+    * fingerprint silently degenerates to the narrow one.
+    */
+  def mixed(tokens: Column, bits: Int): Column =
+    Bridge.column(SimhashFingerprint(Bridge.expression(tokens), bits, remix = true))
 }
 
 /** Row-local simhash kernel (static object → scalac emits a static
@@ -65,11 +74,17 @@ object SimhashFingerprint {
 object SimhashKernel {
 
   private val HashMod = 1000003L
+  private val P = 2147483647L // Mersenne prime 2^31−1 (minhash's family)
 
-  def compute(arr: ArrayData, bits: Int): Long = {
+  def compute(arr: ArrayData, bits: Int): Long = compute(arr, bits, false)
+
+  def compute(arr: ArrayData, bits: Int, remix: Boolean): Long = {
     val n = arr.numElements()
     val seen = new java.util.HashSet[UTF8String](math.max(8, n * 2))
     val votes = new Array[Int](bits)
+    // affine family coefficients, hoisted out of the token loop
+    val as = if (remix) Array.tabulate(bits)(j => ((j * 2654435761L) % P) | 1L) else null
+    val bs = if (remix) Array.tabulate(bits)(j => (j * 40503L * 65537L) % P) else null
     var i = 0
     while (i < n) {
       val w = arr.getUTF8String(i)
@@ -77,7 +92,10 @@ object SimhashKernel {
         val h = polyHash(w)
         var j = 0
         while (j < bits) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          val bit =
+            if (remix) ((h * as(j) + bs(j)) % P) & 1L
+            else (h >>> j) & 1L
+          if (bit == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
       }

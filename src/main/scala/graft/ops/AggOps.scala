@@ -1122,13 +1122,56 @@ object AggOps {
       .orderBy("hour")
   }
 
+  /** Hourly OHLC downsample of the event value stream per type — the
+    * canonical time-series compaction (open/high/low/close + count) every
+    * telemetry warehouse maintains as its first rollup tier. The
+    * open/close ("first/last by time") come from struct-min/max — an
+    * ordinary partial-aggregatable fold over (us, event_id, cents), NOT a
+    * per-group window: a (hour, type) window would shuffle AND sort the
+    * full event stream, while struct-min folds map-side and merges like
+    * any min. (event_id makes the order total, so ties on us can never
+    * make the engines disagree.) One map-side-combined groupBy; output is
+    * hours×types-sized. Values snap to integer cents per row.
+    */
+  val aggOhlc: Op = Op.sql(
+    "agg-ohlc",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+      |         epoch_us(ts) AS us, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT hour_id, event_type,
+      |       (min({'us': us, 'eid': event_id, 'c': cents})).c AS open_cents,
+      |       CAST(max(cents) AS BIGINT) AS high_cents,
+      |       CAST(min(cents) AS BIGINT) AS low_cents,
+      |       (max({'us': us, 'eid': event_id, 'c': cents})).c AS close_cents,
+      |       count(*) AS n
+      |FROM e GROUP BY hour_id, event_type
+      |ORDER BY hour_id, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(expr("ts div 1000").as("us"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hour_id", expr("us div 3600000000"))
+      .groupBy("hour_id", "event_type")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max("cents").as("high_cents"),
+        min("cents").as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("hour_id", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
-    aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest)
+    aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc)
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

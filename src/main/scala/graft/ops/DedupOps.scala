@@ -140,9 +140,11 @@ object DedupOps {
   /** SimHash bit-vote fingerprint (portable polynomial hash, 20 bits) +
     * same-fingerprint group size.
     */
-  val dedupSimhash: Op = Op.sql(
-    "dedup-simhash",
-    """WITH words AS (
+  /** The per-doc simhash fingerprint CTEs (polynomial token hash → 20-bit
+    * bit-vote pack), shared by dedup-simhash and dedup-simhash-hamming.
+    */
+  private val SimhashFpOracle =
+    """words AS (
       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
       |  FROM documents),
       |hashed AS (
@@ -156,7 +158,11 @@ object DedupOps {
       |  GROUP BY id, j),
       |fp AS (
       |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY id)
+      |  FROM votes GROUP BY id)""".stripMargin
+
+  val dedupSimhash: Op = Op.sql(
+    "dedup-simhash",
+    s"""WITH $SimhashFpOracle
       |SELECT id, simhash,
       |       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
       |FROM fp ORDER BY id""".stripMargin
@@ -787,6 +793,78 @@ object DedupOps {
       .orderBy("bucket", "n_bands")
   }
 
+  /** SimHash near-dup PAIRS at Hamming distance ≤ 3 — the Manku–Jain–
+    * Sarma web-dedup construction (WWW 2007): exact-equality simhash
+    * buckets (dedup-simhash) miss near-dups that flip a few bits, so the
+    * fingerprint is split into hd+1 = 4 bands and, by pigeonhole, every
+    * pair within distance 3 agrees EXACTLY on at least one band — the
+    * band equi-join is the complete candidate generator, and a popcount
+    * on the XOR verifies. Never an all-pairs compare: candidates are
+    * bounded by band-bucket occupancy (the oracle's O(n²) self-join is
+    * the gate-only spelling).
+    *
+    * Scale shape: fingerprints are the zero-shuffle codegen kernel; one
+    * explode to 4 band rows per doc; the bucket join shuffles 8-byte
+    * keys; verify is a per-row integer popcount. A degenerate band value
+    * shared by millions of docs (e.g. the empty-doc fingerprint) is the
+    * LSH-bucket skew case — AQE skew-join splitting applies, and the
+    * band key carries 5 fingerprint bits so occupancy concentrates only
+    * when the corpus genuinely is near-identical.
+    */
+  val dedupSimhashHamming: Op = Op.sql(
+    "dedup-simhash-hamming",
+    // 48 REMIXED bits (not dedup-simhash's raw 20): the base polynomial
+    // hash is mod 1000003 ≈ 2²⁰, so raw bits ≥ 20 are constant and a
+    // wide fingerprint silently degenerates to the narrow one — and at
+    // 20 bits the vote correlation of a shared-vocabulary corpus puts
+    // >half of ALL pairs within distance 3 (no discriminative power,
+    // O(n²) candidate buckets). Bit j is the parity of the affine family
+    // member (h·a_j + b_j) mod (2³¹−1) — minhash's hash family.
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |           (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM words),
+      |votes AS (
+      |  SELECT id, j,
+      |         CAST(sum(CASE WHEN ((h * (((j * 2654435761) % 2147483647) | 1)
+      |                              + ((j * 40503 * 65537) % 2147483647))
+      |                             % 2147483647) % 2 = 1
+      |                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 47)) AS j) g
+      |  GROUP BY id, j),
+      |fp AS (
+      |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY id)
+      |SELECT a.id AS d1, b.id AS d2,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
+      graft.functions.SimhashFingerprint.mixed(
+        graft.text.TextAnalysis.tokens(col("text")), 48).as("simhash"))
+    val bands = fp.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("k"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.b").as("b"), col("bk.k").as("k"))
+    bands.select(col("b"), col("k"), col("id").as("d1"), col("simhash").as("f1"))
+      .join(bands.select(col("b"), col("k"), col("id").as("d2"),
+        col("simhash").as("f2")), Seq("b", "k"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** Near-dup graph degree distribution — the first diagnostic read off
     * any pair-producing dedup stage: a heavy right tail means boilerplate
     * / template families (one doc near-dup to thousands), which is what
@@ -852,5 +930,5 @@ object DedupOps {
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
-    dedupGraphDegree, dedupGraphTriangles)
+    dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming)
 }

@@ -56,6 +56,46 @@ object SourceSinkOps {
       .orderBy("l_returnflag")
   }
 
+  /** The DataSourceV2 read path ([[graft.sources.v2.AvroArchiveDataSource]]):
+    * write a height-keyed blocks archive as contiguous range files, then
+    * query it through `spark.read.format("avro-archive")` with a height
+    * BETWEEN predicate — the connector prunes non-intersecting container
+    * FILES at plan time from the filename ranges alone (the archive's
+    * filename is its zone map, reference src/archiver/filenames.rs:51-83)
+    * and decodes only the pruned column set. V2ConnectorSpec asserts the
+    * partition count actually shrinks; this op gates the row values.
+    */
+  val scanAvroPruned: Op = Op.sql(
+    "scan-avro-pruned",
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_h
+      |FROM orders WHERE o_orderkey BETWEEN 2000 AND 4999""".stripMargin
+  ) { (s, d) =>
+    // fresh dir per build: the blocks layout nests under l1 subdirs, which
+    // clearDir does not recurse into, and the sink's never-overwrite
+    // guard (correctly) refuses a re-write of the same range file
+    val out = tmpDir(
+      "scan-avro-v2-" + java.util.UUID.randomUUID().toString.take(8))
+    clearDir(out)
+    val recs = Tables.orders(s, d).select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("o_orderkey").as("height"),
+      sha2(col("o_orderkey").cast("string"), 256).as("blockId"),
+      sha2((col("o_orderkey") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("o_orderkey")).as("timestamp"),
+      col("o_orderkey").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    // contiguous height ranges → non-overlapping range-file names → the
+    // connector's filename pruning has real selectivity
+    graft.sources.AvroArchiveSink.write(
+      recs.repartitionByRange(32, col("height")), "blocks", out)
+    s.read.format("avro-archive").option("kind", "blocks").load(out)
+      .where(col("height").between(2000, 4999))
+      .agg(count(lit(1)).as("n"), sum("height").as("sum_h"))
+  }
+
   /** Local filesystem sink in the reference's ACTUAL format — Avro object
     * containers with zstd (reference: src/storage/fs.rs:135-219,
     * src/global.rs:34-46): write via AvroArchiveSink, decode back via
@@ -310,7 +350,7 @@ object SourceSinkOps {
     graft.archive.Sinks.prometheusLines(items, durations).orderBy("line")
   }
 
-  val ops: Seq[Op] = Seq(scanAvro, sinkAvroFs, sinkAvroS3, compress,
-    listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc, verifyFullRoundtrip,
-    sinkMetricsProm)
+  val ops: Seq[Op] = Seq(scanAvro, scanAvroPruned, sinkAvroFs, sinkAvroS3,
+    compress, listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc,
+    verifyFullRoundtrip, sinkMetricsProm)
 }

@@ -1,0 +1,210 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.model.Schemas
+import graft.sources.AvroArchiveSource
+
+/** DataSourceV2 connector for the reference's Avro object-container archive
+  * layout: `spark.read.format("avro-archive").option("kind", "blocks")
+  * .load(dir)`.
+  *
+  * What makes this the Spark-native read path (vs the binaryFiles seam in
+  * [[graft.sources.AvroArchiveSource]]):
+  *
+  *  - **Filename-range partition pruning.** The archive's filename IS its
+  *    zone map (`range-<min>_<max>.<kind>.avro` — reference
+  *    src/archiver/filenames.rs:51-83), so height predicates prune whole
+  *    container files at PLAN time: `pushFilters` extracts the conjunctive
+  *    height bounds and `planInputPartitions` drops every file whose range
+  *    doesn't intersect. A 100-TB archive query for one 1000-block chunk
+  *    plans exactly one input partition. (Filters are still re-applied by
+  *    Spark post-scan — the source prunes files, it does not claim
+  *    row-exact evaluation.)
+  *  - **Column-pruned decode.** `pruneColumns` narrows the conversion to
+  *    the columns the query needs: a `select(height)` over a payload-heavy
+  *    blocks archive never materializes the json/uncle blobs into rows
+  *    (the container itself is row-major, so the byte stream is still
+  *    read — the saving is decode/alloc, the dominant cost for blob
+  *    columns).
+  *  - **One file per partition** — the natural unit, since range files are
+  *    chunk-bounded by construction (≤1000 blocks, src/args.rs:136).
+  *
+  * Schemas are the pinned static ones (Schemas.schemaFor — never
+  * inference; reference src/storage/avro_reader.rs:28-70).
+  */
+class AvroArchiveDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "avro-archive"
+
+  private def kindOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("kind")).getOrElse(
+      throw new IllegalArgumentException(
+        "avro-archive requires .option(\"kind\", blocks|txes|traces)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.schemaFor(kindOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new AvroArchiveTable(schema, kindOf(opts),
+      Option(opts.get("path")).getOrElse(
+        throw new IllegalArgumentException("avro-archive requires a path")))
+  }
+}
+
+final class AvroArchiveTable(tableSchema: StructType, kind: String, dir: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"avro-archive($kind, $dir)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroArchiveScanBuilder(tableSchema, kind, dir)
+}
+
+final class AvroArchiveScanBuilder(fullSchema: StructType, kind: String,
+    dir: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+
+  /** Conjunctive height bounds of a filter, as (lo, hi) deltas. */
+  private def heightBounds(f: Filter): Option[(Long, Long)] = f match {
+    case EqualTo("height", v: Long)            => Some((v, v))
+    case GreaterThan("height", v: Long)        => Some((v + 1, Long.MaxValue))
+    case GreaterThanOrEqual("height", v: Long) => Some((v, Long.MaxValue))
+    case LessThan("height", v: Long)           => Some((Long.MinValue, v - 1))
+    case LessThanOrEqual("height", v: Long)    => Some((Long.MinValue, v))
+    case And(l, r) =>
+      (heightBounds(l), heightBounds(r)) match {
+        case (Some((a, b)), Some((c, e))) => Some((math.max(a, c), math.min(b, e)))
+        case (one @ Some(_), None)        => one
+        case (None, one)                  => one
+      }
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(heightBounds(_).isDefined)
+    filters // conservative: Spark re-evaluates everything post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val (lo, hi) = accepted.flatMap(heightBounds).foldLeft(
+      (Long.MinValue, Long.MaxValue)) { case ((a, b), (c, e)) =>
+      (math.max(a, c), math.min(b, e))
+    }
+    new AvroArchiveScan(required, kind, dir, lo, hi)
+  }
+}
+
+final case class AvroFilePartition(path: String) extends InputPartition
+
+final class AvroArchiveScan(required: StructType, kind: String, dir: String,
+    lo: Long, hi: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // Catalog-sized driver-side planning: list + filename-parse + prune.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val all = AvroArchiveSource.filesOfKind(spark,
+      AvroArchiveSource.listAvroFiles(spark, dir), kind)
+    val kept = all.filter { p =>
+      val base = p.substring(p.lastIndexOf('/') + 1)
+      AvroArchiveSource.parseRangeS(base) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unparsable range: never silently drop
+      }
+    }
+    kept.map(AvroFilePartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new AvroPartitionReaderFactory(conf, required)
+  }
+
+  override def description(): String =
+    s"avro-archive kind=$kind dir=$dir heightBounds=[$lo, $hi] " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
+}
+
+final class AvroPartitionReaderFactory(conf: SerializableConfiguration,
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[AvroFilePartition].path
+    val fields = required.fields
+    new PartitionReader[InternalRow] {
+      private val stream = {
+        val p = new Path(path)
+        val in = p.getFileSystem(conf.value).open(p)
+        new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      }
+      override def next(): Boolean = stream.hasNext
+      override def get(): InternalRow = {
+        val rec = stream.next()
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
+          val v = if (rec.getSchema.getField(f.name) != null) rec.get(f.name) else null
+          row.update(i, convert(v, f.dataType))
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = stream.close()
+    }
+  }
+
+  /** Avro runtime value → Catalyst internal value for the pruned column
+    * set (timestamps are the sink's timestamp-millis longs → micros).
+    */
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                       => null
+    case (u: Utf8, StringType)           =>
+      // Utf8's backing array over-allocates; copy exactly byteLength
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(u.getBytes, 0, u.getByteLength))
+    case (s: String, StringType)         => UTF8String.fromString(s)
+    case (l: java.lang.Long, TimestampType | TimestampNTZType) => l * 1000L
+    case (l: java.lang.Long, LongType)   => l.longValue()
+    case (d: java.lang.Double, DoubleType) => d.doubleValue()
+    case (i: java.lang.Integer, IntegerType) => i.intValue()
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (a: Array[Byte], BinaryType)    => a
+    case (other, _) =>
+      throw new IllegalArgumentException(
+        s"avro-archive: unsupported value ${other.getClass} for $dt")
+  }
+}

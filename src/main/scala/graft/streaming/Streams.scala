@@ -376,4 +376,31 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
         col("user_id"), col("n"))
+
+  /** Live hourly OHLC — the streaming half of agg-ohlc: the open/close
+    * struct-min/max folds are ORDINARY aggregations, so the same shape
+    * runs under a watermarked window with merge-across-micro-batch
+    * semantics for free (min/max of structs merge like any min/max; no
+    * flatMapGroupsWithState, no per-event ordering state — event-time
+    * order materializes from the fold no matter the arrival order).
+    * State per (window, type) is two structs + three longs at ANY event
+    * rate. Input: (tsc timestamp, event_id, event_type, cents);
+    * StreamsSpec proves batch parity under late/out-of-order arrival.
+    */
+  def ohlcLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"))
+      .agg(
+        min(struct(unix_micros(col("tsc")).as("us"), col("event_id"),
+          col("cents"))).getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(unix_micros(col("tsc")).as("us"), col("event_id"),
+          col("cents"))).getField("cents").as("close_cents"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n"))
 }

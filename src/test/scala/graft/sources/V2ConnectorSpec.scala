@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DataSourceV2 avro-archive connector: filename-range partition
+  * pruning, column-pruned decode, and value-exact roundtrip against the
+  * sink.
+  */
+class V2ConnectorSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val out = Files.createTempDirectory("graft-v2-").toAbsolutePath.toString
+    val recs = spark.range(0, 5000).toDF("height").select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("height"),
+      sha2(col("height").cast("string"), 256).as("blockId"),
+      sha2((col("height") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("height")).as("timestamp"),
+      col("height").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    // exact 1000-height chunks → 5 range files with deterministic disjoint
+    // name ranges (range-0_999 … range-4000_4999); one write per chunk so
+    // no partitioner sampling can smear a boundary
+    (0 until 5).foreach { c =>
+      AvroArchiveSink.write(
+        recs.where(col("height").between(c * 1000, c * 1000 + 999)).coalesce(1),
+        "blocks", out)
+    }
+    out
+  }
+
+  private def scan(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  private def read() =
+    spark.read.format("avro-archive").option("kind", "blocks").load(dir)
+
+  test("height predicate prunes container files at plan time") {
+    val all = read()
+    assert(scan(all).inputRDD.getNumPartitions == 5)
+    val pruned = read().where(col("height").between(1200, 1800))
+    assert(scan(pruned).inputRDD.getNumPartitions == 1)
+    assert(pruned.count() == 601)
+    // boundary-straddling range hits exactly the two covering files
+    val straddle = read().where(col("height") >= 900 && col("height") <= 1100)
+    assert(scan(straddle).inputRDD.getNumPartitions == 2)
+    assert(straddle.count() == 201)
+  }
+
+  test("filters are re-applied post-scan (file pruning is not row-exact)") {
+    val df = read().where(col("height") === 1234)
+    assert(df.count() == 1)
+    assert(df.select("blockId").head().getString(0) ==
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex("1234"))
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val df = read().select("height").where(col("height") < 500)
+    val rs = scan(df).scan.readSchema()
+    assert(rs.fieldNames.toSeq == Seq("height"), rs.treeString)
+    assert(df.agg(sum("height")).head().getLong(0) == 499L * 500 / 2)
+  }
+
+  test("roundtrip values survive: strings, timestamps, binaries, nulls") {
+    val r = read().where(col("height") === 7).head()
+    assert(r.getAs[String]("blockchainId") == "BTC")
+    assert(r.getAs[java.sql.Timestamp]("timestamp").getTime == 7000L)
+    assert(new String(r.getAs[Array[Byte]]("json")) == "7")
+    assert(r.getAs[Array[Byte]]("uncle0Json") == null)
+  }
+
+  test("missing kind option fails loudly") {
+    intercept[Exception] {
+      spark.read.format("avro-archive").load(dir).collect()
+    }
+  }
+}

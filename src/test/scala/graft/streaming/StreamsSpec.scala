@@ -512,4 +512,55 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch,
       s"streamed ${streamed.size} bursts vs batch ${batch.size}")
   }
+
+  test("streamed windowed OHLC equals the batch agg-ohlc under out-of-order arrival") {
+    import java.sql.Timestamp
+    import graft.Tables
+    import org.apache.spark.sql.streaming.OutputMode
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy("ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Timestamp, Long)](spark, 2)
+    val src = input.toDF().toDF("event_type", "event_id", "tsc", "cents")
+    val q = Streams.ohlcLive(src).writeStream
+      .format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append).start()
+    // REVERSED inside each micro-batch: the open/close struct folds must
+    // recover event-time order from arrival disorder (the watermark only
+    // advances between batches, so nothing is dropped)
+    ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+      input.addData(chunk.reverse
+        .map { case (et, id, us, c) => (et, id, tsOfMicros(us), c) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val far = ev.map(_._3).max + 365L * 86400 * 1000000
+    input.addData(("sentinel", -1L, tsOfMicros(far), 0L)); q.processAllAvailable()
+    input.addData(("sentinel", -1L, tsOfMicros(far + 3600L * 1000000), 0L))
+    q.processAllAvailable()
+    val streamed = spark.table("ohlc_out")
+      .filter(col("event_type") =!= "sentinel")
+      .collect()
+      .map(r => (r.getLong(0) / 3600000000L, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    q.stop()
+    val batch = graft.ops.AggOps.aggOhlc.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
 }
