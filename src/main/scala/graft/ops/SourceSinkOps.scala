@@ -96,6 +96,43 @@ object SourceSinkOps {
       .agg(count(lit(1)).as("n"), sum("height").as("sum_h"))
   }
 
+  /** The DataSourceV2 WRITE path: `df.write.format("avro-archive")` with
+    * the sink's never-overwrite protocol moved to where V2 puts it — task
+    * temps + serial claim/rename in the driver's `BatchWrite.commit`
+    * (speculative attempts can't race a claim; Spark's task-commit
+    * coordination delivers one message per partition). Cross-
+    * implementation roundtrip: V2 writes the range layout, the v1
+    * container decoder reads it back; scan-avro-pruned proves the other
+    * direction (v1 write → V2 read).
+    */
+  val sinkAvroV2: Op = Op.sql(
+    "sink-avro-v2",
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_h,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_h
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    val out = tmpDir(
+      "sink-avro-v2-" + java.util.UUID.randomUUID().toString.take(8))
+    clearDir(out)
+    val recs = Tables.orders(s, d).select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("o_orderkey").as("height"),
+      sha2(col("o_orderkey").cast("string"), 256).as("blockId"),
+      sha2((col("o_orderkey") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("o_orderkey")).as("timestamp"),
+      col("o_orderkey").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    recs.repartitionByRange(16, col("height"))
+      .write.format("avro-archive").option("kind", "blocks")
+      .mode("append").save(out)
+    graft.sources.AvroArchiveSource.readArchive(s, out, "blocks")
+      .agg(count(lit(1)).as("n"), sum("height").as("sum_h"),
+        max("height").as("max_h"))
+  }
+
   /** Local filesystem sink in the reference's ACTUAL format — Avro object
     * containers with zstd (reference: src/storage/fs.rs:135-219,
     * src/global.rs:34-46): write via AvroArchiveSink, decode back via
@@ -351,6 +388,6 @@ object SourceSinkOps {
   }
 
   val ops: Seq[Op] = Seq(scanAvro, scanAvroPruned, sinkAvroFs, sinkAvroS3,
-    compress, listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc,
+    sinkAvroV2, compress, listFiles, sinkNotifyJsonl, srcHeadStream, srcGrpc,
     verifyFullRoundtrip, sinkMetricsProm)
 }

@@ -11,9 +11,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -21,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.model.Schemas
-import graft.sources.AvroArchiveSource
+import graft.sources.{AvroArchiveSink, AvroArchiveSource}
 
 /** DataSourceV2 connector for the reference's Avro object-container archive
   * layout: `spark.read.format("avro-archive").option("kind", "blocks")
@@ -73,13 +74,16 @@ class AvroArchiveDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class AvroArchiveTable(tableSchema: StructType, kind: String, dir: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"avro-archive($kind, $dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroArchiveScanBuilder(tableSchema, kind, dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroArchiveWriteBuilder(info.schema(), kind, dir,
+      Option(info.options.get("codec")).getOrElse("snappy"))
 }
 
 final class AvroArchiveScanBuilder(fullSchema: StructType, kind: String,
@@ -206,5 +210,157 @@ final class AvroPartitionReaderFactory(conf: SerializableConfiguration,
     case (other, _) =>
       throw new IllegalArgumentException(
         s"avro-archive: unsupported value ${other.getClass} for $dt")
+  }
+}
+
+/** The connector's write side: `df.write.format("avro-archive")
+  * .option("kind", ...).mode("append").save(dir)`.
+  *
+  * Commit protocol — the V2 shape of the sink's never-overwrite claim
+  * (reference src/storage/fs.rs:33-39): every task streams its partition
+  * into a HIDDEN temp container and reports (temp, min/max height, count)
+  * in its commit message; the DRIVER then claims + renames all winners
+  * serially in `BatchWrite.commit`. Spark's task-commit coordination
+  * guarantees one message per partition, so a speculative duplicate
+  * attempt can never race a claim — its `abort` just deletes its temp.
+  * A name collision (two partitions covering the same height range, or a
+  * pre-existing archive file) fails the JOB with every temp still
+  * un-renamed: the archive is never half-overwritten.
+  *
+  * Reference-kind tables with a height column land at the discoverable
+  * range/single layout (the filename IS the metadata); other kinds fall
+  * back to flat `part-<pid>.<kind>.avro` names.
+  */
+final class AvroArchiveWriteBuilder(schema: StructType, kind: String,
+    dir: String, codec: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AvroArchiveBatchWrite(
+      schema, kind, dir, codec,
+      new SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+  }
+}
+
+final case class AvroWriteCommit(tmpPath: String, partitionId: Int,
+    minH: Long, maxH: Long, n: Long) extends WriterCommitMessage
+
+final class AvroArchiveBatchWrite(schema: StructType, kind: String,
+    dir: String, codec: String, conf: SerializableConfiguration)
+    extends BatchWrite {
+
+  private val refKind: Option[String] =
+    scala.util.Try(graft.archive.Filenames.normalizeKind(kind)).toOption
+      .filter(_ => schema.fieldNames.contains("height"))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroArchiveWriterFactory(schema, kind, dir, codec, conf,
+      refKind.isDefined)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    messages.collect { case m: AvroWriteCommit if m.n > 0 =>
+      val rel = refKind match {
+        case Some(k) if m.minH == m.maxH =>
+          graft.archive.Filenames.relativeSinglePath(m.minH, k)
+        case Some(k) =>
+          graft.archive.Filenames.relativeRangePath(m.minH, m.maxH, k)
+        case None => f"part-${m.partitionId}%05d.$kind.avro"
+      }
+      val target = new Path(dir, rel)
+      if (!AvroArchiveSink.claimTarget(fs, target))
+        throw new IllegalStateException(
+          s"archive file exists (never overwritten): $target")
+      AvroArchiveSink.commitClaimed(fs, new Path(m.tmpPath), target)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    messages.foreach {
+      case m: AvroWriteCommit =>
+        try fs.delete(new Path(m.tmpPath), false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+  }
+}
+
+final class AvroArchiveWriterFactory(schema: StructType, kind: String,
+    dir: String, codec: String, conf: SerializableConfiguration,
+    trackHeight: Boolean) extends DataWriterFactory {
+
+  private val schemaJson = AvroArchiveSink.avroSchema(schema, kind).toString
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val fields = schema.fields
+    val hIdx = if (trackHeight) schema.fieldIndex("height") else -1
+    new DataWriter[InternalRow] {
+      private val fs = new Path(dir).getFileSystem(conf.value)
+      private val avro = new Schema.Parser().parse(schemaJson)
+      private val tmp = new Path(dir,
+        s".graft-tmp-${java.util.UUID.randomUUID()}")
+      private val out = {
+        fs.mkdirs(new Path(dir))
+        val w = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+          new GenericDatumWriter[org.apache.avro.generic.GenericRecord](avro))
+        w.setCodec(codec match {
+          case "snappy"  => org.apache.avro.file.CodecFactory.snappyCodec()
+          case "zstd"    => org.apache.avro.file.CodecFactory.zstandardCodec(9)
+          case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+          case "null"    => org.apache.avro.file.CodecFactory.nullCodec()
+          case other => throw new IllegalArgumentException(s"codec: $other")
+        })
+        w.create(avro, fs.create(tmp, true))
+      }
+      private var n = 0L
+      private var mn = Long.MaxValue
+      private var mx = Long.MinValue
+
+      override def write(row: InternalRow): Unit = {
+        val rec = new GenericData.Record(avro)
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
+          val v: Any =
+            if (row.isNullAt(i)) null
+            else f.dataType match {
+              case StringType  => row.getUTF8String(i).toString
+              case LongType    => java.lang.Long.valueOf(row.getLong(i))
+              case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+              case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+              case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+              case TimestampType | TimestampNTZType =>
+                java.lang.Long.valueOf(row.getLong(i) / 1000L) // micros → millis
+              case other => throw new IllegalArgumentException(
+                s"avro-archive write: unsupported type $other")
+            }
+          rec.put(f.name, v)
+          i += 1
+        }
+        if (hIdx >= 0) {
+          val h = row.getLong(hIdx)
+          if (h < mn) mn = h
+          if (h > mx) mx = h
+        }
+        out.append(rec)
+        n += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (n == 0L) fs.delete(tmp, false)
+        AvroWriteCommit(tmp.toString, partitionId, mn, mx, n)
+      }
+
+      override def abort(): Unit = {
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+      }
+
+      override def close(): Unit = ()
+    }
   }
 }

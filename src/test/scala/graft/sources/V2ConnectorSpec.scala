@@ -84,4 +84,62 @@ class V2ConnectorSpec extends SparkSpec {
       spark.read.format("avro-archive").load(dir).collect()
     }
   }
+
+  test("v2 write lands the range layout and the v1 decoder reads it back") {
+    val out = Files.createTempDirectory("graft-v2w-").toAbsolutePath.toString
+    val recs = spark.range(100, 300).toDF("height").select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("height"),
+      sha2(col("height").cast("string"), 256).as("blockId"),
+      sha2((col("height") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("height")).as("timestamp"),
+      col("height").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    recs.repartitionByRange(2, col("height"))
+      .write.format("avro-archive").option("kind", "blocks")
+      .mode("append").save(out)
+    val files = AvroArchiveSource.listAvroFiles(spark, out)
+    assert(files.size == 2, files)
+    assert(files.forall(_.contains("range-")), files)
+    val back = AvroArchiveSource.readArchive(spark, out, "blocks")
+    assert(back.count() == 200)
+    assert(back.agg(sum("height")).head().getLong(0) == (100L until 300L).sum)
+    // temp files never linger after a successful commit
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+    while (it.hasNext) {
+      val f = it.next()
+      assert(!f.getPath.getName.startsWith(".graft-tmp-"), f.getPath)
+    }
+  }
+
+  test("v2 write never overwrites an existing archive file") {
+    val out = Files.createTempDirectory("graft-v2w-").toAbsolutePath.toString
+    val recs = spark.range(0, 50).toDF("height").select(
+      lit("ETHEREUM").as("blockchainType"), lit("ETH").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("height"),
+      sha2(col("height").cast("string"), 256).as("blockId"),
+      sha2((col("height") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("height")).as("timestamp"),
+      col("height").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"),
+      lit(null).cast("binary").as("uncle0Json"),
+      lit(null).cast("binary").as("uncle1Json"))
+    def write(): Unit = recs.coalesce(1)
+      .write.format("avro-archive").option("kind", "blocks")
+      .mode("append").save(out)
+    write()
+    val e = intercept[Exception] { write() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("never overwritten")), e.toString)
+    // the refused write left no partial state: still exactly one file
+    assert(AvroArchiveSource.listAvroFiles(spark, out).size == 1)
+  }
 }
