@@ -660,6 +660,49 @@ object DedupOps {
       .orderBy("cluster_size")
   }
 
+  /** Dedup savings BY SOURCE — the data-mix view of the near-dup cluster
+    * table: how many of each source's documents survive one-representative-
+    * per-cluster dedup (rep = min cluster id, the CC label itself, so no
+    * extra ranking pass). A source whose drop share dwarfs the others is a
+    * template mill — this table is what re-weights the mix (text-mix-*) or
+    * gates the crawler, and it is exactly the per-source view the global
+    * dedup-weights op cannot give. One broadcast-sized join of the cluster
+    * table onto the doc catalog + a sources-sized groupBy; micro-snapped
+    * share.
+    */
+  val dedupSavingsBySource: Op = Op.sql(
+    "dedup-savings-by-source",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN cl.cluster <> d.doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_dropped,
+       |       CAST(round(sum(CASE WHEN cl.cluster <> d.doc_id THEN 1 ELSE 0 END)
+       |                  * 1000000.0 / count(*)) AS BIGINT) / 1000000.0
+       |         AS drop_share
+       |FROM documents d JOIN cl ON cl.id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id").as("id"), col("source"))
+      .join(persistedDocClusters(s, d), Seq("id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster") =!= col("id"), 1).otherwise(0)).cast("long")
+          .as("n_dropped"))
+      .withColumn("drop_share",
+        round(col("n_dropped") * lit(1000000.0) / col("n_docs")).cast("long") /
+          lit(1000000.0))
+      .orderBy("source")
+  }
+
   /** Jaccard-threshold calibration for the TEXT dedup ladder (the
     * companion of dedup-threshold-sweep's embedding-cosine sweep): the
     * pair-count / docs-affected curve over jaccard thresholds 0.5–0.9,
@@ -930,5 +973,6 @@ object DedupOps {
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
-    dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming)
+    dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
+    dedupSavingsBySource)
 }

@@ -684,9 +684,56 @@ object WindowOps {
       .orderBy("user_id")
   }
 
+  /** Hourly forward-fill (last observation carried forward) of the
+    * per-type revenue series — the time-series gap-fill every downstream
+    * consumer (rate anomaly, seasonality, changepoint) needs before it
+    * can difference or z-score a sparse series. The corpus reduces
+    * map-side to the (hour, type) grain FIRST; the dense grid explodes
+    * from one min/max anchor row (sequence + distinct types), and the
+    * fill window runs over GRID rows only — hours × types, never events.
+    * Leading cells before a type's first observation stay null (LOCF has
+    * nothing to carry); `is_observed` separates real from filled cells.
+    */
+  val winForwardFill: Op = Op.sql(
+    "win-forward-fill",
+    """WITH obs AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY hour_id, event_type),
+      |ext AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM obs),
+      |grid AS (
+      |  SELECT h.hour_id, t.event_type
+      |  FROM (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM ext) h,
+      |       (SELECT DISTINCT event_type FROM obs) t),
+      |j AS (SELECT g.hour_id, g.event_type, o.v
+      |      FROM grid g LEFT JOIN obs o USING (hour_id, event_type))
+      |SELECT hour_id, event_type,
+      |       CAST(last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY event_type ORDER BY hour_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cents_filled,
+      |       (v IS NOT NULL) AS is_observed
+      |FROM j ORDER BY hour_id, event_type""".stripMargin
+  ) { (s, d) =>
+    val obs = Tables.events(s, d)
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val hours = obs.agg(min("hour_id").as("mn"), max("hour_id").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour_id"))
+    val grid = hours.crossJoin(obs.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("hour_id", "event_type"), "left")
+      .select(col("hour_id"), col("event_type"),
+        last("v", ignoreNulls = true).over(w).as("cents_filled"),
+        col("v").isNotNull.as("is_observed"))
+      .orderBy("hour_id", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
-    aggMarkovStationary, winBurstFlag)
+    aggMarkovStationary, winBurstFlag, winForwardFill)
 }
