@@ -731,9 +731,54 @@ object WindowOps {
       .orderBy("hour_id", "event_type")
   }
 
+  /** Hourly EWMA (half-life = 1 hour) of the per-type revenue series in
+    * EXACT integer arithmetic: ewma_t = Σ_{l=0..20} v_{t−l} >> l. The
+    * recursion every single-node EWMA uses (s_t = s_{t−1}/2 + v_t) is a
+    * sequential scan no engine parallelizes; the kernel spelling converts
+    * it to a TRUNCATED convolution — each grid cell contributes to ≤ 21
+    * downstream cells (beyond lag 20 an integer-cents term shifts to 0
+    * for any realistic magnitude), one explode + one grid-grained groupBy,
+    * embarrassingly parallel. Per-term right-shift truncation is part of
+    * the op's integer contract (bit-identical across engines, unlike any
+    * float α-recursion).
+    */
+  val winEwma: Op = Op.sql(
+    "win-ewma",
+    """WITH obs AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY hour_id, event_type),
+      |ext AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM obs),
+      |contrib AS (
+      |  SELECT o.hour_id + l.l AS hour_id, o.event_type,
+      |         o.v // (2 ** l.l)::BIGINT AS c
+      |  FROM obs o, (SELECT unnest(generate_series(0, 20)) AS l) l),
+      |ew AS (SELECT hour_id, event_type, CAST(sum(c) AS BIGINT) AS ewma_cents
+      |       FROM contrib GROUP BY hour_id, event_type)
+      |SELECT e.hour_id, e.event_type, e.ewma_cents
+      |FROM ew e, ext WHERE e.hour_id <= ext.mx
+      |ORDER BY e.hour_id, e.event_type""".stripMargin
+  ) { (s, d) =>
+    val obs = Tables.events(s, d)
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val ext = obs.agg(max("hour_id").as("mx"))
+    obs
+      .select(col("hour_id"), col("event_type"), col("v"),
+        explode(sequence(lit(0L), lit(20L))).as("l"))
+      .select((col("hour_id") + col("l")).as("hour_id"), col("event_type"),
+        expr("v div shiftleft(1L, int(l))").as("c"))
+      .groupBy("hour_id", "event_type")
+      .agg(sum("c").as("ewma_cents"))
+      .join(broadcast(ext), col("hour_id") <= col("mx"))
+      .select("hour_id", "event_type", "ewma_cents")
+      .orderBy("hour_id", "event_type")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
-    aggMarkovStationary, winBurstFlag, winForwardFill)
+    aggMarkovStationary, winBurstFlag, winForwardFill, winEwma)
 }
