@@ -1165,13 +1165,68 @@ object AggOps {
       .orderBy("hour_id", "event_type")
   }
 
+  /** Poisson bootstrap of the mean purchase value — THE distributed
+    * bootstrap (resampling-with-replacement needs global coordination;
+    * giving each row an independent Poisson(1) weight per replicate
+    * needs none and is equivalent for n → ∞): 32 replicate means in ONE
+    * pass, their spread is the sampling distribution of the estimator.
+    * Weights are DETERMINISTIC — a per-(row, replicate) md5 maps through
+    * the exact integer-scaled Poisson(1) CDF cutoffs (2³²-scaled plan
+    * literals, identical both sides; truncated at k = 8, tail mass
+    * ≈ 1.1e-6), so there is no RNG state, no seed plumbing, and reruns
+    * are bit-identical on any cluster size. The 32× explode collapses
+    * map-side into 32 groups before the one exchange.
+    */
+  val aggPoissonBootstrap: Op = Op.sql(
+    "agg-poisson-bootstrap",
+    """WITH px AS (
+      |  SELECT r.r, CAST(round(e.value * 100) AS BIGINT) AS cents,
+      |         CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+      |               CAST(r.r AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) AS h
+      |  FROM events e, (SELECT unnest(generate_series(0, 31)) AS r) r
+      |  WHERE e.event_type = 'purchase'),
+      |w AS (SELECT r, cents,
+      |        CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+      |             WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+      |             WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+      |             WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+      |             ELSE 8 END AS wt
+      |      FROM px)
+      |SELECT r AS replicate, CAST(sum(wt) AS BIGINT) AS n_eff,
+      |       CAST(round(sum(wt * cents) * 1000000.0 / sum(wt)) AS BIGINT)
+      |         / 1000000.0 AS mean_cents
+      |FROM w GROUP BY r ORDER BY replicate""".stripMargin
+  ) { (s, d) =>
+    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val wt = cuts.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+      case ((c, k), rest) => when(col("h") < c, k.toLong).otherwise(rest)
+    }
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .select(col("cents"),
+        explode(sequence(lit(0L), lit(31L))).as("r"),
+        col("event_id"))
+      .withColumn("h", conv(substring(
+        md5(concat(col("event_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("wt", wt)
+      .groupBy(col("r").as("replicate"))
+      .agg(sum("wt").cast("long").as("n_eff"),
+        (round(sum(col("wt") * col("cents")) * lit(1000000.0) / sum("wt"))
+          .cast("long") / lit(1000000.0)).as("mean_cents"))
+      .orderBy("replicate")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
     aggActiveUsers, aggUserValue, aggHllDistinct, aggKmvOverlap,
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
-    aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc)
+    aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
+    aggPoissonBootstrap)
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

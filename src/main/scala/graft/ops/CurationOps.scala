@@ -517,7 +517,42 @@ object CurationOps {
       .orderBy("lang")
   }
 
+  /** l-diversity audit — k-anonymity's required companion
+    * (Machanavajjhala et al. 2007): a quasi-identifier group can be large
+    * (k-anonymous) yet expose its members anyway when the SENSITIVE
+    * attribute is near-constant inside it (homogeneity attack). Here the
+    * quasi-id is (source, 500-char size band) and the sensitive attribute
+    * is `lang`: groups carrying fewer than l = 3 distinct languages leak
+    * their members' language through metadata alone. Same scale shape as
+    * text-k-anonymity — one groupBy to the quasi-id grain (the
+    * countDistinct is over a bounded code set, so partial aggregation
+    * holds), one fold to the sources-sized report.
+    */
+  val textLDiversity: Op = Op.sql(
+    "text-l-diversity",
+    """WITH q AS (SELECT source, n_chars // 500 AS size_band,
+      |                  count(DISTINCT lang) AS l, count(*) AS k
+      |           FROM documents GROUP BY source, size_band)
+      |SELECT source, count(*) AS n_groups,
+      |       CAST(min(l) AS BIGINT) AS min_l,
+      |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS weak_groups,
+      |       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+      |         AS weak_docs
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 500").as("size_band"))
+      .agg(countDistinct("lang").as("l"), count(lit(1)).as("k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_groups"),
+        min("l").as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("l") < 3, col("k")).otherwise(0L)).as("weak_docs"))
+      .orderBy("source")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
     textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip,
-    textShardManifest, dedupSourceOverlap, textKAnonymity)
+    textShardManifest, dedupSourceOverlap, textKAnonymity, textLDiversity)
 }
