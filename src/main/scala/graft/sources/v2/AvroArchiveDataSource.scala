@@ -80,14 +80,15 @@ final class AvroArchiveTable(tableSchema: StructType, kind: String, dir: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroArchiveScanBuilder(tableSchema, kind, dir)
+    new AvroArchiveScanBuilder(tableSchema, kind, dir,
+      options.getBoolean("lenient", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroArchiveWriteBuilder(info.schema(), kind, dir,
       Option(info.options.get("codec")).getOrElse("snappy"))
 }
 
 final class AvroArchiveScanBuilder(fullSchema: StructType, kind: String,
-    dir: String) extends ScanBuilder
+    dir: String, lenient: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -124,14 +125,14 @@ final class AvroArchiveScanBuilder(fullSchema: StructType, kind: String,
       (Long.MinValue, Long.MaxValue)) { case ((a, b), (c, e)) =>
       (math.max(a, c), math.min(b, e))
     }
-    new AvroArchiveScan(required, kind, dir, lo, hi)
+    new AvroArchiveScan(required, kind, dir, lo, hi, lenient)
   }
 }
 
 final case class AvroFilePartition(path: String) extends InputPartition
 
 final class AvroArchiveScan(required: StructType, kind: String, dir: String,
-    lo: Long, hi: Long) extends Scan with Batch {
+    lo: Long, hi: Long, lenient: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -154,7 +155,7 @@ final class AvroArchiveScan(required: StructType, kind: String, dir: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new AvroPartitionReaderFactory(conf, required)
+    new AvroPartitionReaderFactory(conf, required, lenient)
   }
 
   override def description(): String =
@@ -163,20 +164,25 @@ final class AvroArchiveScan(required: StructType, kind: String, dir: String,
 }
 
 final class AvroPartitionReaderFactory(conf: SerializableConfiguration,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, lenient: Boolean = false)
+    extends PartitionReaderFactory {
 
+  /** `lenient = true` mirrors the v1 source's corrupt-container semantics
+    * (AvroArchiveSource.readArchiveFilesWithPath): an unreadable or
+    * mid-stream-corrupt container becomes "the records stop here" instead
+    * of a task failure — the verify tier then surfaces the damage through
+    * its coverage checks. Decode happens inside `next()` (lookahead), so
+    * corruption can never throw from a half-consumed `get()`.
+    */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[AvroFilePartition].path
     val fields = required.fields
     new PartitionReader[InternalRow] {
-      private val stream = {
-        val p = new Path(path)
-        val in = p.getFileSystem(conf.value).open(p)
-        new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      }
-      override def next(): Boolean = stream.hasNext
-      override def get(): InternalRow = {
-        val rec = stream.next()
+      private var stream: DataFileStream[GenericRecord] = null
+      private var pending: InternalRow = null
+      private var done = false
+
+      private def decode(rec: GenericRecord): InternalRow = {
         val row = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
@@ -187,7 +193,34 @@ final class AvroPartitionReaderFactory(conf: SerializableConfiguration,
         }
         row
       }
-      override def close(): Unit = stream.close()
+
+      override def next(): Boolean = {
+        if (done) return false
+        if (pending != null) return true
+        try {
+          if (stream == null) {
+            val p = new Path(path)
+            stream = new DataFileStream[GenericRecord](
+              p.getFileSystem(conf.value).open(p),
+              new GenericDatumReader[GenericRecord]())
+          }
+          if (stream.hasNext) { pending = decode(stream.next()); true }
+          else { done = true; false }
+        } catch {
+          case t: Throwable =>
+            done = true
+            if (lenient) false else throw t
+        }
+      }
+
+      override def get(): InternalRow = {
+        val r = pending; pending = null; r
+      }
+
+      override def close(): Unit =
+        if (stream != null) {
+          try stream.close() catch { case _: Throwable => () }
+        }
     }
   }
 

@@ -85,6 +85,28 @@ class V2ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("lenient read survives a truncated container; strict read fails the task") {
+    val out = Files.createTempDirectory("graft-v2c-").toAbsolutePath.toString
+    // copy one healthy range file in, then smash a byte window at 60% —
+    // mid-block garbage fails the codec/sync check (a clean truncation
+    // can masquerade as EOF)
+    val src = java.nio.file.Paths.get(
+      AvroArchiveSource.listAvroFiles(spark, dir).head.stripPrefix("file:"))
+    val broken = java.nio.file.Paths.get(out, src.getFileName.toString)
+    java.nio.file.Files.copy(src, broken)
+    val ch = java.nio.channels.FileChannel.open(broken,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val garbage = java.nio.ByteBuffer.wrap(Array.fill[Byte](64)(-1))
+      ch.write(garbage, ch.size() * 3 / 5)
+    } finally ch.close()
+    def read(lenient: Boolean) = spark.read.format("avro-archive")
+      .option("kind", "blocks").option("lenient", lenient.toString).load(out)
+    val n = read(lenient = true).count()
+    assert(n > 0 && n < 1000, s"expected a partial decode, got $n")
+    intercept[Exception] { read(lenient = false).count() }
+  }
+
   test("v2 write lands the range layout and the v1 decoder reads it back") {
     val out = Files.createTempDirectory("graft-v2w-").toAbsolutePath.toString
     val recs = spark.range(100, 300).toDF("height").select(
