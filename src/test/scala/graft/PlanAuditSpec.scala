@@ -488,6 +488,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("win-forward-fill windows over the grid per type, never the event stream") {
+    val p = plan("win-forward-fill")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    // events must be aggregated to (hour, type) grain BEFORE any window
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("win-ewma is convolution + groupBy — no window operator at all") {
+    val p = plan("win-ewma")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("dedup-containment pairs come from one aggregation, never a self cross") {
     val p = plan("dedup-containment")
     assert(!p.contains("CartesianProduct"), p)
