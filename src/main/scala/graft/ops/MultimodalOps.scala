@@ -304,6 +304,40 @@ object MultimodalOps {
       .orderBy("hamming")
   }
 
+  /** Modality alignment audit — the first integrity check of any paired
+    * (text, embedding) training set: a FULL OUTER join of the two id
+    * spaces classifies every item as both / text_only / embedding_only.
+    * The fixture ids align 1:1, so each side deterministically drops a
+    * residue class (doc_id % 17, vec_id % 13 — simulating failed embed
+    * jobs and deleted documents) to make all three fates populated.
+    * Scale shape: one full-outer hash join on 8-byte ids + a 3-row
+    * groupBy; at warehouse scale both sides pre-bucket on the id (the
+    * layout-bucketed-join contract) and the join is exchange-free.
+    */
+  val mmAlignmentAudit: Op = Op.sql(
+    "mm-alignment-audit",
+    """WITH t AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 <> 0),
+      |e AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 13 <> 0)
+      |SELECT CASE WHEN t.id IS NOT NULL AND e.id IS NOT NULL THEN 'both'
+      |            WHEN t.id IS NOT NULL THEN 'text_only'
+      |            ELSE 'embedding_only' END AS status,
+      |       count(*) AS n_items
+      |FROM t FULL OUTER JOIN e ON t.id = e.id
+      |GROUP BY status ORDER BY status""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id").as("tid"))
+      .filter(col("tid") % 17 =!= 0)
+    val e = Tables.embeddings(s, d).select(col("vec_id").as("eid"))
+      .filter(col("eid") % 13 =!= 0)
+    t.join(e, col("tid") === col("eid"), "full_outer")
+      .select(when(col("tid").isNotNull && col("eid").isNotNull, "both")
+        .when(col("tid").isNotNull, "text_only")
+        .otherwise("embedding_only").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_items"))
+      .orderBy("status")
+  }
+
   val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
-    mmPhashDedup, mmModalityManifest, mmFrameDedup, mmPhashHistogram)
+    mmPhashDedup, mmModalityManifest, mmFrameDedup, mmPhashHistogram,
+    mmAlignmentAudit)
 }

@@ -984,9 +984,88 @@ object SimOps {
       .orderBy(col("q_id"), col("approx_sim").desc, col("n_id"))
   }
 
+  // per-JVM-run unique root for the persisted index (same discipline as
+  // SourceSinkOps' side-effect dirs)
+  private lazy val indexRoot: String = java.nio.file.Files
+    .createTempDirectory("graft-ivf-").toAbsolutePath.toString
+
+  /** IVF index AS PHYSICAL LAYOUT: the corpus is written once,
+    * list-partitioned (`partitionBy(cid)`), and a query reads ONLY its
+    * probed lists — the probe set becomes a literal partition filter, so
+    * the scan's `PartitionFilters` prunes every other list's files at
+    * plan time (PlanAuditSpec pins it). This is the persisted-index half
+    * of sim-ivf-ann: same centroids, same probes, same answer, but the
+    * candidate fetch is file pruning instead of a join against an
+    * in-flight assignment — at 100 TB the index is written once and every
+    * query after that touches nprobe/nlist of the bytes. The probe-id
+    * collect is q × nprobe (config-sized, documented).
+    */
+  val simIvfIndexLayout: Op = Op.sql(
+    "sim-ivf-index-layout",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id AS n_id, c.v AS nv, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |lists AS (SELECT n_id, nv, cid FROM asgn WHERE rn = 1),
+       |prb AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, cc.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+       |                          (sqrt(list_dot_product(q.v, q.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e q, cents cc WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, qv, cid FROM prb WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, l.n_id,
+       |         (round(list_dot_product(p.qv, l.nv) /
+       |                (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                 sqrt(list_dot_product(l.nv, l.nv))), 6) + 0.0) AS sim
+       |  FROM probes p JOIN lists l USING (cid)),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, n_id, sim FROM ranked WHERE rn <= 3
+       |ORDER BY q_id, sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))
+    val dir = s"$indexRoot/${java.util.UUID.randomUUID().toString.take(8)}"
+    // index build (write once): corpus rows land under their list's dir
+    corpus
+      .join(Similarity.assignToCentroids(corpus, cents),
+        corpus("vec_id") === col("n_id"))
+      .select(col("n_id"), col("embedding").as("n_emb"), col("cid"))
+      .write.partitionBy("cid").parquet(dir)
+    // query: probe ids become a LITERAL partition filter on the index
+    val probes = Similarity.probeLists(queries, cents, nprobe = 2)
+    val probedIds = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted // q×nprobe-sized, config-scale
+    val idx = s.read.parquet(dir)
+      .filter(col("cid").isin(probedIds.map(_.asInstanceOf[Any]): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    idx.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "n_id", "sim")
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
-    simIvfPq)
+    simIvfPq, simIvfIndexLayout)
 }

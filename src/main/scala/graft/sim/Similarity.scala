@@ -204,6 +204,20 @@ object Similarity {
       .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
       .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
 
+  /** Per-query probed list ids (the top-`nprobe` centroids by cosine,
+    * ties to the lowest id) — the probe half of [[ivfTopK]] exposed for
+    * consumers that bring their own candidate store (e.g. a list-
+    * partitioned persisted index). Output: (q_id, q_emb, cid).
+    */
+  def probeLists(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centStructs = centroidStructs(collectCentroids(centroids))
+    queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(array(centStructs: _*))), 1, nprobe)).as("_p"))
+      .select(col("q_id"), col("q_emb"), (-col("_p.nc")).as("cid"))
+  }
+
   /** Product-quantization ANN (asymmetric distance computation): the
     * embedding is split into `m` equal-width subspaces; each corpus
     * subvector is ENCODED as the id of its nearest per-subspace centroid

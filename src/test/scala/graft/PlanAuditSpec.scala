@@ -501,6 +501,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("sim-ivf-index-layout probes prune index partitions at plan time") {
+    val p = plan("sim-ivf-index-layout")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined, p)
+    // candidate fetch must be the pruned scan + broadcast probes, not a
+    // corpus-wide shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup-containment pairs come from one aggregation, never a self cross") {
     val p = plan("dedup-containment")
     assert(!p.contains("CartesianProduct"), p)
