@@ -139,6 +139,25 @@ class V2ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: a container missing a nullable column null-fills it") {
+    val out = Files.createTempDirectory("graft-v2e-").toAbsolutePath.toString
+    // an "older" archive written before the uncle columns existed
+    val reduced = spark.range(0, 20).toDF("height").select(
+      lit("BITCOIN").as("blockchainType"), lit("BTC").as("blockchainId"),
+      to_timestamp(lit(0)).as("archiveTimestamp"),
+      col("height"),
+      sha2(col("height").cast("string"), 256).as("blockId"),
+      sha2((col("height") - 1).cast("string"), 256).as("parentId"),
+      to_timestamp(col("height")).as("timestamp"),
+      col("height").cast("string").cast("binary").as("json"),
+      lit(0).as("unclesCount"))
+    AvroArchiveSink.write(reduced.coalesce(1), "blocks", out)
+    val back = spark.read.format("avro-archive").option("kind", "blocks").load(out)
+    assert(back.count() == 20)
+    assert(back.filter(col("uncle0Json").isNull).count() == 20)
+    assert(back.agg(sum("height")).head().getLong(0) == 190L)
+  }
+
   test("v2 write never overwrites an existing archive file") {
     val out = Files.createTempDirectory("graft-v2w-").toAbsolutePath.toString
     val recs = spark.range(0, 50).toDF("height").select(
