@@ -403,4 +403,36 @@ object Streams {
       .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
         col("open_cents"), col("high_cents"), col("low_cents"),
         col("close_cents"), col("n"))
+
+  /** Live hourly EWMA over the hourly series — why win-ewma's convolution
+    * spelling matters for streaming too: the α-recursion
+    * (s_t = s_{t−1}/2 + v_t) is stateful ACROSS windows and has no
+    * streaming-agg form, but the truncated kernel is just "each hourly
+    * observation contributes v >> l to hour t+l for l ≤ 20" — a flatMap
+    * to 21 time-shifted rows into an ordinary watermarked window SUM.
+    * State is one long per open (window, type); the shifted times spread
+    * ≤ 20 h into the future, so the watermark delay must cover spread +
+    * lateness (hence the 21 h default).
+    *
+    * Input is the (hour, type, v) SERIES — itself a streaming hourly
+    * window agg or a batch rollup — NOT raw events: win-ewma's integer
+    * contract shifts the hourly SUM (sum-then-shift), and only the
+    * series-grain input reproduces that bit-exactly. Batch parity is
+    * proven in StreamsSpec. Input: (tsc hour-start timestamp,
+    * event_type, v).
+    */
+  def ewmaLive(hourly: DataFrame, horizon: String = "21 hours"): DataFrame =
+    hourly
+      .select(col("event_type"), col("v"),
+        explode(sequence(lit(0L), lit(20L))).as("l"),
+        col("tsc"))
+      .select(col("event_type"),
+        expr("v div shiftleft(1L, int(l))").as("c"), // == v >> l for v ≥ 0 (win-ewma's spelling)
+        timestamp_micros(unix_micros(col("tsc")) + col("l") * 3600000000L)
+          .as("tshift"))
+      .withWatermark("tshift", horizon)
+      .groupBy(window(col("tshift"), "1 hour").as("win"), col("event_type"))
+      .agg(sum("c").as("ewma_cents"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("ewma_cents"))
 }

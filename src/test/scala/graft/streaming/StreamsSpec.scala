@@ -606,4 +606,46 @@ class StreamsSpec extends SparkSpec {
       s"streamed ${streamed.size} windows vs batch ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("streamed convolution EWMA equals the batch win-ewma") {
+    import java.sql.Timestamp
+    import graft.Tables
+    // the hourly series win-ewma convolves, computed from the fixture
+    val hourly = Tables.events(spark, sf())
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mx = hourly.map(_._1).max
+    def tsOfHour(h: Long) = new Timestamp(h * 3600000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Long)](spark, 2)
+    val src = input.toDF().toDF("tsc", "event_type", "v")
+    val q = Streams.ewmaLive(src).writeStream
+      .format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append).start()
+    hourly.sortBy(_._1).grouped(math.max(1, hourly.length / 3)).foreach { chunk =>
+      input.addData(chunk.map { case (h, t, v) => (tsOfHour(h), t, v) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    // sentinels far past the horizon close every real window
+    val far = mx + 24L * 400
+    input.addData((tsOfHour(far), "sentinel", 0L)); q.processAllAvailable()
+    input.addData((tsOfHour(far + 1), "sentinel", 0L)); q.processAllAvailable()
+    val streamed = spark.table("ewma_out")
+      .filter(col("event_type") =!= "sentinel")
+      .filter(col("win_us") / 3600000000L <= mx) // batch clips at its max hour
+      .collect()
+      .map(r => (r.getLong(0) / 3600000000L, r.getString(1)) -> r.getLong(2))
+      .toMap
+    q.stop()
+    val batch = graft.ops.WindowOps.winEwma.build(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} cells vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
 }
