@@ -776,9 +776,139 @@ object WindowOps {
       .orderBy("hour_id", "event_type")
   }
 
+  /** SCD type-2 history build — the warehouse primitive that turns an
+    * update stream into an effective-dated dimension: per customer, the
+    * order-priority sequence collapses to CHANGE runs (islands via a
+    * lag-flag running sum), each run becomes one history row
+    * [valid_from, valid_to) with the open run flagged current. All
+    * windows are customer-partitioned (natural key grain — hot keys
+    * don't exist in a dimension build) and the second-tier windows run
+    * over the RUNS table, which is change-count-sized, not
+    * update-count-sized.
+    */
+  val winScd2History: Op = Op.sql(
+    "win-scd2-history",
+    """WITH o AS (SELECT o_custkey AS cust, o_orderpriority AS prio,
+      |                  CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+      |           FROM orders),
+      |s AS (SELECT cust, prio, d, k,
+      |             CASE WHEN lag(prio) OVER (PARTITION BY cust ORDER BY d, k)
+      |                       IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |r AS (SELECT cust, prio, d,
+      |             sum(chg) OVER (PARTITION BY cust ORDER BY d, k
+      |                            ROWS UNBOUNDED PRECEDING) AS run
+      |      FROM s),
+      |runs AS (SELECT cust, run, prio, min(d) AS valid_from
+      |         FROM r GROUP BY cust, run, prio),
+      |h AS (SELECT cust, prio, valid_from, run,
+      |             lead(valid_from) OVER (PARTITION BY cust
+      |                                    ORDER BY valid_from, run)
+      |               AS valid_to
+      |      FROM runs)
+      |SELECT cust, prio AS priority, valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM h ORDER BY cust, valid_from, run""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cust").orderBy("d", "k")
+    // date-cast: the fixture's orderdate is timestamp-NTZ at day grain;
+    // DATE is the hash-safe grain (house ts invariant)
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"), col("o_orderpriority").as("prio"),
+      col("o_orderdate").cast("date").as("d"), col("o_orderkey").as("k"))
+    val runs = o
+      .withColumn("chg",
+        when(!lag("prio", 1).over(w).eqNullSafe(col("prio")), 1L).otherwise(0L))
+      .withColumn("run", sum("chg").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+      .groupBy("cust", "run", "prio")
+      .agg(min("d").as("valid_from"))
+    // lead ordered by (valid_from, run): two same-day priority flips give
+    // two runs with one valid_from, and the run id (which follows the
+    // (date, orderkey) arrival order) is the deterministic tie-break
+    val wc = Window.partitionBy("cust").orderBy("valid_from", "run")
+    runs
+      .select(col("cust"), col("prio").as("priority"), col("valid_from"),
+        col("run"), lead("valid_from", 1).over(wc).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("cust", "valid_from", "run")
+      .drop("run")
+  }
+
+  /** Point-in-time (PIT) join against the SCD2 history — the consumer
+    * side of win-scd2-history and the correctness backbone of any
+    * feature-store / ML-training join: each lineitem resolves the
+    * customer priority that was EFFECTIVE at its ship date (not today's,
+    * not the order's), and the report counts shipments whose effective
+    * priority had drifted from the priority the order was placed under.
+    *
+    * Scale shape: the version lookup is NOT a window over the fact
+    * stream — facts join the runs table on the customer key (one honest
+    * equi-shuffle with the range predicate as a join residual), and the
+    * as-of argmax is a struct-max groupBy (partial-aggregatable;
+    * (valid_from, run) totalizes the order so ties cannot diverge).
+    */
+  val joinPitScd2: Op = Op.sql(
+    "join-pit-scd2",
+    """WITH o AS (SELECT o_custkey AS cust, o_orderpriority AS prio,
+      |                  o_orderdate AS d, o_orderkey AS k FROM orders),
+      |s AS (SELECT cust, prio, d, k,
+      |             CASE WHEN lag(prio) OVER (PARTITION BY cust ORDER BY d, k)
+      |                       IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |r AS (SELECT cust, prio, d,
+      |             sum(chg) OVER (PARTITION BY cust ORDER BY d, k
+      |                            ROWS UNBOUNDED PRECEDING) AS run
+      |      FROM s),
+      |runs AS (SELECT cust, run, prio, min(d) AS valid_from
+      |         FROM r GROUP BY cust, run, prio),
+      |pit AS (
+      |  SELECT li.l_orderkey, li.l_linenumber, ord.o_orderpriority AS order_prio,
+      |         (max({'vf': rr.valid_from, 'run': rr.run, 'p': rr.prio})).p
+      |           AS pit_prio
+      |  FROM lineitem li
+      |  JOIN orders ord ON li.l_orderkey = ord.o_orderkey
+      |  JOIN runs rr ON rr.cust = ord.o_custkey AND rr.valid_from <= li.l_shipdate
+      |  GROUP BY li.l_orderkey, li.l_linenumber, order_prio)
+      |SELECT pit_prio AS priority, count(*) AS n_items,
+      |       CAST(sum(CASE WHEN pit_prio <> order_prio THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_drifted
+      |FROM pit GROUP BY priority ORDER BY priority""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cust").orderBy("d", "k")
+    val runs = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"), col("o_orderpriority").as("prio"),
+      col("o_orderdate").as("d"), col("o_orderkey").as("k"))
+      .withColumn("chg",
+        when(!lag("prio", 1).over(w).eqNullSafe(col("prio")), 1L).otherwise(0L))
+      .withColumn("run", sum("chg").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+      .groupBy("cust", "run", "prio")
+      .agg(min("d").as("valid_from"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        col("o_orderpriority").as("order_prio"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(runs, Seq("cust"))
+      .filter(col("valid_from") <= col("l_shipdate"))
+      .groupBy("l_orderkey", "l_linenumber", "order_prio")
+      .agg(max(struct(col("valid_from").as("vf"), col("run"),
+        col("prio").as("p"))).getField("p").as("pit_prio"))
+      .groupBy(col("pit_prio").as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("pit_prio") =!= col("order_prio"), 1).otherwise(0))
+          .cast("long").as("n_drifted"))
+      .orderBy("priority")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
-    aggMarkovStationary, winBurstFlag, winForwardFill, winEwma)
+    aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
+    winScd2History, joinPitScd2)
 }
