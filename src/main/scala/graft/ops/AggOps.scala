@@ -1219,6 +1219,95 @@ object AggOps {
       .orderBy("replicate")
   }
 
+  /** Benford first-digit audit of purchase amounts — the classic
+    * data-quality / fraud screen: naturally-generated multiplicative
+    * amounts follow P(d) = log10(1 + 1/d); fabricated or truncated feeds
+    * don't. Expected shares are EXACT micro-unit literals (they sum to
+    * 1 000 000 — no libm log in any engine's plan), the digit comes from
+    * the decimal string head, and observed shares snap to micro-units.
+    * One map-side-combined groupBy to 9 rows + a broadcast total.
+    */
+  val aggBenford: Op = Op.sql(
+    "agg-benford",
+    """WITH b AS (
+      |  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+      |                     1, 1) AS BIGINT) AS digit
+      |  FROM events WHERE event_type = 'purchase' AND round(value * 100) > 0),
+      |c AS (SELECT digit, count(*) AS n FROM b GROUP BY digit),
+      |t AS (SELECT count(*) AS total FROM b)
+      |SELECT digit, n,
+      |       CAST(round(n * 1000000.0 / total) AS BIGINT) AS share_micro,
+      |       ([301030,176091,124939,96910,79181,66947,57992,51153,45757])[digit]
+      |         AS benford_micro,
+      |       CAST(round(n * 1000000.0 / total) AS BIGINT) -
+      |       ([301030,176091,124939,96910,79181,66947,57992,51153,45757])[digit]
+      |         AS dev_micro
+      |FROM c, t ORDER BY digit""".stripMargin
+  ) { (s, d) =>
+    val benford = typedLit(Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L))
+    val base = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    val tot = base.agg(count(lit(1)).as("total"))
+    base.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        round(col("n") * lit(1000000.0) / col("total")).cast("long"))
+      .withColumn("benford_micro", element_at(benford, col("digit").cast("int")))
+      .withColumn("dev_micro", col("share_micro") - col("benford_micro"))
+      .select("digit", "n", "share_micro", "benford_micro", "dev_micro")
+      .orderBy("digit")
+  }
+
+  /** χ² independence test of event_type × hour-of-day — "is the event
+    * mix time-invariant?", the statistical gate behind win-seasonality's
+    * descriptive matrix. The contingency table reduces map-side to
+    * types × 24 cells; marginals come from two tiny re-aggregations of
+    * THAT table (the corpus is scanned once). Cross-engine exactness:
+    * every per-cell term (O−E)²/E is an identical-tree IEEE expression
+    * over exact integers, micro-snapped BEFORE the final sum, so the
+    * accumulation is integer and order-free.
+    */
+  val aggChiSquare: Op = Op.sql(
+    "agg-chi-square",
+    """WITH cells AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hod,
+      |         count(*) AS o FROM events GROUP BY event_type, hod),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+      |ct AS (SELECT hod, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY hod),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |terms AS (
+      |  SELECT CAST(round((cells.o - (rt.r * ct.c * 1.0 / t.n)) *
+      |                    (cells.o - (rt.r * ct.c * 1.0 / t.n)) /
+      |                    (rt.r * ct.c * 1.0 / t.n) * 1000000) AS BIGINT) AS tm
+      |  FROM cells JOIN rt USING (event_type) JOIN ct USING (hod), t)
+      |SELECT CAST(sum(tm) AS BIGINT) AS chi2_micro,
+      |       (SELECT CAST((count(DISTINCT event_type) - 1) *
+      |                    (count(DISTINCT hod) - 1) AS BIGINT) FROM cells) AS dof,
+      |       (SELECT n FROM t) AS n
+      |FROM terms""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 1000 div 3600000000 % 24").as("hod"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum("o").cast("long").as("r"))
+    val ct = cells.groupBy("hod").agg(sum("o").cast("long").as("c"))
+    val t = cells.agg(sum("o").cast("long").as("n"))
+    val dof = cells.agg(((countDistinct("event_type") - 1) *
+      (countDistinct("hod") - 1)).cast("long").as("dof"))
+    val e = col("r") * col("c") * lit(1.0) / col("n")
+    cells.join(rt, Seq("event_type")).join(ct, Seq("hod"))
+      .crossJoin(broadcast(t))
+      .select(round((col("o") - e) * (col("o") - e) / e * 1000000)
+        .cast("long").as("tm"), col("n"))
+      .groupBy("n").agg(sum("tm").cast("long").as("chi2_micro"))
+      .crossJoin(broadcast(dof))
+      .select(col("chi2_micro"), col("dof"), col("n"))
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
@@ -1226,7 +1315,7 @@ object AggOps {
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
-    aggPoissonBootstrap)
+    aggPoissonBootstrap, aggBenford, aggChiSquare)
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

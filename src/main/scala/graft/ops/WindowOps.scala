@@ -905,10 +905,45 @@ object WindowOps {
       .orderBy("priority")
   }
 
+  /** Longest consecutive-active-day streak distribution — the gaps-and-
+    * islands pattern at the engagement grain: distinct active days per
+    * user, island id = day − row_number (constant within a consecutive
+    * run), run lengths per island, per-user max, then a histogram. Every
+    * window is user-partitioned over the user's DAY rows (≤ span days,
+    * never events); the histogram is max-streak-sized.
+    */
+  val winStreak: Op = Op.sql(
+    "win-streak",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |isl AS (SELECT user_id, day,
+      |               day - row_number() OVER (PARTITION BY user_id
+      |                                        ORDER BY day) AS grp
+      |        FROM days),
+      |runs AS (SELECT user_id, grp, count(*) AS len
+      |         FROM isl GROUP BY user_id, grp),
+      |best AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY user_id)
+      |SELECT CAST(streak AS BIGINT) AS streak_days, count(*) AS n_users
+      |FROM best GROUP BY streak ORDER BY streak_days""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("streak"))
+      .groupBy("streak").agg(count(lit(1)).as("n_users"))
+      .select(col("streak").as("streak_days"), col("n_users"))
+      .orderBy("streak_days")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
-    winScd2History, joinPitScd2)
+    winScd2History, joinPitScd2, winStreak)
 }
