@@ -483,8 +483,63 @@ object JoinOps {
       .orderBy("segment")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the production variant of
+    * join-asof every feature/attribution pipeline actually runs: a match
+    * older than the tolerance (2 h here) is worse than no match (stale
+    * features poison training; stale clicks mis-credit campaigns), so
+    * each purchase lands in exactly one of attributed / stale /
+    * unmatched. Same single user-partitioned arrival-order window as
+    * join-asof (no join at all); the tolerance is a post-window
+    * predicate, so ANY tolerance re-uses the one windowed pass. Output
+    * is the one-row coverage report with micro-snapped shares.
+    */
+  val joinAsofTolerance: Op = Op.sql(
+    "join-asof-tolerance",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |m AS (SELECT p.event_id, p.ts AS p_ts,
+      |             max(CASE WHEN c.event_id IS NULL THEN NULL
+      |                      ELSE struct_pack(ts := c.ts, id := c.event_id) END) AS best
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |      GROUP BY 1, 2),
+      |g AS (SELECT CASE
+      |               WHEN best IS NULL THEN 'unmatched'
+      |               WHEN epoch_us(p_ts) - epoch_us(best.ts) <= 7200000000 THEN 'attributed'
+      |               ELSE 'stale' END AS fate
+      |      FROM m),
+      |t AS (SELECT count(*) AS n FROM g)
+      |SELECT fate, count(*) AS n_purchases,
+      |       CAST(round(count(*) * 1000000.0 / t.n) AS BIGINT) AS share_micro
+      |FROM g, t GROUP BY fate, t.n ORDER BY fate""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tolUs = 7200000000L
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val click = when(col("event_type") === "click",
+      struct(col("ts_us"), col("event_id"))).otherwise(lit(null))
+    val fates = ev.withColumn("best", last(click, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(when(col("best").isNull, "unmatched")
+        .when(col("ts_us") - col("best.ts_us") <= tolUs, "attributed")
+        .otherwise("stale").as("fate"))
+    val tot = fates.agg(count(lit(1)).as("n"))
+    fates.groupBy("fate").agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
+      .select(col("fate"), col("n_purchases"),
+        round(col("n_purchases") * lit(1000000.0) / col("n")).cast("long")
+          .as("share_micro"))
+      .orderBy("fate")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
-    joinMergeUpsert, joinSkewSalted)
+    joinMergeUpsert, joinSkewSalted, joinAsofTolerance)
 }

@@ -1737,7 +1737,58 @@ object TextOps {
       .orderBy("bucket")
   }
 
-  val ops: Seq[Op] = Seq(textTokens, textQuality, textLangId, textFingerprint,
+  /** Code-vs-prose detection — the corpus-curation router that decides
+    * whether a document goes down the NL pipeline or the code pipeline
+    * (they want different dedup grains, different quality filters,
+    * different tokenizers). Signals are pure substring counts via the
+    * length-difference identity (no regex at all — exact, codegen'd and
+    * engine-identical): braces, semicolons, parens and the assignment
+    * token. The prose fixture carries no code, so docs with
+    * doc_id % 5 = 0 get a DETERMINISTIC code suffix (same construction
+    * both sides — the text-pii-scrub pattern) and the op proves the
+    * verdict hits exactly that residue class. Zero-shuffle row-local
+    * projection — the scale shape of every routing pass.
+    */
+  val textCodeDetect: Op = Op.sql(
+    "text-code-detect",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN text || ' int main() { return doc_' ||
+      |                   CAST(doc_id AS VARCHAR) || '; } // end'
+      |              ELSE text END AS body
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(length(body) - length(replace(body, '{', '')) AS BIGINT) AS n_brace,
+      |         CAST(length(body) - length(replace(body, ';', '')) AS BIGINT) AS n_semi,
+      |         CAST(length(body) - length(replace(body, '(', '')) AS BIGINT) AS n_paren,
+      |         CAST((length(body) - length(replace(body, '// ', ''))) / 3 AS BIGINT) AS n_comment
+      |  FROM t)
+      |SELECT doc_id, n_brace, n_semi, n_paren, n_comment,
+      |       (n_brace >= 1 AND n_semi >= 1 AND n_paren >= 1) AS is_code
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    def cnt(c: org.apache.spark.sql.Column, tok: String) =
+      ((length(c) - length(replace(c, lit(tok), lit("")))) / tok.length)
+        .cast("long")
+    val body = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" int main() { return doc_"),
+        col("doc_id").cast("string"), lit("; } // end")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), body.as("body"))
+      .select(col("doc_id"),
+        cnt(col("body"), "{").as("n_brace"),
+        cnt(col("body"), ";").as("n_semi"),
+        cnt(col("body"), "(").as("n_paren"),
+        cnt(col("body"), "// ").as("n_comment"))
+      .withColumn("is_code",
+        col("n_brace") >= 1 && col("n_semi") >= 1 && col("n_paren") >= 1)
+      .orderBy("doc_id")
+  }
+
+  val ops: Seq[Op] = Seq(textCodeDetect, textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
     textBm25Topk, textRepetition, textMixWeights, textLengthHistogram,

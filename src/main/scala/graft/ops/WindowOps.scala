@@ -940,10 +940,77 @@ object WindowOps {
       .orderBy("streak_days")
   }
 
+  /** Lag-1 autocorrelation of the hourly event-count series per type —
+    * the time-series diagnostic that separates bursty/self-exciting load
+    * (r₁ ≫ 0) from memoryless arrivals (r₁ ≈ 0): what a capacity planner
+    * reads before trusting any hourly forecast. The corpus reduces to
+    * the DENSE per-type hourly grid (missing hours count 0 — the honest
+    * series), consecutive pairs come from one lead() over grid rows, and
+    * Pearson's r₁ collapses to exact integer moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy) with ONE identical-tree IEEE closing expression, micro-
+    * snapped. Counts are ≤ corpus size, so every moment fits a long.
+    */
+  val winAutocorr: Op = Op.sql(
+    "win-autocorr",
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS x
+      |  FROM events GROUP BY event_type, h),
+      |ext AS (SELECT min(h) AS mn, max(h) AS mx FROM obs),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM obs) t,
+      |       (SELECT unnest(generate_series(mn, mx)) AS h FROM ext) g),
+      |gx AS (
+      |  SELECT grid.event_type, grid.h, coalesce(o.x, 0) AS x
+      |  FROM grid LEFT JOIN obs o
+      |    ON o.event_type = grid.event_type AND o.h = grid.h),
+      |pairs AS (
+      |  SELECT event_type, x,
+      |         lead(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+      |  FROM gx),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n AS n_pairs,
+      |       CAST(round((n * sxy - sx * sy) * 1.0 /
+      |                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |                   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+      |            AS BIGINT) AS r1_micro
+      |FROM mom ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 1000 div 3600000000").as("h"))
+      .agg(count(lit(1)).as("xo"))
+    val grid = obs.agg(min("h").as("mn"), max("h").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      .crossJoin(obs.select("event_type").distinct())
+      .join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("xo"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val mom = grid
+      .withColumn("y", lead("x", 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    mom.select(col("event_type"), col("n").as("n_pairs"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))) *
+        1000000).cast("long").as("r1_micro"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
-    winScd2History, joinPitScd2, winStreak)
+    winScd2History, joinPitScd2, winStreak, winAutocorr)
 }
