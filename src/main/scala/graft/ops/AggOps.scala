@@ -1308,6 +1308,65 @@ object AggOps {
       .select(col("chi2_micro"), col("dof"), col("n"))
   }
 
+  /** Count–Min sketch accuracy audit: a d=4 × w=64 CMS over event-type
+    * counts, graded key-by-key against the exact counts (estimate = min
+    * over the 4 rows of the key's bucket sum; overcount = est − exact ≥ 0
+    * always — CMS errs one-sidedly). This is the mergeable screen the
+    * streaming top-k fronts at 100 TB (PLANS.md stream-topk): cells add
+    * under union, so per-shard / per-trigger sketches merge by summing
+    * the ≤ d·w cell grid — no key state. Buckets come from the house
+    * cross-engine hash (md5 hex head, as agg-poisson-bootstrap).
+    *
+    * Scale shape: the build is ONE map-side-combined groupBy collapsing
+    * the corpus to ≤ 256 cells (each row contributes its d (row, bucket)
+    * pairs via a 4-struct explode — never d re-scans); the grading side
+    * is key-grained and the sketch BROADCASTS onto it. The exact counts
+    * exist only to grade the sketch — production reads cells alone.
+    */
+  val aggCountmin: Op = Op.sql(
+    "agg-countmin",
+    """WITH r4 AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |c AS (SELECT e.event_type, r.r,
+      |        CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      |              e.event_type), 1, 8)) AS BIGINT) % 64 AS b
+      |      FROM events e, r4 r),
+      |sketch AS (SELECT r, b, count(*) AS cell_n FROM c GROUP BY r, b),
+      |keys AS (SELECT event_type, count(*) AS n_exact
+      |         FROM events GROUP BY event_type),
+      |kb AS (SELECT k.event_type, k.n_exact, r.r,
+      |         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      |               k.event_type), 1, 8)) AS BIGINT) % 64 AS b
+      |       FROM keys k, r4 r)
+      |SELECT kb.event_type,
+      |       CAST(min(kb.n_exact) AS BIGINT) AS n_exact,
+      |       CAST(min(s.cell_n) AS BIGINT) AS n_est,
+      |       CAST(min(s.cell_n) - min(kb.n_exact) AS BIGINT) AS overcount
+      |FROM kb JOIN sketch s ON s.r = kb.r AND s.b = kb.b
+      |GROUP BY kb.event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    def bucket(key: org.apache.spark.sql.Column, r: Int) =
+      conv(substring(md5(concat(lit(s"$r:"), key)), 1, 8), 16, 10)
+        .cast("long") % 64
+    def rbPairs(key: org.apache.spark.sql.Column) =
+      explode(array((0 until 4).map(r =>
+        struct(lit(r.toLong).as("r"), bucket(key, r).as("b"))): _*)).as("rb")
+    val cells = Tables.events(s, d).select(col("event_type"))
+      .select(rbPairs(col("event_type")))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cell_n"))
+    val keys = Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    keys.select(col("event_type"), col("n_exact"), rbPairs(col("event_type")))
+      .select(col("event_type"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("event_type")
+      .agg(min("n_exact").cast("long").as("n_exact"),
+        min("cell_n").cast("long").as("n_est"),
+        (min("cell_n") - min("n_exact")).cast("long").as("overcount"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
@@ -1315,7 +1374,7 @@ object AggOps {
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
-    aggPoissonBootstrap, aggBenford, aggChiSquare)
+    aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin)
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

@@ -368,6 +368,104 @@ object LayoutOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Zone-map skip-ratio shoot-out across three physical layouts — the
+    * quantified A/B behind a re-clustering decision. The same (partkey,
+    * suppkey) probe workload (a p-range, an s-range, and a 2-D box) is
+    * graded against per-file min/max zones under (a) the archive's
+    * NATURAL order (files tile l_orderkey — the reference's height-chunk
+    * layout, src/filenames.rs:60-88), (b) a single-dimension SORTKEY
+    * layout (files tile partkey), and (c) the ZORDER tiling layout-zorder
+    * plans. `read_bp` (files read, basis points) is the scan-I/O fraction
+    * each layout buys: natural reads ~everything for both dimensions,
+    * sortkey wins only its own dimension, z-order prunes on either.
+    *
+    * Scale shape: ONE exchange builds all three file catalogs — each row
+    * explodes to its 3 (layout, file_id) pairs and one map-side-combined
+    * groupBy collapses them (never three scans); the probe grade is a
+    * catalog × 3-literal-probe projection. Pure integers throughout.
+    */
+  val layoutSkipCompare: Op = Op.sql(
+    "layout-skip-compare",
+    """WITH z AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS p, l_suppkey AS s,
+      |         ((((p & 65535) | ((p & 65535) << 8)) & 16711935
+      |            | ((((p & 65535) | ((p & 65535) << 8)) & 16711935) << 4)) & 252645135) AS ph
+      |  FROM lineitem),
+      |z2 AS (
+      |  SELECT ok, p, s,
+      |         (((ph | (ph << 2)) & 858993459
+      |            | ((((ph | (ph << 2)) & 858993459)) << 1)) & 1431655765) AS px,
+      |         ((((s & 65535) | ((s & 65535) << 8)) & 16711935
+      |            | ((((s & 65535) | ((s & 65535) << 8)) & 16711935) << 4)) & 252645135) AS sh
+      |  FROM z),
+      |z3 AS (
+      |  SELECT ok, p, s, px,
+      |         (((sh | (sh << 2)) & 858993459
+      |            | ((((sh | (sh << 2)) & 858993459)) << 1)) & 1431655765) AS sx
+      |  FROM z2),
+      |keyed AS (SELECT ok, p, s, (px | (sx << 1)) AS zkey FROM z3),
+      |lay AS (
+      |  SELECT p, s, 'natural' AS layout, ok // 64 AS fid FROM keyed
+      |  UNION ALL SELECT p, s, 'sortkey', p // 64 FROM keyed
+      |  UNION ALL SELECT p, s, 'zorder', zkey // 4096 FROM keyed),
+      |cat AS (SELECT layout, fid, count(*) AS n_rows,
+      |               min(p) AS pmin, max(p) AS pmax,
+      |               min(s) AS smin, max(s) AS smax
+      |        FROM lay GROUP BY layout, fid),
+      |pr AS (SELECT * FROM (VALUES
+      |        (1, 50, 99, -1, 1099511627776),
+      |        (2, -1, 1099511627776, 2, 5),
+      |        (3, 100, 179, 2, 7)) AS t(probe, plo, phi, slo, shi)),
+      |g AS (SELECT c.layout, p.probe, c.n_rows,
+      |        CASE WHEN c.pmax >= p.plo AND c.pmin <= p.phi
+      |              AND c.smax >= p.slo AND c.smin <= p.shi
+      |             THEN 1 ELSE 0 END AS must_read
+      |      FROM cat c, pr p)
+      |SELECT layout, CAST(probe AS BIGINT) AS probe,
+      |       count(*) AS files_total,
+      |       CAST(sum(must_read) AS BIGINT) AS files_read,
+      |       CAST(sum(must_read * n_rows) AS BIGINT) AS rows_read,
+      |       CAST((sum(must_read) * 10000) // count(*) AS BIGINT) AS read_bp
+      |FROM g GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_partkey").as("p"),
+      col("l_suppkey").as("s"))
+    val zkey = spread16(bitwise_and(col("p"), lit(65535L)))
+      .bitwiseOR(shiftleft(spread16(bitwise_and(col("s"), lit(65535L))), 1))
+    val lay = base.withColumn("zkey", zkey)
+      .select(col("p"), col("s"), explode(array(
+        struct(lit("natural").as("layout"), expr("ok div 64").as("fid")),
+        struct(lit("sortkey").as("layout"), expr("p div 64").as("fid")),
+        struct(lit("zorder").as("layout"), expr("zkey div 4096").as("fid"))))
+        .as("lf"))
+      .select(col("p"), col("s"), col("lf.layout").as("layout"),
+        col("lf.fid").as("fid"))
+    val cat = lay.groupBy("layout", "fid")
+      .agg(count(lit(1)).as("n_rows"),
+        min("p").as("pmin"), max("p").as("pmax"),
+        min("s").as("smin"), max("s").as("smax"))
+    val probes = array(
+      struct(lit(1L).as("probe"), lit(50L).as("plo"), lit(99L).as("phi"),
+        lit(-1L).as("slo"), lit(1099511627776L).as("shi")),
+      struct(lit(2L).as("probe"), lit(-1L).as("plo"),
+        lit(1099511627776L).as("phi"), lit(2L).as("slo"), lit(5L).as("shi")),
+      struct(lit(3L).as("probe"), lit(100L).as("plo"), lit(179L).as("phi"),
+        lit(2L).as("slo"), lit(7L).as("shi")))
+    cat.withColumn("pr", explode(probes))
+      .withColumn("must_read",
+        when(col("pmax") >= col("pr.plo") && col("pmin") <= col("pr.phi") &&
+          col("smax") >= col("pr.slo") && col("smin") <= col("pr.shi"), 1L)
+          .otherwise(0L))
+      .groupBy(col("layout"), col("pr.probe").as("probe"))
+      .agg(count(lit(1)).as("files_total"),
+        sum("must_read").cast("long").as("files_read"),
+        sum(col("must_read") * col("n_rows")).cast("long").as("rows_read"))
+      .withColumn("read_bp", expr("(files_read * 10000) div files_total"))
+      .orderBy("layout", "probe")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
-    layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin)
+    layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
+    layoutSkipCompare)
 }

@@ -1063,9 +1063,82 @@ object SimOps {
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
   }
 
+  /** Recall@5 of int8-quantized retrieval against the exact float top-5 —
+    * the accuracy price of the 4× storage cut sim-quantize-int8 buys.
+    * Both sides quantize symmetrically (per-vector max-abs scale); the
+    * quantized score is the INTEGER code dot (a codegen ArrayDotLong —
+    * exact, engine-independent) rescaled by the two per-vector scales as
+    * the last IEEE ops. This is the eval a pipeline runs before switching
+    * its coarse scan to int8 (reference keeps raw payloads only —
+    * src/avros.rs:200-240; the quantized tier is the scale extension).
+    *
+    * Scale shape: queries quantize and BROADCAST; the corpus side is one
+    * projection pass (quantize is per-row) and never shuffles; both top-k
+    * selections are salted two-phase ([[graft.functions.TopK]]), and the
+    * recall join is k-per-query-sized.
+    */
+  val simInt8Recall: Op = Op.sql(
+    "sim-int8-recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |              round(list_max([abs(x) FOR x IN v]) / 127.0, 9) AS scale FROM e),
+       |qz AS (SELECT vec_id, scale,
+       |         [CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       |               ELSE greatest(CAST(-127 AS BIGINT),
+       |                    least(CAST(127 AS BIGINT),
+       |                          CAST(round(x / scale) AS BIGINT))) END
+       |          FOR x IN v] AS codes
+       |       FROM sc),
+       |x5 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 5),
+       |a5 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round((list_dot_product(
+       |                         CAST(q.codes AS DOUBLE[]),
+       |                         CAST(c.codes AS DOUBLE[])) * q.scale) * c.scale,
+       |                       6) DESC, c.vec_id) AS rn
+       |    FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 5),
+       |keff AS (SELECT q_id, count(*) AS k_eff FROM x5 GROUP BY q_id),
+       |h AS (SELECT x5.q_id, count(*) AS n_hits FROM x5
+       |      JOIN a5 ON x5.q_id = a5.q_id AND x5.n_id = a5.n_id GROUP BY x5.q_id)
+       |SELECT k.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) * 1.0 / k.k_eff, 6) AS recall
+       |FROM keff k LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, k = 5)
+    def quantized(df: org.apache.spark.sql.DataFrame, id: String,
+                  codes: String, scale: String) = {
+      val (cod, scl) = Similarity.quantizeInt8(col("embedding"))
+      df.select(col("vec_id").as(id), cod.as(codes), scl.as(scale))
+    }
+    val qq = quantized(q, "q_id", "q_codes", "q_scale")
+    val cq = quantized(c, "n_id", "n_codes", "n_scale")
+    val scored = cq.crossJoin(broadcast(qq))
+      .withColumn("idot",
+        graft.functions.ArrayDotLong(col("q_codes"), col("n_codes")))
+      .withColumn("score",
+        round(col("idot").cast("double") * col("q_scale") * col("n_scale"), 6))
+      .select("q_id", "n_id", "score")
+    val approx = graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
+      Seq(col("score").desc, col("n_id").asc), 5)
+    Similarity.annRecall(exact, approx).orderBy("q_id")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
-    simIvfPq, simIvfIndexLayout)
+    simIvfPq, simIvfIndexLayout, simInt8Recall)
 }

@@ -362,11 +362,15 @@ object Similarity {
     * neighbors is not penalized for the shortfall).
     */
   def annRecall(exact: DataFrame, ann: DataFrame): DataFrame = {
+    // every input here is a top-k table (k·|queries| rows) — broadcast the
+    // ANN side so grading never shuffles, whatever produced the candidates
     val hits = exact.select("q_id", "n_id")
-      .join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .join(broadcast(ann.select("q_id", "n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     exact.groupBy("q_id").agg(count(lit(1)).as("k_eff"))
-      .join(hits, Seq("q_id"), "left")
+      // both sides are query-set-sized; broadcasting the hit counts keeps
+      // the evaluation join shuffle-free at any corpus scale
+      .join(broadcast(hits), Seq("q_id"), "left")
       .na.fill(0L, Seq("n_hits"))
       .select(col("q_id"), col("n_hits"),
         round(col("n_hits").cast("double") / col("k_eff"), 6).as("recall"))

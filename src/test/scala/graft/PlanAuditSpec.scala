@@ -517,4 +517,34 @@ class PlanAuditSpec extends SparkSpec {
     // shingle self-join
     assert(p.toLowerCase.contains("arrayorderedpairs"), p)
   }
+
+  test("agg-countmin sketch collapses map-side and broadcasts onto keys") {
+    val p = plan("agg-countmin")
+    // the ≤256-cell sketch build partial-aggregates before its exchange
+    assert(p.contains("partial_count"), p)
+    // the key-grading join must broadcast the sketch, never shuffle keys
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim-int8-recall broadcasts the quantized queries; corpus never shuffles") {
+    val p = plan("sim-int8-recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both top-k selections ride the salted two-phase TopK
+    assert(p.contains("hashpartitioning(_salt"), p)
+    // the integer code dot is the codegen ArrayDotLong, not a HOF chain
+    assert(p.toLowerCase.contains("arraydotlong"), p)
+  }
+
+  test("layout-skip-compare builds all three catalogs in one exchange") {
+    val p = plan("layout-skip-compare")
+    // one explode feeds one (layout, fid) groupBy with map-side combine;
+    // the only other exchange is the catalog-sized probe rollup
+    assert(p.contains("partial_count"), p)
+    val ex = "Exchange hashpartitioning\\(layout[^)]*".r.findAllIn(p).toSeq
+    assert(ex.size == 2 && ex.count(_.contains("fid")) == 1, p)
+    // probe grading is a projection over catalog rows — no join operator
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
