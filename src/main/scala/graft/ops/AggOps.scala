@@ -1367,6 +1367,63 @@ object AggOps {
       .orderBy("event_type")
   }
 
+  /** Differentially-private count release (ε = ln 2) for per-event-type
+    * counts via the two-sided geometric mechanism — the discrete Laplace
+    * used for integer count releases. The noise draw is DETERMINISTIC and
+    * engine-exact: a per-key md5 uniform walks a 2³²-scaled CDF of
+    * P(k) ∝ (1/2)^|k| (truncated at ±12, tail mass ≈ 1.6e-4 folded into
+    * the extremes) — plan-time literals, no libm, no RNG state; re-runs
+    * release the identical value, which is what an audited privacy
+    * pipeline requires. Exact n and the noise are kept ALONGSIDE the
+    * release because this op is the calibration audit, not the public
+    * view (the public view projects event_type, n_dp only). Completes
+    * the governance tier next to text-k-anonymity / text-l-diversity.
+    *
+    * Scale shape: one map-side-combined groupBy to the key grain; the
+    * noise is a per-row projection over key-grained rows.
+    */
+  val aggDpCount: Op = {
+    val cuts = Seq(
+      -12L -> 349582L, -11L -> 1048747L, -10L -> 2447076L, -9L -> 5243733L,
+      -8L -> 10837049L, -7L -> 22023681L, -6L -> 44396943L, -5L -> 89143469L,
+      -4L -> 178636520L, -3L -> 357622623L, -2L -> 715594828L,
+      -1L -> 1431539238L, 0L -> 2863428058L, 1L -> 3579372468L,
+      2L -> 3937344673L, 3L -> 4116330776L, 4L -> 4205823827L,
+      5L -> 4250570353L, 6L -> 4272943615L, 7L -> 4284130247L,
+      8L -> 4289723563L, 9L -> 4292520220L, 10L -> 4293918549L,
+      11L -> 4294617714L)
+    val sqlCase = cuts.map { case (k, c) => s"WHEN u < $c THEN ($k)" }
+      .mkString("CASE ", " ", " ELSE 12 END")
+    Op.sql(
+      "agg-dp-count",
+      s"""WITH k AS (SELECT event_type, count(*) AS n FROM events
+         |           GROUP BY event_type),
+         |u AS (SELECT event_type, n,
+         |        CAST(('0x' || substr(md5('dp:' || event_type), 1, 8))
+         |          AS BIGINT) AS u
+         |      FROM k),
+         |z AS (SELECT event_type, n, $sqlCase AS noise FROM u)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |       CAST(noise AS BIGINT) AS noise,
+         |       CAST(greatest(0, n + noise) AS BIGINT) AS n_dp
+         |FROM z ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val noise = cuts.foldRight(lit(12L): org.apache.spark.sql.Column) {
+        case ((k, c), rest) => when(col("u") < c, k).otherwise(rest)
+      }
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+            16, 10).cast("long"))
+        .withColumn("noise", noise)
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("noise").cast("long").as("noise"),
+          greatest(lit(0L), col("n") + col("noise")).cast("long").as("n_dp"))
+        .orderBy("event_type")
+    }
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
@@ -1374,7 +1431,7 @@ object AggOps {
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
-    aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin)
+    aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount)
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

@@ -538,8 +538,85 @@ object JoinOps {
       .orderBy("fate")
   }
 
+  /** Bloom-pruned big-big join: before shuffling the fact side into an
+    * equi-join, a 3-hash bloom filter built from the (filtered) build
+    * side's keys screens fact rows map-side — the shuffle then carries
+    * only probable matches. The hash family is modular multiplication
+    * (mod-first, so key·mult never overflows at any key range), identical
+    * in both engines, so the prune is deterministic and the false-positive
+    * overhead is directly observable: n_bloom_pass − n_join_rows is what
+    * the bloom let through for nothing. The op's contract is the proof
+    * obligation of every runtime-filter optimizer: the pruned join equals
+    * the unpruned one (the oracle computes the join without the bloom).
+    *
+    * Scale shape: the three position sets are build-key-sized and
+    * BROADCAST; the prune is three broadcast lookups inside the fact
+    * scan's codegen stage (no exchange); the final join is hinted MERGE to
+    * model the big-big case where neither side broadcasts — at 100 TB the
+    * win is the shuffle-byte cut on the fact exchange (here ~4/5 of rows
+    * drop map-side). The stats branch is one map-side aggregation.
+    */
+  val joinBloomPrune: Op = Op.sql(
+    "join-bloom-prune",
+    """WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+      |            WHERE o_orderpriority = '1-URGENT'),
+      |b1 AS (SELECT DISTINCT ((k % 1000003) * 31415) % 1000003 AS p FROM bk),
+      |b2 AS (SELECT DISTINCT ((k % 999983) * 27183) % 999983 AS p FROM bk),
+      |b3 AS (SELECT DISTINCT ((k % 999979) * 9973) % 4096 AS p FROM bk),
+      |f AS (SELECT l_orderkey AS k,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |             ((l_orderkey % 1000003) * 31415) % 1000003 AS p1,
+      |             ((l_orderkey % 999983) * 27183) % 999983 AS p2,
+      |             ((l_orderkey % 999979) * 9973) % 4096 AS p3
+      |      FROM lineitem),
+      |fp AS (SELECT f.k, f.cents,
+      |              CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+      |                    AND b3.p IS NOT NULL THEN 1 ELSE 0 END AS pass
+      |       FROM f LEFT JOIN b1 ON f.p1 = b1.p
+      |              LEFT JOIN b2 ON f.p2 = b2.p
+      |              LEFT JOIN b3 ON f.p3 = b3.p),
+      |stats AS (SELECT count(*) AS n_fact,
+      |                 CAST(sum(pass) AS BIGINT) AS n_bloom_pass FROM fp),
+      |j AS (SELECT count(*) AS n_join_rows,
+      |             CAST(coalesce(sum(f.cents), 0) AS BIGINT) AS revenue_cents
+      |      FROM f JOIN bk ON f.k = bk.k)
+      |SELECT s.n_fact, s.n_bloom_pass, j.n_join_rows, j.revenue_cents
+      |FROM stats s, j""".stripMargin
+  ) { (s, d) =>
+    def h(k: org.apache.spark.sql.Column, mult: Long, mod: Long) =
+      ((k % mod) * mult) % mod
+    // third family maps into a smaller space on purpose: a visibly lossier
+    // hash keeps the false-positive column non-degenerate at fixture scale
+    def h3(k: org.apache.spark.sql.Column) = ((k % 999979L) * 9973L) % 4096L
+    val bk = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    def bits(pos: org.apache.spark.sql.Column, name: String) =
+      broadcast(bk.select(pos.as(name)).distinct()
+        .withColumn(s"${name}_hit", lit(1)))
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("p1", h(col("k"), 31415L, 1000003L))
+      .withColumn("p2", h(col("k"), 27183L, 999983L))
+      .withColumn("p3", h3(col("k")))
+    val screened = fact
+      .join(bits(h(col("k"), 31415L, 1000003L), "p1"), Seq("p1"), "left")
+      .join(bits(h(col("k"), 27183L, 999983L), "p2"), Seq("p2"), "left")
+      .join(bits(h3(col("k")), "p3"), Seq("p3"), "left")
+      .withColumn("pass",
+        when(col("p1_hit").isNotNull && col("p2_hit").isNotNull &&
+          col("p3_hit").isNotNull, 1L).otherwise(0L))
+    val stats = screened.agg(count(lit(1)).as("n_fact"),
+      sum("pass").cast("long").as("n_bloom_pass"))
+    val joined = screened.filter(col("pass") === 1L)
+      .join(bk.hint("merge"), Seq("k"))
+      .agg(count(lit(1)).as("n_join_rows"),
+        coalesce(sum("cents"), lit(0L)).cast("long").as("revenue_cents"))
+    stats.crossJoin(broadcast(joined))
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
-    joinMergeUpsert, joinSkewSalted, joinAsofTolerance)
+    joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune)
 }

@@ -393,6 +393,42 @@ object PipelineOps {
       .orderBy("chunk")
   }
 
+  /** Per-partition content fingerprint: an ORDER-INDEPENDENT additive hash
+    * of every (doc_id, text) pair, rolled up to the (lang, source) grain —
+    * the dataset content address a pipeline stamps into its manifest so a
+    * re-run, a migration, or a downstream consumer can prove "same bytes"
+    * without re-reading payloads (the distributed generalization of the
+    * reference's per-file verify pass, src/command/verify.rs:200-260).
+    * Addition commutes, so the fingerprint is invariant to partitioning,
+    * task order and row order — two clusters of different sizes agree.
+    * Per-row terms are md5-derived 20-bit values so the BIGINT sum cannot
+    * overflow before ~2⁴³ rows per partition (ANSI-safe at any real SF).
+    *
+    * Scale shape: one map-side-combined groupBy to the partition grain;
+    * the hash is a per-row projection. Incremental: a changed partition
+    * changes its fingerprint only — the delta re-verify reads just that.
+    */
+  val pipelineContentFingerprint: Op = Op.sql(
+    "pipeline-content-fingerprint",
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(CAST(('0x' || substr(md5('fp:' || CAST(doc_id AS VARCHAR)
+      |                || ':' || text), 1, 8)) AS BIGINT) % 1048576
+      |           ) AS BIGINT) AS fingerprint
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        (conv(substring(md5(concat(lit("fp:"), col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 8), 16, 10).cast("long") % 1048576L)
+          .as("term"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("term").cast("long").as("fingerprint"))
+      .orderBy("lang", "source")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
-    pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta)
+    pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
+    pipelineContentFingerprint)
 }

@@ -537,6 +537,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("arraydotlong"), p)
   }
 
+  test("agg-dp-count is one partial-agged groupBy plus a projection") {
+    val p = plan("agg-dp-count")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("join-bloom-prune screens map-side via broadcasts before the merge join") {
+    val p = plan("join-bloom-prune")
+    // three bloom position lookups ride broadcast hash joins (no exchange)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the big-big join itself is the hinted sort-merge
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline-content-fingerprint is one map-side-combined rollup") {
+    val p = plan("pipeline-content-fingerprint")
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
