@@ -428,7 +428,53 @@ object PipelineOps {
       .orderBy("lang", "source")
   }
 
+  /** Fingerprint-driven delta detection: compare the content fingerprint
+    * of an OLD snapshot (doc_id % 10 < 8 plays the prior manifest) against
+    * the CURRENT corpus per (lang, source) partition and flag exactly the
+    * partitions whose bytes changed — the planner that turns
+    * [[pipelineContentFingerprint]] into an incremental re-verify /
+    * re-publish list (only `changed` partitions are re-read; at 100 TB
+    * that is the whole point of manifest fingerprints). Both snapshots'
+    * fingerprints come from ONE conditional-aggregation scan — never two
+    * passes over the corpus.
+    */
+  val pipelineFingerprintDiff: Op = Op.sql(
+    "pipeline-fingerprint-diff",
+    """WITH t AS (
+      |  SELECT lang, source, doc_id % 10 < 8 AS is_old,
+      |         CAST(('0x' || substr(md5('fp:' || CAST(doc_id AS VARCHAR)
+      |              || ':' || text), 1, 8)) AS BIGINT) % 1048576 AS term
+      |  FROM documents),
+      |p AS (SELECT lang, source,
+      |        CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |        count(*) AS n_new,
+      |        CAST(coalesce(sum(CASE WHEN is_old THEN term END), 0) AS BIGINT)
+      |          AS fp_old,
+      |        CAST(sum(term) AS BIGINT) AS fp_new
+      |      FROM t GROUP BY lang, source)
+      |SELECT lang, source, n_old, n_new, fp_old, fp_new,
+      |       (n_old <> n_new OR fp_old <> fp_new) AS changed
+      |FROM p ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    val term = conv(substring(md5(concat(lit("fp:"),
+      col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8), 16, 10)
+      .cast("long") % 1048576L
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), (col("doc_id") % 10 < 8).as("is_old"),
+        term.as("term"))
+      .groupBy("lang", "source")
+      .agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).cast("long").as("n_old"),
+        count(lit(1)).as("n_new"),
+        coalesce(sum(when(col("is_old"), col("term"))), lit(0L)).cast("long")
+          .as("fp_old"),
+        sum("term").cast("long").as("fp_new"))
+      .withColumn("changed",
+        col("n_old") =!= col("n_new") || col("fp_old") =!= col("fp_new"))
+      .orderBy("lang", "source")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
-    pipelineContentFingerprint)
+    pipelineContentFingerprint, pipelineFingerprintDiff)
 }

@@ -389,7 +389,49 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Keyed last-write-wins materialized view — the batch (read-side) shape
+    * of [[graft.streaming.Streams.upsertLive]]: per user the CURRENT row
+    * is the event with the greatest (ts_us, event_id), plus the running
+    * update count. This is the CDC-consumer view a stream of upserts
+    * materializes (the streaming sibling of join-merge-upsert's
+    * two-snapshot MERGE); replays and late arrivals are absorbed because
+    * the (ts, id) order decides, not arrival order — so batch backfill
+    * and live tail converge to identical rows (parity in StreamsSpec).
+    *
+    * Scale shape: one map-side-combined groupBy to the key grain —
+    * max(struct) partials reduce before the exchange; at rest the view is
+    * user-bucketed, so the refresh join is co-located.
+    */
+  val streamUpsert: Op = Op.sql(
+    "stream-upsert",
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |                  event_id, event_type,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |k AS (SELECT user_id,
+      |             max(struct_pack(ts := ts_us, id := event_id,
+      |                             et := event_type, c := cents)) AS l,
+      |             count(*) AS n_updates
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, l.ts AS ts_us, l.id AS event_id, l.et AS event_type,
+      |       l.c AS value_cents, CAST(n_updates AS BIGINT) AS n_updates
+      |FROM k ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us").as("ts"), col("event_id").as("id"),
+        col("event_type").as("et"), col("cents").as("c"))).as("l"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), col("l.ts").as("ts_us"), col("l.id").as("event_id"),
+        col("l.et").as("event_type"), col("l.c").as("value_cents"),
+        col("n_updates"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
-    streamHll, streamQuantile, streamTopk, streamWatermarkAudit)
+    streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
+    streamUpsert)
 }

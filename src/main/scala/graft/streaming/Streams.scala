@@ -28,6 +28,22 @@ case class DebouncedBurst(user_id: Long, event_type: String,
 
 private case class DebounceState(pending: List[Long])
 
+/** One input event for the streaming upsert view: event-time timestamp
+  * (for the trigger clock) plus the micro-epoch/id pair that decides
+  * last-write-wins.
+  */
+case class UpsertEvent(user_id: Long, tsc: java.sql.Timestamp, ts_us: Long,
+    event_id: Long, event_type: String, cents: Long)
+
+/** Current materialized row per key — identical shape to stream-upsert's
+  * batch rows.
+  */
+case class UpsertRow(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value_cents: Long, n_updates: Long)
+
+private case class UpsertState(ts_us: Long, event_id: Long,
+    event_type: String, cents: Long, n: Long)
+
 /** Streaming operators (SURVEY.md §2.7). The `stream` command's live tail
   * becomes Structured Streaming: readStream → transforms → foreachBatch
   * archive; the finalized follower's dedup + gap-fill is the one genuinely
@@ -206,6 +222,46 @@ object Streams {
     * argmax stays in the batch op (join-asof) — emitting candidates and
     * reducing downstream is the streaming-safe split of that operator.
     */
+  /** Streaming last-write-wins materialized view — the live counterpart of
+    * the batch `stream-upsert` op: per key the CURRENT row is the event
+    * with the greatest (ts_us, event_id), re-emitted (Update mode) each
+    * trigger the key receives events, with the running update count.
+    * Late or replayed events are idempotently absorbed: an event at or
+    * below the stored (ts_us, event_id) never regresses the view — the
+    * property that makes at-least-once upstream delivery safe.
+    *
+    * State is ONE fixed-size row per live key (the user-count-sized
+    * RocksDB tier at 100 TB); no timeout — a materialized view's keys
+    * don't expire. Parity with the batch op under cross-batch shuffling is
+    * proven in StreamsSpec.
+    */
+  def upsertLive(events: Dataset[UpsertEvent]): Dataset[UpsertRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UpsertState, UpsertRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UpsertEvent], state: GroupState[UpsertState]) =>
+          var st = state.getOption.getOrElse(
+            UpsertState(Long.MinValue, Long.MinValue, "", 0L, 0L))
+          var saw = false
+          batch.foreach { e =>
+            saw = true
+            val wins = e.ts_us > st.ts_us ||
+              (e.ts_us == st.ts_us && e.event_id > st.event_id)
+            st =
+              if (wins)
+                UpsertState(e.ts_us, e.event_id, e.event_type, e.cents, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          if (saw) {
+            state.update(st)
+            Iterator.single(
+              UpsertRow(uid, st.ts_us, st.event_id, st.event_type, st.cents, st.n))
+          } else Iterator.empty
+      }
+  }
+
   def clickAttributionLive(clicks: DataFrame, purchases: DataFrame,
       horizon: String = "1 hour"): DataFrame = {
     val c = clicks

@@ -648,4 +648,34 @@ class StreamsSpec extends SparkSpec {
       s"streamed ${streamed.size} cells vs batch ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("upsertLive converges to the batch LWW view under out-of-order batches") {
+    import java.sql.Timestamp
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UpsertEvent](spark, 11)
+    val out = Streams.upsertLive(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("upsert_out")
+      .outputMode(OutputMode.Update)
+      .start()
+    def t(us: Long) = { val ts = new Timestamp(us / 1000); ts }
+    // user 1's events arrive OUT of (ts, id) order across batches; the
+    // late (ts=200) arrival must not regress the view off (ts=300)
+    input.addData(UpsertEvent(1L, t(100L), 100L, 1L, "a", 10L),
+      UpsertEvent(1L, t(300L), 300L, 3L, "c", 30L),
+      UpsertEvent(2L, t(50L), 50L, 9L, "x", 5L))
+    q.processAllAvailable()
+    val mid = spark.table("upsert_out").as[UpsertRow].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_updates) }
+    assert(mid(1L) === UpsertRow(1L, 300L, 3L, "c", 30L, 2L))
+    input.addData(UpsertEvent(1L, t(200L), 200L, 2L, "b", 20L))
+    q.processAllAvailable()
+    val fin = spark.table("upsert_out").as[UpsertRow].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_updates) }
+    q.stop()
+    // final view == the batch op's max(struct(ts, id)) + count over the
+    // same exactly-once event set
+    assert(fin(1L) === UpsertRow(1L, 300L, 3L, "c", 30L, 3L))
+    assert(fin(2L) === UpsertRow(2L, 50L, 9L, "x", 5L, 1L))
+  }
 }
