@@ -1431,7 +1431,74 @@ object AggOps {
     aggRateAnomaly, aggCohortLtv, aggQuantileSketch, aggWhaleShare,
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
-    aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount)
+    aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
+    aggBasketPairs)
+
+  /** Market-basket co-occurrence over event types: for every unordered
+    * type pair, how many users did BOTH, and the lift against
+    * independence (support·N / (n_a·n_b), micro-snapped via one integer
+    * division) — the association view next to win-next-event's ADJACENCY
+    * matrix (this one ignores order and time; a pair can lift high while
+    * never being adjacent). Types map to integer ids so the per-user pair
+    * expansion is the codegen [[graft.functions.ArrayOrderedPairs]] over
+    * the sorted distinct-type array — C(|types|, 2) pairs generated
+    * in-task from ONE groupBy row per user, never a per-user self-join.
+    *
+    * Scale shape: one exchange to the user grain (collect_set partials
+    * combine map-side), pair rows ≤ 10 per user, and the pair/type count
+    * tables are type-domain-sized — the lift join broadcasts. The
+    * support·1e6·N product stays under 2⁶³ to ~3·10⁸ users per cell;
+    * beyond that snap at milli grain.
+    */
+  lazy val aggBasketPairs: Op = Op.sql(
+    "agg-basket-pairs",
+    """WITH m AS (SELECT user_id, CASE event_type
+      |             WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+      |             ELSE 4 END AS t
+      |           FROM events GROUP BY user_id, t),
+      |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM m),
+      |st AS (SELECT t, count(*) AS n_t FROM m GROUP BY t),
+      |pp AS (SELECT a.t AS ta, b.t AS tb, count(*) AS support
+      |       FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
+      |       GROUP BY a.t, b.t),
+      |names(t, name) AS (VALUES (0, 'click'), (1, 'error'), (2, 'purchase'),
+      |                          (3, 'signup'), (4, 'view'))
+      |SELECT na.name AS type_a, nb.name AS type_b,
+      |       CAST(x.n_t AS BIGINT) AS n_a, CAST(y.n_t AS BIGINT) AS n_b,
+      |       CAST(pp.support AS BIGINT) AS support,
+      |       CAST((pp.support * 1000000 * n.nu) // (x.n_t * y.n_t) AS BIGINT)
+      |         AS lift_micro
+      |FROM pp JOIN st x ON x.t = pp.ta JOIN st y ON y.t = pp.tb
+      |        JOIN names na ON na.t = pp.ta JOIN names nb ON nb.t = pp.tb
+      |        CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin
+  ) { (s, d) =>
+    val names = Seq("click", "error", "purchase", "signup", "view")
+    val tId = names.zipWithIndex.foldRight(lit(4L): org.apache.spark.sql.Column) {
+      case ((n, i), rest) => when(col("event_type") === n, i.toLong).otherwise(rest)
+    }
+    val nameOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => element_at(typedLit(names), (t + 1).cast("int"))
+    val m = Tables.events(s, d)
+      .select(col("user_id"), tId.as("t"))
+      .distinct()
+    val nu = m.select(countDistinct("user_id").as("nu"))
+    val st = m.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val pp = m.groupBy("user_id")
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .select(explode(graft.functions.ArrayOrderedPairs(col("ts"))).as("p"))
+      .groupBy(col("p.d1").as("ta"), col("p.d2").as("tb"))
+      .agg(count(lit(1)).as("support"))
+    pp.join(broadcast(st.toDF("ta", "n_a")), Seq("ta"))
+      .join(broadcast(st.toDF("tb", "n_b")), Seq("tb"))
+      .crossJoin(broadcast(nu))
+      .select(nameOf(col("ta")).as("type_a"), nameOf(col("tb")).as("type_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("support").cast("long").as("support"),
+        expr("(support * 1000000 * nu) div (n_a * n_b)").as("lift_micro"))
+      .orderBy("type_a", "type_b")
+  }
 
   /** Welch's t-statistic between two event cohorts — the A/B-testing
     * primitive. Both cohorts' moments (n, Σx, Σx²) come from ONE

@@ -968,11 +968,97 @@ object DedupOps {
     graft.dedup.Graphs.triangleCensus(persistedJaccardPairs(s, d))
   }
 
+  /** REALIZED minhash estimator error, pair by pair — the empirical
+    * companion of dedup-lsh-expected-recall's analytic S-curve: for every
+    * exact-jaccard pair at j ≥ 0.5, the k=16 signature-agreement estimate
+    * (n_agree/16) next to the true jaccard, in micro-units, with the
+    * absolute error. E[n_agree/k] = j is the MinHash identity (Broder);
+    * this op measures the realized spread at k=16, which is what sizes k
+    * before anyone trusts signature-only similarity at 100 TB. The hash
+    * family here is the production affine family over P = 2³¹−1
+    * ([[graft.dedup.Dedup]] minhashSignatures) seeded from the md5 hex
+    * head instead of xxhash64 — the one substitution that keeps the
+    * signatures engine-reproducible (the oracle recomputes them exactly).
+    *
+    * Scale shape: signatures are computed ONLY for pair-member docs (a
+    * semi-join bounds the md5 work to the audited set); the corpus-wide
+    * cost is the same one string-shingle df-prune groupBy the jaccard
+    * tier already pays; every join after that is pair-table-sized and
+    * broadcastable.
+    */
+  val dedupMinhashAccuracy: Op = Op.sql(
+    "dedup-minhash-accuracy",
+    s"""WITH $ShingleOracle,
+       |p AS (SELECT d1, d2, jac FROM jac WHERE jac >= 0.5),
+       |mem AS (SELECT DISTINCT dd AS id FROM
+       |          (SELECT unnest([d1, d2]) AS dd FROM p)),
+       |hsh AS (SELECT psh.id,
+       |          CAST(('0x' || substr(md5(psh.s), 1, 8)) AS BIGINT) AS h
+       |        FROM psh JOIN mem ON psh.id = mem.id),
+       |sig AS (SELECT id, i,
+       |          min((((h % 2147483647) * (((i * 2654435761) % 2147483647) | 1))
+       |               + ((i * 40503 * 65537) % 2147483647)) % 2147483647) AS mh
+       |        FROM hsh, (SELECT unnest(generate_series(0, 15)) AS i) g
+       |        GROUP BY id, i),
+       |est AS (SELECT p.d1, p.d2,
+       |          CAST(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_agree
+       |        FROM p JOIN sig s1 ON s1.id = p.d1
+       |               JOIN sig s2 ON s2.id = p.d2 AND s2.i = s1.i
+       |        GROUP BY p.d1, p.d2)
+       |SELECT e.d1, e.d2,
+       |       CAST(round(p.jac * 1000000) AS BIGINT) AS jac_micro,
+       |       e.n_agree,
+       |       e.n_agree * 62500 AS est_micro,
+       |       abs(CAST(round(p.jac * 1000000) AS BIGINT) - e.n_agree * 62500)
+       |         AS err_micro
+       |FROM est e JOIN p ON p.d1 = e.d1 AND p.d2 = e.d2
+       |ORDER BY e.d1, e.d2""".stripMargin
+  ) { (s, d) =>
+    val P = 2147483647L
+    def member(i: Int, h: org.apache.spark.sql.Column) = {
+      val a = ((i * 2654435761L) % P) | 1L
+      val b = (i * 40503L * 65537L) % P
+      ((h % P) * a + b) % P
+    }
+    val pairs = persistedJaccardPairs(s, d)
+    val mem = pairs.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    // string-shingle prune identical to the jaccard oracle tier (df ≤ 20
+    // over the FULL corpus), then md5 hashing only for audited docs
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
+    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("sraw")
+    val hsh = sh.join(rare, Seq("sraw"), "left_semi")
+      .join(broadcast(mem), Seq("id"), "left_semi")
+      .select(col("id"),
+        conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
+    val sig = hsh.groupBy("id")
+      .agg(min(member(0, col("h"))).as("mh0"),
+        (1 until 16).map(i => min(member(i, col("h"))).as(s"mh$i")): _*)
+    val s1 = sig.toDF("d1" +: (0 until 16).map(i => s"a$i"): _*)
+    val s2 = sig.toDF("d2" +: (0 until 16).map(i => s"b$i"): _*)
+    val nAgree = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(broadcast(s1), Seq("d1")).join(broadcast(s2), Seq("d2"))
+      .withColumn("n_agree", nAgree)
+      .select(col("d1"), col("d2"),
+        round(col("jac") * 1000000).cast("long").as("jac_micro"),
+        col("n_agree"),
+        (col("n_agree") * 62500L).as("est_micro"),
+        abs(round(col("jac") * 1000000).cast("long") - col("n_agree") * 62500L)
+          .as("err_micro"))
+      .orderBy("d1", "d2")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
-    dedupSavingsBySource)
+    dedupSavingsBySource, dedupMinhashAccuracy)
 }

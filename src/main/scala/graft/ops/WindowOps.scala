@@ -1007,10 +1007,50 @@ object WindowOps {
       .orderBy("event_type")
   }
 
+  /** Maximum-drawdown series of daily purchase revenue: per day, the
+    * running all-time-high and the drawdown below it (peak − revenue) —
+    * the health metric behind "how far below the best day are we, and
+    * when did it start". All arithmetic is exact integer cents; the
+    * running max is the one genuinely sequential piece and runs over the
+    * DAILY rollup, never the event stream.
+    *
+    * Scale shape: the corpus pass is one map-side-combined groupBy to the
+    * day grain (span-bounded: 10 years ≈ 3,653 rows); the unpartitioned
+    * running-max window costs one task over those rows — the same
+    * span-bounded window contract as win-cusum-changepoint.
+    */
+  val winDrawdown: Op = Op.sql(
+    "win-drawdown",
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day)
+      |SELECT day, rev_cents,
+      |       CAST(max(rev_cents) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS peak_cents,
+      |       CAST(max(rev_cents) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            - rev_cents AS BIGINT) AS dd_cents
+      |FROM d ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").cast("long").as("rev_cents"))
+      .withColumn("peak_cents", max("rev_cents").over(w).cast("long"))
+      .withColumn("dd_cents", (col("peak_cents") - col("rev_cents")).cast("long"))
+      .orderBy("day")
+  }
+
   val ops: Seq[Op] = Seq(sortByHeight, mergeSorted, topkLargestGroup, tailN,
     winChainLink, winGapDetect, winHeadSelect, winSessionize, winNextEvent,
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
-    winScd2History, joinPitScd2, winStreak, winAutocorr)
+    winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown)
 }

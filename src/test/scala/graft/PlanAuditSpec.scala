@@ -560,6 +560,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("agg-basket-pairs expands pairs in-task and broadcasts the lift tables") {
+    val p = plan("agg-basket-pairs")
+    assert(p.toLowerCase.contains("arrayorderedpairs"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("win-drawdown windows over the daily rollup, never the event stream") {
+    val p = plan("win-drawdown")
+    // day-grain aggregation (partial first) BEFORE the running-max window
+    assert(p.contains("partial_sum"), p)
+    val winIdx = p.indexOf("windowspecdefinition")
+    val aggIdx = p.indexOf("partial_sum")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"), p)
+  }
+
+  test("dedup-minhash-accuracy joins stay pair-table-sized broadcasts") {
+    val p = plan("dedup-minhash-accuracy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
