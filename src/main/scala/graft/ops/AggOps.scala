@@ -1323,6 +1323,18 @@ object AggOps {
     * is key-grained and the sketch BROADCASTS onto it. The exact counts
     * exist only to grade the sketch — production reads cells alone.
     */
+  /** CMS bucket for row r of the d=4 × w=64 grid (cross-engine md5 hash;
+    * shared with stream-countmin's windowed cells).
+    */
+  private[graft] def cmsBucket(key: org.apache.spark.sql.Column, r: Int) =
+    conv(substring(md5(concat(lit(s"$r:"), key)), 1, 8), 16, 10)
+      .cast("long") % 64
+
+  /** One (r, bucket) struct per sketch row, exploded from a single pass. */
+  private[graft] def cmsPairs(key: org.apache.spark.sql.Column) =
+    explode(array((0 until 4).map(r =>
+      struct(lit(r.toLong).as("r"), cmsBucket(key, r).as("b"))): _*)).as("rb")
+
   val aggCountmin: Op = Op.sql(
     "agg-countmin",
     """WITH r4 AS (SELECT unnest(generate_series(0, 3)) AS r),
@@ -1344,19 +1356,13 @@ object AggOps {
       |FROM kb JOIN sketch s ON s.r = kb.r AND s.b = kb.b
       |GROUP BY kb.event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
-    def bucket(key: org.apache.spark.sql.Column, r: Int) =
-      conv(substring(md5(concat(lit(s"$r:"), key)), 1, 8), 16, 10)
-        .cast("long") % 64
-    def rbPairs(key: org.apache.spark.sql.Column) =
-      explode(array((0 until 4).map(r =>
-        struct(lit(r.toLong).as("r"), bucket(key, r).as("b"))): _*)).as("rb")
     val cells = Tables.events(s, d).select(col("event_type"))
-      .select(rbPairs(col("event_type")))
+      .select(cmsPairs(col("event_type")))
       .select(col("rb.r").as("r"), col("rb.b").as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("cell_n"))
     val keys = Tables.events(s, d)
       .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
-    keys.select(col("event_type"), col("n_exact"), rbPairs(col("event_type")))
+    keys.select(col("event_type"), col("n_exact"), cmsPairs(col("event_type")))
       .select(col("event_type"), col("n_exact"),
         col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(cells), Seq("r", "b"))

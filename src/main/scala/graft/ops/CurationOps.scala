@@ -552,7 +552,56 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** Canonical-form dedup tiers from ONE scan: how many duplicate groups
+    * exist under (a) EXACT text equality, (b) the sorted word BAG
+    * (order-insensitive — catches shuffled/reordered copies), and (c) the
+    * 50-word PREFIX (head-truncation dup — the same doc cut short). Real
+    * curation runs exactly this ladder before choosing its canonical key:
+    * each tier's extra dupes over `exact` price what that normalization
+    * would additionally collapse. Every tier key explodes from the SAME
+    * tokenized row (one scan, one exchange — never three dedup passes).
+    *
+    * Scale shape: one 3-struct explode → one map-side-combined groupBy on
+    * (tier, md5 key) → a tier-grained rollup; group rows are bounded by
+    * the corpus, output by 3 rows.
+    */
+  val dedupCanonicalTiers: Op = Op.sql(
+    "dedup-canonical-tiers",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |keys AS (
+      |  SELECT 'exact' AS tier, md5(text) AS k FROM t
+      |  UNION ALL
+      |  SELECT 'bag', md5(array_to_string(list_sort(ws), ' ')) FROM t
+      |  UNION ALL
+      |  SELECT 'prefix50', md5(array_to_string(ws[1:50], ' ')) FROM t),
+      |g AS (SELECT tier, k, count(*) AS n FROM keys GROUP BY tier, k)
+      |SELECT tier, CAST(sum(n) AS BIGINT) AS n_docs,
+      |       count(*) AS n_groups,
+      |       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+      |       CAST(max(n) AS BIGINT) AS max_group
+      |FROM g GROUP BY tier ORDER BY tier""".stripMargin
+  ) { (s, d) =>
+    val keys = Tables.documents(s, d)
+      .select(col("text"), split(col("text"), " ").as("ws"))
+      .select(explode(array(
+        struct(lit("exact").as("tier"), md5(col("text")).as("k")),
+        struct(lit("bag").as("tier"),
+          md5(concat_ws(" ", array_sort(col("ws")))).as("k")),
+        struct(lit("prefix50").as("tier"),
+          md5(concat_ws(" ", slice(col("ws"), 1, 50))).as("k")))).as("tk"))
+      .select(col("tk.tier").as("tier"), col("tk.k").as("k"))
+    keys.groupBy("tier", "k").agg(count(lit(1)).as("n"))
+      .groupBy("tier")
+      .agg(sum("n").cast("long").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        (sum("n") - count(lit(1))).cast("long").as("n_dup_docs"),
+        max("n").cast("long").as("max_group"))
+      .orderBy("tier")
+  }
+
   val ops: Seq[Op] = Seq(dedupParagraph, dedupIncremental, dedupBloomScreen,
     textCapPerSource, dedupThresholdSweep, textShardBalance, textBoilerplateStrip,
-    textShardManifest, dedupSourceOverlap, textKAnonymity, textLDiversity)
+    textShardManifest, dedupSourceOverlap, textKAnonymity, textLDiversity,
+    dedupCanonicalTiers)
 }

@@ -1136,9 +1136,54 @@ object SimOps {
     Similarity.annRecall(exact, approx).orderBy("q_id")
   }
 
+  /** Filtered vector search: top-5 cosine neighbors AMONG THE QUERY'S OWN
+    * LABEL only — the metadata-predicate ANN every retrieval product
+    * ships ("nearest within this tenant / language / category"). The
+    * equality predicate joins INSIDE the candidate generation (a hash
+    * join on the label), never as a post-filter over an unfiltered top-k
+    * — post-filtering k results by label under-fills whenever the global
+    * neighborhood is label-diverse, which is exactly the failure this
+    * spelling avoids.
+    *
+    * Scale shape: queries broadcast; the label equality makes the scoring
+    * join a Broadcast HASH join (not BNLJ) so each corpus row scores only
+    * against its label's queries; with the sim-ivf-index-layout pattern
+    * applied per label, the predicate becomes partition pruning and the
+    * scan touches one label's files. Salted two-phase top-k as always.
+    */
+  val simFilteredTopk: Op = Op.sql(
+    "sim-filtered-topk",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS n_id,
+       |         $CosineSql AS sim
+       |  FROM e q JOIN e c ON q.label = c.label
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT q_id, label, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+       |           AS rn
+       |  FROM scored)
+       |SELECT q_id, label, n_id, sim FROM ranked WHERE rn <= 5
+       |ORDER BY q_id, sim DESC, n_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("label"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), Seq("label"))
+      .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .select("q_id", "label", "n_id", "sim")
+    graft.functions.TopK.topkPerGroup(scored, Seq("q_id"),
+      Seq(col("sim").desc, col("n_id").asc), 5)
+      .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
-    simIvfPq, simIvfIndexLayout, simInt8Recall)
+    simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk)
 }

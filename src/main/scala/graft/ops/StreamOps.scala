@@ -430,8 +430,40 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Hourly Count–Min cells per window — the batch shape of
+    * [[graft.streaming.Streams.countminLive]] (same d=4 × w=64 grid as
+    * agg-countmin, windowed). The emitted (window, r, bucket, n) rows are
+    * the MERGEABLE sketch tier: cells add across micro-batches, shards
+    * and days, so any coarser-grain heavy-hitter estimate is a sum over
+    * stored cells — never a rescan of raw events (the same
+    * persisted-sketch contract as stream-hll / agg-hll-merge). State per
+    * (window) is the fixed 256-cell grid at ANY key cardinality, which is
+    * what makes the screen affordable in front of stream-topk at 100 TB.
+    *
+    * Scale shape: one map-side-combined groupBy to (window, r, bucket) —
+    * ≤ 256 cells per hour regardless of corpus size.
+    */
+  val streamCountmin: Op = Op.sql(
+    "stream-countmin",
+    """WITH r4 AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |c AS (SELECT epoch_us(e.ts) // 3600000000 * 3600000000 AS win_us, r.r,
+      |        CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      |              e.event_type), 1, 8)) AS BIGINT) % 64 AS b
+      |      FROM events e, r4 r)
+      |SELECT win_us, r, b, count(*) AS cell_n
+      |FROM c GROUP BY win_us, r, b
+      |ORDER BY win_us, r, b""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(expr("ts div 1000 div 3600000000 * 3600000000").as("win_us"),
+        graft.ops.AggOps.cmsPairs(col("event_type")))
+      .select(col("win_us"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("win_us", "r", "b").agg(count(lit(1)).as("cell_n"))
+      .orderBy("win_us", "r", "b")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
-    streamUpsert)
+    streamUpsert, streamCountmin)
 }

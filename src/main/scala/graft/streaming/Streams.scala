@@ -395,6 +395,25 @@ object Streams {
         col("bucket"), col("r"))
   }
 
+  /** Live windowed Count–Min cells: watermarked hourly windows accumulate
+    * the d=4 × w=64 grid (shared with agg-countmin / stream-countmin —
+    * [[graft.ops.AggOps.cmsPairs]]). Counts merge across micro-batches by
+    * plain aggregation, and closed windows emit cells that further merge
+    * by summing — the mergeable heavy-hitter screen whose per-window
+    * state is 256 counters at ANY key cardinality. Input: (tsc timestamp,
+    * event_type).
+    */
+  def countminLive(events: DataFrame, windowDur: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame =
+    events
+      .select(col("tsc"), graft.ops.AggOps.cmsPairs(col("event_type")))
+      .select(col("tsc"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("r"), col("b"))
+      .agg(count(lit(1)).as("cell_n"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("r"), col("b"),
+        col("cell_n"))
+
   /** Live windowed histogram-quantile sketch: watermarked hourly windows
     * accumulate the fixed-range bucket counts
     * ([[graft.sketch.HistQuantile]] — counts merge across micro-batches

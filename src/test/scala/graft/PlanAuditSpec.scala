@@ -582,6 +582,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 
+  test("sim-filtered-topk scores via a label hash join, not a post-filter") {
+    val p = plan("sim-filtered-topk")
+    // label predicate joins INSIDE candidate generation — a broadcast
+    // HASH join on label (not BNLJ over the whole corpus)
+    assert(p.contains("BroadcastHashJoin [label"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(_salt"), p)
+  }
+
+  test("dedup-canonical-tiers explodes all tiers from one scan") {
+    val p = plan("dedup-canonical-tiers")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("stream-countmin collapses to the fixed windowed cell grid map-side") {
+    val p = plan("stream-countmin")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;

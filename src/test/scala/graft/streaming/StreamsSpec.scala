@@ -649,6 +649,43 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("countminLive cells merge across micro-batches to the batch sketch") {
+    import java.sql.Timestamp
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String)](spark, 12)
+    val out = Streams.countminLive(input.toDF().toDF("tsc", "event_type"))
+    val q = out.writeStream
+      .format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    def t(h: Long, m: Long) = new Timestamp(1700000000000L + h * 3600000L + m * 60000L)
+    // one hour's keys split across two micro-batches
+    input.addData((t(0, 1), "click"), (t(0, 2), "view"), (t(0, 3), "click"))
+    q.processAllAvailable()
+    input.addData((t(0, 10), "purchase"), (t(0, 11), "click"))
+    q.processAllAvailable()
+    // sentinel far past the watermark horizon closes hour 0
+    input.addData((t(3, 0), "view"))
+    q.processAllAvailable()
+    val streamed = spark.table("cms_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    q.stop()
+    // batch sketch over the same hour-0 rows (the stream-countmin shape)
+    val batch = Seq("click", "view", "click", "purchase", "click")
+      .toDF("event_type")
+      .select(graft.ops.AggOps.cmsPairs(col("event_type")))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").count()
+      .collect().map(r => (1700000000000000L / 3600000000L * 3600000000L,
+        r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val hour0 = streamed.filter { case ((w, _, _), _) =>
+      w == 1700000000000000L / 3600000000L * 3600000000L }
+    assert(hour0 === batch)
+    assert(hour0.values.sum === 5L * 4L) // every event lands in all 4 rows
+  }
+
   test("upsertLive converges to the batch LWW view under out-of-order batches") {
     import java.sql.Timestamp
     val input = org.apache.spark.sql.execution.streaming.runtime
