@@ -615,8 +615,115 @@ object JoinOps {
     stats.crossJoin(broadcast(joined))
   }
 
+  /** The local-supplier revenue rollup (the TPC-H Q5 join shape): revenue
+    * per nation from line items whose CUSTOMER and SUPPLIER share that
+    * nation, within one region — the canonical snowflake traversal with
+    * a same-nation equality BETWEEN two dimension paths. Revenue is exact
+    * integer centi-cents (price cents × (100 − discount cents)).
+    *
+    * Scale shape: ONE big-big exchange (lineitem ⋈ orders on the order
+    * key — the bucketing key at rest, see layout-bucketed-join); every
+    * dimension hop (customer, supplier, nation, region) BROADCASTS, and
+    * the region filter prunes nations before the fact join, so the
+    * same-nation check rides the broadcast hash joins — the fact table
+    * never shuffles on a dimension key.
+    */
+  val joinLocalSupplier: Op = Op.sql(
+    "join-local-supplier",
+    """SELECT n.n_name,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS revenue_cc,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |              AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 100).cast("long").as("disc_c"))
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    li.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("price_c") * (lit(100L) - col("disc_c"))).cast("long")
+        .as("revenue_cc"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Join-cardinality estimator calibration — the optimizer-statistics
+    * audit run before trusting any cost-based plan choice: the EXACT
+    * orders ⋈ customer output size next to the two estimates a planner
+    * can afford, (a) a 512-bucket key histogram (upper-bounds the true
+    * size; tight when buckets are near-single-key) and (b) the
+    * independence/containment formula |A|·|B| / max(ndv_A, ndv_B) every
+    * textbook optimizer starts from. Signed error in basis points makes
+    * the over/under direction visible. All integers (counts, products,
+    * one integer division each).
+    *
+    * Scale shape: per-key counts are map-side-combined groupBys; the
+    * exact term joins the two KEY-GRAINED count tables (key-domain-sized,
+    * not row-sized); the bucket histogram is 512 rows and broadcasts.
+    */
+  val joinCardEstimate: Op = Op.sql(
+    "join-card-estimate",
+    """WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY k),
+      |b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY k),
+      |ex AS (SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS n_exact
+      |       FROM a JOIN b ON a.k = b.k),
+      |ha AS (SELECT k % 512 AS bk, CAST(sum(ca) AS BIGINT) AS ca FROM a GROUP BY bk),
+      |hb AS (SELECT k % 512 AS bk, CAST(sum(cb) AS BIGINT) AS cb FROM b GROUP BY bk),
+      |bu AS (SELECT CAST(sum(ha.ca * hb.cb) AS BIGINT) AS n_bucket
+      |       FROM ha JOIN hb ON ha.bk = hb.bk),
+      |ind AS (SELECT CAST((SELECT CAST(sum(ca) AS BIGINT) FROM a) *
+      |                    (SELECT CAST(sum(cb) AS BIGINT) FROM b) //
+      |                    greatest((SELECT count(*) FROM a),
+      |                             (SELECT count(*) FROM b)) AS BIGINT) AS n_indep)
+      |SELECT ex.n_exact, bu.n_bucket, ind.n_indep,
+      |       CAST((bu.n_bucket - ex.n_exact) * 10000 // ex.n_exact AS BIGINT)
+      |         AS bucket_err_bp,
+      |       CAST((ind.n_indep - ex.n_exact) * 10000 // ex.n_exact AS BIGINT)
+      |         AS indep_err_bp
+      |FROM ex, bu, ind""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val b = Tables.customer(s, d).groupBy(col("c_custkey").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val ex = a.join(b, Seq("k"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("n_exact"))
+    val ha = a.groupBy((col("k") % 512).as("bk")).agg(sum("ca").cast("long").as("ca"))
+    val hb = b.groupBy((col("k") % 512).as("bk")).agg(sum("cb").cast("long").as("cb"))
+    val bu = ha.join(broadcast(hb), Seq("bk"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("n_bucket"))
+    val ind = a.agg(sum("ca").cast("long").as("na"), count(lit(1)).as("da"))
+      .crossJoin(b.agg(sum("cb").cast("long").as("nb"), count(lit(1)).as("db")))
+      .select(expr("(na * nb) div greatest(da, db)").as("n_indep"))
+    ex.crossJoin(broadcast(bu)).crossJoin(broadcast(ind))
+      .select(col("n_exact"), col("n_bucket"), col("n_indep"),
+        expr("((n_bucket - n_exact) * 10000) div n_exact").as("bucket_err_bp"),
+        expr("((n_indep - n_exact) * 10000) div n_exact").as("indep_err_bp"))
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
-    joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune)
+    joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune,
+    joinLocalSupplier, joinCardEstimate)
 }

@@ -465,7 +465,65 @@ object LayoutOps {
       .orderBy("layout", "probe")
   }
 
+  /** Zone-overlap depth profile — the clustering-quality metric behind
+    * "how many files must a POINT lookup on the secondary key read":
+    * sweep the per-file [ck_min, ck_max] custkey extents of the natural
+    * (o_orderkey-tiled) layout and histogram the overlap depth across the
+    * key domain. A perfectly clustered layout has depth 1 everywhere
+    * (every point lives in one file); the natural layout's depth ≈ file
+    * count because a secondary key spreads over every file — the exact
+    * number OPTIMIZE/re-cluster decisions are made on (Delta/Iceberg call
+    * this the clustering depth). `span_total` weights each depth by how
+    * much of the key domain experiences it.
+    *
+    * Scale shape: extents are one catalog-grained groupBy; the sweep
+    * (+1/−1 boundary events, running sum) windows over ≤ 2·|files| rows —
+    * the documented catalog-bounded single-partition window, never data
+    * rows. Pure integers.
+    */
+  val layoutOverlapDepth: Op = Op.sql(
+    "layout-overlap-depth",
+    """WITH f AS (
+      |  SELECT o_orderkey // 100 AS fid,
+      |         min(o_custkey) AS ck_min, max(o_custkey) AS ck_max
+      |  FROM orders GROUP BY fid),
+      |pts AS (SELECT ck_min AS p, 1 AS delta FROM f
+      |        UNION ALL SELECT ck_max + 1, -1 FROM f),
+      |gp AS (SELECT p, CAST(sum(delta) AS BIGINT) AS delta FROM pts GROUP BY p),
+      |run AS (SELECT p,
+      |          sum(delta) OVER (ORDER BY p
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+      |          lead(p) OVER (ORDER BY p) AS np
+      |        FROM gp),
+      |seg AS (SELECT depth, np - p AS len FROM run
+      |        WHERE np IS NOT NULL AND depth > 0)
+      |SELECT CAST(depth AS BIGINT) AS depth,
+      |       CAST(sum(len) AS BIGINT) AS span_total,
+      |       count(*) AS n_segments
+      |FROM seg GROUP BY depth ORDER BY depth""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.orders(s, d)
+      .groupBy(expr("o_orderkey div 100").as("fid"))
+      .agg(min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"))
+    val pts = f.select(col("ck_min").as("p"), lit(1L).as("delta"))
+      .union(f.select((col("ck_max") + 1).as("p"), lit(-1L).as("delta")))
+    val gp = pts.groupBy("p").agg(sum("delta").as("delta"))
+    val w = Window.orderBy("p")
+    gp.withColumn("depth",
+        sum("delta").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("np", lead("p", 1).over(w))
+      .filter(col("np").isNotNull && col("depth") > 0)
+      .select(col("depth").cast("long").as("depth"),
+        (col("np") - col("p")).as("len"))
+      .groupBy("depth")
+      .agg(sum("len").cast("long").as("span_total"),
+        count(lit(1)).as("n_segments"))
+      .orderBy("depth")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
     layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
-    layoutSkipCompare)
+    layoutSkipCompare, layoutOverlapDepth)
 }

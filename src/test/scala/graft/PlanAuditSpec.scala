@@ -605,6 +605,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("join-local-supplier shuffles once; every dimension hop broadcasts") {
+    val p = plan("join-local-supplier")
+    // one big-big exchange (lineitem ⋈ orders); dims are broadcast hash
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join-card-estimate works on key-grained tables, never row joins") {
+    val p = plan("join-card-estimate")
+    // per-key counts partial-agg before their exchanges; the exact term
+    // joins COUNT tables, so no row-sized shuffle joins appear
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("layout-overlap-depth sweeps catalog rows only") {
+    val p = plan("layout-overlap-depth")
+    // extents are a catalog-grained groupBy with map-side combine; the
+    // sweep window runs over boundary events, not data rows
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
