@@ -1438,7 +1438,54 @@ object AggOps {
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
-    aggBasketPairs)
+    aggBasketPairs, aggFreshness)
+
+  /** Feed-freshness dashboard: per event type, the last event's
+    * micro-epoch, its staleness behind the freshest type, and the event
+    * count inside the feed's final hour — the liveness table an ingestion
+    * SLA monitor reads (a type whose staleness grows while others advance
+    * is a stuck partition or a dead producer, not a quiet corpus).
+    *
+    * Scale shape: ONE map-side-combined groupBy to the (type, hour)
+    * grain; everything downstream (per-type maxima, the global max, the
+    * last-hour counts) folds over those catalog-sized rollup rows — the
+    * event stream is scanned once and never windowed.
+    */
+  lazy val aggFreshness: Op = Op.sql(
+    "agg-freshness",
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |         count(*) AS n, max(epoch_us(ts)) AS mx
+      |  FROM events GROUP BY event_type, hour),
+      |t AS (SELECT event_type, CAST(max(mx) AS BIGINT) AS last_us FROM h
+      |      GROUP BY event_type),
+      |g AS (SELECT max(last_us) AS g_last, max(last_us) // 3600000000 AS g_hour
+      |      FROM t),
+      |lh AS (SELECT h.event_type, CAST(sum(h.n) AS BIGINT) AS n_last_hour
+      |       FROM h, g WHERE h.hour = g.g_hour GROUP BY h.event_type)
+      |SELECT t.event_type AS event_type, t.last_us,
+      |       CAST(g.g_last - t.last_us AS BIGINT) AS staleness_us,
+      |       CAST(coalesce(lh.n_last_hour, 0) AS BIGINT) AS n_last_hour
+      |FROM t CROSS JOIN g LEFT JOIN lh ON lh.event_type = t.event_type
+      |ORDER BY t.event_type""".stripMargin
+  ) { (s, d) =>
+    val h = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+      .groupBy(col("event_type"), expr("us div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"), max("us").as("mx"))
+    val t = h.groupBy("event_type").agg(max("mx").cast("long").as("last_us"))
+    val g = t.agg(max("last_us").as("g_last"),
+      expr("max(last_us) div 3600000000").as("g_hour"))
+    val lh = h.crossJoin(broadcast(g.select("g_hour")))
+      .filter(col("hour") === col("g_hour"))
+      .groupBy("event_type").agg(sum("n").cast("long").as("n_last_hour"))
+    t.crossJoin(broadcast(g.select("g_last")))
+      .join(broadcast(lh), Seq("event_type"), "left")
+      .select(col("event_type"), col("last_us"),
+        (col("g_last") - col("last_us")).cast("long").as("staleness_us"),
+        coalesce(col("n_last_hour"), lit(0L)).cast("long").as("n_last_hour"))
+      .orderBy("event_type")
+  }
 
   /** Market-basket co-occurrence over event types: for every unordered
     * type pair, how many users did BOTH, and the lift against

@@ -887,7 +887,13 @@ object DedupOps {
       |FROM fp a JOIN fp b ON a.id < b.id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY d1, d2""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => hammingPairs(s, d).orderBy("d1", "d2") }
+
+  /** The Manku banded Hamming ≤ 3 pair pipeline (see dedup-simhash-hamming)
+    * as a reusable table — shared with dedup-method-agreement.
+    */
+  private def hammingPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
       graft.functions.SimhashFingerprint.mixed(
         graft.text.TextAnalysis.tokens(col("text")), 48).as("simhash"))
@@ -905,7 +911,6 @@ object DedupOps {
         bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy("d1", "d2")
   }
 
   /** Near-dup graph degree distribution — the first diagnostic read off
@@ -1060,5 +1065,73 @@ object DedupOps {
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
-    dedupSavingsBySource, dedupMinhashAccuracy)
+    dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement)
+
+  /** Cross-method agreement of the two lexical near-dup tiers: the exact
+    * jaccard pair set (j ≥ 0.5) against the Manku simhash Hamming ≤ 3
+    * pair set, as set-overlap counts and their Jaccard (micro). The two
+    * methods approximate DIFFERENT similarities (set resemblance vs
+    * cosine of the vocabulary vote vector), so their agreement is an
+    * empirical property of the corpus — this one-row audit is how a
+    * pipeline decides whether simhash can replace the costlier
+    * shingle/jaccard tier for its corpus, or must run beside it.
+    *
+    * Scale shape: both inputs are pair tables (near-dup-count-sized); the
+    * overlap is one groupBy over their union — nothing corpus-sized moves
+    * beyond what the two producing tiers already pay (jaccard rides the
+    * persisted pair cache; the simhash side is the shared banded
+    * pipeline, never all-pairs).
+    */
+  lazy val dedupMethodAgreement: Op = Op.sql(
+    "dedup-method-agreement",
+    s"""WITH $ShingleOracle,
+       |jp AS (SELECT d1, d2 FROM jac WHERE jac >= 0.5),
+       |words AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+       |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+       |           (a, b) -> (a * 31 + b) % 1000003) AS h
+       |  FROM words),
+       |votes AS (
+       |  SELECT id, j,
+       |         CAST(sum(CASE WHEN ((h * (((j * 2654435761) % 2147483647) | 1)
+       |                              + ((j * 40503 * 65537) % 2147483647))
+       |                             % 2147483647) % 2 = 1
+       |                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hashed, (SELECT unnest(generate_series(0, 47)) AS j) g
+       |  GROUP BY id, j),
+       |fp AS (
+       |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY id),
+       |hp AS (SELECT a.id AS d1, b.id AS d2
+       |       FROM fp a JOIN fp b ON a.id < b.id
+       |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |u AS (SELECT d1, d2, max(in_j) AS in_j, max(in_h) AS in_h
+       |      FROM (SELECT d1, d2, 1 AS in_j, 0 AS in_h FROM jp
+       |            UNION ALL SELECT d1, d2, 0, 1 FROM hp)
+       |      GROUP BY d1, d2)
+       |SELECT CAST(sum(in_j) AS BIGINT) AS n_jaccard,
+       |       CAST(sum(in_h) AS BIGINT) AS n_hamming,
+       |       CAST(sum(in_j * in_h) AS BIGINT) AS n_both,
+       |       count(*) AS n_union,
+       |       CAST(sum(in_j * in_h) * 1000000 // count(*) AS BIGINT)
+       |         AS agreement_micro
+       |FROM u""".stripMargin
+  ) { (s, d) =>
+    val jp = persistedJaccardPairs(s, d).select("d1", "d2")
+      .withColumn("in_j", lit(1L)).withColumn("in_h", lit(0L))
+    val hp = hammingPairs(s, d).select("d1", "d2")
+      .withColumn("in_j", lit(0L)).withColumn("in_h", lit(1L))
+    jp.union(hp)
+      .groupBy("d1", "d2")
+      .agg(max("in_j").as("in_j"), max("in_h").as("in_h"))
+      .agg(sum("in_j").cast("long").as("n_jaccard"),
+        sum("in_h").cast("long").as("n_hamming"),
+        sum(col("in_j") * col("in_h")).cast("long").as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_jaccard"), col("n_hamming"), col("n_both"), col("n_union"),
+        expr("(n_both * 1000000) div n_union").as("agreement_micro"))
+  }
 }

@@ -474,7 +474,71 @@ object PipelineOps {
       .orderBy("lang", "source")
   }
 
+  /** Dead-letter audit: grade the event feed against the ingestion
+    * contract, one row per rule with the violation count and share (basis
+    * points) — the table a quarantine router writes next to the clean
+    * output. Zero-count rows are the point: they PROVE the feed honors
+    * the rule (null props, negative amounts, unknown types, out-of-range
+    * timestamps), while non-zero rows (the 400-cap breach here) size the
+    * quarantine. The four row-local rules come from ONE
+    * conditional-aggregation scan exploded to rows; the duplicate-id rule
+    * is its own key-grained aggregate (a per-key count can't ride a
+    * row-local scan) — never five passes.
+    */
+  val pipelineQuarantine: Op = Op.sql(
+    "pipeline-quarantine",
+    """WITH f AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS null_props,
+      |         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS neg_value,
+      |         CAST(sum(CASE WHEN event_type NOT IN
+      |               ('click','error','purchase','signup','view')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS unknown_type,
+      |         CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS value_over_cap
+      |  FROM events),
+      |dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_ids FROM
+      |          (SELECT event_id, count(*) AS c FROM events
+      |           GROUP BY event_id HAVING count(*) > 1)),
+      |rules AS (
+      |  SELECT 'dup_event_id' AS rule, dup.dup_ids AS n_failed, f.n FROM f, dup
+      |  UNION ALL SELECT 'neg_value', f.neg_value, f.n FROM f
+      |  UNION ALL SELECT 'null_props', f.null_props, f.n FROM f
+      |  UNION ALL SELECT 'unknown_type', f.unknown_type, f.n FROM f
+      |  UNION ALL SELECT 'value_over_cap', f.value_over_cap, f.n FROM f)
+      |SELECT rule, n_failed,
+      |       CAST((n_failed * 10000) // n AS BIGINT) AS share_bp
+      |FROM rules ORDER BY rule""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val f = ev.agg(count(lit(1)).as("n"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).cast("long")
+        .as("null_props"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).cast("long").as("neg_value"),
+      sum(when(!col("event_type").isin(
+        "click", "error", "purchase", "signup", "view"), 1L).otherwise(0L))
+        .cast("long").as("unknown_type"),
+      sum(when(col("value") > 400, 1L).otherwise(0L)).cast("long")
+        .as("value_over_cap"))
+    val dup = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("dup_ids"))
+    f.crossJoin(broadcast(dup))
+      .select(explode(array(
+        struct(lit("dup_event_id").as("rule"), col("dup_ids").as("n_failed")),
+        struct(lit("neg_value").as("rule"), col("neg_value").as("n_failed")),
+        struct(lit("null_props").as("rule"), col("null_props").as("n_failed")),
+        struct(lit("unknown_type").as("rule"), col("unknown_type").as("n_failed")),
+        struct(lit("value_over_cap").as("rule"),
+          col("value_over_cap").as("n_failed")))).as("r"), col("n"))
+      .select(col("r.rule").as("rule"), col("r.n_failed").as("n_failed"),
+        expr("(r.n_failed * 10000) div n").as("share_bp"))
+      .orderBy("rule")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
-    pipelineContentFingerprint, pipelineFingerprintDiff)
+    pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine)
 }

@@ -630,6 +630,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("pipeline-quarantine explodes the rule rows from one aggregated scan") {
+    val p = plan("pipeline-quarantine")
+    // row-local rules fold in one conditional aggregation (map-side
+    // partials), never five selects of the corpus
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg-freshness folds over the hourly rollup, event stream scans once") {
+    val p = plan("agg-freshness")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
