@@ -1065,7 +1065,8 @@ object DedupOps {
     dedupSimhashEval, dedupSurvivorship, dedupDfSpectrum, dedupClusterSizes,
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
-    dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement)
+    dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
+    dedupSimilarDocs)
 
   /** Cross-method agreement of the two lexical near-dup tiers: the exact
     * jaccard pair set (j ≥ 0.5) against the Manku simhash Hamming ≤ 3
@@ -1082,6 +1083,45 @@ object DedupOps {
     * persisted pair cache; the simhash side is the shared banded
     * pipeline, never all-pairs).
     */
+  /** "More like this": for every document with any near-dup candidate,
+    * the top-3 most similar documents by exact pruned-shingle jaccard — the
+    * similar-document retrieval product built ON the dedup pair
+    * infrastructure (same candidates, same scores; ranked instead of
+    * thresholded for drop). Pairs are symmetric, so each query expands
+    * its pair rows in both orientations before ranking.
+    *
+    * Scale shape: rides the persisted j ≥ 0.5 pair set (near-dup-count-
+    * sized); the per-query top-3 is the salted two-phase TopK over pair
+    * rows — the corpus is never rescanned, which is exactly why a dedup
+    * pipeline gets this product query for free.
+    */
+  lazy val dedupSimilarDocs: Op = Op.sql(
+    "dedup-similar-docs",
+    s"""WITH $ShingleOracle,
+       |p AS (SELECT d1, d2, jac FROM jac WHERE jac >= 0.5),
+       |sym AS (SELECT d1 AS q_id, d2 AS n_id, jac FROM p
+       |        UNION ALL SELECT d2, d1, jac FROM p),
+       |r AS (SELECT q_id, n_id,
+       |        CAST(round(jac * 1000000) AS BIGINT) AS jac_micro,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY jac DESC, n_id) AS rank
+       |      FROM sym)
+       |SELECT q_id, n_id, jac_micro, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  ) { (s, d) =>
+    val p = persistedJaccardPairs(s, d)
+    val sym = p.select(col("d1").as("q_id"), col("d2").as("n_id"), col("jac"))
+      .union(p.select(col("d2").as("q_id"), col("d1").as("n_id"), col("jac")))
+    graft.functions.TopK.topkPerGroup(sym, Seq("q_id"),
+      Seq(col("jac").desc, col("n_id").asc), 3)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("jac").desc, col("n_id").asc)).cast("long"))
+      .select(col("q_id"), col("n_id"),
+        round(col("jac") * 1000000).cast("long").as("jac_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   lazy val dedupMethodAgreement: Op = Op.sql(
     "dedup-method-agreement",
     s"""WITH $ShingleOracle,

@@ -721,9 +721,49 @@ object JoinOps {
         expr("((n_indep - n_exact) * 10000) div n_exact").as("indep_err_bp"))
   }
 
+  /** Late-arriving-dimension audit: facts joined against the dims that
+    * have ARRIVED (here: customers with key % 10 ≠ 0 play the synced
+    * subset), rolled up per order month — resolved vs unresolved counts
+    * and the unresolved share in basis points. This is the
+    * reconciliation table a warehouse loader emits every cycle so the
+    * re-resolution job knows which months to re-join when the stragglers
+    * land (the time-bucketed generalization of anti-join-missing).
+    *
+    * Scale shape: the dim key set BROADCASTS (keys only, not payload);
+    * the fact side folds to the month grain in the same pass — one scan,
+    * one catalog-sized exchange, no row-sized shuffle join.
+    */
+  val joinDimLate: Op = Op.sql(
+    "join-dim-late",
+    """WITH arrived AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      |SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_unresolved,
+      |       CAST((sum(CASE WHEN a.c_custkey IS NULL THEN 1 ELSE 0 END) * 10000)
+      |            // count(*) AS BIGINT) AS unresolved_bp
+      |FROM orders o LEFT JOIN arrived a ON o.o_custkey = a.c_custkey
+      |GROUP BY month ORDER BY month""".stripMargin
+  ) { (s, d) =>
+    val arrived = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 =!= 0)
+      .select("c_custkey")
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+      .join(broadcast(arrived), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_unresolved"))
+      .withColumn("unresolved_bp",
+        expr("(n_unresolved * 10000) div n_orders"))
+      .orderBy("month")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
     joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune,
-    joinLocalSupplier, joinCardEstimate)
+    joinLocalSupplier, joinCardEstimate, joinDimLate)
 }

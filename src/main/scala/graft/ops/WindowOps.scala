@@ -1052,5 +1052,53 @@ object WindowOps {
     winTopPaths, winDebounce, winGapHistogram, winCusumChangepoint,
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
-    winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown)
+    winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown,
+    winVolatility)
+
+  /** 7-day rolling volatility of daily purchase revenue as the exact
+    * integer SAMPLE variance in cents² — (n·Σx² − (Σx)²) / (n·(n−1)) with
+    * one trailing integer division, so engines cannot drift (no running
+    * mean, no float accumulation; Σx² of cents stays under 2⁶³ to ~3·10⁹
+    * cents/day — beyond that, snap the daily series to dollars first).
+    * Window sizes shrink at the series head (sample variance needs n ≥ 2;
+    * the first day reports 0) exactly as a monitoring chart expects.
+    *
+    * Scale shape: the day-grain rollup first (map-side partials), then
+    * BOTH running sums ride ONE span-bounded 7-row window — the
+    * win-drawdown contract.
+    */
+  lazy val winVolatility: Op = Op.sql(
+    "win-volatility",
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+      |w AS (SELECT day, rev,
+      |        CAST(count(*) OVER t AS BIGINT) AS n,
+      |        CAST(sum(rev) OVER t AS BIGINT) AS s,
+      |        CAST(sum(rev * rev) OVER t AS BIGINT) AS s2
+      |      FROM d WINDOW t AS (ORDER BY day
+      |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, rev AS rev_cents, n,
+      |       CASE WHEN n >= 2
+      |            THEN CAST((n * s2 - s * s) // (n * (n - 1)) AS BIGINT)
+      |            ELSE 0 END AS var_cc
+      |FROM w ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").cast("long").as("rev"))
+      .withColumn("n", count(lit(1)).over(t).cast("long"))
+      .withColumn("s", sum("rev").over(t).cast("long"))
+      .withColumn("s2", sum(col("rev") * col("rev")).over(t).cast("long"))
+      .select(col("day"), col("rev").as("rev_cents"), col("n"),
+        when(col("n") >= 2,
+          expr("(n * s2 - s * s) div (n * (n - 1))")).otherwise(0L)
+          .cast("long").as("var_cc"))
+      .orderBy("day")
+  }
 }
