@@ -523,7 +523,102 @@ object LayoutOps {
       .orderBy("depth")
   }
 
+  /** File-level bloom index vs zone map on POINT lookups — the parquet
+    * bloom-filter story quantified: for five probe custkeys, how many
+    * files each index tier admits (zone = range intersect; bloom = all
+    * three modular positions set in the file's 1024-position set) next to
+    * the files that truly contain the key. Zone maps cannot prune an
+    * uncorrelated secondary key (every file's range covers everything —
+    * see layout-overlap-depth), while a per-file bloom prunes to
+    * near-truth at ~1.2 KiB/file; `bloom_read − true_files` is the
+    * realized false-positive I/O. The hash family is join-bloom-prune's
+    * mod-first modular multiplication.
+    *
+    * Scale shape: extents and the distinct (file, family, position) sets
+    * are one catalog/index-grained groupBy each over a single scan pass;
+    * the 15 literal probe positions broadcast, and every grading join is
+    * index-table-sized. Pure integers.
+    */
+  val indexBloomFiles: Op = Op.sql(
+    "index-bloom-files",
+    """WITH f AS (
+      |  SELECT o_orderkey // 100 AS fid, o_custkey AS ck FROM orders),
+      |ext AS (SELECT fid, min(ck) AS ck_min, max(ck) AS ck_max
+      |        FROM f GROUP BY fid),
+      |pos AS (
+      |  SELECT DISTINCT fid, fam, p FROM (
+      |    SELECT fid, 0 AS fam, ((ck % 1021) * 31415) % 1024 AS p FROM f
+      |    UNION ALL SELECT fid, 1, ((ck % 1019) * 27183) % 1024 FROM f
+      |    UNION ALL SELECT fid, 2, ((ck % 1013) * 14142) % 1024 FROM f)),
+      |probes AS (SELECT unnest([7, 40, 101, 250, 333]) AS k),
+      |pp AS (SELECT k, 0 AS fam, ((k % 1021) * 31415) % 1024 AS p FROM probes
+      |       UNION ALL SELECT k, 1, ((k % 1019) * 27183) % 1024 FROM probes
+      |       UNION ALL SELECT k, 2, ((k % 1013) * 14142) % 1024 FROM probes),
+      |bl AS (SELECT pp.k, pos.fid, count(*) AS n_fam
+      |       FROM pp JOIN pos ON pos.fam = pp.fam AND pos.p = pp.p
+      |       GROUP BY pp.k, pos.fid),
+      |tru AS (SELECT DISTINCT ck AS k, fid FROM f),
+      |g AS (
+      |  SELECT pr.k, e.fid,
+      |         CASE WHEN e.ck_min <= pr.k AND pr.k <= e.ck_max
+      |              THEN 1 ELSE 0 END AS zone_hit,
+      |         CASE WHEN bl.n_fam = 3 THEN 1 ELSE 0 END AS bloom_hit,
+      |         CASE WHEN tru.fid IS NOT NULL THEN 1 ELSE 0 END AS true_hit
+      |  FROM probes pr
+      |  CROSS JOIN ext e
+      |  LEFT JOIN bl ON bl.k = pr.k AND bl.fid = e.fid
+      |  LEFT JOIN tru ON tru.k = pr.k AND tru.fid = e.fid)
+      |SELECT k AS probe_key, count(*) AS files_total,
+      |       CAST(sum(zone_hit) AS BIGINT) AS zone_read,
+      |       CAST(sum(bloom_hit) AS BIGINT) AS bloom_read,
+      |       CAST(sum(true_hit) AS BIGINT) AS true_files
+      |FROM g GROUP BY k ORDER BY probe_key""".stripMargin
+  ) { (s, d) =>
+    val probeKeys = Seq(7L, 40L, 101L, 250L, 333L)
+    val fams = Seq((0, 1021L, 31415L), (1, 1019L, 27183L), (2, 1013L, 14142L))
+    def posOf(k: Long, fam: (Int, Long, Long)): Long =
+      ((k % fam._2) * fam._3) % 1024L
+    val f = Tables.orders(s, d)
+      .select(expr("o_orderkey div 100").as("fid"), col("o_custkey").as("ck"))
+    val ext = f.groupBy("fid").agg(min("ck").as("ck_min"), max("ck").as("ck_max"))
+    val pos = f.select(col("fid"), explode(array(fams.map { fm =>
+        struct(lit(fm._1.toLong).as("fam"),
+          (((col("ck") % fm._2) * fm._3) % 1024L).as("p"))
+      }: _*)).as("fp"))
+      .select(col("fid"), col("fp.fam").as("fam"), col("fp.p").as("p"))
+      .distinct()
+    val pp = probeKeys.flatMap(k => fams.map(fm => (k, fm._1.toLong, posOf(k, fm))))
+      .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, row) =>
+        val r = s.range(1).select(lit(row._1).as("k"), lit(row._2).as("fam"),
+          lit(row._3).as("p"))
+        Some(acc.map(_.union(r)).getOrElse(r))
+      }.get
+    val bl = pos.join(broadcast(pp), Seq("fam", "p"))
+      .groupBy("k", "fid").agg(count(lit(1)).as("n_fam"))
+    val tru = f.select(col("ck").as("k"), col("fid")).distinct()
+      .withColumn("true_hit", lit(1L))
+    val probes = probeKeys.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (acc, k) =>
+        val r = s.range(1).select(lit(k).as("k"))
+        Some(acc.map(_.union(r)).getOrElse(r))
+    }.get
+    probes.crossJoin(ext)
+      .join(bl, Seq("k", "fid"), "left")
+      .join(tru, Seq("k", "fid"), "left")
+      .select(col("k"), col("fid"),
+        when(col("ck_min") <= col("k") && col("k") <= col("ck_max"), 1L)
+          .otherwise(0L).as("zone_hit"),
+        when(col("n_fam") === 3, 1L).otherwise(0L).as("bloom_hit"),
+        coalesce(col("true_hit"), lit(0L)).as("true_hit"))
+      .groupBy(col("k").as("probe_key"))
+      .agg(count(lit(1)).as("files_total"),
+        sum("zone_hit").cast("long").as("zone_read"),
+        sum("bloom_hit").cast("long").as("bloom_read"),
+        sum("true_hit").cast("long").as("true_files"))
+      .orderBy("probe_key")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
     layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
-    layoutSkipCompare, layoutOverlapDepth)
+    layoutSkipCompare, layoutOverlapDepth, indexBloomFiles)
 }

@@ -462,8 +462,77 @@ object StreamOps {
       .orderBy("win_us", "r", "b")
   }
 
+  /** State-store capacity budget, MEASURED from the corpus — the table a
+    * deployment reads before sizing RocksDB/executor memory for each
+    * stateful streaming op: live keys for the upsert view, open (window,
+    * type) groups for the hourly aggs, sketch cells for HLL (64/window-
+    * type) and CMS (256/window), band-index entries for streaming
+    * near-dup (16/doc), and the watermark-horizon row buffer (events
+    * inside the final 30 min). Every number is the EXACT state
+    * cardinality the corresponding live path would hold if it replayed
+    * this corpus — measure, don't guess.
+    *
+    * Scale shape: everything folds from one (hour, type, users…) rollup
+    * pass over events plus a documents count; output is 6 rows.
+    */
+  val streamStateBudget: Op = Op.sql(
+    "stream-state-budget",
+    """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |           FROM events),
+      |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_wt FROM
+      |         (SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, event_type
+      |          FROM events)),
+      |hh AS (SELECT CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT)
+      |         AS n_h FROM events),
+      |dc AS (SELECT count(*) AS n_docs FROM documents),
+      |wm AS (SELECT CAST(count(*) AS BIGINT) AS n_buf FROM events,
+      |         (SELECT max(epoch_us(ts)) AS mx FROM events) g
+      |       WHERE epoch_us(ts) > g.mx - 1800000000),
+      |rows_(component, state_rows) AS (
+      |  SELECT 'cms-cells', (SELECT n_h * 256 FROM hh)
+      |  UNION ALL SELECT 'hll-cells', (SELECT n_wt * 64 FROM ht)
+      |  UNION ALL SELECT 'hourly-windows', (SELECT n_wt FROM ht)
+      |  UNION ALL SELECT 'neardup-band-index', (SELECT n_docs * 16 FROM dc)
+      |  UNION ALL SELECT 'upsert-view-keys', (SELECT n_users FROM u)
+      |  UNION ALL SELECT 'watermark-buffer-rows', (SELECT n_buf FROM wm))
+      |SELECT component, CAST(state_rows AS BIGINT) AS state_rows
+      |FROM rows_ ORDER BY component""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val roll = ev.groupBy(expr("us div 3600000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max("us").as("mx"))
+    val agg = roll.agg(
+      count(lit(1)).as("n_wt"),
+      countDistinct("h").as("n_h"),
+      max("mx").as("g_mx"))
+    val users = ev.agg(countDistinct("user_id").as("n_users"))
+    val buf = ev.crossJoin(broadcast(agg.select("g_mx")))
+      .filter(col("us") > col("g_mx") - 1800000000L)
+      .agg(count(lit(1)).as("n_buf"))
+    val docs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    agg.crossJoin(broadcast(users)).crossJoin(broadcast(buf))
+      .crossJoin(broadcast(docs))
+      .select(explode(array(
+        struct(lit("cms-cells").as("component"),
+          (col("n_h") * 256L).as("state_rows")),
+        struct(lit("hll-cells").as("component"),
+          (col("n_wt") * 64L).as("state_rows")),
+        struct(lit("hourly-windows").as("component"),
+          col("n_wt").cast("long").as("state_rows")),
+        struct(lit("neardup-band-index").as("component"),
+          (col("n_docs") * 16L).as("state_rows")),
+        struct(lit("upsert-view-keys").as("component"),
+          col("n_users").cast("long").as("state_rows")),
+        struct(lit("watermark-buffer-rows").as("component"),
+          col("n_buf").cast("long").as("state_rows")))).as("r"))
+      .select(col("r.component").as("component"),
+        col("r.state_rows").cast("long").as("state_rows"))
+      .orderBy("component")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
-    streamUpsert, streamCountmin)
+    streamUpsert, streamCountmin, streamStateBudget)
 }
