@@ -2,43 +2,66 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, ArrayOrderedPairs}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{ArrayDot, ArrayDotLong, ArrayOrderedPairs, BloomFolds,
+  GradientSampleHash, RepetitionStats, SimhashFingerprint, TokenEntropy}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use. Install with
+  * codegen expressions for SQL use. Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   *
   * (SURVEY.md §4 concluded no custom optimizer Rules/Strategies are needed
   * for the reference's surface — the extension point carries only function
-  * registrations.)
+  * registrations; the full kernel tier is exposed so a SQL-only user can
+  * reach every native function the DataFrame ops use.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("array_dot"),
-      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ArrayDot(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("array_ordered_pairs"),
-      new ExpressionInfo(classOf[ArrayOrderedPairs].getName, "array_ordered_pairs"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ArrayOrderedPairs(exprs(0))))
-  }
+  import GraftExtensions.builders
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (exprs: Seq[Expression]) => b(exprs)))
+    }
 }
 
 object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** name → SQL builder for every registered native function. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "array_dot" -> (es => ArrayDot(es(0), es(1))),
+    "array_dot_long" -> (es => ArrayDotLong(es(0), es(1))),
+    "array_ordered_pairs" -> (es => ArrayOrderedPairs(es(0))),
+    "bloom_folds" -> (es => BloomFolds(es(0))),
+    "repetition_stats" -> (es => RepetitionStats(es(0))),
+    "token_entropy" -> (es => TokenEntropy(es(0))),
+    "simhash_fingerprint" -> { es =>
+      val bits = if (es.size > 1) litInt(es(1), "bits") else 20
+      val remix = es.size > 2 && litInt(es(2), "remix") != 0
+      SimhashFingerprint(es(0), bits, remix)
+    },
+    "gradient_sample_hash" -> { es =>
+      val bits = if (es.size > 1) litInt(es(1), "bits") else 48
+      GradientSampleHash(es(0), bits)
+    })
+
   /** Register the same functions on an ALREADY-RUNNING session
     * (`withExtensions` only applies when the session is first built —
     * getOrCreate on an existing JVM session silently ignores it).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_ordered_pairs", exprs => ArrayOrderedPairs(exprs(0)), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
     }
 }

@@ -51,6 +51,30 @@ class FunctionsSpec extends SparkSpec {
     assert(r.size === 3)
   }
 
+  test("the full kernel tier is SQL-callable and matches the Column API") {
+    graft.GraftExtensions.register(spark)
+    // every registered function parses and evaluates via SQL
+    val row = spark.sql(
+      """SELECT array_dot_long(array(1L, 2L), array(3L, 4L)) AS dl,
+        |       bloom_folds('abc') AS bf,
+        |       repetition_stats(array('a', 'b', 'a', 'b')) AS rs,
+        |       token_entropy(array('a', 'a', 'b')) AS te,
+        |       simhash_fingerprint(array('a', 'b')) AS s20,
+        |       simhash_fingerprint(array('a', 'b'), 48, 1) AS s48,
+        |       gradient_sample_hash('payload', 48) AS gh
+        |""".stripMargin).head()
+    assert(row.getLong(0) === 11L)
+    assert(row.getSeq[Long](1).size === 3)
+    // SQL results match the Column-API spellings bit-for-bit
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b"))).toDF("ts")
+    val viaApi = df.select(
+      graft.functions.SimhashFingerprint(col("ts")).as("s20"),
+      graft.functions.SimhashFingerprint.mixed(col("ts"), 48).as("s48")).head()
+    assert(row.getLong(4) === viaApi.getLong(0))
+    assert(row.getLong(5) === viaApi.getLong(1))
+  }
+
   test("chain aggregator verifies an intact chain and localizes breaks") {
     import graft.functions.{BlockLink, ChainSequenceAggregator}
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
