@@ -1066,7 +1066,57 @@ object DedupOps {
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
-    dedupSimilarDocs)
+    dedupSimilarDocs, dedupTokensSaved)
+
+  /** TOKEN-weighted dedup savings per source — the training-cost view of
+    * dedup-savings-by-source (docs are not the unit a training budget is
+    * priced in; tokens are): total tokens, tokens inside dropped non-rep
+    * near-dup docs, and the saved share in basis points. A source whose
+    * doc-drop share is modest can still dominate token savings when its
+    * duplicates are the long documents — this table is what turns a dedup
+    * decision into a compute budget number.
+    *
+    * Scale shape: rides the memoized doc-cluster table (pair-graph CC,
+    * computed once per session); one join + one map-side-combined groupBy
+    * over (id, source, token-count) projections.
+    */
+  lazy val dedupTokensSaved: Op = Op.sql(
+    "dedup-tokens-saved",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src)
+       |SELECT d.source,
+       |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+       |         AS tokens_total,
+       |       CAST(sum(CASE WHEN cl.cluster <> d.doc_id
+       |                     THEN len(string_split(d.text, ' ')) ELSE 0 END)
+       |            AS BIGINT) AS tokens_dropped,
+       |       CAST((sum(CASE WHEN cl.cluster <> d.doc_id
+       |                      THEN len(string_split(d.text, ' ')) ELSE 0 END)
+       |             * 10000) // sum(len(string_split(d.text, ' '))) AS BIGINT)
+       |         AS saved_bp
+       |FROM documents d JOIN cl ON cl.id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      .join(persistedDocClusters(s, d), Seq("id"))
+      .groupBy("source")
+      .agg(sum("tok").cast("long").as("tokens_total"),
+        sum(when(col("cluster") =!= col("id"), col("tok")).otherwise(0L))
+          .cast("long").as("tokens_dropped"))
+      .withColumn("saved_bp",
+        expr("(tokens_dropped * 10000) div tokens_total"))
+      .orderBy("source")
+  }
 
   /** Cross-method agreement of the two lexical near-dup tiers: the exact
     * jaccard pair set (j ≥ 0.5) against the Manku simhash Hamming ≤ 3

@@ -1185,5 +1185,39 @@ object SimOps {
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
-    simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk)
+    simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness)
+
+  /** Hubness audit of the retrieval space: how many times each corpus
+    * vector occurs across the query set's exact top-5 lists, as a
+    * k-occurrence histogram — the classic high-dimensional pathology
+    * check (a few "hub" vectors appearing in everyone's neighbor list
+    * degrade retrieval diversity and skew ANN bucket load; heavy hubs
+    * argue for re-normalization or centering before indexing).
+    *
+    * Scale shape: the input is the top-k table (k·|queries| rows); both
+    * folds are over that table — corpus cost is the brute scan the
+    * baseline already pays.
+    */
+  lazy val simHubness: Op = Op.sql(
+    "sim-hubness",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x5 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 5),
+       |occ AS (SELECT n_id, count(*) AS n_occ FROM x5 GROUP BY n_id)
+       |SELECT CAST(n_occ AS BIGINT) AS n_occ, count(*) AS n_vectors
+       |FROM occ GROUP BY n_occ ORDER BY n_occ""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+      .groupBy("n_id").agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("n_occ").cast("long").as("n_occ"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("n_occ")
+  }
 }

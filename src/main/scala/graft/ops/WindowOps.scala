@@ -1053,7 +1053,58 @@ object WindowOps {
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
     winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown,
-    winVolatility)
+    winVolatility, winForecastBaseline)
+
+  /** Seasonal-naive forecast error — the baseline every revenue forecast
+    * must beat before it earns a deploy: predict each hour's purchase
+    * revenue as the SAME HOUR LAST WEEK (lag 168 over the dense hourly
+    * grid, zero-filled so silent hours forecast silent hours), then fold
+    * the absolute error per hour-of-week. The output is the weekly error
+    * profile (168 rows): which day/hour slots are predictable and which
+    * carry all the surprise — and the denominator for any MASE-style
+    * model score. Exact integer cents; the mean snaps via one integer
+    * division.
+    *
+    * Scale shape: the win-forward-fill contract — one map-side-combined
+    * rollup to the hour grain, a dense sequence-exploded grid
+    * (span-bounded), lag(168) over grid rows, and a 168-row fold.
+    */
+  lazy val winForecastBaseline: Op = Op.sql(
+    "win-forecast-baseline",
+    """WITH obs AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY hour_id),
+      |ext AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM obs),
+      |grid AS (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM ext),
+      |dense AS (SELECT g.hour_id, coalesce(o.v, 0) AS v
+      |          FROM grid g LEFT JOIN obs o USING (hour_id)),
+      |f AS (SELECT hour_id, v,
+      |        lag(v, 168) OVER (ORDER BY hour_id) AS forecast
+      |      FROM dense)
+      |SELECT hour_id % 168 AS hour_of_week, count(*) AS n_hours,
+      |       CAST(sum(abs(v - forecast)) AS BIGINT) AS abs_err_cents,
+      |       CAST(sum(abs(v - forecast)) // count(*) AS BIGINT) AS mae_cents
+      |FROM f WHERE forecast IS NOT NULL
+      |GROUP BY hour_of_week ORDER BY hour_of_week""".stripMargin
+  ) { (s, d) =>
+    val obs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val grid = obs.agg(min("hour_id").as("mn"), max("hour_id").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour_id"))
+    val w = Window.orderBy("hour_id")
+    grid.join(obs, Seq("hour_id"), "left")
+      .select(col("hour_id"), coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("forecast", lag("v", 168).over(w))
+      .filter(col("forecast").isNotNull)
+      .groupBy((col("hour_id") % 168).as("hour_of_week"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("v") - col("forecast"))).cast("long").as("abs_err_cents"))
+      .withColumn("mae_cents", expr("abs_err_cents div n_hours"))
+      .orderBy("hour_of_week")
+  }
 
   /** 7-day rolling volatility of daily purchase revenue as the exact
     * integer SAMPLE variance in cents² — (n·Σx² − (Σx)²) / (n·(n−1)) with
