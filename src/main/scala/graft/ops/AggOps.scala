@@ -1438,7 +1438,97 @@ object AggOps {
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
-    aggBasketPairs, aggFreshness)
+    aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons)
+
+  /** SLO error-budget burn: per day, the error share of events against a
+    * 1% (100 bp) budget, the burn multiple, and the cumulative budget
+    * consumed — the SRE table that pages when burn > 1 sustains. Exact
+    * integers end-to-end (shares and burn in basis points via integer
+    * division); the cumulative sum windows over the span-bounded daily
+    * rollup (win-cusum contract).
+    */
+  lazy val aggSloBurn: Op = Op.sql(
+    "agg-slo-burn",
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+      |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_err
+      |  FROM events GROUP BY day)
+      |SELECT day, n, n_err,
+      |       CAST((n_err * 10000) // n AS BIGINT) AS err_bp,
+      |       CAST((n_err * 10000) // n // 100 AS BIGINT) AS burn_x,
+      |       CAST(sum(n_err) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+      |            // sum(n) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_err_bp
+      |FROM d ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("isErr"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("isErr").cast("long").as("n_err"))
+      .withColumn("err_bp", expr("(n_err * 10000) div n"))
+      .withColumn("burn_x", expr("((n_err * 10000) div n) div 100"))
+      .withColumn("cum_err_bp",
+        (sum("n_err").over(w) * 10000 / sum("n").over(w)).cast("long"))
+      .orderBy("day")
+  }
+
+  /** Rolling engagement horizons — per day, the TRAILING 1/7/30-day
+    * distinct actives (DAU, rolling WAU, rolling MAU) and the DAU/MAU
+    * stickiness in basis points. Rolling distinct does NOT decompose into
+    * partials (yesterday's WAU can't be merged from day sketches without
+    * an HLL tier — agg-hll-merge is that path); the exact spelling
+    * explodes each distinct (user, day) into the ≤ 38 trailing-window
+    * days it stays visible for, then one countDistinct exchange per
+    * (day, horizon) — corpus touched once, blow-up bounded by the horizon
+    * sum, the standard exact-DAU/WAU/MAU shape at warehouse scale.
+    */
+  lazy val aggActiveHorizons: Op = Op.sql(
+    "agg-active-horizons",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   epoch_us(ts) // 86400000000 AS day FROM events),
+      |mx AS (SELECT max(day) AS mx FROM ud),
+      |vis AS (
+      |  SELECT ud.user_id, ud.day + i.i AS day, hh.h
+      |  FROM ud, (SELECT unnest([1, 7, 30]) AS h) hh,
+      |       LATERAL (SELECT unnest(generate_series(0, hh.h - 1)) AS i) i),
+      |c AS (SELECT v.day, v.h, count(DISTINCT v.user_id) AS n
+      |      FROM vis v, mx WHERE v.day <= mx.mx GROUP BY v.day, v.h)
+      |SELECT day,
+      |       CAST(max(CASE WHEN h = 1 THEN n END) AS BIGINT) AS dau,
+      |       CAST(max(CASE WHEN h = 7 THEN n END) AS BIGINT) AS wau7,
+      |       CAST(max(CASE WHEN h = 30 THEN n END) AS BIGINT) AS mau30,
+      |       CAST((max(CASE WHEN h = 1 THEN n END) * 10000) //
+      |            max(CASE WHEN h = 30 THEN n END) AS BIGINT) AS stickiness_bp
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+      .distinct()
+    val mx = ud.agg(max("day").as("mx"))
+    val vis = ud.select(col("user_id"), col("day"),
+        explode(array(Seq(1, 7, 30).map(h =>
+          struct(lit(h.toLong).as("h"), lit(h.toLong).as("span"))): _*)).as("hh"))
+      .select(col("user_id"), col("hh.h").as("h"),
+        explode(sequence(lit(0L), col("hh.span") - 1)).as("i"), col("day"))
+      .select(col("user_id"), col("h"), (col("day") + col("i")).as("day"))
+    val c = vis.crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx"))
+      .groupBy("day", "h")
+      .agg(countDistinct("user_id").as("n"))
+    c.groupBy("day")
+      .agg(max(when(col("h") === 1, col("n"))).cast("long").as("dau"),
+        max(when(col("h") === 7, col("n"))).cast("long").as("wau7"),
+        max(when(col("h") === 30, col("n"))).cast("long").as("mau30"))
+      .withColumn("stickiness_bp", expr("(dau * 10000) div mau30"))
+      .orderBy("day")
+  }
 
   /** Feed-freshness dashboard: per event type, the last event's
     * micro-epoch, its staleness behind the freshest type, and the event

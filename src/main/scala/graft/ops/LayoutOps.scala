@@ -618,7 +618,60 @@ object LayoutOps {
       .orderBy("probe_key")
   }
 
+  /** Column-encoding advisor: distinct-value ratio per column (basis
+    * points) and the dictionary/plain encoding call a parquet writer
+    * should make — low-cardinality columns dictionary-encode to a
+    * fraction of plain size, high-cardinality dictionaries bloat the
+    * footer and thrash the decoder. All four NDVs come from ONE
+    * aggregation pass (never a scan per column); rows explode from that
+    * single aggregated row. At 100 TB this runs per file-batch and the
+    * advice feeds the writer's per-column encoding override.
+    */
+  val layoutEncodingAdvisor: Op = Op.sql(
+    "layout-encoding-advisor",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |         count(DISTINCT o_orderstatus) AS nd_status,
+      |         count(DISTINCT o_orderpriority) AS nd_prio,
+      |         count(DISTINCT o_custkey) AS nd_cust,
+      |         count(DISTINCT o_orderdate) AS nd_date
+      |  FROM orders),
+      |r(col_name, ndv, n) AS (
+      |  SELECT 'o_custkey', nd_cust, n FROM a
+      |  UNION ALL SELECT 'o_orderdate', nd_date, n FROM a
+      |  UNION ALL SELECT 'o_orderpriority', nd_prio, n FROM a
+      |  UNION ALL SELECT 'o_orderstatus', nd_status, n FROM a)
+      |SELECT col_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+      |       CAST((ndv * 10000) // n AS BIGINT) AS ndv_bp,
+      |       CASE WHEN (ndv * 10000) // n <= 100 THEN 'dictionary'
+      |            WHEN (ndv * 10000) // n <= 5000 THEN 'dictionary-check-size'
+      |            ELSE 'plain' END AS advice
+      |FROM r ORDER BY col_name""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      countDistinct("o_orderstatus").as("nd_status"),
+      countDistinct("o_orderpriority").as("nd_prio"),
+      countDistinct("o_custkey").as("nd_cust"),
+      countDistinct("o_orderdate").as("nd_date"))
+    a.select(explode(array(
+        struct(lit("o_custkey").as("col_name"), col("nd_cust").as("ndv")),
+        struct(lit("o_orderdate").as("col_name"), col("nd_date").as("ndv")),
+        struct(lit("o_orderpriority").as("col_name"), col("nd_prio").as("ndv")),
+        struct(lit("o_orderstatus").as("col_name"), col("nd_status").as("ndv"))))
+        .as("r"), col("n"))
+      .select(col("r.col_name").as("col_name"), col("n").cast("long").as("n"),
+        col("r.ndv").cast("long").as("ndv"),
+        expr("(r.ndv * 10000) div n").as("ndv_bp"))
+      .withColumn("advice",
+        when(col("ndv_bp") <= 100, "dictionary")
+          .when(col("ndv_bp") <= 5000, "dictionary-check-size")
+          .otherwise("plain"))
+      .orderBy("col_name")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
     layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
-    layoutSkipCompare, layoutOverlapDepth, indexBloomFiles)
+    layoutSkipCompare, layoutOverlapDepth, indexBloomFiles,
+    layoutEncodingAdvisor)
 }
