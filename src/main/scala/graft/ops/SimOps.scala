@@ -1185,7 +1185,71 @@ object SimOps {
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
-    simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness)
+    simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
+    simListPurity)
+
+  /** IVF list LABEL purity — the semantic-quality view next to
+    * sim-ivf-balance's load view: per list (corpus assigned to the fixed
+    * 8-centroid set by max cosine), the majority label and its share in
+    * basis points. High purity means the index's partitions align with
+    * the label structure — filtered search (sim-filtered-topk) then
+    * probes few lists; low purity predicts cross-list probe fan-out.
+    *
+    * Scale shape: centroids broadcast; the per-row 8-way argmax is a
+    * max(struct) groupBy on the row id — partials combine map-side, and
+    * it is the ONLY corpus-sized exchange; purity folds over (list,
+    * label) counts.
+    */
+  lazy val simListPurity: Op = Op.sql(
+    "sim-list-purity",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id, c.label, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |lists AS (SELECT cid, label FROM asgn WHERE rn = 1),
+       |lc AS (SELECT cid, label, count(*) AS n FROM lists GROUP BY cid, label),
+       |tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_total FROM lc GROUP BY cid),
+       |top AS (SELECT cid, label AS top_label, n AS n_top FROM (
+       |          SELECT cid, label, n,
+       |                 row_number() OVER (PARTITION BY cid
+       |                   ORDER BY n DESC, label) AS rn FROM lc) t
+       |        WHERE rn = 1)
+       |SELECT t.cid AS cid, tot.n_total, t.top_label,
+       |       CAST(t.n_top AS BIGINT) AS n_top,
+       |       CAST((t.n_top * 10000) // tot.n_total AS BIGINT) AS purity_bp
+       |FROM top t JOIN tot ON tot.cid = t.cid
+       |ORDER BY t.cid""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val asgn = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cv")))
+      // argmax by (sim DESC, cid ASC) as a map-side-combinable struct max
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("negCid"),
+        col("label"), col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"), col("best.label").as("label"))
+    val lc = asgn.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val tot = lc.groupBy("cid").agg(sum("n").cast("long").as("n_total"))
+    val top = graft.functions.TopK.topkPerGroup(lc, Seq("cid"),
+      Seq(col("n").desc, col("label").asc), 1)
+      .select(col("cid"), col("label").as("top_label"), col("n").as("n_top"))
+    top.join(broadcast(tot), Seq("cid"))
+      .select(col("cid"), col("n_total"), col("top_label"),
+        col("n_top").cast("long").as("n_top"),
+        expr("(n_top * 10000) div n_total").as("purity_bp"))
+      .orderBy("cid")
+  }
 
   /** Hubness audit of the retrieval space: how many times each corpus
     * vector occurs across the query set's exact top-5 lists, as a

@@ -1798,5 +1798,36 @@ object TextOps {
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
-    textSplitLeakage, textNoveltyCurve)
+    textSplitLeakage, textNoveltyCurve, textTypeToken)
+
+  /** Lexical diversity per source: token volume, distinct TYPES, and the
+    * type–token ratio in basis points — the corpus-health read that
+    * separates template mills (huge volume, tiny vocabulary) from
+    * genuinely diverse sources before mix weights are negotiated
+    * (companions: text-vocab-coverage is global top-K-centric,
+    * text-source-drift is distributional; this is the per-source
+    * vocabulary size itself).
+    *
+    * Scale shape: one token explode → one (source)-grained aggregate with
+    * a distinct expand — the cross-doc type union genuinely requires the
+    * exchange; partials still combine map-side per (source, token).
+    */
+  lazy val textTypeToken: Op = Op.sql(
+    "text-type-token",
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |           FROM documents)
+      |SELECT source, count(*) AS n_tokens,
+      |       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+      |       CAST((count(DISTINCT w) * 10000) // count(*) AS BIGINT) AS ttr_bp
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("w").as("n_types"))
+      .withColumn("ttr_bp", expr("(n_types * 10000) div n_tokens"))
+      .orderBy("source")
+  }
 }

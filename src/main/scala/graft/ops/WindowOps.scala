@@ -1053,7 +1053,70 @@ object WindowOps {
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
     winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown,
-    winVolatility, winForecastBaseline)
+    winVolatility, winForecastBaseline, winAttributionCompare)
+
+  /** First-touch vs last-touch attribution, side by side per channel —
+    * the model-sensitivity table a marketing analysis shows before anyone
+    * argues over budget: channels that win under last-touch but lose
+    * under first-touch are closers, the reverse are openers; `delta_n`
+    * quantifies it. BOTH models ride ONE user-partitioned window pass
+    * (a running `last` and a running `first` over the same ordered
+    * timeline — the win-attribution as-of pattern, never a per-purchase
+    * range join), then two channel-grained rollups meet in a
+    * channel-domain-sized outer join.
+    */
+  lazy val winAttributionCompare: Op = Op.sql(
+    "win-attribution-compare",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts, event_type FROM events
+      |      WHERE event_type <> 'purchase'),
+      |m AS (SELECT p.event_id,
+      |             max(CASE WHEN c.event_id IS NULL THEN NULL
+      |                      ELSE struct_pack(ts := c.ts, id := c.event_id,
+      |                                       ch := c.event_type) END) AS last_t,
+      |             min(CASE WHEN c.event_id IS NULL THEN NULL
+      |                      ELSE struct_pack(ts := c.ts, id := c.event_id,
+      |                                       ch := c.event_type) END) AS first_t
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |      GROUP BY 1),
+      |lf AS (SELECT COALESCE(last_t.ch, 'direct') AS channel,
+      |              count(*) AS n_last FROM m GROUP BY channel),
+      |ff AS (SELECT COALESCE(first_t.ch, 'direct') AS channel,
+      |              count(*) AS n_first FROM m GROUP BY channel)
+      |SELECT COALESCE(lf.channel, ff.channel) AS channel,
+      |       CAST(COALESCE(lf.n_last, 0) AS BIGINT) AS n_last,
+      |       CAST(COALESCE(ff.n_first, 0) AS BIGINT) AS n_first,
+      |       CAST(COALESCE(lf.n_last, 0) - COALESCE(ff.n_first, 0) AS BIGINT)
+      |         AS delta_n
+      |FROM lf FULL OUTER JOIN ff ON lf.channel = ff.channel
+      |ORDER BY channel""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("ts"), col("event_id"), col("event_type").as("ch")))
+      .otherwise(lit(null))
+    val m = ev
+      .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    val lf = m.groupBy(coalesce(col("last_t.ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    val ff = m.groupBy(coalesce(col("first_t.ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    lf.join(ff, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_last"), lit(0L)).cast("long").as("n_last"),
+        coalesce(col("n_first"), lit(0L)).cast("long").as("n_first"),
+        (coalesce(col("n_last"), lit(0L)) - coalesce(col("n_first"), lit(0L)))
+          .cast("long").as("delta_n"))
+      .orderBy("channel")
+  }
 
   /** Seasonal-naive forecast error — the baseline every revenue forecast
     * must beat before it earns a deploy: predict each hour's purchase
