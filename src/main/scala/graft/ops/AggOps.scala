@@ -1438,7 +1438,53 @@ object AggOps {
     aggRollupMetrics, aggKeySkew, aggMadOutliers, aggGiniCents, aggExpDecay,
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
-    aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons)
+    aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
+    aggDoubleCharge)
+
+  /** Double-charge screen: purchases by the SAME user for the SAME
+    * dollar-grain amount within one hour — the payments-dedup audit
+    * (retried checkout, double-click, idempotency-key miss). Real screens
+    * bucket the amount (dollar grain here) so cent-level gateway noise
+    * cannot hide a retry, and flag per (user, amount) lane with a lag
+    * over that lane's timeline — a user's different-amount purchases
+    * never collide; only lanes with at least one suspect emit.
+    *
+    * Scale shape: the window partitions by (user_id, dollars) — the
+    * finest-grained key in the query, millions of small lanes, no hot
+    * partition; one exchange, then a lane-grained rollup.
+    */
+  lazy val aggDoubleCharge: Op = Op.sql(
+    "agg-double-charge",
+    """WITH p AS (
+      |  SELECT user_id, CAST(round(value) AS BIGINT) AS dollars,
+      |         CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id, dollars, us,
+      |        us - lag(us) OVER (PARTITION BY user_id, dollars
+      |                           ORDER BY us, event_id) AS gap
+      |      FROM p)
+      |SELECT user_id, dollars, count(*) AS n_events,
+      |       CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 3600000000
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+      |FROM g GROUP BY user_id, dollars
+      |HAVING sum(CASE WHEN gap IS NOT NULL AND gap <= 3600000000
+      |               THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id, dollars""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "dollars").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value")).cast("long").as("dollars"),
+        expr("ts div 1000").as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id", "dollars")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap").isNotNull && col("gap") <= 3600000000L, 1L)
+          .otherwise(0L)).cast("long").as("n_suspect"))
+      .filter(col("n_suspect") > 0)
+      .orderBy("user_id", "dollars")
+  }
 
   /** SLO error-budget burn: per day, the error share of events against a
     * 1% (100 bp) budget, the burn multiple, and the cumulative budget

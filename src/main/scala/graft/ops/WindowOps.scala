@@ -1053,7 +1053,105 @@ object WindowOps {
     winRollingMedian, winAttribution, winSeasonality, winForkDepth,
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
     winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown,
-    winVolatility, winForecastBaseline, winAttributionCompare)
+    winVolatility, winForecastBaseline, winAttributionCompare,
+    winChurnRisk, winSessionDepth)
+
+  /** Churn-risk flag per repeat purchaser: current silence (time since
+    * their last purchase, against the feed's end) compared to DOUBLE the
+    * user's own median inter-purchase gap — the personalized-baseline
+    * churn rule (a weekly shopper is at risk after two quiet weeks; a
+    * quarterly one is not). The median gap stays exact across engines by
+    * doubling it into an integer (2·median of integer micros is an exact
+    * BIGINT for any gap list); only users with ≥ 2 gaps qualify.
+    *
+    * Scale shape: gaps via one user-partitioned lag window, medians via
+    * exact per-user percentile over small groups (the agg-latency-
+    * quantiles contract — switch to approx at extreme group sizes), all
+    * joins user-grained.
+    */
+  lazy val winChurnRisk: Op = Op.sql(
+    "win-churn-risk",
+    """WITH p AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS now_us FROM events),
+      |g AS (SELECT user_id,
+      |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |          AS gap
+      |      FROM p),
+      |m AS (SELECT user_id, count(*) AS n_gaps,
+      |             CAST(quantile_cont(gap, 0.5) * 2 AS BIGINT) AS med2_us
+      |      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      |      HAVING count(*) >= 2),
+      |l AS (SELECT user_id, max(us) AS last_us FROM p GROUP BY user_id)
+      |SELECT m.user_id AS user_id,
+      |       CAST(m.n_gaps + 1 AS BIGINT) AS n_purchases,
+      |       m.med2_us,
+      |       CAST(mx.now_us - l.last_us AS BIGINT) AS age_us,
+      |       (mx.now_us - l.last_us > m.med2_us) AS at_risk
+      |FROM m JOIN l ON l.user_id = m.user_id CROSS JOIN mx
+      |ORDER BY m.user_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+    val now = Tables.events(s, d)
+      .agg(max(expr("ts div 1000")).as("now_us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val g = p.withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val m = g.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        (expr("percentile(gap, 0.5D)") * 2).cast("long").as("med2_us"))
+      .filter(col("n_gaps") >= 2)
+    val l = p.groupBy("user_id").agg(max("us").as("last_us"))
+    m.join(l, Seq("user_id"))
+      .crossJoin(broadcast(now))
+      .select(col("user_id"), (col("n_gaps") + 1).cast("long").as("n_purchases"),
+        col("med2_us"),
+        (col("now_us") - col("last_us")).cast("long").as("age_us"),
+        (col("now_us") - col("last_us") > col("med2_us")).as("at_risk"))
+      .orderBy("user_id")
+  }
+
+  /** Session-depth distribution: how many sessions contain N events — the
+    * engagement shape behind win-sessionize's raw session table (a spike
+    * at N=1 is bounce traffic; a heavy tail is power usage), with each
+    * depth's share of sessions in basis points.
+    *
+    * Scale shape: rides the sessionize plan (session_window aggregation,
+    * user-grained) and folds its session rows to a depth histogram; the
+    * 1-row total broadcasts onto depth-histogram-sized rows.
+    */
+  lazy val winSessionDepth: Op = Op.sql(
+    "win-session-depth",
+    """WITH g AS (
+      |  SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts) >= INTERVAL 30 MINUTE
+      |                           THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g),
+      |ses AS (SELECT user_id, sid, count(*) AS n_events FROM s
+      |        GROUP BY user_id, sid),
+      |h AS (SELECT n_events, count(*) AS n_sessions FROM ses GROUP BY n_events),
+      |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM h)
+      |SELECT h.n_events, h.n_sessions,
+      |       CAST((h.n_sessions * 10000) // t.total AS BIGINT) AS share_bp
+      |FROM h, t ORDER BY h.n_events""".stripMargin
+  ) { (s, d) =>
+    val ses = graft.streaming.Streams.sessionize(
+      Tables.events(s, d)
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"),
+          lit(0L).as("cents")))
+    val h = ses.groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+    val t = h.agg(sum("n_sessions").cast("long").as("total"))
+    h.crossJoin(broadcast(t))
+      .select(col("n_events"), col("n_sessions"),
+        expr("(n_sessions * 10000) div total").as("share_bp"))
+      .orderBy("n_events")
+  }
 
   /** First-touch vs last-touch attribution, side by side per channel —
     * the model-sensitivity table a marketing analysis shows before anyone
