@@ -1439,7 +1439,84 @@ object AggOps {
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
-    aggDoubleCharge)
+    aggDoubleCharge, aggNewReturning, aggBurstiness)
+
+  /** New vs returning actives per day — the growth-accounting split every
+    * engagement dashboard leads with: each user's first-seen day marks
+    * them `new` exactly once, `returning` on every later active day,
+    * plus the new share in basis points.
+    *
+    * Scale shape: distinct (user, day) grain first (map-side), first-seen
+    * via one user-grained min, then the flag join is user-grained and the
+    * rollup day-grained. No window over the event stream.
+    */
+  lazy val aggNewReturning: Op = Op.sql(
+    "agg-new-returning",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   epoch_us(ts) // 86400000000 AS day FROM events),
+      |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+      |SELECT ud.day AS day, count(*) AS n_active,
+      |       CAST(sum(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_new,
+      |       CAST(sum(CASE WHEN ud.day = fs.first_day THEN 0 ELSE 1 END)
+      |            AS BIGINT) AS n_returning,
+      |       CAST((sum(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |             * 10000) // count(*) AS BIGINT) AS new_share_bp
+      |FROM ud JOIN fs ON fs.user_id = ud.user_id
+      |GROUP BY ud.day ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+      .distinct()
+    val fs = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(fs, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+          .cast("long").as("n_returning"))
+      .withColumn("new_share_bp", expr("(n_new * 10000) div n_active"))
+      .orderBy("day")
+  }
+
+  /** Burstiness (Fano factor) of the per-type daily arrival counts:
+    * variance-to-mean ratio in micro-units — F ≈ 1 is Poisson-like
+    * arrivals, F ≫ 1 is bursty/campaign-driven traffic, F < 1 is
+    * throttled/paced. Exact integers: F = (n·Σx² − S²) / (S·(n−1)) with
+    * one trailing integer division at micro grain (Σx² of daily counts
+    * overflows past ~10⁹ events/type/day — snap daily counts to
+    * thousands first at that scale; documented like win-volatility).
+    *
+    * Scale shape: one (type, day) rollup with map-side combine, then a
+    * type-grained moment fold — the event stream is scanned once.
+    */
+  lazy val aggBurstiness: Op = Op.sql(
+    "agg-burstiness",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |         count(*) AS x
+      |  FROM events GROUP BY event_type, day),
+      |m AS (SELECT event_type, count(*) AS n,
+      |             CAST(sum(x) AS BIGINT) AS s,
+      |             CAST(sum(x * x) AS BIGINT) AS s2
+      |      FROM d GROUP BY event_type)
+      |SELECT event_type, n, s AS n_events,
+      |       CAST(((n * s2 - s * s) * 1000000) // (s * (n - 1)) AS BIGINT)
+      |         AS fano_micro
+      |FROM m ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("s2"))
+      .select(col("event_type"), col("n"), col("s").as("n_events"),
+        expr("((n * s2 - s * s) * 1000000) div (s * (n - 1))").as("fano_micro"))
+      .orderBy("event_type")
+  }
 
   /** Double-charge screen: purchases by the SAME user for the SAME
     * dollar-grain amount within one hour — the payments-dedup audit

@@ -1066,7 +1066,94 @@ object DedupOps {
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
-    dedupSimilarDocs, dedupTokensSaved)
+    dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep)
+
+  /** Signature-width sweep: mean absolute minhash-estimator error at
+    * k = 8, 16, 32 over the exact-jaccard pair set — the one table that
+    * SIZES k (dedup-minhash-accuracy shows the k=16 spread pair-by-pair;
+    * this folds the error curve across widths so the k-vs-storage
+    * trade-off is a read-off: error halves roughly as √k doubles, per
+    * the MinHash variance j(1−j)/k). One k=32 signature table serves
+    * every width — the k=8/16 estimates are PREFIXES of the same hash
+    * family, which is also how a deployment widens k later without
+    * recomputing old signatures.
+    *
+    * Scale shape: identical to dedup-minhash-accuracy (signatures only
+    * for pair-member docs; pair-table-sized joins); the sweep adds two
+    * conditional sums, not two passes.
+    */
+  lazy val dedupMinhashKSweep: Op = Op.sql(
+    "dedup-minhash-k-sweep",
+    s"""WITH $ShingleOracle,
+       |p AS (SELECT d1, d2, jac FROM jac WHERE jac >= 0.5),
+       |mem AS (SELECT DISTINCT dd AS id FROM
+       |          (SELECT unnest([d1, d2]) AS dd FROM p)),
+       |hsh AS (SELECT psh.id,
+       |          CAST(('0x' || substr(md5(psh.s), 1, 8)) AS BIGINT) AS h
+       |        FROM psh JOIN mem ON psh.id = mem.id),
+       |sig AS (SELECT id, i,
+       |          min((((h % 2147483647) * (((i * 2654435761) % 2147483647) | 1))
+       |               + ((i * 40503 * 65537) % 2147483647)) % 2147483647) AS mh
+       |        FROM hsh, (SELECT unnest(generate_series(0, 31)) AS i) g
+       |        GROUP BY id, i),
+       |est AS (SELECT p.d1, p.d2, p.jac,
+       |          CAST(sum(CASE WHEN s1.i < 8 AND s1.mh = s2.mh
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS a8,
+       |          CAST(sum(CASE WHEN s1.i < 16 AND s1.mh = s2.mh
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS a16,
+       |          CAST(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS a32
+       |        FROM p JOIN sig s1 ON s1.id = p.d1
+       |               JOIN sig s2 ON s2.id = p.d2 AND s2.i = s1.i
+       |        GROUP BY p.d1, p.d2, p.jac),
+       |ks AS (SELECT k, jac, CASE k WHEN 8 THEN a8 WHEN 16 THEN a16
+       |                             ELSE a32 END AS agree
+       |       FROM est, (SELECT unnest([8, 16, 32]) AS k) kk)
+       |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_pairs,
+       |       CAST(sum(abs(CAST(round(jac * 1000000) AS BIGINT)
+       |                    - (agree * 1000000) // k)) // count(*) AS BIGINT)
+       |         AS mean_abs_err_micro
+       |FROM ks GROUP BY k ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val P = 2147483647L
+    def member(i: Int, h: org.apache.spark.sql.Column) = {
+      val a = ((i * 2654435761L) % P) | 1L
+      val b = (i * 40503L * 65537L) % P
+      ((h % P) * a + b) % P
+    }
+    val pairs = persistedJaccardPairs(s, d)
+    val mem = pairs.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
+    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("sraw")
+    val hsh = sh.join(rare, Seq("sraw"), "left_semi")
+      .join(broadcast(mem), Seq("id"), "left_semi")
+      .select(col("id"),
+        conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
+    val sig = hsh.groupBy("id")
+      .agg(min(member(0, col("h"))).as("mh0"),
+        (1 until 32).map(i => min(member(i, col("h"))).as(s"mh$i")): _*)
+    val s1 = sig.toDF("d1" +: (0 until 32).map(i => s"a$i"): _*)
+    val s2 = sig.toDF("d2" +: (0 until 32).map(i => s"b$i"): _*)
+    def agreeUpTo(k: Int) = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(broadcast(s1), Seq("d1")).join(broadcast(s2), Seq("d2"))
+      .withColumn("jm", round(col("jac") * 1000000).cast("long"))
+      .select(col("jm"), explode(array(
+        struct(lit(8L).as("k"), agreeUpTo(8).as("agree")),
+        struct(lit(16L).as("k"), agreeUpTo(16).as("agree")),
+        struct(lit(32L).as("k"), agreeUpTo(32).as("agree")))).as("ka"))
+      .select(col("ka.k").as("k"),
+        abs(col("jm") - expr("(ka.agree * 1000000) div ka.k")).as("err"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err) div count(1)").cast("long").as("mean_abs_err_micro"))
+      .orderBy("k")
+  }
 
   /** TOKEN-weighted dedup savings per source — the training-cost view of
     * dedup-savings-by-source (docs are not the unit a training budget is
