@@ -1439,7 +1439,67 @@ object AggOps {
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
-    aggDoubleCharge, aggNewReturning, aggBurstiness)
+    aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift)
+
+  /** Day-over-day traffic-mix shift: each day's event-type composition in
+    * basis points, and the L1 distance to YESTERDAY's composition — the
+    * composition-drift alarm (a product launch, bot wave or logging bug
+    * shows up as a mix spike before any volume alarm fires; the events
+    * sibling of text-source-drift). Pure integers: shares snap to bp via
+    * integer division, the lag runs per type over day-grained rows.
+    *
+    * The (day × type) grid is DENSED first (a type absent on a day is a
+    * 0 bp share, not a missing row) — otherwise the lag would compare
+    * against the type's last ACTIVE day and a disappearing type would
+    * vanish from the distance instead of contributing its full share.
+    *
+    * Scale shape: one (day, type) rollup with map-side combine; the grid
+    * is days × types (span- and domain-bounded), shares join the
+    * day-grained totals, the lag windows partition by type over daily
+    * rows, and the final fold is day-grained.
+    */
+  lazy val aggMixShift: Op = Op.sql(
+    "agg-mix-shift",
+    """WITH dt AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |         count(*) AS n
+      |  FROM events GROUP BY day, event_type),
+      |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS nd FROM dt GROUP BY day),
+      |grid AS (SELECT t.day, ty.event_type FROM tot t,
+      |           (SELECT DISTINCT event_type FROM dt) ty),
+      |sh AS (SELECT g.day, g.event_type,
+      |              CAST((coalesce(dt.n, 0) * 10000) // tot.nd AS BIGINT) AS bp
+      |       FROM grid g JOIN tot ON tot.day = g.day
+      |            LEFT JOIN dt ON dt.day = g.day
+      |                        AND dt.event_type = g.event_type),
+      |lg AS (SELECT day, event_type, bp,
+      |         lag(bp) OVER (PARTITION BY event_type ORDER BY day) AS prev_bp
+      |       FROM sh)
+      |SELECT day,
+      |       CAST(sum(abs(bp - prev_bp)) AS BIGINT) AS l1_bp,
+      |       CAST(max(abs(bp - prev_bp)) AS BIGINT) AS max_type_bp
+      |FROM lg WHERE prev_bp IS NOT NULL
+      |GROUP BY day ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dt = Tables.events(s, d)
+      .select(expr("ts div 1000 div 86400000000").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val tot = dt.groupBy("day").agg(sum("n").cast("long").as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val grid = tot.select("day")
+      .crossJoin(broadcast(dt.select("event_type").distinct()))
+    grid.join(dt, Seq("day", "event_type"), "left")
+      .join(broadcast(tot), Seq("day"))
+      .select(col("day"), col("event_type"),
+        expr("(coalesce(n, 0) * 10000) div nd").as("bp"))
+      .withColumn("prev_bp", lag("bp", 1).over(w))
+      .filter(col("prev_bp").isNotNull)
+      .groupBy("day")
+      .agg(sum(abs(col("bp") - col("prev_bp"))).cast("long").as("l1_bp"),
+        max(abs(col("bp") - col("prev_bp"))).cast("long").as("max_type_bp"))
+      .orderBy("day")
+  }
 
   /** New vs returning actives per day — the growth-accounting split every
     * engagement dashboard leads with: each user's first-seen day marks

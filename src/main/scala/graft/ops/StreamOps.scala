@@ -531,8 +531,53 @@ object StreamOps {
       .orderBy("component")
   }
 
+  /** Feed-outage detection: minutes-with-traffic collapse to islands and
+    * the gaps BETWEEN islands longer than 5 minutes are the outages —
+    * start/end (micro-epoch minutes) and duration. The pipeline-health
+    * sibling of win-gap-detect (that one finds missing HEIGHTS; this
+    * finds silent WALL-CLOCK stretches in the arrival stream, the pager
+    * signal for a stuck producer the per-type freshness table can miss
+    * when every type dies at once).
+    *
+    * Scale shape: one map-side-combined rollup to the minute grain
+    * (span-bounded: ~526k rows/year), islands via the shared
+    * [[Intervals]] two-phase machinery — the event stream is scanned
+    * once and never windowed.
+    */
+  val streamOutageGaps: Op = Op.sql(
+    "stream-outage-gaps",
+    """WITH m AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS minute
+      |           FROM events),
+      |flags AS (SELECT minute, CASE WHEN lag(minute) OVER (ORDER BY minute)
+      |                                IS NULL
+      |                          OR minute - lag(minute) OVER (ORDER BY minute)
+      |                             > 1 THEN 1 ELSE 0 END AS brk FROM m),
+      |isl AS (SELECT minute, sum(brk) OVER (ORDER BY minute) AS g FROM flags),
+      |iv AS (SELECT min(minute) AS s, max(minute) AS e FROM isl GROUP BY g),
+      |gaps AS (SELECT e + 1 AS gap_start_min, next_s - 1 AS gap_end_min,
+      |                next_s - e - 1 AS gap_minutes
+      |         FROM (SELECT s, e, lead(s) OVER (ORDER BY s) AS next_s FROM iv) t
+      |         WHERE next_s IS NOT NULL)
+      |SELECT gap_start_min, gap_end_min, CAST(gap_minutes AS BIGINT)
+      |         AS gap_minutes
+      |FROM gaps WHERE gap_minutes > 5 ORDER BY gap_start_min""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.events(s, d)
+      .select(expr("ts div 1000 div 60000000").as("minute")).distinct()
+    val iv = graft.ops.Intervals.islands(m, "minute")
+    val w = Window.orderBy("s")
+    iv.withColumn("next_s", lead("s", 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select((col("e") + 1).as("gap_start_min"),
+        (col("next_s") - 1).as("gap_end_min"),
+        (col("next_s") - col("e") - 1).cast("long").as("gap_minutes"))
+      .filter(col("gap_minutes") > 5)
+      .orderBy("gap_start_min")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
-    streamUpsert, streamCountmin, streamStateBudget)
+    streamUpsert, streamCountmin, streamStateBudget, streamOutageGaps)
 }

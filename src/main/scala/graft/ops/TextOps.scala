@@ -1798,7 +1798,64 @@ object TextOps {
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
-    textSplitLeakage, textNoveltyCurve, textTypeToken)
+    textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan)
+
+  /** Span-corruption plan (T5/UL2-style infill pretraining): per document,
+    * the deterministic 15% token mask and its span structure — token
+    * count, masked count, SPAN count (maximal masked runs — each becomes
+    * one sentinel), and the realized mask rate in basis points. The mask
+    * is seedless and reproducible (md5 of (doc, position)), so a re-run
+    * or a different cluster regenerates the identical corruption — the
+    * property that makes checkpoint-resume and ablation comparisons
+    * honest. Span counting folds through the flag list with an
+    * integer-ENCODED state (acc = 2·spans + prevFlag), the trick that
+    * keeps a two-field fold inside single-value HOF lambdas in BOTH
+    * engines.
+    *
+    * Scale shape: a pure per-row projection over the token array — ZERO
+    * shuffle (the RepetitionStats contract); at 100 TB this is scan-side.
+    */
+  lazy val textInfillPlan: Op = Op.sql(
+    "text-infill-plan",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, len(ws) AS n_tokens,
+      |        [CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |               || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15
+      |              THEN 1 ELSE 0 END
+      |         FOR i IN generate_series(0, len(ws) - 1)] AS flags
+      |      FROM t),
+      |e AS (SELECT doc_id, n_tokens,
+      |        CAST(list_sum(flags) AS BIGINT) AS n_masked,
+      |        list_reduce(list_prepend(0::BIGINT, flags),
+      |          (acc, x) -> (acc // 2 + CASE WHEN x = 1 AND acc % 2 = 0
+      |                                       THEN 1 ELSE 0 END) * 2 + x) AS enc
+      |      FROM f)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_masked,
+      |       CAST(enc // 2 AS BIGINT) AS n_spans,
+      |       CAST((n_masked * 10000) // n_tokens AS BIGINT) AS mask_bp
+      |FROM e ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val flags = transform(
+      sequence(lit(0), size(graft.text.TextAnalysis.tokens(col("text"))) - 1),
+      i => when(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), i.cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15,
+        1L).otherwise(0L))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        flags.as("flags"))
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(col("flags"), lit(0L), (acc, x) =>
+          (shiftright(acc, 1) +
+            when(x === 1 && acc % 2 === 0, 1L).otherwise(0L)) * 2 + x)
+          .as("enc"),
+        aggregate(col("flags"), lit(0L), (a, x) => a + x).as("n_masked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        shiftright(col("enc"), 1).cast("long").as("n_spans"),
+        expr("(n_masked * 10000) div n_tokens").as("mask_bp"))
+      .orderBy("doc_id")
+  }
 
   /** Lexical diversity per source: token volume, distinct TYPES, and the
     * type–token ratio in basis points — the corpus-health read that
