@@ -1439,7 +1439,112 @@ object AggOps {
     aggHllMerge, aggFunnelLatency, aggDistinctGrowth, aggAbTest, aggOhlc,
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
-    aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift)
+    aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
+    aggRfmSegments, aggOrderInversions)
+
+  /** RFM segmentation census: each purchaser scored High/Low on Recency,
+    * Frequency and Monetary against the population MEDIANS, yielding the
+    * classic 8-segment grid (HHH = champions … LLL = lost) with per-
+    * segment counts and value share. The three medians are exact
+    * percentiles computed ONCE and broadcast — never a global ntile
+    * window over users (the ntile spelling funnels every user through
+    * one task; the cutoff-broadcast spelling is the one that survives
+    * 10⁹ users — the agg-gini-cents precedent). Median parity is exact
+    * cross-engine on integer inputs at ×2 grain (win-churn-risk).
+    *
+    * Scale shape: one purchase rollup to the user grain, a 1-row cutoff
+    * broadcast, then an 8-row census fold.
+    */
+  lazy val aggRfmSegments: Op = Op.sql(
+    "agg-rfm-segments",
+    """WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(us) AS now_us FROM p),
+      |u AS (SELECT user_id,
+      |             CAST(max(us) AS BIGINT) AS last_us,
+      |             count(*) AS f,
+      |             CAST(sum(cents) AS BIGINT) AS m
+      |      FROM p GROUP BY user_id),
+      |cut AS (SELECT CAST(quantile_cont(now_us - last_us, 0.5) * 2 AS BIGINT)
+      |                 AS r2,
+      |               CAST(quantile_cont(f, 0.5) * 2 AS BIGINT) AS f2,
+      |               CAST(quantile_cont(m, 0.5) * 2 AS BIGINT) AS m2
+      |        FROM u, mx),
+      |seg AS (SELECT concat(
+      |          CASE WHEN (mx.now_us - u.last_us) * 2 <= cut.r2
+      |               THEN 'H' ELSE 'L' END,
+      |          CASE WHEN u.f * 2 >= cut.f2 THEN 'H' ELSE 'L' END,
+      |          CASE WHEN u.m * 2 >= cut.m2 THEN 'H' ELSE 'L' END) AS segment,
+      |          u.m
+      |        FROM u, cut, mx)
+      |SELECT segment, count(*) AS n_users,
+      |       CAST(sum(m) AS BIGINT) AS value_cents
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mx = p.agg(max("us").as("now_us"))
+    val u = p.groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("f"),
+        sum("cents").cast("long").as("m"))
+    val cut = u.crossJoin(broadcast(mx))
+      .agg((expr("percentile(now_us - last_us, 0.5D)") * 2).cast("long").as("r2"),
+        (expr("percentile(f, 0.5D)") * 2).cast("long").as("f2"),
+        (expr("percentile(m, 0.5D)") * 2).cast("long").as("m2"))
+    u.crossJoin(broadcast(cut)).crossJoin(broadcast(mx))
+      .select(concat(
+        when((col("now_us") - col("last_us")) * 2 <= col("r2"), "H").otherwise("L"),
+        when(col("f") * 2 >= col("f2"), "H").otherwise("L"),
+        when(col("m") * 2 >= col("m2"), "H").otherwise("L")).as("segment"),
+        col("m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("m").cast("long").as("value_cents"))
+      .orderBy("segment")
+  }
+
+  /** Out-of-order arrival audit: per event type, how often the event-id
+    * sequence disagrees with event time (an id-adjacent pair whose
+    * timestamps invert) — the producer-clock-skew / buffering-jitter
+    * signal that decides watermark horizons (stream-watermark-audit
+    * grades lateness against a horizon; this measures the disorder that
+    * horizon must absorb). Inversions are counted against the ID order,
+    * the order a log replay would see.
+    *
+    * Scale shape: one per-type lag window (type-partitioned — the
+    * arrival lanes), then a type-grained fold. Integer bp output.
+    */
+  lazy val aggOrderInversions: Op = Op.sql(
+    "agg-order-inversions",
+    """WITH e AS (SELECT event_type, event_id,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |l AS (SELECT event_type, us,
+      |        lag(us) OVER (PARTITION BY event_type ORDER BY event_id) AS prev
+      |      FROM e)
+      |SELECT event_type,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN us < prev THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_inversions,
+      |       CAST((sum(CASE WHEN us < prev THEN 1 ELSE 0 END) * 10000)
+      |            // count(*) AS BIGINT) AS inversion_bp
+      |FROM l WHERE prev IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("us") < col("prev"), 1L).otherwise(0L)).cast("long")
+          .as("n_inversions"))
+      .withColumn("inversion_bp", expr("(n_inversions * 10000) div n_pairs"))
+      .orderBy("event_type")
+  }
 
   /** Day-over-day traffic-mix shift: each day's event-type composition in
     * basis points, and the L1 distance to YESTERDAY's composition — the

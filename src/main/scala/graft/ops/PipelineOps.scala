@@ -538,7 +538,49 @@ object PipelineOps {
       .orderBy("rule")
   }
 
+  /** Deterministic experiment bucketing + sample-ratio-mismatch check:
+    * users hash into control/treatment (md5 parity — seedless, sticky
+    * across sessions and re-runs, the property assignment systems must
+    * prove), and the one-row audit reports both arm sizes, the imbalance
+    * in basis points, and the SRM flag — (n_a − n_b)² > 9·n is the
+    * 3-sigma binomial bound spelled in EXACT integers (no sqrt, no
+    * p-value table). An SRM fire means the assignment or logging is
+    * broken and every downstream metric read is void — this is the first
+    * gate an experimentation platform runs.
+    *
+    * Scale shape: one distinct-user pass, one conditional aggregation.
+    */
+  val pipelineAbAssign: Op = Op.sql(
+    "pipeline-ab-assign",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT user_id,
+      |        CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+      |              1, 8)) AS BIGINT) % 2 AS arm
+      |      FROM u)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+      |       CAST(abs(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END)) * 10000
+      |            // count(*) AS BIGINT) AS imbalance_bp,
+      |       (sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) *
+      |        sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) > 9 * count(*)) AS srm
+      |FROM a""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d).select("user_id").distinct()
+      .select((conv(substring(md5(concat(lit("exp1:"),
+        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+        .as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n_treatment"),
+        sum(when(col("arm") === 0, 1L).otherwise(-1L)).as("diff"))
+      .select(col("n_users"), col("n_control"), col("n_treatment"),
+        expr("abs(diff) * 10000 div n_users").as("imbalance_bp"),
+        (col("diff") * col("diff") > lit(9L) * col("n_users")).as("srm"))
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
-    pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine)
+    pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine,
+    pipelineAbAssign)
 }
