@@ -1440,7 +1440,61 @@ object AggOps {
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
-    aggRfmSegments, aggOrderInversions)
+    aggRfmSegments, aggOrderInversions, aggWowGrowth)
+
+  /** Week-over-week growth per event type, in basis points against the
+    * previous week — the trend table behind every growth review. The
+    * (week × type) grid is DENSED first (agg-mix-shift's rule: a type
+    * absent one week is 0, and reappearance computes against that 0 —
+    * growth from zero reports the sentinel 10000 bp cap via NULLIF
+    * avoidance: prev = 0 rows emit growth_bp = NULL, surfaced as a
+    * boolean `from_zero` instead of a division blow-up).
+    *
+    * Scale shape: one (week, type) rollup, a domain-sized grid, per-type
+    * lag over span-bounded weekly rows.
+    */
+  lazy val aggWowGrowth: Op = Op.sql(
+    "agg-wow-growth",
+    """WITH wt AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+      |         count(*) AS n
+      |  FROM events GROUP BY week, event_type),
+      |wk AS (SELECT DISTINCT week FROM wt),
+      |ty AS (SELECT DISTINCT event_type FROM wt),
+      |grid AS (SELECT wk.week, ty.event_type FROM wk, ty),
+      |dense AS (SELECT g.week, g.event_type, coalesce(wt.n, 0) AS n
+      |          FROM grid g LEFT JOIN wt
+      |            ON wt.week = g.week AND wt.event_type = g.event_type),
+      |l AS (SELECT week, event_type, n,
+      |        lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      |      FROM dense)
+      |SELECT week, event_type, CAST(n AS BIGINT) AS n,
+      |       CAST(prev AS BIGINT) AS prev,
+      |       CAST(CASE WHEN prev > 0 THEN ((n - prev) * 10000) // prev
+      |                 ELSE NULL END AS BIGINT) AS growth_bp,
+      |       (prev = 0) AS from_zero
+      |FROM l WHERE prev IS NOT NULL
+      |ORDER BY week, event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wt = Tables.events(s, d)
+      .select(expr("ts div 1000 div 604800000000").as("week"), col("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
+    val grid = wt.select("week").distinct()
+      .crossJoin(broadcast(wt.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    grid.join(wt, Seq("week", "event_type"), "left")
+      .select(col("week"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("prev", lag("n", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("week"), col("event_type"), col("n").cast("long").as("n"),
+        col("prev").cast("long").as("prev"),
+        when(col("prev") > 0,
+          expr("((n - prev) * 10000) div prev")).otherwise(lit(null))
+          .cast("long").as("growth_bp"),
+        (col("prev") === 0).as("from_zero"))
+      .orderBy("week", "event_type")
+  }
 
   /** RFM segmentation census: each purchaser scored High/Low on Recency,
     * Frequency and Monetary against the population MEDIANS, yielding the

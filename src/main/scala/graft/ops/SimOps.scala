@@ -1186,7 +1186,81 @@ object SimOps {
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
-    simListPurity)
+    simListPurity, simIndexCost)
+
+  /** Index cost card for the ANN ladder — one table a deployment reads
+    * before choosing its tier: per method, stored index rows, payload
+    * bytes per vector (float32=256B, int8=64B, PQ codes=8B, LSH adds an
+    * 8-byte bucket key), and the PROBE row count one query actually
+    * scans. flat/pq probe the whole corpus (pq wins on bytes, not rows);
+    * LSH probes are MEASURED over the query set's realized buckets
+    * (mean corpus bucket size met by a query — the number analytic
+    * uniform-bucket estimates get wrong under skew); IVF probes
+    * nprobe/nlist of the corpus on balanced lists (sim-ivf-balance
+    * grades that assumption).
+    *
+    * Scale shape: a corpus count, one bucket rollup joined to the
+    * (tiny) query bucket set, and literal arithmetic — nothing else.
+    */
+  lazy val simIndexCost: Op = Op.sql(
+    "sim-index-cost",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM e WHERE vec_id >= 10),
+       |iv AS (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN v] AS ie
+       |  FROM e),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket
+       |       FROM bits GROUP BY vec_id),
+       |cb AS (SELECT bucket, count(*) AS sz FROM bk
+       |       WHERE vec_id >= 10 GROUP BY bucket),
+       |lp AS (SELECT CAST(sum(coalesce(cb.sz, 0)) // count(*) AS BIGINT)
+       |         AS probe
+       |       FROM bk LEFT JOIN cb ON cb.bucket = bk.bucket
+       |       WHERE bk.vec_id < 10),
+       |r(method, n_index_rows, bytes_per_vec, probe_rows) AS (
+       |  SELECT 'flat', n.n, 256, n.n FROM n
+       |  UNION ALL SELECT 'ivf', n.n, 256, (n.n * 2) // 8 FROM n
+       |  UNION ALL SELECT 'lsh', n.n, 264, lp.probe FROM n, lp
+       |  UNION ALL SELECT 'pq', n.n, 8, n.n FROM n)
+       |SELECT method, CAST(n_index_rows AS BIGINT) AS n_index_rows,
+       |       CAST(bytes_per_vec AS BIGINT) AS bytes_per_vec,
+       |       CAST(probe_rows AS BIGINT) AS probe_rows
+       |FROM r ORDER BY method""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val bk = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding")).as("bucket"))
+    val cb = bk.filter(col("vec_id") >= 10)
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+    val lp = bk.filter(col("vec_id") < 10)
+      .join(broadcast(cb), Seq("bucket"), "left")
+      .agg((sum(coalesce(col("sz"), lit(0L))) / count(lit(1))).cast("long")
+        .as("probe"))
+    val n = e.filter(col("vec_id") >= 10).agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(lp))
+      .select(explode(array(
+        struct(lit("flat").as("method"), col("n").as("n_index_rows"),
+          lit(256L).as("bytes_per_vec"), col("n").as("probe_rows")),
+        struct(lit("ivf").as("method"), col("n").as("n_index_rows"),
+          lit(256L).as("bytes_per_vec"),
+          expr("(n * 2) div 8").as("probe_rows")),
+        struct(lit("lsh").as("method"), col("n").as("n_index_rows"),
+          lit(264L).as("bytes_per_vec"), col("probe").as("probe_rows")),
+        struct(lit("pq").as("method"), col("n").as("n_index_rows"),
+          lit(8L).as("bytes_per_vec"), col("n").as("probe_rows")))).as("r"))
+      .select(col("r.method").as("method"),
+        col("r.n_index_rows").cast("long").as("n_index_rows"),
+        col("r.bytes_per_vec").cast("long").as("bytes_per_vec"),
+        col("r.probe_rows").cast("long").as("probe_rows"))
+      .orderBy("method")
+  }
 
   /** IVF list LABEL purity — the semantic-quality view next to
     * sim-ivf-balance's load view: per list (corpus assigned to the fixed
