@@ -47,7 +47,8 @@ object Bench {
           "fill:shingles" -> (() => { ops.DedupOps.persistedShingles(spark, sfDir).count(); () }),
           "fill:jaccard-pairs" -> (() => { ops.DedupOps.persistedJaccardPairs(spark, sfDir).count(); () }),
           "fill:minhash-pairs" -> (() => { ops.DedupOps.persistedMinhashPairs(spark, sfDir).count(); () }),
-          "fill:doc-clusters" -> (() => { ops.DedupOps.persistedDocClusters(spark, sfDir).count(); () }))
+          "fill:doc-clusters" -> (() => { ops.DedupOps.persistedDocClusters(spark, sfDir).count(); () }),
+          "fill:md5-sig-base" -> (() => { ops.DedupOps.persistedMd5Base(spark, sfDir).count(); () }))
       else Seq.empty
     val fillTimes = fills.map { case (name, run) =>
       val t0 = System.nanoTime()

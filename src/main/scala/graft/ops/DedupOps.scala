@@ -31,6 +31,29 @@ object DedupOps {
     Dedup.jaccardPairs(persistedShingles(s, d), threshold = 0.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** md5-family signature BASE (id, shingle-hash) for pair-member docs,
+    * persisted once per session — the expensive piece (full-corpus string
+    * df-prune + per-shingle md5) both estimator-audit ops share:
+    * dedup-minhash-accuracy and dedup-minhash-k-sweep build identical
+    * plans over it, so whichever runs first fills the cache.
+    */
+  private[graft] def persistedMd5Base(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val mem = persistedJaccardPairs(s, d)
+      .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
+    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("sraw")
+    sh.join(rare, Seq("sraw"), "left_semi")
+      .join(broadcast(mem), Seq("id"), "left_semi")
+      .select(col("id"),
+        conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** The verified minhash pair set at j ≥ 0.8, persisted once per session:
     * dedup-minhash returns it directly and dedup-cluster-rep builds its
     * component graph from it — without this the cluster op re-ran the
@@ -893,6 +916,10 @@ object DedupOps {
     * as a reusable table — shared with dedup-method-agreement.
     */
   private def hammingPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = hammingPairsPlan(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def hammingPairsPlan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
       graft.functions.SimhashFingerprint.mixed(
@@ -1027,19 +1054,9 @@ object DedupOps {
       ((h % P) * a + b) % P
     }
     val pairs = persistedJaccardPairs(s, d)
-    val mem = pairs.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-    // string-shingle prune identical to the jaccard oracle tier (df ≤ 20
-    // over the FULL corpus), then md5 hashing only for audited docs
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id").as("id"),
-        explode(array_distinct(
-          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
-    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20).select("sraw")
-    val hsh = sh.join(rare, Seq("sraw"), "left_semi")
-      .join(broadcast(mem), Seq("id"), "left_semi")
-      .select(col("id"),
-        conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
+    // the md5 signature base (string prune + hashing) persists once and
+    // is shared with dedup-minhash-k-sweep
+    val hsh = persistedMd5Base(s, d)
     val sig = hsh.groupBy("id")
       .agg(min(member(0, col("h"))).as("mh0"),
         (1 until 16).map(i => min(member(i, col("h"))).as(s"mh$i")): _*)
@@ -1122,17 +1139,7 @@ object DedupOps {
       ((h % P) * a + b) % P
     }
     val pairs = persistedJaccardPairs(s, d)
-    val mem = pairs.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id").as("id"),
-        explode(array_distinct(
-          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
-    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20).select("sraw")
-    val hsh = sh.join(rare, Seq("sraw"), "left_semi")
-      .join(broadcast(mem), Seq("id"), "left_semi")
-      .select(col("id"),
-        conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
+    val hsh = persistedMd5Base(s, d)
     val sig = hsh.groupBy("id")
       .agg(min(member(0, col("h"))).as("mh0"),
         (1 until 32).map(i => min(member(i, col("h"))).as(s"mh$i")): _*)
