@@ -1083,7 +1083,52 @@ object DedupOps {
     dedupJaccardSweep, dedupContainment, dedupLshExpectedRecall,
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
-    dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep)
+    dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
+    dedupClusterSources)
+
+  /** Source span of near-dup clusters: for every multi-doc cluster, how
+    * many distinct SOURCES it crosses, histogrammed — within-source
+    * clusters are re-posts/retries (dedup locally, cheap), cross-source
+    * clusters are syndication/mirroring (the expensive global dedup is
+    * only justified if this bucket is material). The one-table answer to
+    * "could we shard dedup by source at 100 TB?" — if the cross-source
+    * bucket is empty, the global shuffle never needed to happen.
+    *
+    * Scale shape: rides the memoized cluster table; one cluster-grained
+    * groupBy with a distinct on (cluster, source), then a span-sized
+    * histogram fold.
+    */
+  lazy val dedupClusterSources: Op = Op.sql(
+    "dedup-cluster-sources",
+    s"""WITH RECURSIVE $ShingleOracle,
+       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+       |          UNION ALL SELECT d2, d1 FROM p8),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY src),
+       |cs AS (SELECT cl.cluster, count(*) AS n_docs,
+       |              count(DISTINCT d.source) AS n_sources
+       |       FROM cl JOIN documents d ON d.doc_id = cl.id
+       |       GROUP BY cl.cluster HAVING count(*) >= 2)
+       |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       |       count(*) AS n_clusters,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY n_sources ORDER BY n_sources""".stripMargin
+  ) { (s, d) =>
+    persistedDocClusters(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id").as("id"), col("source")),
+        Seq("id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_sources").cast("long").as("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"), sum("n_docs").cast("long").as("n_docs"))
+      .orderBy("n_sources")
+  }
 
   /** Signature-width sweep: mean absolute minhash-estimator error at
     * k = 8, 16, 32 over the exact-jaccard pair set — the one table that

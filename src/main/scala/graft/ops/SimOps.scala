@@ -1186,7 +1186,66 @@ object SimOps {
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
-    simListPurity, simIndexCost)
+    simListPurity, simIndexCost, simAssignMargin)
+
+  /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
+    * cosine margin of its members in micro-units — low-margin lists sit
+    * on centroid boundaries, where quantization flips under retraining
+    * and single-probe recall dies (exactly the vectors nprobe > 1 is
+    * for; sim-nprobe-sweep shows the recall side, this shows WHERE the
+    * ambiguity lives). Margins subtract as exact integers after the
+    * 6-dp micro snap.
+    *
+    * Scale shape: centroids broadcast; rank ≤ 2 per vector via the
+    * per-vector window over an 8-row group (bounded by nlist, not data);
+    * the rollup is list-grained.
+    */
+  lazy val simAssignMargin: Op = Op.sql(
+    "sim-assign-margin",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id IN (10,20,30,40,50,60,70,80)),
+       |asgn AS (
+       |  SELECT c.vec_id AS n_id, cc.cid,
+       |         CAST(round(round(list_dot_product(c.v, cc.cv) /
+       |                    (sqrt(list_dot_product(c.v, c.v)) *
+       |                     sqrt(list_dot_product(cc.cv, cc.cv))), 6) * 1000000)
+       |           AS BIGINT) AS sm,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cents cc WHERE c.vec_id >= 10),
+       |m AS (SELECT a1.n_id, a1.cid, a1.sm - a2.sm AS margin
+       |      FROM asgn a1 JOIN asgn a2 ON a1.n_id = a2.n_id
+       |      WHERE a1.rn = 1 AND a2.rn = 2)
+       |SELECT cid, count(*) AS n,
+       |       CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_micro
+       |FROM m GROUP BY cid ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id").isin(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val asgn = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cv")))
+      .withColumn("sm", round(col("sim") * 1000000).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= 2)
+    val a1 = asgn.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("sm").as("sm1"))
+    val a2 = asgn.filter(col("rn") === 2)
+      .select(col("vec_id"), col("sm").as("sm2"))
+    a1.join(a2, Seq("vec_id"))
+      .select(col("cid"), (col("sm1") - col("sm2")).as("margin"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(margin) div count(1)").cast("long").as("mean_margin_micro"))
+      .orderBy("cid")
+  }
 
   /** Index cost card for the ANN ladder — one table a deployment reads
     * before choosing its tier: per method, stored index rows, payload

@@ -1798,7 +1798,64 @@ object TextOps {
     textLangidEval, textBpePairs, textBlocklistFilter, textLangSegments,
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
-    textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan)
+    textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
+    textLmHoldoutGap)
+
+  /** Train/holdout unigram-LM gap: fit an add-one-smoothed unigram LM on
+    * the TRAIN split (doc_id % 10 < 8) and compare mean log-prob on
+    * train vs holdout docs — the memorization/generalization sanity
+    * check run before any perplexity filter is trusted (a large gap
+    * means the LM is fitting its own split, and scoring held-out data
+    * with it will over-drop). OOV tokens get the smoothed
+    * ln(1/(tot+V)) mass, per-token log-probs snap to integer micro-nats
+    * BEFORE summation (the text-unigram-logprob contract), and the split
+    * means divide as integers.
+    *
+    * Scale shape: one token explode; the LM (vocab-sized) broadcasts;
+    * both split means fold from one conditional aggregation.
+    */
+  lazy val textLmHoldoutGap: Op = Op.sql(
+    "text-lm-holdout-gap",
+    """WITH toks AS (SELECT doc_id, doc_id % 10 < 8 AS is_train,
+      |                     unnest(string_split(text, ' ')) AS w
+      |              FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM toks WHERE is_train GROUP BY w),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM toks WHERE is_train),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM v),
+      |lm AS (SELECT v.w,
+      |         CAST(round((ln(v.cnt + 1) - ln(t.tot + vs.vsize)) * 1000000)
+      |           AS BIGINT) AS lp
+      |       FROM v, t, vs),
+      |oov AS (SELECT CAST(round((0 - ln(t.tot + vs.vsize)) * 1000000) AS BIGINT)
+      |          AS lp_oov FROM t, vs),
+      |sc AS (SELECT toks.is_train, coalesce(lm.lp, oov.lp_oov) AS lp
+      |       FROM toks LEFT JOIN lm ON lm.w = toks.w CROSS JOIN oov)
+      |SELECT CASE WHEN is_train THEN 'train' ELSE 'holdout' END AS split,
+      |       count(*) AS n_tokens,
+      |       CAST(sum(lp) // count(*) AS BIGINT) AS mean_lp_micro
+      |FROM sc GROUP BY split ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 10 < 8).as("is_train"),
+        explode(split(col("text"), " ")).as("w"))
+    val v = toks.filter(col("is_train")).groupBy("w").agg(count(lit(1)).as("cnt"))
+    val t = toks.filter(col("is_train")).agg(count(lit(1)).as("tot"))
+    val vs = v.agg(count(lit(1)).as("vsize"))
+    val lm = v.crossJoin(broadcast(t)).crossJoin(broadcast(vs))
+      .select(col("w"),
+        round((log(col("cnt") + 1) - log(col("tot") + col("vsize"))) * 1000000)
+          .cast("long").as("lp"))
+    val oov = t.crossJoin(vs)
+      .select(round((lit(0) - log(col("tot") + col("vsize"))) * 1000000)
+        .cast("long").as("lp_oov"))
+    toks.join(broadcast(lm), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("is_train"), coalesce(col("lp"), col("lp_oov")).as("lp"))
+      .groupBy(when(col("is_train"), "train").otherwise("holdout").as("split"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(lp) div count(1)").cast("long").as("mean_lp_micro"))
+      .orderBy("split")
+  }
 
   /** Span-corruption plan (T5/UL2-style infill pretraining): per document,
     * the deterministic 15% token mask and its span structure — token
