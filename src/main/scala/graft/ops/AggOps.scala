@@ -1440,7 +1440,53 @@ object AggOps {
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
-    aggRfmSegments, aggOrderInversions, aggWowGrowth)
+    aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram)
+
+  /** Power-of-two value histogram per event type: purchase amounts
+    * bucketed at log2 boundaries (the doubling ladder every latency/value
+    * dashboard uses — constant relative resolution, fixed bucket count at
+    * ANY value range, and the bucket is pure integer comparison, no libm
+    * log). Upper bound of each bucket in cents plus count and share bp.
+    *
+    * Scale shape: the bucket is a per-row CASE ladder over plan-time
+    * literals inside codegen; one map-side-combined (type, bucket)
+    * groupBy; type totals broadcast onto the histogram rows.
+    */
+  lazy val aggValueLogHistogram: Op = {
+    val cuts: Seq[Long] = (0 to 16).map(i => 1L << i) // 1,2,4,…,65536 cents
+    val sqlBucket = cuts.map(c => s"WHEN cents < $c THEN CAST($c AS BIGINT)")
+      .mkString("CASE ", " ", " ELSE CAST(131072 AS BIGINT) END")
+    Op.sql(
+      "agg-value-log-histogram",
+      s"""WITH p AS (SELECT event_type,
+         |                  CAST(round(value * 100) AS BIGINT) AS cents
+         |           FROM events WHERE event_type IN ('purchase', 'click')),
+         |b AS (SELECT event_type, $sqlBucket AS bucket_lt FROM p),
+         |h AS (SELECT event_type, bucket_lt, count(*) AS n
+         |      FROM b GROUP BY event_type, bucket_lt),
+         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM h
+         |      GROUP BY event_type)
+         |SELECT h.event_type AS event_type, h.bucket_lt, h.n,
+         |       CAST((h.n * 10000) // t.nt AS BIGINT) AS share_bp
+         |FROM h JOIN t ON t.event_type = h.event_type
+         |ORDER BY h.event_type, h.bucket_lt""".stripMargin
+    ) { (s, d) =>
+      val bucket = cuts.foldRight(lit(131072L): org.apache.spark.sql.Column) {
+        case (c, rest) => when(col("cents") < c, c).otherwise(rest)
+      }
+      val h = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bucket_lt", bucket)
+        .groupBy("event_type", "bucket_lt").agg(count(lit(1)).as("n"))
+      val t = h.groupBy("event_type").agg(sum("n").cast("long").as("nt"))
+      h.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("bucket_lt"), col("n"),
+          expr("(n * 10000) div nt").as("share_bp"))
+        .orderBy("event_type", "bucket_lt")
+    }
+  }
 
   /** Week-over-week growth per event type, in basis points against the
     * previous week — the trend table behind every growth review. The

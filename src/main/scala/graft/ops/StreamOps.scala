@@ -576,8 +576,86 @@ object StreamOps {
       .orderBy("gap_start_min")
   }
 
+  /** The CMS READ path, graded: per hour, rank candidate keys by their
+    * Count–Min estimate (min over the 4 rows of the key's cell — read
+    * from stream-countmin's emitted cells, raw events never re-scanned)
+    * and score the sketch's top-3 against the exact top-3. `n_hits` per
+    * window is the realized accuracy of the screen stream-topk fronts at
+    * 100 TB; windows where the sketch misses are windows whose traffic
+    * was too uniform for a d=4×w=64 grid — the signal to widen w.
+    *
+    * Scale shape: cells are (window × 256)-sized, the candidate-key probe
+    * is (window × keys × 4) rows joined onto cells, and both top-3
+    * selections are per-window folds over key-domain-sized rows; the one
+    * corpus-sized pass is the cell build itself.
+    */
+  val streamCmsTopk: Op = Op.sql(
+    "stream-cms-topk",
+    """WITH r4 AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |ev AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_us,
+      |              event_type FROM events),
+      |cells AS (SELECT win_us, r.r,
+      |            CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      |                  ev.event_type), 1, 8)) AS BIGINT) % 64 AS b,
+      |            count(*) AS cell_n
+      |          FROM ev, r4 r GROUP BY win_us, r.r, b),
+      |keys AS (SELECT DISTINCT event_type FROM ev),
+      |probe AS (SELECT k.event_type, r.r,
+      |            CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+      |                  k.event_type), 1, 8)) AS BIGINT) % 64 AS b
+      |          FROM keys k, r4 r),
+      |est AS (SELECT c.win_us, p.event_type, min(c.cell_n) AS est
+      |        FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+      |        GROUP BY c.win_us, p.event_type),
+      |etop AS (SELECT win_us, event_type FROM (
+      |           SELECT win_us, event_type,
+      |                  row_number() OVER (PARTITION BY win_us
+      |                    ORDER BY est DESC, event_type) AS rn FROM est) t
+      |         WHERE rn <= 3),
+      |xact AS (SELECT win_us, event_type, count(*) AS n FROM ev
+      |         GROUP BY win_us, event_type),
+      |xtop AS (SELECT win_us, event_type FROM (
+      |           SELECT win_us, event_type,
+      |                  row_number() OVER (PARTITION BY win_us
+      |                    ORDER BY n DESC, event_type) AS rn FROM xact) t
+      |         WHERE rn <= 3)
+      |SELECT x.win_us AS win_us,
+      |       CAST(sum(CASE WHEN e.event_type IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_hits
+      |FROM xtop x LEFT JOIN etop e
+      |  ON e.win_us = x.win_us AND e.event_type = x.event_type
+      |GROUP BY x.win_us ORDER BY win_us""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(expr("ts div 1000 div 3600000000 * 3600000000").as("win_us"),
+        col("event_type"))
+    val cells = ev
+      .select(col("win_us"), graft.ops.AggOps.cmsPairs(col("event_type")))
+      .select(col("win_us"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("win_us", "r", "b").agg(count(lit(1)).as("cell_n"))
+    val probe = ev.select("event_type").distinct()
+      .select(col("event_type"), graft.ops.AggOps.cmsPairs(col("event_type")))
+      .select(col("event_type"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = probe.join(cells, Seq("r", "b"))
+      .groupBy("win_us", "event_type").agg(min("cell_n").as("est"))
+    def top3(df: org.apache.spark.sql.DataFrame, ord: org.apache.spark.sql.Column) =
+      df.withColumn("rn", row_number().over(
+        Window.partitionBy("win_us").orderBy(ord, col("event_type"))))
+        .filter(col("rn") <= 3).select("win_us", "event_type")
+    val etop = top3(est, col("est").desc)
+    val xtop = top3(
+      ev.groupBy("win_us", "event_type").agg(count(lit(1)).as("n")),
+      col("n").desc)
+    xtop.join(etop.withColumn("hit", lit(1L)), Seq("win_us", "event_type"), "left")
+      .groupBy("win_us")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .orderBy("win_us")
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
-    streamUpsert, streamCountmin, streamStateBudget, streamOutageGaps)
+    streamUpsert, streamCountmin, streamStateBudget, streamOutageGaps,
+    streamCmsTopk)
 }
