@@ -646,6 +646,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("text-infill-plan is a pure zero-shuffle projection") {
+    val p = plan("text-infill-plan")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("agg-rfm-segments broadcasts median cutoffs, never a global ntile") {
+    val p = plan("agg-rfm-segments")
+    // \bntile( — "percentile(" contains the substring, so anchor it
+    assert("(?<![a-z])ntile\\(".r.findFirstIn(p).isEmpty, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("agg-double-charge windows over (user, amount) lanes") {
+    val p = plan("agg-double-charge")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg-active-horizons explodes bounded visibility, no window operator") {
+    val p = plan("agg-active-horizons")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stream-cms-topk reads cells with partial aggregation") {
+    val p = plan("stream-cms-topk")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup-minhash-k-sweep joins stay pair-table-sized broadcasts") {
+    val p = plan("dedup-minhash-k-sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // one explode fans the three widths from one agreement row
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
