@@ -230,6 +230,90 @@ object ChunkOps {
       .orderBy("source", "bin")
   }
 
+  /** Sampled deep-verify: a deterministic ~25% of chunks (md5 hex head
+    * of the chunk id < '40', the house seedless sampler; production tunes
+    * the threshold to its audit budget) get the full
+    * integrity battery — completeness against the chunk span, duplicate
+    * heights, and parent-hash chain breaks (the %50 corrupted-hash
+    * convention of win-chain-link) — the cost-bounded audit mode the
+    * reference's full verify cannot afford daily at archive scale. The
+    * sample is STICKY: the same chunks re-verify every run, so a chunk
+    * that rots is caught on the next cycle, and widening coverage is one
+    * threshold bump, not a new random draw.
+    *
+    * Scale shape: under the chunk-partitioned layout the sampled-chunk
+    * filter IS partition pruning (~5% of files read; here it rides the
+    * scan filter); per-chunk checks are one map-side-combined groupBy
+    * plus a chunk-local adjacency join.
+    */
+  val verifySampled: Op = Op.sql(
+    "verify-sampled",
+    """WITH arch AS (SELECT o_orderkey AS h,
+      |                     o_orderkey // 200 AS chunk
+      |              FROM orders WHERE o_orderkey % 7 <> 0),
+      |sampled AS (SELECT * FROM arch
+      |            WHERE substr(md5(CAST(chunk AS VARCHAR)), 1, 2) < '40'),
+      |b AS (SELECT h, chunk,
+      |        CASE WHEN h % 50 = 0
+      |             THEN md5(concat('x', CAST(h AS VARCHAR)))
+      |             ELSE md5(CAST(h AS VARCHAR)) END AS blockId,
+      |        md5(CAST(h - 1 AS VARCHAR)) AS parentId
+      |      FROM sampled),
+      |lnk AS (SELECT b.chunk, b.h,
+      |          CASE WHEN p.blockId IS NOT NULL AND b.parentId <> p.blockId
+      |               THEN 1 ELSE 0 END AS brk
+      |        FROM b LEFT JOIN b p ON b.h = p.h + 1 AND b.chunk = p.chunk),
+      |per AS (SELECT chunk, count(*) AS n_blocks,
+      |          CAST(min(h) AS BIGINT) AS mn, CAST(max(h) AS BIGINT) AS mx,
+      |          CAST(sum(brk) AS BIGINT) AS n_breaks
+      |        FROM lnk GROUP BY chunk),
+      |dup AS (SELECT chunk, CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dups
+      |        FROM (SELECT chunk, h, count(*) AS c FROM sampled
+      |              GROUP BY chunk, h HAVING count(*) > 1)
+      |        GROUP BY chunk)
+      |SELECT per.chunk AS chunk, per.n_blocks,
+      |       CAST(per.mx - per.mn + 1 - per.n_blocks AS BIGINT) AS n_gaps,
+      |       CAST(coalesce(dup.n_dups, 0) AS BIGINT) AS n_dups,
+      |       per.n_breaks,
+      |       (per.mx - per.mn + 1 = per.n_blocks AND per.n_breaks = 0) AS ok
+      |FROM per LEFT JOIN dup ON dup.chunk = per.chunk
+      |ORDER BY per.chunk""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("h"), expr("o_orderkey div 200").as("chunk"))
+    val sampled = arch
+      .filter(substring(md5(col("chunk").cast("string")), 1, 2) < "40")
+    val b = sampled.select(col("h"), col("chunk"),
+      when(col("h") % 50 === 0,
+        md5(concat(lit("x"), col("h").cast("string"))))
+        .otherwise(md5(col("h").cast("string"))).as("blockId"),
+      md5((col("h") - 1).cast("string")).as("parentId"))
+    val prev = b.select((col("h") + 1).as("h"), col("chunk"),
+      col("blockId").as("prevBlockId"))
+    val per = b.join(prev, Seq("h", "chunk"), "left")
+      .select(col("chunk"), col("h"),
+        when(col("prevBlockId").isNotNull &&
+          col("parentId") =!= col("prevBlockId"), 1L).otherwise(0L).as("brk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_blocks"),
+        min("h").cast("long").as("mn"), max("h").cast("long").as("mx"),
+        sum("brk").cast("long").as("n_breaks"))
+    val dup = sampled.groupBy("chunk", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy("chunk")
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_dups"))
+    per.join(dup, Seq("chunk"), "left")
+      .select(col("chunk"), col("n_blocks"),
+        (col("mx") - col("mn") + 1 - col("n_blocks")).cast("long").as("n_gaps"),
+        coalesce(col("n_dups"), lit(0L)).cast("long").as("n_dups"),
+        col("n_breaks"),
+        (col("mx") - col("mn") + 1 === col("n_blocks") &&
+          col("n_breaks") === 0).as("ok"))
+      .orderBy("chunk")
+  }
+
   val ops: Seq[Op] = Seq(splitChunks, partitionLayout, skipExisting,
-    compactRange, parallelFetch, deleteFiles, dryRun, compactBinPack)
+    compactRange, parallelFetch, deleteFiles, dryRun, compactBinPack,
+    verifySampled)
 }

@@ -1084,7 +1084,61 @@ object DedupOps {
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
-    dedupClusterSources)
+    dedupClusterSources, dedupHammingSweep)
+
+  /** Hamming-radius calibration for the simhash tier: cumulative pair
+    * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
+    * committing the Manku radius (the simhash sibling of
+    * dedup-jaccard-sweep; radius 3 is where the 4×12-bit band scheme's
+    * completeness guarantee ends, so anything looser needs more bands).
+    * Rides the persisted Hamming ≤ 3 pair set — the sweep adds
+    * conditional sums, not a recomputation.
+    */
+  lazy val dedupHammingSweep: Op = Op.sql(
+    "dedup-hamming-sweep",
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT id, list_reduce(list_prepend(0::BIGINT,
+      |           [ascii(substr(w, i, 1))::BIGINT FOR i IN generate_series(1, length(w))]),
+      |           (a, b) -> (a * 31 + b) % 1000003) AS h
+      |  FROM words),
+      |votes AS (
+      |  SELECT id, j,
+      |         CAST(sum(CASE WHEN ((h * (((j * 2654435761) % 2147483647) | 1)
+      |                              + ((j * 40503 * 65537) % 2147483647))
+      |                             % 2147483647) % 2 = 1
+      |                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM hashed, (SELECT unnest(generate_series(0, 47)) AS j) g
+      |  GROUP BY id, j),
+      |fp AS (
+      |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY id),
+      |hp AS (SELECT a.id AS d1, b.id AS d2,
+      |              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |       FROM fp a JOIN fp b ON a.id < b.id
+      |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |r AS (SELECT rr.r, hp.d1, hp.d2, hp.hamming
+      |      FROM hp, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+      |      WHERE hp.hamming <= rr.r)
+      |SELECT CAST(r AS BIGINT) AS radius,
+      |       count(*) AS n_pairs,
+      |       CAST(count(DISTINCT d1) + count(DISTINCT d2)
+      |            - count(DISTINCT CASE WHEN d1 = d2 THEN d1 END) AS BIGINT)
+      |         AS n_doc_slots
+      |FROM r GROUP BY r ORDER BY radius""".stripMargin
+  ) { (s, d) =>
+    val hp = hammingPairs(s, d)
+    hp.select(explode(array((0 to 3).map(r => lit(r.toLong)): _*)).as("radius"),
+        col("d1"), col("d2"), col("hamming"))
+      .filter(col("hamming") <= col("radius"))
+      .groupBy("radius")
+      .agg(count(lit(1)).as("n_pairs"),
+        (countDistinct("d1") + countDistinct("d2")).cast("long")
+          .as("n_doc_slots"))
+      .orderBy("radius")
+  }
 
   /** Source span of near-dup clusters: for every multi-doc cluster, how
     * many distinct SOURCES it crosses, histogrammed — within-source
