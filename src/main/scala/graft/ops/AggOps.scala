@@ -1440,7 +1440,137 @@ object AggOps {
     aggPoissonBootstrap, aggBenford, aggChiSquare, aggCountmin, aggDpCount,
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
-    aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram)
+    aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
+    aggValueDrift, aggWhaleStability)
+
+  /** Numeric-distribution drift week over week: purchase amounts bucket
+    * at log2 boundaries (agg-value-log-histogram's ladder), each week's
+    * bucket shares snap to basis points over the DENSED week×bucket
+    * grid, and consecutive weeks compare by L1 distance — the
+    * feature-store monitoring alarm for "the money distribution moved"
+    * (a price change or bot wave shifts buckets long before volume or
+    * mean alarms fire; the numeric sibling of agg-mix-shift).
+    *
+    * Scale shape: one (week, bucket) rollup; the grid is weeks × 18
+    * buckets; per-bucket lag over weekly rows; day totals broadcast.
+    */
+  lazy val aggValueDrift: Op = {
+    val cuts: Seq[Long] = (0 to 16).map(i => 1L << i)
+    val sqlBucket = cuts.map(c => s"WHEN cents < $c THEN CAST($c AS BIGINT)")
+      .mkString("CASE ", " ", " ELSE CAST(131072 AS BIGINT) END")
+    Op.sql(
+      "agg-value-drift",
+      s"""WITH p AS (SELECT epoch_us(ts) // 604800000000 AS week,
+         |                  CAST(round(value * 100) AS BIGINT) AS cents
+         |           FROM events WHERE event_type = 'purchase'),
+         |b AS (SELECT week, $sqlBucket AS bucket FROM p),
+         |h AS (SELECT week, bucket, count(*) AS n FROM b GROUP BY week, bucket),
+         |wk AS (SELECT week, CAST(sum(n) AS BIGINT) AS nw FROM h GROUP BY week),
+         |bk AS (SELECT DISTINCT bucket FROM h),
+         |grid AS (SELECT wk.week, wk.nw, bk.bucket FROM wk, bk),
+         |sh AS (SELECT g.week, g.bucket,
+         |              CAST((coalesce(h.n, 0) * 10000) // g.nw AS BIGINT) AS bp
+         |       FROM grid g LEFT JOIN h ON h.week = g.week
+         |                               AND h.bucket = g.bucket),
+         |lg AS (SELECT week, bucket, bp,
+         |         lag(bp) OVER (PARTITION BY bucket ORDER BY week) AS prev
+         |       FROM sh)
+         |SELECT week, CAST(sum(abs(bp - prev)) AS BIGINT) AS l1_bp,
+         |       CAST(max(abs(bp - prev)) AS BIGINT) AS max_bucket_bp
+         |FROM lg WHERE prev IS NOT NULL
+         |GROUP BY week ORDER BY week""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bucket = cuts.foldRight(lit(131072L): org.apache.spark.sql.Column) {
+        case (c, rest) => when(col("cents") < c, c).otherwise(rest)
+      }
+      val h = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("ts div 1000 div 604800000000").as("week"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bucket", bucket)
+        .groupBy("week", "bucket").agg(count(lit(1)).as("n"))
+      val wk = h.groupBy("week").agg(sum("n").cast("long").as("nw"))
+      val grid = wk.crossJoin(broadcast(h.select("bucket").distinct()))
+      val w = Window.partitionBy("bucket").orderBy("week")
+      grid.join(h, Seq("week", "bucket"), "left")
+        .select(col("week"), col("bucket"),
+          expr("(coalesce(n, 0) * 10000) div nw").as("bp"))
+        .withColumn("prev", lag("bp", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("week")
+        .agg(sum(abs(col("bp") - col("prev"))).cast("long").as("l1_bp"),
+          max(abs(col("bp") - col("prev"))).cast("long").as("max_bucket_bp"))
+        .orderBy("week")
+    }
+  }
+
+  /** Whale-set stability: do the SAME top-decile spenders return week
+    * over week? Each week's whales are users at or above that week's
+    * P90 spend (exact percentile cutoff broadcast per week — never a
+    * global rank window), and consecutive weeks compare as set overlap
+    * with the Jaccard in basis points. Low stability means revenue
+    * concentration is churn-driven (acquisition treadmill); high means a
+    * durable whale base — two very different businesses with identical
+    * weekly revenue (companion: agg-whale-share sizes concentration,
+    * this measures its persistence).
+    *
+    * Scale shape: weekly user spend rollup; per-week cutoffs are a
+    * week-grained aggregate joined back (broadcast); the overlap
+    * self-join matches whales on (user, adjacent weeks) — whale-set-
+    * sized, not user-sized.
+    */
+  lazy val aggWhaleStability: Op = Op.sql(
+    "agg-whale-stability",
+    """WITH p AS (SELECT epoch_us(ts) // 604800000000 AS week, user_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |uw AS (SELECT week, user_id, CAST(sum(cents) AS BIGINT) AS spend
+      |       FROM p GROUP BY week, user_id),
+      |cut AS (SELECT week,
+      |               CAST(quantile_cont(spend, 0.9) * 2 AS BIGINT) AS p90x2
+      |        FROM uw GROUP BY week),
+      |wh AS (SELECT uw.week, uw.user_id FROM uw JOIN cut ON cut.week = uw.week
+      |       WHERE uw.spend * 2 >= cut.p90x2),
+      |sz AS (SELECT week, count(*) AS n_whales FROM wh GROUP BY week),
+      |ov AS (SELECT a.week AS week, count(*) AS n_overlap
+      |       FROM wh a JOIN wh b ON b.user_id = a.user_id
+      |                          AND b.week = a.week - 1
+      |       GROUP BY a.week)
+      |SELECT s.week AS week, s.n_whales,
+      |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_repeat,
+      |       CAST((coalesce(ov.n_overlap, 0) * 10000) //
+      |            (s.n_whales + sp.n_whales - coalesce(ov.n_overlap, 0))
+      |            AS BIGINT) AS jaccard_bp
+      |FROM sz s JOIN sz sp ON sp.week = s.week - 1
+      |LEFT JOIN ov ON ov.week = s.week
+      |ORDER BY week""".stripMargin
+  ) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000 div 604800000000").as("week"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("week", "user_id").agg(sum("cents").cast("long").as("spend"))
+    val cut = uw.groupBy("week")
+      .agg((expr("percentile(spend, 0.9D)") * 2).cast("long").as("p90x2"))
+    val wh = uw.join(broadcast(cut), Seq("week"))
+      .filter(col("spend") * 2 >= col("p90x2"))
+      .select("week", "user_id")
+    val sz = wh.groupBy("week").agg(count(lit(1)).as("n_whales"))
+    val prevWh = wh.select((col("week") + 1).as("week"),
+      col("user_id"))
+    val ov = wh.join(prevWh, Seq("week", "user_id"))
+      .groupBy("week").agg(count(lit(1)).as("n_overlap"))
+    val prevSz = sz.select((col("week") + 1).as("week"),
+      col("n_whales").as("np"))
+    sz.join(prevSz, Seq("week"))
+      .join(ov, Seq("week"), "left")
+      .select(col("week"), col("n_whales"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_repeat"),
+        expr("(coalesce(n_overlap, 0) * 10000) div " +
+          "(n_whales + np - coalesce(n_overlap, 0))").as("jaccard_bp"))
+      .orderBy("week")
+  }
 
   /** Power-of-two value histogram per event type: purchase amounts
     * bucketed at log2 boundaries (the doubling ladder every latency/value

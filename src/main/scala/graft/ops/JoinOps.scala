@@ -761,9 +761,48 @@ object JoinOps {
       .orderBy("month")
   }
 
+  /** Join fan-out profile: the distribution of lineitems per order —
+    * count histogram plus each depth's row share in basis points, and
+    * childless orders as depth 0. This is the empirical per-key fan-out
+    * behind join-card-estimate's totals: the max depth bounds worst-case
+    * row amplification, the histogram shape decides whether a skew-salted
+    * join is warranted (a flat profile never is), and depth-0 mass is
+    * referential slack.
+    *
+    * Scale shape: one key-grained count (map-side combine) from a LEFT
+    * join of keys onto the fact — childless keys survive — then a
+    * depth-sized histogram fold with a broadcast total.
+    */
+  val joinFanoutProfile: Op = Op.sql(
+    "join-fanout-profile",
+    """WITH c AS (SELECT o.o_orderkey,
+      |                  count(l.l_orderkey) AS n_items
+      |           FROM orders o LEFT JOIN lineitem l
+      |             ON l.l_orderkey = o.o_orderkey
+      |           GROUP BY o.o_orderkey),
+      |h AS (SELECT n_items, count(*) AS n_orders FROM c GROUP BY n_items),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+      |SELECT CAST(h.n_items AS BIGINT) AS n_items, h.n_orders,
+      |       CAST((h.n_orders * 10000) // t.total AS BIGINT) AS share_bp
+      |FROM h, t ORDER BY n_items""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.orders(s, d).select(col("o_orderkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_items"))
+    val h = c.groupBy(col("n_items").cast("long").as("n_items"))
+      .agg(count(lit(1)).as("n_orders"))
+    val t = h.agg(sum("n_orders").cast("long").as("total"))
+    h.crossJoin(broadcast(t))
+      .select(col("n_items"), col("n_orders"),
+        expr("(n_orders * 10000) div total").as("share_bp"))
+      .orderBy("n_items")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
     joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune,
-    joinLocalSupplier, joinCardEstimate, joinDimLate)
+    joinLocalSupplier, joinCardEstimate, joinDimLate, joinFanoutProfile)
 }
