@@ -1441,7 +1441,45 @@ object AggOps {
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
-    aggValueDrift, aggWhaleStability)
+    aggValueDrift, aggWhaleStability, aggMtbf)
+
+  /** Mean / median time between error events — the MTBF line on every
+    * reliability dashboard, with the error count and the observation
+    * span for context. Mean is one integer division over the span;
+    * the median inter-error gap doubles into an exact BIGINT
+    * (win-churn-risk's ×2-grain percentile parity).
+    *
+    * Scale shape: errors filter pushes to the scan; one ordered lag
+    * window over ERROR rows only (error-count-sized, not corpus-sized),
+    * then a one-row fold.
+    */
+  lazy val aggMtbf: Op = Op.sql(
+    "agg-mtbf",
+    """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+      |           FROM events WHERE event_type = 'error'),
+      |g AS (SELECT us - lag(us) OVER (ORDER BY us, event_id) AS gap FROM e),
+      |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+      |SELECT (SELECT count(*) FROM e) AS n_errors,
+      |       CAST((SELECT max(us) - min(us) FROM e) AS BIGINT) AS span_us,
+      |       CAST((SELECT sum(gap) // count(*) FROM gg) AS BIGINT)
+      |         AS mean_gap_us,
+      |       CAST((SELECT quantile_cont(gap, 0.5) * 2 FROM gg) AS BIGINT)
+      |         AS med_gap_x2_us""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(expr("ts div 1000").as("us"), col("event_id"))
+    val g = e.withColumn("gap",
+        col("us") - lag("us", 1).over(Window.orderBy("us", "event_id")))
+      .filter(col("gap").isNotNull)
+    val stats = e.agg(count(lit(1)).as("n_errors"),
+      (max("us") - min("us")).cast("long").as("span_us"))
+    val gaps = g.agg(
+      expr("sum(gap) div count(1)").cast("long").as("mean_gap_us"),
+      (expr("percentile(gap, 0.5D)") * 2).cast("long").as("med_gap_x2_us"))
+    stats.crossJoin(broadcast(gaps))
+  }
 
   /** Numeric-distribution drift week over week: purchase amounts bucket
     * at log2 boundaries (agg-value-log-histogram's ladder), each week's

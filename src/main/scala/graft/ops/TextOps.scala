@@ -1799,7 +1799,40 @@ object TextOps {
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
-    textLmHoldoutGap)
+    textLmHoldoutGap, textSourceHhi)
+
+  /** Source-concentration index per language: the Herfindahl–Hirschman
+    * index of source shares in basis points (10000 = a single-source
+    * monoculture, 10000/n = perfectly even across n sources) — the
+    * one-number diversity read regulators apply to markets and corpus
+    * curators apply to provenance (a lang whose HHI spikes is being fed
+    * by one crawler). Exact integers: shares snap to bp, the index is a
+    * sum of squared bp over 1e4.
+    *
+    * Scale shape: one (lang, source) rollup, lang totals broadcast, a
+    * lang-grained fold — catalog-sized end to end.
+    */
+  lazy val textSourceHhi: Op = Op.sql(
+    "text-source-hhi",
+    """WITH ls AS (SELECT lang, source, count(*) AS n FROM documents
+      |            GROUP BY lang, source),
+      |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM ls GROUP BY lang),
+      |sh AS (SELECT ls.lang, CAST((ls.n * 10000) // t.nl AS BIGINT) AS bp
+      |       FROM ls JOIN t ON t.lang = ls.lang)
+      |SELECT lang, count(*) AS n_sources,
+      |       CAST(sum(bp * bp) // 10000 AS BIGINT) AS hhi_bp
+      |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val ls = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val t = ls.groupBy("lang").agg(sum("n").cast("long").as("nl"))
+    ls.join(broadcast(t), Seq("lang"))
+      .select(col("lang"), expr("(n * 10000) div nl").as("bp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"),
+        expr("sum(bp * bp) div 10000").cast("long").as("hhi_bp"))
+      .orderBy("lang")
+  }
 
   /** Train/holdout unigram-LM gap: fit an add-one-smoothed unigram LM on
     * the TRAIN split (doc_id % 10 < 8) and compare mean log-prob on
