@@ -1054,7 +1054,74 @@ object WindowOps {
     aggMarkovStationary, winBurstFlag, winForwardFill, winEwma,
     winScd2History, joinPitScd2, winStreak, winAutocorr, winDrawdown,
     winVolatility, winForecastBaseline, winAttributionCompare,
-    winChurnRisk, winSessionDepth)
+    winChurnRisk, winSessionDepth, winDrawdownEpisodes)
+
+  /** Drawdown EPISODES: each maximal run of days spent below the running
+    * all-time-high, with its depth (worst gap to the peak, cents),
+    * length, and whether the series recovered (made a new high) before
+    * the data ended — the episode table behind win-drawdown's daily
+    * series, and the one that answers "how long do slumps last and do we
+    * come back". Episodes are gaps-and-islands over the daily drawdown
+    * flags (islands machinery contract: the window runs over
+    * span-bounded DAILY rows, never events).
+    */
+  lazy val winDrawdownEpisodes: Op = Op.sql(
+    "win-drawdown-episodes",
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+      |w AS (SELECT day, rev,
+      |        CAST(max(rev) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS peak
+      |      FROM d),
+      |f AS (SELECT day, rev, peak, CASE WHEN rev < peak THEN 1 ELSE 0 END AS dd,
+      |        CASE WHEN lag(CASE WHEN rev < peak THEN 1 ELSE 0 END)
+      |                  OVER (ORDER BY day) IS DISTINCT FROM
+      |                  CASE WHEN rev < peak THEN 1 ELSE 0 END
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM w),
+      |g AS (SELECT day, rev, peak, dd,
+      |        sum(brk) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+      |      FROM f),
+      |mx AS (SELECT max(day) AS last_day FROM d)
+      |SELECT CAST(min(g.day) AS BIGINT) AS start_day,
+      |       CAST(max(g.day) AS BIGINT) AS end_day,
+      |       count(*) AS n_days,
+      |       CAST(max(g.peak - g.rev) AS BIGINT) AS max_depth_cents,
+      |       (max(g.day) < mx.last_day) AS recovered
+      |FROM g, mx WHERE g.dd = 1
+      |GROUP BY g.ep, mx.last_day ORDER BY start_day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy("day")
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").cast("long").as("rev"))
+      .withColumn("peak", max("rev").over(wRun).cast("long"))
+      .withColumn("dd", when(col("rev") < col("peak"), 1L).otherwise(0L))
+    val mx = daily.agg(max("day").as("last_day"))
+    daily
+      .withColumn("brk",
+        when(!lag("dd", 1).over(wLag).eqNullSafe(col("dd")), 1L).otherwise(0L))
+      .withColumn("ep", sum("brk").over(wRun))
+      .filter(col("dd") === 1)
+      .crossJoin(broadcast(mx))
+      .groupBy("ep", "last_day")
+      .agg(min("day").cast("long").as("start_day"),
+        max("day").cast("long").as("end_day"),
+        count(lit(1)).as("n_days"),
+        max(col("peak") - col("rev")).cast("long").as("max_depth_cents"))
+      .withColumn("recovered", col("end_day") < col("last_day"))
+      .select("start_day", "end_day", "n_days", "max_depth_cents", "recovered")
+      .orderBy("start_day")
+  }
 
   /** Churn-risk flag per repeat purchaser: current silence (time since
     * their last purchase, against the feed's end) compared to DOUBLE the
