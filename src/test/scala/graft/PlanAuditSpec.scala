@@ -688,6 +688,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("verify-sampled pushes the chain battery onto sampled chunks only") {
+    val p = plan("verify-sampled")
+    // the sticky sample is a row filter ahead of all checks; the chunk
+    // adjacency join stays chunk-local (equi on h AND chunk)
+    assert(p.contains("substring(md5"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg-whale-stability broadcasts weekly cutoffs, no global rank") {
+    val p = plan("agg-whale-stability")
+    assert("(?<![a-z])ntile\\(".r.findFirstIn(p).isEmpty, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join-fanout-profile folds key-grained counts with a broadcast total") {
+    val p = plan("join-fanout-profile")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg-peak-rate partial-aggregates the minute rollup before the exchange") {
+    val p = plan("agg-peak-rate")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text-source-lang-purity argmax rides the salted TopK") {
+    val p = plan("text-source-lang-purity")
+    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("win-drawdown-episodes windows over daily rollup rows only") {
+    val p = plan("win-drawdown-episodes")
+    // day-grain aggregation happens BEFORE any window operator
+    val aggIdx = p.indexOf("partial_sum")
+    assert(aggIdx >= 0, p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("layout-skip-compare builds all three catalogs in one exchange") {
     val p = plan("layout-skip-compare")
     // one explode feeds one (layout, fid) groupBy with map-side combine;
