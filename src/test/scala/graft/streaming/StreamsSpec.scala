@@ -686,6 +686,44 @@ class StreamsSpec extends SparkSpec {
     assert(hour0.values.sum === 5L * 4L) // every event lands in all 4 rows
   }
 
+  test("upsertLive state survives a checkpointed restart (view never regresses)") {
+    import java.sql.Timestamp
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-ups-").toAbsolutePath.toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UpsertEvent](spark, 13)
+    val out = Streams.upsertLive(input.toDS())
+    val emitted = new scala.collection.mutable.ArrayBuffer[UpsertRow]()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[UpsertRow], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+      }
+      .start()
+    def t(us: Long) = new Timestamp(us / 1000)
+    // run 1: key 1 reaches (ts=300, id=3), then the query is killed
+    val q1 = start()
+    input.addData(UpsertEvent(1L, t(100L), 100L, 1L, "a", 10L),
+      UpsertEvent(1L, t(300L), 300L, 3L, "c", 30L))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2, same checkpoint: a LATE event below the stored (ts, id) must
+    // not regress the restored view — state comes from the store, not
+    // from replaying run 1's (gone) micro-batches
+    emitted.synchronized(emitted.clear())
+    val q2 = start()
+    input.addData(UpsertEvent(1L, t(200L), 200L, 2L, "b", 20L))
+    q2.processAllAvailable()
+    q2.stop()
+    val fin = emitted.synchronized(emitted.toList)
+    assert(fin == List(UpsertRow(1L, 300L, 3L, "c", 30L, 3L)),
+      s"restart regressed or miscounted the view: $fin")
+  }
+
   test("upsertLive converges to the batch LWW view under out-of-order batches") {
     import java.sql.Timestamp
     val input = org.apache.spark.sql.execution.streaming.runtime
