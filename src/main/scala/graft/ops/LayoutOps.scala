@@ -670,8 +670,63 @@ object LayoutOps {
       .orderBy("col_name")
   }
 
+  /** Broadcast-eligibility audit for every dimension table: exact
+    * in-memory payload estimate (8 B per numeric + actual string bytes
+    * per row — the engine-parity spelling of a size estimate) against
+    * Spark's 10 MiB autoBroadcastJoinThreshold default, with the margin
+    * in basis points. The table behind every `broadcast()` hint this
+    * library places (join-star-revenue, join-local-supplier): a dim that
+    * outgrows the threshold at a bigger SF flips to shuffle silently
+    * unless this audit pages first. Customer is the borderline dim by
+    * design — the one PLANS.md flags for the 10⁸-row case.
+    *
+    * Scale shape: five dimension-table aggregates (each one scan with
+    * map-side combine) unioned into a 5-row report.
+    */
+  val layoutBroadcastAudit: Op = Op.sql(
+    "layout-broadcast-audit",
+    """WITH r(tbl, n_rows, est_bytes) AS (
+      |  SELECT 'customer', count(*),
+      |         CAST(sum(24 + length(c_name) + length(c_mktsegment)) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL SELECT 'nation', count(*),
+      |         CAST(sum(16 + length(n_name)) AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'part', count(*),
+      |         CAST(sum(16 + length(p_name) + length(p_type)) AS BIGINT)
+      |  FROM part
+      |  UNION ALL SELECT 'region', count(*),
+      |         CAST(sum(8 + length(r_name)) AS BIGINT) FROM region
+      |  UNION ALL SELECT 'supplier', count(*),
+      |         CAST(sum(24 + length(s_name)) AS BIGINT) FROM supplier)
+      |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+      |       (est_bytes <= 10485760) AS fits_broadcast,
+      |       CAST((est_bytes * 10000) // 10485760 AS BIGINT) AS threshold_bp
+      |FROM r ORDER BY tbl""".stripMargin
+  ) { (s, d) =>
+    def audit(df: org.apache.spark.sql.DataFrame, tbl: String,
+        bytesExpr: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(bytesExpr).cast("long").as("est_bytes"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("est_bytes"))
+    val rows = Seq(
+      audit(Tables.customer(s, d), "customer",
+        lit(24L) + length(col("c_name")) + length(col("c_mktsegment"))),
+      audit(Tables.nation(s, d), "nation", lit(16L) + length(col("n_name"))),
+      audit(Tables.part(s, d), "part",
+        lit(16L) + length(col("p_name")) + length(col("p_type"))),
+      audit(Tables.region(s, d), "region", lit(8L) + length(col("r_name"))),
+      audit(Tables.supplier(s, d), "supplier",
+        lit(24L) + length(col("s_name"))))
+      .reduce(_ union _)
+    rows
+      .select(col("tbl"), col("n_rows"), col("est_bytes"),
+        (col("est_bytes") <= 10485760L).as("fits_broadcast"),
+        expr("(est_bytes * 10000) div 10485760").as("threshold_bp"))
+      .orderBy("tbl")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
     layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
     layoutSkipCompare, layoutOverlapDepth, indexBloomFiles,
-    layoutEncodingAdvisor)
+    layoutEncodingAdvisor, layoutBroadcastAudit)
 }
