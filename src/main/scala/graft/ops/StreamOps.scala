@@ -653,9 +653,52 @@ object StreamOps {
       .orderBy("win_us")
   }
 
+  /** Archive backlog against the finalized frontier: chain head, the
+    * finalized height under the reference's top-4 safety margin
+    * (src/archiver/blocks_config.rs:30-36), how much below it is
+    * archived, the missing backlog, and the completeness in basis
+    * points — the single-row lag dashboard a `stream --continue`
+    * deployment watches (backlog growing while the head advances means
+    * the tail loop lost the race and a backfill is due).
+    *
+    * Scale shape: one max and one filtered count over the archived set
+    * (both map-side-combined); the frontier is a broadcast scalar.
+    */
+  val streamFinalizedLag: Op = Op.sql(
+    "stream-finalized-lag",
+    """WITH arch AS (SELECT o_orderkey AS h FROM orders
+      |              WHERE o_orderkey % 7 <> 0),
+      |hd AS (SELECT max(o_orderkey) AS head FROM orders),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_arch,
+      |             CAST(min(h) AS BIGINT) AS mn
+      |      FROM arch, hd WHERE h <= head - 4)
+      |SELECT hd.head AS head_h,
+      |       CAST(hd.head - 4 AS BIGINT) AS finalized_h,
+      |       c.n_arch AS n_archived,
+      |       CAST(hd.head - 4 - c.mn + 1 - c.n_arch AS BIGINT) AS n_missing,
+      |       CAST((c.n_arch * 10000) // (hd.head - 4 - c.mn + 1) AS BIGINT)
+      |         AS complete_bp
+      |FROM hd, c""".stripMargin
+  ) { (s, d) =>
+    val arch = Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("h"))
+    val hd = Tables.orders(s, d).agg(max("o_orderkey").as("head"))
+    val c = arch.crossJoin(broadcast(hd))
+      .filter(col("h") <= col("head") - 4)
+      .agg(count(lit(1)).cast("long").as("n_arch"),
+        min("h").cast("long").as("mn"))
+    hd.crossJoin(broadcast(c))
+      .select(col("head").as("head_h"),
+        (col("head") - 4).cast("long").as("finalized_h"),
+        col("n_arch").as("n_archived"),
+        (col("head") - 4 - col("mn") + 1 - col("n_arch")).cast("long")
+          .as("n_missing"),
+        expr("(n_arch * 10000) div (head - 4 - mn + 1)").as("complete_bp"))
+  }
+
   val ops: Seq[Op] = Seq(streamFollow, streamFinalized, streamContinue,
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
     streamUpsert, streamCountmin, streamStateBudget, streamOutageGaps,
-    streamCmsTopk)
+    streamCmsTopk, streamFinalizedLag)
 }
