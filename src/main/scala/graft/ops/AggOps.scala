@@ -1373,17 +1373,23 @@ object AggOps {
       .orderBy("event_type")
   }
 
-  /** Differentially-private count release (ε = ln 2) for per-event-type
-    * counts via the two-sided geometric mechanism — the discrete Laplace
-    * used for integer count releases. The noise draw is DETERMINISTIC and
-    * engine-exact: a per-key md5 uniform walks a 2³²-scaled CDF of
-    * P(k) ∝ (1/2)^|k| (truncated at ±12, tail mass ≈ 1.6e-4 folded into
-    * the extremes) — plan-time literals, no libm, no RNG state; re-runs
-    * release the identical value, which is what an audited privacy
-    * pipeline requires. Exact n and the noise are kept ALONGSIDE the
-    * release because this op is the calibration audit, not the public
-    * view (the public view projects event_type, n_dp only). Completes
-    * the governance tier next to text-k-anonymity / text-l-diversity.
+  /** CALIBRATION AUDIT of a differentially-private count release
+    * (ε = ln 2, two-sided geometric / discrete-Laplace mechanism) —
+    * NOT a usable DP mechanism as written. The noise here is seeded
+    * from md5('dp:' || event_type), a deterministic function of PUBLIC
+    * data, chosen solely for engine-parity (the oracle must recompute
+    * the identical draw): anyone can re-derive the noise and recover
+    * the exact count, so this exact spelling provides ZERO privacy and
+    * its output must never ship as a public view. A real release keeps
+    * the mechanism (the same 2³²-scaled CDF walk of P(k) ∝ (1/2)^|k|,
+    * truncated at ±12, tail mass ≈ 1.6e-4 folded into the extremes) but
+    * derives the uniform from a SECRET seed or true RNG — e.g.
+    * md5(secret_salt || key) with the salt held like a key-management
+    * secret — after which re-runs still release one stable value per
+    * salt epoch. Exact n and the noise are kept alongside the release
+    * precisely because this op is the engine-parity calibration of the
+    * CDF walk, not the release path. Completes the governance tier next
+    * to text-k-anonymity / text-l-diversity.
     *
     * Scale shape: one map-side-combined groupBy to the key grain; the
     * noise is a per-row projection over key-grained rows.
@@ -1488,9 +1494,14 @@ object AggOps {
     * the median inter-error gap doubles into an exact BIGINT
     * (win-churn-risk's ×2-grain percentile parity).
     *
-    * Scale shape: errors filter pushes to the scan; one ordered lag
-    * window over ERROR rows only (error-count-sized, not corpus-sized),
-    * then a one-row fold.
+    * Scale shape: errors filter pushes to the scan; the inter-error gap
+    * multiset comes from a DAY-bucketed lag (each partition holds one
+    * day's errors) plus a boundary stitch — per-day (first, last) rows
+    * lag over the day-grained table (input reduced to ≤ span-days rows)
+    * to recover the cross-midnight gaps, so no unbounded global window
+    * ever forms. The multiset of consecutive differences of a sorted
+    * sequence is invariant to how it is split, so this equals the
+    * oracle's single ordered lag exactly; then a one-row fold.
     */
   lazy val aggMtbf: Op = Op.sql(
     "agg-mtbf",
@@ -1506,15 +1517,30 @@ object AggOps {
       |         AS med_gap_x2_us""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
     val e = Tables.events(s, d)
       .filter(col("event_type") === "error")
-      .select(expr("ts div 1000").as("us"), col("event_id"))
-    val g = e.withColumn("gap",
-        col("us") - lag("us", 1).over(Window.orderBy("us", "event_id")))
+      .select(expr("ts div 1000").as("us"))
+      .withColumn("day", expr(s"us div $DayUs"))
+    // within-day gaps: equal us values always share a day, so the lag
+    // tie-break the oracle spells via event_id is immaterial here (ties
+    // contribute gap = 0 under any order)
+    val inner = e
+      .withColumn("gap",
+        col("us") - lag("us", 1).over(Window.partitionBy("day").orderBy("us")))
       .filter(col("gap").isNotNull)
+      .select("gap")
+    // boundary stitch: one (first, last) row per populated day; the lag
+    // window input is reduced to ≤ span-days rows by the groupBy
+    val cross = e.groupBy("day")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+      .withColumn("gap",
+        col("first_us") - lag("last_us", 1).over(Window.orderBy("day")))
+      .filter(col("gap").isNotNull)
+      .select("gap")
     val stats = e.agg(count(lit(1)).as("n_errors"),
       (max("us") - min("us")).cast("long").as("span_us"))
-    val gaps = g.agg(
+    val gaps = inner.union(cross).agg(
       expr("sum(gap) div count(1)").cast("long").as("mean_gap_us"),
       (expr("percentile(gap, 0.5D)") * 2).cast("long").as("med_gap_x2_us"))
     stats.crossJoin(broadcast(gaps))
@@ -2069,8 +2095,10 @@ object AggOps {
       .agg(count(lit(1)).as("n"), sum("isErr").cast("long").as("n_err"))
       .withColumn("err_bp", expr("(n_err * 10000) div n"))
       .withColumn("burn_x", expr("((n_err * 10000) div n) div 100"))
-      .withColumn("cum_err_bp",
-        (sum("n_err").over(w) * 10000 / sum("n").over(w)).cast("long"))
+      .withColumn("cum_err", sum("n_err").over(w))
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_err_bp", expr("(cum_err * 10000) div cum_n"))
+      .drop("cum_err", "cum_n")
       .orderBy("day")
   }
 

@@ -242,9 +242,10 @@ object ChunkOps {
     * threshold bump, not a new random draw.
     *
     * Scale shape: under the chunk-partitioned layout the sampled-chunk
-    * filter IS partition pruning (~5% of files read; here it rides the
-    * scan filter); per-chunk checks are one map-side-combined groupBy
-    * plus a chunk-local adjacency join.
+    * filter IS partition pruning (the sticky hex-head < '40' sample reads
+    * ~25% of files — the same fraction as the chunk sample; a production
+    * 5%-budget audit sets the threshold to '0d'); per-chunk checks are
+    * one map-side-combined groupBy plus a chunk-local adjacency join.
     */
   val verifySampled: Op = Op.sql(
     "verify-sampled",

@@ -32,23 +32,33 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** md5-family signature BASE (id, shingle-hash) for pair-member docs,
-    * persisted once per session — the expensive piece (full-corpus string
-    * df-prune + per-shingle md5) both estimator-audit ops share:
-    * dedup-minhash-accuracy and dedup-minhash-k-sweep build identical
-    * plans over it, so whichever runs first fills the cache.
+    * persisted once per session — shared by the two estimator-audit ops
+    * (dedup-minhash-accuracy and dedup-minhash-k-sweep build identical
+    * plans over it, so whichever runs first fills the cache).
+    *
+    * Scale shape: the pair-member semi-join lands BEFORE the explode
+    * (mem is pair-member-sized → broadcast), so the corpus never
+    * re-explodes here and no raw gram string ever shuffles; the df prune
+    * rides the already-persisted [[persistedShingles]] seam — a member
+    * row survives iff its (id, xxhash64(gram)) is in the pruned set.
+    * The corpus-wide string-df groupBy this op used to re-pay (33.9 s at
+    * sf0.1, the round-6 bench's single largest line) collapses to a
+    * member-sized hash semi-join against the cache, and md5 runs only
+    * over the surviving member rows (the audited set, not the corpus).
     */
   private[graft] def persistedMd5Base(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val mem = persistedJaccardPairs(s, d)
       .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
     val sh = Tables.documents(s, d)
+      .join(broadcast(mem), col("doc_id") === col("id"), "left_semi")
       .select(col("doc_id").as("id"),
         explode(array_distinct(
           graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
-    val rare = sh.groupBy("sraw").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20).select("sraw")
-    sh.join(rare, Seq("sraw"), "left_semi")
+      .withColumn("s", xxhash64(col("sraw")))
+    val pruned = persistedShingles(s, d)
       .join(broadcast(mem), Seq("id"), "left_semi")
+    sh.join(pruned, Seq("id", "s"), "left_semi")
       .select(col("id"),
         conv(substring(md5(col("sraw")), 1, 8), 16, 10).cast("long").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1300,7 +1300,7 @@ object SimOps {
       .groupBy("bucket").agg(count(lit(1)).as("sz"))
     val lp = bk.filter(col("vec_id") < 10)
       .join(broadcast(cb), Seq("bucket"), "left")
-      .agg((sum(coalesce(col("sz"), lit(0L))) / count(lit(1))).cast("long")
+      .agg(expr("sum(coalesce(sz, 0)) div count(1)").cast("long")
         .as("probe"))
     val n = e.filter(col("vec_id") >= 10).agg(count(lit(1)).as("n"))
     n.crossJoin(broadcast(lp))

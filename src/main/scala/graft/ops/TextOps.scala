@@ -536,51 +536,51 @@ object TextOps {
   }
 
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
-    * sketch): md5 over 4-token grams, then the minimum hash of every
-    * window of 4 consecutive gram hashes — guarantees at least one
-    * fingerprint per window (any match of ≥ 7 consecutive tokens between
-    * two documents shares a fingerprint), while keeping the sketch ~1/w
-    * of the gram stream. Output: one row per distinct selected hash per
-    * doc with the first window that selected it.
+    * sketch): the portable polynomial hash over 4-token grams, then the
+    * minimum hash of every window of 4 consecutive gram hashes —
+    * guarantees at least one fingerprint per window (any match of ≥ 7
+    * consecutive tokens between two documents shares a fingerprint),
+    * while keeping the sketch ~1/w of the gram stream. Output: one row
+    * per distinct selected hash per doc with the first window that
+    * selected it.
     *
     * Scale shape: ZERO shuffle — grams, windows, min-selection, and the
-    * per-fp dedup (sort + adjacent-distinct via an indexed filter HOF)
-    * are all row-local array ops; only the final explode leaves the row,
-    * and it explodes the ~n/w sketch, not the gram stream. md5 is the
-    * cross-engine hash (same lowercase hex in Spark and DuckDB; min over
-    * hex strings is the same order both sides).
+    * first-window-per-fp dedup are one native codegen kernel call per
+    * row ([[graft.functions.WinnowFingerprints]]); only the final
+    * explode leaves the row, and it explodes the ~n/w sketch, not the
+    * gram stream. The gram hash is the (h·31 + char) mod 1000003 fold
+    * (TextAnalysis.polyHash's family) — exact and engine-portable via
+    * DuckDB's list_reduce over the ascii list, and several-fold cheaper
+    * than the per-gram md5 it replaced (round-6's largest pure-CPU
+    * bench line, 8.8 s at sf0.1).
     */
   val textWinnowing: Op = Op.sql(
     "text-winnowing",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |           WHERE len(string_split(text, ' ')) >= 4),
-      |g AS (SELECT doc_id,
-      |        [md5(array_to_string(ws[i:i+3], ' ')) FOR i IN generate_series(1, len(ws) - 3)] AS gs
-      |      FROM t),
+      |g AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS gram
+      |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+      |            FROM t)),
+      |h AS (SELECT doc_id, i,
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          [ascii(substr(gram, c, 1))::BIGINT
+      |           FOR c IN generate_series(1, length(gram))]),
+      |          (a, b) -> (a * 31 + b) % 1000003) AS gh
+      |      FROM g),
+      |gl AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
       |w AS (SELECT doc_id, CAST(i AS BIGINT) AS win_pos, list_min(gs[i:i+3]) AS fp
       |      FROM (SELECT doc_id, gs, unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
-      |            FROM g))
-      |SELECT doc_id, min(win_pos) AS win_pos, fp
+      |            FROM gl))
+      |SELECT doc_id, min(win_pos) AS win_pos, CAST(fp AS BIGINT) AS fp
       |FROM w GROUP BY doc_id, fp
       |ORDER BY doc_id, win_pos, fp""".stripMargin
   ) { (s, d) =>
     val K = 4; val W = 4
-    val grams = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= K)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("ws")) - (K - 1)),
-          i => md5(concat_ws(" ", slice(col("ws"), i, lit(K))))).as("gs"))
-    val wins = grams.select(col("doc_id"),
-      array_sort(transform(sequence(lit(1), greatest(lit(1), size(col("gs")) - (W - 1))),
-        j => struct(array_min(slice(col("gs"), j, lit(W))).as("fp"),
-          j.cast("long").as("win_pos")))).as("ss"))
-    // adjacent-distinct over the (fp, win_pos)-sorted selections keeps the
-    // FIRST window per fp without leaving the row
-    wins.select(col("doc_id"),
-        explode(filter(col("ss"), (x, i) =>
-          when(i === 0, lit(true))
-            .otherwise(x.getField("fp") =!= element_at(col("ss"), i).getField("fp")))).as("sel"))
+        explode(graft.functions.WinnowFingerprints(col("ws"), K, W)).as("sel"))
       .select(col("doc_id"), col("sel.win_pos").as("win_pos"), col("sel.fp").as("fp"))
       .orderBy("doc_id", "win_pos", "fp")
   }
@@ -1442,9 +1442,9 @@ object TextOps {
     * combine; the top-5000 head comes off it via TakeOrderedAndProject
     * (per-partition partial top-k — the vocabulary is never globally
     * sorted, which matters when web junk makes it billions of types);
-    * ranking then windows over the CAPPED head (≤ max(K) rows — bounded
-    * by configuration, the one place a single-partition window is
-    * legitimate), and the denominator is a 1-row broadcast.
+    * ranking then happens ROW-LOCALLY over the capped head (one ≤ max(K)-
+    * element array_sort + posexplode — no window at all, not even a
+    * bounded one), and the denominator is a 1-row broadcast.
     */
   val textVocabCoverage: Op = Op.sql(
     "text-vocab-coverage",
@@ -1460,13 +1460,18 @@ object TextOps {
       |            AS BIGINT) / 1000000.0 AS coverage
       |FROM rk, ks, tot GROUP BY k, tot ORDER BY k""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val ks = Seq(100, 500, 1000, 2000, 5000)
     val cnt = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // rank without a window: fold the capped head into ONE sorted array
+    // (struct sorts by -c then w = the rank order) and posexplode — the
+    // 1-indexed position IS row_number over (c desc, w)
     val head = cnt.orderBy(col("c").desc, col("w")).limit(ks.max)
-      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
+        col("w").as("w"), col("c").as("c")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("x.c").as("c"))
     val tot = cnt.agg(sum("c").as("total"))
     head
       .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"),

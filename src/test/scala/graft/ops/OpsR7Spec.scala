@@ -10,16 +10,22 @@ import graft.SparkSpec
   */
 class OpsR7Spec extends SparkSpec {
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  /** The portable gram hash the op uses since round 7: fold
+    * (h·31 + char) mod 1000003 over the space-joined gram's UTF-16 code
+    * units (the same family as TextAnalysis.polyHash).
+    */
+  private def polyHash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % 1000003L; i += 1 }
+    h
+  }
 
   /** Reference winnowing (k=4-token grams, w=4 windows, first-window per
     * distinct fp) written against the paper, not the op's plan.
     */
-  private def winnow(toks: IndexedSeq[String]): Map[String, Long] = {
+  private def winnow(toks: IndexedSeq[String]): Map[Long, Long] = {
     if (toks.size < 4) return Map.empty
-    val gs = toks.sliding(4).map(g => md5hex(g.mkString(" "))).toVector
+    val gs = toks.sliding(4).map(g => polyHash(g.mkString(" "))).toVector
     val nw = math.max(1, gs.size - 3)
     (1 to nw).map(j => (gs.slice(j - 1, j + 3).min, j.toLong))
       .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).min }
@@ -33,7 +39,7 @@ class OpsR7Spec extends SparkSpec {
     val got = TextOps.textWinnowing.build(spark, sf()).collect()
       .groupBy(_.getLong(0))
       .map { case (id, rows) =>
-        id -> rows.map(r => r.getString(2) -> r.getLong(1)).toMap
+        id -> rows.map(r => r.getLong(2) -> r.getLong(1)).toMap
       }
     val expNonEmpty = expected.filter(_._2.nonEmpty)
     assert(got.keySet === expNonEmpty.keySet)
@@ -50,7 +56,7 @@ class OpsR7Spec extends SparkSpec {
     sample.foreach { case (_, rows) =>
       rows.foreach { r =>
         assert(r.getLong(1) >= 1)
-        assert(r.getString(2).matches("[0-9a-f]{32}"))
+        assert(r.getLong(2) >= 0L && r.getLong(2) < 1000003L)
       }
     }
     assert(sample.nonEmpty)
