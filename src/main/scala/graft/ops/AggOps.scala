@@ -1436,6 +1436,101 @@ object AggOps {
     }
   }
 
+  /** Discrete-time hazard curve over user tenure (the life table behind
+    * churn modeling): tenure = days between a user's first and last
+    * event; n_churn(t) = users whose observed tenure is exactly t days;
+    * n_risk(t) = users who survived AT LEAST t days (descending cumsum);
+    * hazard = n_churn/n_risk in basis points. The per-tenure hazard is
+    * what a retention intervention targets — agg-retention's cohort grid
+    * shows WHERE users are, this shows WHEN they leave. All-integer.
+    *
+    * Scale shape: one user-grained min/max rollup (map-side combine),
+    * then a tenure-grained histogram; the descending cumsum windows over
+    * tenure-grain rows only (input reduced to ≤ span-days rows by the
+    * groupBy — WindowAuditSpec-checked).
+    */
+  lazy val aggHazardCurve: Op = Op.sql(
+    "agg-hazard-curve",
+    """WITH u AS (SELECT user_id,
+      |                  min(epoch_ns(ts) // 86400000000000) AS d0,
+      |                  max(epoch_ns(ts) // 86400000000000) AS d1
+      |           FROM events GROUP BY user_id),
+      |h AS (SELECT d1 - d0 AS tenure, count(*) AS n_churn FROM u GROUP BY 1),
+      |r AS (SELECT tenure, n_churn,
+      |             CAST(sum(n_churn) OVER (ORDER BY tenure DESC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                  AS BIGINT) AS n_risk
+      |      FROM h)
+      |SELECT CAST(tenure AS BIGINT) AS tenure_days,
+      |       CAST(n_churn AS BIGINT) AS n_churn, n_risk,
+      |       CAST((n_churn * 10000) // n_risk AS BIGINT) AS hazard_bp
+      |FROM r ORDER BY tenure_days""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(expr("ts div 86400000000000")).as("d0"),
+        max(expr("ts div 86400000000000")).as("d1"))
+      .groupBy((col("d1") - col("d0")).as("tenure"))
+      .agg(count(lit(1)).as("n_churn"))
+    h.withColumn("n_risk",
+        sum("n_churn").over(Window.orderBy(col("tenure").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .select(col("tenure").cast("long").as("tenure_days"),
+        col("n_churn"), col("n_risk"),
+        expr("(n_churn * 10000) div n_risk").as("hazard_bp"))
+      .orderBy("tenure_days")
+  }
+
+  /** AMS second-frequency-moment sketch (Alon–Matias–Szegedy) vs the
+    * exact F₂ of the user-key frequency vector: eight independent ±1
+    * sign estimators (md5-parity signs — deterministic and
+    * engine-portable), each z_i = Σ_u s_i(u)·cnt_u with E[z²] = F₂.
+    * F₂ IS the self-join size of events on user_id, so this op is the
+    * sketch a join planner consults before choosing salted vs plain —
+    * and the per-estimator err_bp table shows the variance a single
+    * sketch row carries (why production AMS takes a median of means).
+    * All-integer: z and z² are exact on both engines.
+    *
+    * Scale shape: one map-side-combined groupBy to user grain; the 8×
+    * estimator explode runs over user-grain rows only; the exact F₂ is a
+    * 1-row broadcast.
+    */
+  lazy val aggAmsF2: Op = Op.sql(
+    "agg-ams-f2",
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |f2 AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM c),
+      |s AS (SELECT i,
+      |             CAST(sum(CASE WHEN substr(md5(concat('ams', CAST(i AS VARCHAR),
+      |                                               ':', CAST(user_id AS VARCHAR))),
+      |                                  1, 1) < '8'
+      |                           THEN cnt ELSE -cnt END) AS BIGINT) AS z
+      |      FROM c, (SELECT unnest(generate_series(0, 7)) AS i) g GROUP BY i)
+      |SELECT CAST(i AS BIGINT) AS estimator, CAST(z * z AS BIGINT) AS est,
+      |       f2.f2_exact,
+      |       CAST((abs(z * z - f2.f2_exact) * 10000) // f2.f2_exact AS BIGINT)
+      |         AS err_bp
+      |FROM s, f2 ORDER BY estimator""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val f2 = c.agg(sum(expr("cnt * cnt")).cast("long").as("f2_exact"))
+    val est = c
+      .select(col("user_id"), col("cnt"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .withColumn("sgn",
+        when(substring(md5(concat(lit("ams"), col("i").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 1) < "8",
+          col("cnt")).otherwise(-col("cnt")))
+      .groupBy("i").agg(sum("sgn").cast("long").as("z"))
+    est.crossJoin(broadcast(f2))
+      .select(col("i").cast("long").as("estimator"),
+        expr("z * z").cast("long").as("est"), col("f2_exact"),
+        expr("(abs(z * z - f2_exact) * 10000) div f2_exact").as("err_bp"))
+      .orderBy("estimator")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
@@ -1447,7 +1542,8 @@ object AggOps {
     aggBasketPairs, aggFreshness, aggSloBurn, aggActiveHorizons,
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
-    aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate)
+    aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate,
+    aggHazardCurve, aggAmsF2)
 
   /** Peak-rate capacity table: per event type, the busiest minute's
     * event count, the P99 minute rate (×2-grain integer parity), and the

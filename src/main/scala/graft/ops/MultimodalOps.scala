@@ -337,7 +337,61 @@ object MultimodalOps {
       .orderBy("status")
   }
 
+  /** WebDataset-style shard packing plan: assign every media item to a
+    * fixed-byte-budget shard (8 KiB here; 1 GiB tars in production) by
+    * running byte offset within its (kind, ingest-batch) group —
+    * offset-based packing, so shards are equal-byte ±1 item and the
+    * assignment is a pure function of the catalog (no packer state).
+    * Output is the shard manifest a tar-writer fleet consumes: items,
+    * bytes, and the doc-id span per shard. Sizes come from the DECODED
+    * metadata (same seam as mm-modality-manifest), so corrupt-header
+    * blobs are budgeted at their real byte cost, not the catalog claim.
+    *
+    * Scale shape: packing is per (kind, ingest-batch of 1000 ids) —
+    * every window partition is ≤ batch-sized by construction and batches
+    * pack embarrassingly parallel (each writer owns its shard sequence;
+    * there is NO global byte order, which is what makes this the 100-TB
+    * shape — a corpus-global cumsum would serialize the fleet). The
+    * manifest rollup is one map-side-combined groupBy.
+    */
+  val mmShardPack: Op = Op.sql(
+    "mm-shard-pack",
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nt FROM documents),
+      |meta AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS INTEGER) AS kind,
+      |         CASE WHEN doc_id % 17 = 0 THEN nt + 14 ELSE nt END AS n_payload
+      |  FROM d),
+      |o AS (SELECT doc_id, kind, doc_id // 1000 AS batch, n_payload,
+      |             COALESCE(sum(n_payload) OVER (
+      |               PARTITION BY kind, doc_id // 1000 ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM meta)
+      |SELECT kind, CAST(batch AS BIGINT) AS batch,
+      |       CAST(off // 8192 AS BIGINT) AS shard,
+      |       count(*) AS n_items, CAST(sum(n_payload) AS BIGINT) AS shard_bytes,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM o GROUP BY 1, 2, 3 ORDER BY kind, batch, shard""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val meta = Multimodal.decodeStub(s,
+        Multimodal.toyMedia(Tables.documents(s, d))).toDF()
+      .select(col("doc_id"), col("kind"), col("n_payload"))
+      .withColumn("batch", expr("doc_id div 1000"))
+    val w = Window.partitionBy("kind", "batch").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    meta
+      .withColumn("off", coalesce(sum("n_payload").over(w), lit(0L)))
+      .withColumn("shard", expr("off div 8192"))
+      .groupBy("kind", "batch", "shard")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_payload").cast("long").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("kind", "batch", "shard")
+  }
+
   val ops: Seq[Op] = Seq(mmDecodeStub, mmFrameSample, mmFeatureExtract, mmResizeStub,
     mmPhashDedup, mmModalityManifest, mmFrameDedup, mmPhashHistogram,
-    mmAlignmentAudit)
+    mmAlignmentAudit, mmShardPack)
 }

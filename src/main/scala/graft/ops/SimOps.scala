@@ -1181,12 +1181,99 @@ object SimOps {
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
   }
 
+  /** Johnson–Lindenstrauss distortion audit: project the 64-dim
+    * embeddings to 16 dims with a deterministic ±1 sign matrix
+    * (md5-parity per (j, dim) — balanced and engine-portable) and
+    * histogram the cosine distortion (projected − original, cent
+    * buckets) over the query×corpus pair set, with the summed absolute
+    * distortion per bucket. This is the go/no-go table for swapping an
+    * ANN index to projected vectors: 4× less memory and dot-product
+    * compute, at a distortion cost this op makes visible BEFORE recall
+    * silently degrades. Projections are exact integers (10⁴-scaled
+    * vectors × ±1 literals), so both cosines snap to the same 6 dp on
+    * every engine.
+    *
+    * Scale shape: the sign matrix is 16 plan-time literal vectors; each
+    * projection is one codegen ArrayDotLong — the projection pass is
+    * shuffle-free and corpus-linear. Queries broadcast against the
+    * corpus (the sampled-pair audit shape of sim-topk-cosine), and the
+    * histogram is a ≤401-bucket map-side-combined groupBy.
+    */
+  val simJlDistortion: Op = Op.sql(
+    "sim-jl-distortion",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |                  [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+      |                   FOR x IN embedding] AS ie
+      |           FROM embeddings),
+      |p AS (SELECT vec_id, v,
+      |             [list_sum([ie[dd + 1] *
+      |                (CASE WHEN substr(md5(concat('jl:', CAST(j AS VARCHAR),
+      |                                             ':', CAST(dd AS VARCHAR))),
+      |                             1, 1) < '8' THEN 1 ELSE -1 END)
+      |                FOR dd IN generate_series(0, len(ie) - 1)])
+      |              FOR j IN generate_series(0, 15)] AS p
+      |      FROM e),
+      |s AS (SELECT (round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) *
+      |                sqrt(list_dot_product(c.v, c.v))), 6) + 0.0) AS orig,
+      |             list_sum([q.p[j + 1] * c.p[j + 1]
+      |                       FOR j IN generate_series(0, 15)]) AS pdot,
+      |             list_sum([q.p[j + 1] * q.p[j + 1]
+      |                       FOR j IN generate_series(0, 15)]) AS pq2,
+      |             list_sum([c.p[j + 1] * c.p[j + 1]
+      |                       FOR j IN generate_series(0, 15)]) AS pc2
+      |      FROM p q JOIN p c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |d2 AS (SELECT CAST(round(((round(pdot / (sqrt(pq2) * sqrt(pc2)), 6) + 0.0)
+      |                          - orig) * 1000000) AS BIGINT) AS diff_micro
+      |       FROM s)
+      |SELECT CAST(((diff_micro + 2000000) // 10000) - 200 AS BIGINT) AS bucket,
+      |       count(*) AS n_pairs, CAST(sum(abs(diff_micro)) AS BIGINT)
+      |         AS abs_sum_micro
+      |FROM d2 GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    // deterministic ±1 sign matrix: md5 parity per (j, dim), computed at
+    // plan time — the 16 weight vectors are literals in the plan
+    val signs: IndexedSeq[Seq[Long]] = (0 until 16).map { j =>
+      (0 until 64).map { dd =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$dd".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1L else -1L
+      }
+    }
+    val proj = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.intScaled(col("embedding")).as("ie"))
+      .withColumn("p", array(signs.map(w =>
+        graft.functions.ArrayDotLong(col("ie"), typedLit(w))): _*))
+    val q = proj.filter(col("vec_id") < 10)
+      .select(col("v").as("qv"), col("p").as("qp"))
+    val c = proj.filter(col("vec_id") >= 10)
+      .select(col("v").as("cv"), col("p").as("cp"))
+    c.crossJoin(broadcast(q))
+      .withColumn("orig", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("pdot", graft.functions.ArrayDotLong(col("qp"), col("cp")))
+      .withColumn("pq2", graft.functions.ArrayDotLong(col("qp"), col("qp")))
+      .withColumn("pc2", graft.functions.ArrayDotLong(col("cp"), col("cp")))
+      .withColumn("proj", round(col("pdot").cast("double") /
+        (sqrt(col("pq2").cast("double")) * sqrt(col("pc2").cast("double"))), 6)
+        + lit(0.0))
+      .withColumn("diff_micro",
+        round((col("proj") - col("orig")) * 1e6).cast("long"))
+      .select(expr("((diff_micro + 2000000) div 10000) - 200").as("bucket"),
+        col("diff_micro"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("diff_micro"))).cast("long").as("abs_sum_micro"))
+      .orderBy("bucket")
+  }
+
   val ops: Seq[Op] = Seq(simTopkCosine, simLshAnn, simIvfAnn, simKmeansCentroids,
     simQuantizeInt8, simAnnRecall, simEmbedStats, simPqAnn, simRrfHybrid,
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
-    simListPurity, simIndexCost, simAssignMargin)
+    simListPurity, simIndexCost, simAssignMargin, simJlDistortion)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit

@@ -1793,6 +1793,102 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf head curve: corpus frequency at power-of-two ranks (1, 2, 4,
+    * …, 1024) with parts-per-million share — the two-point-per-octave
+    * summary of the rank-frequency law. A healthy natural-language corpus
+    * halves frequency roughly once per octave of rank; a flattened head
+    * (ppm(1) ≈ ppm(32)) signals boilerplate/template flooding and a
+    * collapsed tail signals truncated vocabulary — both are one-glance
+    * corpus-health reads before a tokenizer or mix decision. Ties rank by
+    * (freq desc, token) so the curve is deterministic.
+    *
+    * Scale shape: token counts are one map-side-combined groupBy; the
+    * 1024-row head comes off it via TakeOrderedAndProject (per-partition
+    * partial top-k — the vocabulary is never globally sorted), ranking is
+    * row-local over the capped head (array_sort + posexplode, no window),
+    * and the denominator is a 1-row broadcast. (Training-pipeline
+    * extension op; the reference archives blocks, not documents.)
+    */
+  val textRankFreqCurve: Op = Op.sql(
+    "text-rank-freq-curve",
+    """WITH c AS (SELECT w, count(*) AS c
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |           GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+      |rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, w AS token, CAST(c AS BIGINT) AS freq,
+      |       CAST((c * 1000000) // tot.total AS BIGINT) AS ppm
+      |FROM rk, tot
+      |WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+      |ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    val ranksWanted = (0 to 10).map(1L << _)
+    val cnt = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // rank without a window: the capped head folds into ONE sorted array
+    // (struct sorts by -c then w = the rank order) and posexplode — the
+    // 1-indexed position IS row_number over (c desc, w)
+    val head = cnt.orderBy(col("c").desc, col("w")).limit(1024)
+      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
+        col("w").as("w"), col("c").as("c")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("x.w").as("token"), col("x.c").as("freq"))
+      .filter(col("rank").isin(ranksWanted: _*))
+    val tot = cnt.agg(sum("c").as("total"))
+    head.crossJoin(broadcast(tot))
+      .select(col("rank"), col("token"), col("freq"),
+        expr("(freq * 1000000) div total").as("ppm"))
+      .orderBy("rank")
+  }
+
+  /** Epoch plan under an equal-share token budget: give every source the
+    * same slice of the total corpus token budget and report what that
+    * implies per source — the repeat factor in milli-epochs
+    * (share/tokens × 1000) and the ceil epoch count a loader would
+    * schedule, with the >4-epoch over-repetition flag (the point where
+    * repeated data measurably degrades a pretraining run). Complements
+    * text-mix-weights (doc-count weights) and text-mix-apply (quota
+    * sampling): this is the TOKEN-budget view a dataloader consumes.
+    * All-integer arithmetic — exact on every engine.
+    *
+    * Scale shape: one map-side-combined groupBy to source grain
+    * (≤ sources rows), then a 1-row broadcast total; per-source columns
+    * are projections.
+    */
+  val textEpochPlan: Op = Op.sql(
+    "text-epoch-plan",
+    """WITH s AS (SELECT source,
+      |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |           FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS budget, count(*) AS n_sources
+      |      FROM s)
+      |SELECT source, tokens,
+      |       CAST(t.budget // t.n_sources AS BIGINT) AS share_tokens,
+      |       CAST((t.budget // t.n_sources) * 1000 // tokens AS BIGINT)
+      |         AS repeat_milli,
+      |       CAST((t.budget // t.n_sources + tokens - 1) // tokens AS BIGINT)
+      |         AS epochs_ceil,
+      |       ((t.budget // t.n_sources) * 1000 // tokens) > 4000 AS over_repeat
+      |FROM s, t ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+    val tot = bySrc.agg(sum("tokens").as("budget"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("share_tokens", expr("budget div n_sources"))
+      .withColumn("repeat_milli", expr("(share_tokens * 1000) div tokens"))
+      .withColumn("epochs_ceil",
+        expr("(share_tokens + tokens - 1) div tokens"))
+      .withColumn("over_repeat", col("repeat_milli") > 4000L)
+      .select("source", "tokens", "share_tokens", "repeat_milli",
+        "epochs_ceil", "over_repeat")
+      .orderBy("source")
+  }
+
   val ops: Seq[Op] = Seq(textCodeDetect, textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1804,7 +1900,8 @@ object TextOps {
     textEntropy, textChunkOverlap, textMixTemperature, textVocabCoverage,
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
-    textLmHoldoutGap, textSourceHhi, textSourceLangPurity)
+    textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
+    textRankFreqCurve, textEpochPlan)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
