@@ -1086,6 +1086,65 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** PageRank centrality over the near-dup similarity graph (3 damped
+    * iterations, d = 0.85, ranks in exact 10⁻⁶ units): the
+    * link-analysis upgrade to dedup-cluster-rep's min-id choice — inside
+    * a duplicate cluster the highest-rank doc is the one most other
+    * members point at (most-connected phrasing), which is the canonical
+    * representative a careful dedup pass keeps. All arithmetic is
+    * integer (rank·10⁶, per-edge share = rank div deg, damping as
+    * (15·10⁶ + 85·Σshare) div 100) so three unrolled iterations are
+    * bit-identical on every engine; shares are non-negative, so trunc
+    * and floor division agree.
+    *
+    * Scale shape: iterates over the PAIR graph (candidate-pair-sized,
+    * never the corpus) off the shared persisted pair seam; each
+    * iteration is one edge⋈rank hash join + map-side-combined groupBy
+    * on dst — the standard distributed PageRank step, 3 fixed rounds.
+    * Symmetric edges mean no dangling mass.
+    */
+  val dedupPagerankRep: Op = Op.sql(
+    "dedup-pagerank-rep",
+    s"""WITH $ShingleOracle,
+       |pr AS (SELECT d1, d2 FROM jac WHERE jac >= 0.5),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pr
+       |      UNION ALL SELECT d2, d1 FROM pr),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |r1 AS (SELECT e.dst AS id,
+       |              CAST(150000 + (85 * sum(r0.rank // deg.deg)) // 100 AS BIGINT) AS rank
+       |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+       |       GROUP BY e.dst),
+       |r2 AS (SELECT e.dst AS id,
+       |              CAST(150000 + (85 * sum(r1.rank // deg.deg)) // 100 AS BIGINT) AS rank
+       |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+       |       GROUP BY e.dst),
+       |r3 AS (SELECT e.dst AS id,
+       |              CAST(150000 + (85 * sum(r2.rank // deg.deg)) // 100 AS BIGINT) AS rank
+       |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+       |       GROUP BY e.dst)
+       |SELECT id AS doc_id, rank AS rank_e6 FROM r3 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val pr = persistedJaccardPairs(s, d).select("d1", "d2")
+    val e = pr.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pr.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 3) {
+      // no broadcast hints: rank/deg are node-sized (unbounded at 100 TB)
+      // — the honest plan shuffles edges⋈rank on src, and AQE broadcasts
+      // on its own at fixture scale
+      rank = e.join(deg, "src")
+        .join(rank, col("src") === col("id"))
+        .select(col("dst"), expr("rank div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("s"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * s) div 100")).cast("long").as("rank"))
+    }
+    rank.select(col("id").as("doc_id"), col("rank").as("rank_e6"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(dedupExact, dedupNgramJaccard, dedupMinhash,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupCluster,
     dedupClusterRep, dedupSubstringSpans, dedupWeights, dedupEditDistance,
@@ -1094,7 +1153,7 @@ object DedupOps {
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
-    dedupClusterSources, dedupHammingSweep)
+    dedupClusterSources, dedupHammingSweep, dedupPagerankRep)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
