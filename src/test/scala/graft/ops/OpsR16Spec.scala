@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the round-7 op batch (session round numbering continues past the file series) over the sf0.001 fixtures.
+  * The driver gate owns value-exactness vs DuckDB; these pin semantics
+  * independently — including an exact from-scratch integer PageRank.
+  */
+class OpsR16Spec extends SparkSpec {
+
+  test("text-rank-freq-curve: powers-of-two ranks, non-increasing freq, exact ppm") {
+    val r = TextOps.textRankFreqCurve.build(spark, sf()).collect()
+    assert(r.nonEmpty)
+    val ranks = r.map(_.getLong(0))
+    assert(ranks.forall(k => (k & (k - 1)) == 0), "ranks are powers of two")
+    val freqs = r.map(_.getLong(2))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "freq non-increasing")
+    val total = graft.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " "))).count()
+    r.foreach(row => assert(row.getLong(3) == row.getLong(2) * 1000000L / total))
+    // rank 1 really is the modal token
+    val top = graft.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(col("count").desc, col("w")).head()
+    assert(r.head.getString(1) == top.getString(0) && r.head.getLong(2) == top.getLong(1))
+  }
+
+  test("text-epoch-plan: equal shares, exact ceil epochs, coherent flag") {
+    val r = TextOps.textEpochPlan.build(spark, sf()).collect()
+    val budget = r.map(_.getLong(1)).sum
+    val share = budget / r.length
+    r.foreach { row =>
+      val (tokens, sh, milli, epochs, over) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4), row.getBoolean(5))
+      assert(sh == share)
+      assert(milli == sh * 1000 / tokens)
+      assert(epochs == (sh + tokens - 1) / tokens)
+      assert(over == (milli > 4000))
+    }
+  }
+
+  test("agg-hazard-curve: risk set telescopes and hazard is a probability") {
+    val r = AggOps.aggHazardCurve.build(spark, sf()).collect()
+    val users = graft.Tables.events(spark, sf()).select("user_id").distinct().count()
+    assert(r.map(_.getLong(1)).sum == users, "every user churns exactly once")
+    assert(r.head.getLong(2) == users, "first risk set is everyone")
+    // n_risk(t) = sum of n_churn at tenure >= t (telescoping check)
+    val byTenure = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    byTenure.foreach { case (t, _, risk) =>
+      assert(risk == byTenure.filter(_._1 >= t).map(_._2).sum)
+    }
+    r.foreach(x => assert(x.getLong(3) >= 0 && x.getLong(3) <= 10000))
+  }
+
+  test("agg-ams-f2: exact F2 equals the self-join size; 8 square estimators") {
+    val r = AggOps.aggAmsF2.build(spark, sf()).collect()
+    assert(r.length == 8)
+    val cnts = graft.Tables.events(spark, sf())
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val f2 = cnts.map(c => c * c).sum
+    r.foreach { row =>
+      assert(row.getLong(2) == f2)
+      assert(row.getLong(1) >= 0, "estimates are squares")
+      assert(row.getLong(3) == (row.getLong(1) - f2).abs * 10000 / f2)
+    }
+  }
+
+  test("mm-shard-pack: byte mass conserved per group, doc spans never overlap") {
+    val r = MultimodalOps.mmShardPack.build(spark, sf()).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    // per (kind, batch): shard 0 exists, spans are disjoint and ordered
+    r.groupBy(x => (x._1, x._2)).foreach { case (_, shards) =>
+      val ordered = shards.sortBy(_._3)
+      assert(ordered.head._3 == 0L, "first shard of each group is 0")
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._7 < b._6, "shard doc spans are disjoint and ordered")
+      }
+    }
+    // total bytes across all shards == total decoded payload bytes
+    val meta = graft.multimodal.Multimodal.decodeStub(spark,
+      graft.multimodal.Multimodal.toyMedia(
+        graft.Tables.documents(spark, sf()))).toDF()
+    val totalBytes = meta.agg(sum("n_payload")).head().getLong(0)
+    assert(r.map(_._5).sum == totalBytes, "byte mass conserved")
+    assert(r.map(_._4).sum == meta.count(), "item mass conserved")
+  }
+
+  test("sim-jl-distortion: pair mass conserved, buckets bounded, small median distortion") {
+    val r = SimOps.simJlDistortion.build(spark, sf()).collect()
+    val n = graft.Tables.embeddings(spark, sf()).count()
+    assert(r.map(_.getLong(1)).sum == 10L * (n - 10L), "one row per audited pair")
+    r.foreach(x => assert(x.getLong(0) >= -200L && x.getLong(0) <= 200L))
+    // a sane 16-dim projection keeps the BULK of pairs within |0.25| cosine:
+    // the 0-centered half of the histogram holds most of the mass
+    val within = r.filter(x => x.getLong(0).abs <= 25).map(_.getLong(1)).sum
+    assert(within * 2 > 10L * (n - 10L), s"distortion too wide: $within close pairs")
+  }
+
+  test("dedup-pagerank-rep equals a from-scratch integer pagerank") {
+    val pairs = DedupOps.persistedJaccardPairs(spark, sf())
+      .select("d1", "d2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    var rank: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000L }
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = contrib.map { case (id, s) => id -> (150000L + 85L * s / 100L) }
+    }
+    val got = DedupOps.dedupPagerankRep.build(spark, sf()).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == rank, "pagerank diverges from the reference recompute")
+  }
+}
