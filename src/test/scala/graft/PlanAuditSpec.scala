@@ -741,4 +741,29 @@ class PlanAuditSpec extends SparkSpec {
     // probe grading is a projection over catalog rows — no join operator
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("text-rank-freq-curve caps the vocab via partial top-k, never a window") {
+    val p = plan("text-rank-freq-curve")
+    assert(p.contains("TakeOrderedAndProject(limit=1024"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_count"), p) // vocab groupBy map-side combines
+  }
+
+  test("sim-jl-distortion projects with literal sign vectors and broadcasts the query side") {
+    val p = plan("sim-jl-distortion")
+    // 16 plan-time literal weight vectors × codegen integer dots — the
+    // projection pass must be shuffle-free arraydotlong, not a HOF chain
+    assert(p.contains("arraydotlong"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // corpus/query filters reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,10)]"), p)
+    assert(p.contains("partial_count"), p) // histogram map-side combines
+  }
+
+  test("mm-shard-pack windows per (kind, ingest batch), never corpus-globally") {
+    val p = plan("mm-shard-pack")
+    assert(p.contains("windowspecdefinition(kind"), p)
+    assert(p.contains("batch"), p)
+    assert(p.contains("partial_sum"), p) // manifest rollup map-side combines
+  }
 }
