@@ -1483,6 +1483,90 @@ object AggOps {
       .orderBy("tenure_days")
   }
 
+  /** HLL precision sweep — the m-register sizing table for the HLL tier
+    * (the hll analogue of dedup-minhash-k-sweep): the SAME 60-bit md5
+    * hash stream sketched at m ∈ {16, 64, 256, 1024} registers against
+    * the exact distinct count, with the observed error in basis points.
+    * The 1.04/√m theoretical error halves per 4× registers; this table
+    * shows where the budget stops paying on real data. Keyed on event_id
+    * (large cardinality), so every m operates deep in the raw-estimator
+    * regime — the linear-counting branch never activates and the only
+    * float is the single α·m²·2^(61−b)/zsum division (the numerator is
+    * α·2^(61+b), an EXACT double — power-of-two scaling never rounds —
+    * emitted as the identical literal on both engines). zsum stays in
+    * exact BIGINT at every m (≤ 2^61). err_bp uses abs() so the integer
+    * division never sees a negative operand (trunc-vs-floor hazard).
+    *
+    * Scale shape: one corpus pass (hash projection + 4× register-count
+    * explode), map-side-combined (b, bucket) max-rho — at most
+    * 16+64+256+1024 = 1360 sketch rows total whatever the corpus — then
+    * a b-grained fold and a 1-row broadcast exact count.
+    */
+  lazy val aggHllPrecisionSweep: Op = {
+    val bs = Seq(4, 6, 8, 10)
+    def alphaFor(m: Int): Double = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case mm => 0.7213 / (1.0 + 1.079 / mm)
+    }
+    val numer: Map[Int, Double] =
+      bs.map(b => b -> alphaFor(1 << b) * math.pow(2.0, 61 + b)).toMap
+    val numerSql = s"CASE b WHEN 4 THEN ${numer(4)} WHEN 6 THEN ${numer(6)} " +
+      s"WHEN 8 THEN ${numer(8)} ELSE ${numer(10)} END"
+    Op.sql(
+      "agg-hll-precision-sweep",
+      s"""WITH h AS (
+         |  SELECT list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+         |                      FOR x IN [substr(md5(CAST(event_id AS VARCHAR)), i, 1)
+         |                                FOR i IN generate_series(1, 15)]],
+         |                     (a, x) -> a * 16 + x) AS h
+         |  FROM events),
+         |hb AS (SELECT h, b FROM h, (SELECT unnest([4, 6, 8, 10]) AS b) g),
+         |rb AS (SELECT b, h % (1::BIGINT << b) AS bucket,
+         |              CASE WHEN h // (1::BIGINT << b) = 0 THEN 61 - b
+         |                   ELSE (61 - b) - length(bin(h // (1::BIGINT << b)))
+         |              END AS rho
+         |       FROM hb),
+         |r AS (SELECT b, bucket, max(rho) AS r FROM rb GROUP BY b, bucket),
+         |z AS (SELECT b,
+         |             CAST(sum(1::BIGINT << CAST((61 - b) - r AS INTEGER)) AS BIGINT)
+         |               + ((1::BIGINT << b) - count(*)) * (1::BIGINT << (61 - b)) AS zsum
+         |      FROM r GROUP BY b),
+         |x AS (SELECT count(DISTINCT event_id) AS n_exact FROM events),
+         |e AS (SELECT b, CAST(round(($numerSql) / zsum) AS BIGINT) AS n_hll FROM z)
+         |SELECT CAST(1::BIGINT << b AS BIGINT) AS m,
+         |       CAST(x.n_exact AS BIGINT) AS n_exact, e.n_hll,
+         |       CAST((abs(e.n_hll - x.n_exact) * 10000) // x.n_exact AS BIGINT)
+         |         AS err_bp
+         |FROM e, x ORDER BY m""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val numerCol = bs.tail.foldLeft(
+        when(col("b") === bs.head, lit(numer(bs.head)))) { (acc, b) =>
+        acc.when(col("b") === b, lit(numer(b)))
+      }
+      val z = ev.select(graft.sketch.Hll.hash60(col("event_id")).as("h"))
+        .select(col("h"), explode(array(bs.map(b => lit(b)): _*)).as("b"))
+        .select(col("b"), expr("h % shiftleft(1L, b)").as("bucket"),
+          expr("""case when shiftright(h, b) = 0 then 61 - b
+                 |     else (61 - b) - length(bin(shiftright(h, b))) end""".stripMargin)
+            .as("rho"))
+        .groupBy("b", "bucket").agg(max("rho").as("r"))
+        .groupBy("b")
+        .agg(sum(expr("shiftleft(1L, cast((61 - b) - r as int))")).as("zpart"),
+          count(lit(1)).as("nb"))
+        .withColumn("zsum", col("zpart") +
+          (expr("shiftleft(1L, b)") - col("nb")) * expr("shiftleft(1L, 61 - b)"))
+        .withColumn("n_hll", round(numerCol / col("zsum")).cast("long"))
+      val exact = ev.agg(countDistinct("event_id").as("n_exact"))
+      z.crossJoin(broadcast(exact))
+        .select(expr("shiftleft(1L, b)").as("m"), col("n_exact"), col("n_hll"),
+          expr("(abs(n_hll - n_exact) * 10000) div n_exact").as("err_bp"))
+        .orderBy("m")
+    }
+  }
+
   /** AMS second-frequency-moment sketch (Alon–Matias–Szegedy) vs the
     * exact F₂ of the user-key frequency vector: eight independent ±1
     * sign estimators (md5-parity signs — deterministic and
@@ -1543,7 +1627,7 @@ object AggOps {
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
     aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate,
-    aggHazardCurve, aggAmsF2)
+    aggHazardCurve, aggAmsF2, aggHllPrecisionSweep)
 
   /** Peak-rate capacity table: per event type, the busiest minute's
     * event count, the P99 minute rate (×2-grain integer parity), and the

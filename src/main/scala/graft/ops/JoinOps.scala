@@ -800,9 +800,60 @@ object JoinOps {
       .orderBy("n_items")
   }
 
+  /** Null-key bypass join — the production spelling of a LEFT join whose
+    * key column is nullable (here: every 50th order's custkey is NULL,
+    * the unresolved-reference shape of late-arriving dims): null keys can
+    * never match, yet the naive plan still ships them through the
+    * exchange where hash(NULL) lands EVERY null row in one partition —
+    * the classic null-skew straggler. This spelling splits the stream:
+    * non-null rows take the join, null rows bypass it entirely and union
+    * back with null-filled right-side columns — same rows, no straggler.
+    * Output is the per-month reconciliation (orders, matched, null-key).
+    *
+    * Scale shape: the join input carries an isnotnull filter, so the
+    * exchange never sees a null key; the bypass branch is a filter +
+    * projection (no shuffle at all); both feed one map-side-combined
+    * month rollup. With a dim-sized right side AQE broadcasts and the
+    * point is moot — the pattern is for big-big left joins where it is
+    * not.
+    */
+  val joinNullBypass: Op = Op.sql(
+    "join-null-bypass",
+    """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |                  CASE WHEN o_custkey % 50 = 0 THEN NULL
+      |                       ELSE o_custkey END AS k
+      |           FROM orders)
+      |SELECT month, count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_matched,
+      |       CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_key
+      |FROM o LEFT JOIN customer c ON o.k = c.c_custkey
+      |GROUP BY month ORDER BY month""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        when(col("o_custkey") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("k"))
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val joined = o.filter(col("k").isNotNull)
+      .join(c, col("k") === col("c_custkey"), "left")
+    val bypass = o.filter(col("k").isNull)
+      .withColumn("c_custkey", lit(null).cast("long"))
+    joined.unionByName(bypass)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_matched"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_null_key"))
+      .orderBy("month")
+  }
+
   val ops: Seq[Op] = Seq(joinTxExpected, groupTables, semiJoinFork,
     intervalSubtract, intervalUnion, unionListings, intersectTables,
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
     joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune,
-    joinLocalSupplier, joinCardEstimate, joinDimLate, joinFanoutProfile)
+    joinLocalSupplier, joinCardEstimate, joinDimLate, joinFanoutProfile,
+    joinNullBypass)
 }

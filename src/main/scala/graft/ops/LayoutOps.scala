@@ -725,8 +725,48 @@ object LayoutOps {
       .orderBy("tbl")
   }
 
+  /** Merge-on-read delete-vector audit — the lakehouse maintenance table
+    * behind Iceberg positional deletes / Delta deletion vectors: per
+    * 1000-key data file, the tombstoned row count (deterministic
+    * per-file deletion cadence: every (fid % 7 + 8)-th key, so rates
+    * vary 1/14..1/8 across files), the live ratio in basis points, and
+    * the needs_compact verdict (live < 90%) a rewrite scheduler
+    * consumes. The reference's compact command makes the same call from
+    * file sizes (src/command/compact.rs); a MoR table makes it from
+    * delete mass — this op is that planner input.
+    *
+    * Scale shape: one map-side-combined groupBy at file grain (catalog-
+    * sized output); the delete predicate is a per-row projection, never
+    * a join against a delete table (positional deletes at rest would be
+    * a file-grained MERGE with the same rollup shape).
+    */
+  val layoutMorAudit: Op = Op.sql(
+    "layout-mor-audit",
+    """WITH f AS (SELECT o_orderkey // 1000 AS fid,
+      |                  CASE WHEN o_orderkey % ((o_orderkey // 1000) % 7 + 8) = 0
+      |                       THEN 1 ELSE 0 END AS del
+      |           FROM orders)
+      |SELECT CAST(fid AS BIGINT) AS fid, count(*) AS n_rows,
+      |       CAST(sum(del) AS BIGINT) AS n_deleted,
+      |       CAST(((count(*) - sum(del)) * 10000) // count(*) AS BIGINT)
+      |         AS live_bp,
+      |       (((count(*) - sum(del)) * 10000) // count(*)) < 9000
+      |         AS needs_compact
+      |FROM f GROUP BY fid ORDER BY fid""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(expr("o_orderkey div 1000").as("fid"),
+        when(col("o_orderkey") % (expr("(o_orderkey div 1000) % 7") + 8) === 0,
+          1L).otherwise(0L).as("del"))
+      .groupBy("fid")
+      .agg(count(lit(1)).as("n_rows"), sum("del").cast("long").as("n_deleted"))
+      .withColumn("live_bp", expr("((n_rows - n_deleted) * 10000) div n_rows"))
+      .withColumn("needs_compact", col("live_bp") < 9000L)
+      .orderBy("fid")
+  }
+
   val ops: Seq[Op] = Seq(layoutZorder, indexZonemap, layoutPartitionSkew,
     layoutRangeBoundaries, layoutSortAdvisor, layoutBucketedJoin,
     layoutSkipCompare, layoutOverlapDepth, indexBloomFiles,
-    layoutEncodingAdvisor, layoutBroadcastAudit)
+    layoutEncodingAdvisor, layoutBroadcastAudit, layoutMorAudit)
 }

@@ -760,6 +760,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // histogram map-side combines
   }
 
+  test("join-null-bypass keeps null keys out of the exchange") {
+    val p = plan("join-null-bypass")
+    // null rows must ride the union branch, never the join: the isnotnull
+    // guard folds through the key projection into the SCAN filter
+    // (CASE ... THEN false ELSE isnotnull(o_custkey)), and a Union
+    // stitches the bypass back above the join
+    assert(p.contains("THEN false ELSE isnotnull(o_custkey"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("partial_count"), p) // month rollup map-side combines
+  }
+
+  test("agg-hll-precision-sweep folds every register budget in one corpus pass") {
+    val p = plan("agg-hll-precision-sweep")
+    // ONE scan of events feeds the 4-way register explode; the sketch is
+    // a (b, bucket)-keyed max with map-side combine
+    assert(p.contains("partial_max"), p)
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p) // sketch + exact
+  }
+
   test("mm-shard-pack windows per (kind, ingest batch), never corpus-globally") {
     val p = plan("mm-shard-pack")
     assert(p.contains("windowspecdefinition(kind"), p)

@@ -98,6 +98,49 @@ class OpsR16Spec extends SparkSpec {
     assert(within * 2 > 10L * (n - 10L), s"distortion too wide: $within close pairs")
   }
 
+  test("agg-hll-precision-sweep: error shrinks with registers on this corpus's scale") {
+    val r = AggOps.aggHllPrecisionSweep.build(spark, sf()).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(16L, 64L, 256L, 1024L))
+    val exact = graft.Tables.events(spark, sf())
+      .select("event_id").distinct().count()
+    r.foreach(x => assert(x.getLong(1) == exact))
+    // estimates within 5x the theoretical 1.04/sqrt(m) band once the
+    // sketch is well-filled (n >= 16m; below that the raw estimator's
+    // known low-fill bias hump applies — documenting it is the point of
+    // the sweep, so the under-filled rows only need to be finite)
+    r.foreach { x =>
+      val m = x.getLong(0); val err = x.getLong(3)
+      if (exact >= 16 * m) {
+        val band = (5.0 * 1.04 / math.sqrt(m.toDouble) * 10000).toLong
+        assert(err <= band, s"m=$m err_bp=$err exceeds 5x theory $band")
+      } else assert(err <= 10000, s"m=$m err_bp=$err not even order-of-magnitude")
+    }
+  }
+
+  test("join-null-bypass: bypass rows reconcile with a straight recount") {
+    val r = JoinOps.joinNullBypass.build(spark, sf()).collect()
+    val orders = graft.Tables.orders(spark, sf())
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    assert(r.map(_.getLong(1)).sum == orders.length)
+    assert(r.map(_.getLong(3)).sum == orders.count(_ % 50 == 0))
+    r.foreach(x => assert(x.getLong(2) + x.getLong(3) <= x.getLong(1)))
+  }
+
+  test("layout-mor-audit: verdicts follow the live ratio exactly") {
+    val r = LayoutOps.layoutMorAudit.build(spark, sf()).collect()
+    val total = graft.Tables.orders(spark, sf()).count()
+    assert(r.map(_.getLong(1)).sum == total)
+    r.foreach { x =>
+      val live = (x.getLong(1) - x.getLong(2)) * 10000 / x.getLong(1)
+      assert(x.getLong(3) == live)
+      assert(x.getBoolean(4) == (live < 9000))
+    }
+    // the varying cadence produces at least one compactable file (the
+    // healthy/flagged mix depends on the fixture's sparse orderkey
+    // striding, so only the flagged side is guaranteed at every SF)
+    assert(r.exists(_.getBoolean(4)))
+  }
+
   test("dedup-pagerank-rep equals a from-scratch integer pagerank") {
     val pairs = DedupOps.persistedJaccardPairs(spark, sf())
       .select("d1", "d2").collect().map(x => (x.getLong(0), x.getLong(1)))
