@@ -1483,6 +1483,96 @@ object AggOps {
       .orderBy("tenure_days")
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013 — the
+    * standard pre-period covariate adjustment every large experimentation
+    * platform applies): per user, pre-period spend x (first 15 days, the
+    * join-merge-upsert split anchor) and post-period spend y; the pooled
+    * θ = cov(x,y)/var(x); each variant (user_id parity) reports its raw
+    * post mean and the adjusted mean y̅_v − θ·(x̅_v − x̅). Randomized
+    * assignment makes the adjustment unbiased while removing the
+    * pre-period component of the variance — the same decision at a
+    * fraction of the sample. Integer cent sums throughout; θ and the
+    * means combine the sums in ONE identical double expression tree both
+    * engines (the house float discipline), then micro-snap.
+    *
+    * Scale shape: one conditional-aggregation pass to user grain with
+    * map-side combine (split day is a 1-row broadcast), then a 2-row
+    * variant fold and a 1-row pooled fold — cohort size never changes
+    * the shape.
+    */
+  lazy val aggCupedAdjust: Op = Op.sql(
+    "agg-cuped-adjust",
+    """WITH g AS (SELECT min(epoch_ns(ts)) // 86400000000000 + 15 AS split_day
+      |           FROM events),
+      |u AS (SELECT user_id, user_id % 2 AS variant,
+      |             CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
+      |                                < (SELECT split_day FROM g)
+      |                           THEN CAST(round(value * 100) AS BIGINT)
+      |                           ELSE 0 END) AS BIGINT) AS x,
+      |             CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
+      |                                >= (SELECT split_day FROM g)
+      |                           THEN CAST(round(value * 100) AS BIGINT)
+      |                           ELSE 0 END) AS BIGINT) AS y
+      |      FROM events GROUP BY user_id),
+      |t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |             CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy
+      |      FROM u),
+      |th AS (SELECT n, sx,
+      |              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+      |       FROM t),
+      |v AS (SELECT variant, count(*) AS n_users,
+      |             CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+      |      FROM u GROUP BY variant)
+      |SELECT CAST(v.variant AS BIGINT) AS variant, v.n_users,
+      |       CAST(round(CAST(v.syv AS DOUBLE) / v.n_users * 1000000) AS BIGINT)
+      |         / 1000000.0 AS mean_post,
+      |       CAST(round((CAST(v.syv AS DOUBLE) / v.n_users
+      |                   - th.theta * (CAST(v.sxv AS DOUBLE) / v.n_users
+      |                                 - CAST(th.sx AS DOUBLE) / th.n))
+      |                  * 1000000) AS BIGINT) / 1000000.0 AS mean_adj,
+      |       CAST(round(th.theta * 1000000) AS BIGINT) / 1000000.0 AS theta
+      |FROM v, th ORDER BY variant""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val g = ev.agg((min(expr("ts div 86400000000000")) + 15).as("split_day"))
+    val u = ev.crossJoin(broadcast(g))
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        expr("ts div 86400000000000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v"),
+        col("split_day"))
+      .groupBy("user_id", "variant")
+      .agg(sum(when(col("day") < col("split_day"), col("v")).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("day") >= col("split_day"), col("v")).otherwise(0L))
+          .cast("long").as("y"))
+    val t = u.agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+      sum("y").cast("long").as("sy"), sum(expr("x * x")).cast("long").as("sxx"),
+      sum(expr("x * y")).cast("long").as("sxy"))
+    val th = t.select(col("n"), col("sx"),
+      ((col("n").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))).as("theta"))
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("x").cast("long").as("sxv"),
+        sum("y").cast("long").as("syv"))
+    v.crossJoin(broadcast(th))
+      .select(col("variant").cast("long").as("variant"), col("n_users"),
+        (round(col("syv").cast("double") / col("n_users") * 1000000)
+          .cast("long") / lit(1000000.0)).as("mean_post"),
+        (round((col("syv").cast("double") / col("n_users")
+          - col("theta") * (col("sxv").cast("double") / col("n_users")
+            - col("sx").cast("double") / col("n"))) * 1000000)
+          .cast("long") / lit(1000000.0)).as("mean_adj"),
+        (round(col("theta") * 1000000).cast("long") / lit(1000000.0)).as("theta"))
+      .orderBy("variant")
+  }
+
   /** HLL precision sweep — the m-register sizing table for the HLL tier
     * (the hll analogue of dedup-minhash-k-sweep): the SAME 60-bit md5
     * hash stream sketched at m ∈ {16, 64, 256, 1024} registers against
@@ -1627,7 +1717,7 @@ object AggOps {
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
     aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate,
-    aggHazardCurve, aggAmsF2, aggHllPrecisionSweep)
+    aggHazardCurve, aggAmsF2, aggHllPrecisionSweep, aggCupedAdjust)
 
   /** Peak-rate capacity table: per event type, the busiest minute's
     * event count, the P99 minute rate (×2-grain integer parity), and the

@@ -141,6 +141,46 @@ class OpsR16Spec extends SparkSpec {
     assert(r.exists(_.getBoolean(4)))
   }
 
+  test("agg-cuped-adjust matches a from-scratch covariance recompute") {
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val split = ev.map(_._2).min + 15
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 < split).map(_._3).sum, es.filter(_._2 >= split).map(_._3).sum)
+    }.toSeq
+    val n = users.size.toDouble
+    val (sx, sy) = (users.map(_._2).sum.toDouble, users.map(_._3).sum.toDouble)
+    val sxx = users.map(t => t._2 * t._2).sum.toDouble
+    val sxy = users.map(t => t._2 * t._3).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = AggOps.aggCupedAdjust.build(spark, sf()).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      val vs = users.filter(_._1 % 2 == row.getLong(0))
+      val nv = vs.size.toDouble
+      val meanPost = vs.map(_._3).sum / nv
+      val meanAdj = meanPost - theta * (vs.map(_._2).sum / nv - sx / n)
+      assert(row.getLong(1) == vs.size)
+      assert(row.getDouble(2) == math.round(meanPost * 1e6) / 1e6)
+      assert(row.getDouble(3) == math.round(meanAdj * 1e6) / 1e6)
+      assert(row.getDouble(4) == math.round(theta * 1e6) / 1e6)
+    }
+    // the point of CUPED: adjusting with the pooled theta reduces the
+    // cross-user variance of the estimator's per-user terms
+    val rawVar = {
+      val m = sy / n
+      users.map(t => (t._3 - m) * (t._3 - m)).sum / n
+    }
+    val adjVar = {
+      val terms = users.map(t => t._3 - theta * (t._2 - sx / n))
+      val m = terms.sum / n
+      terms.map(x => (x - m) * (x - m)).sum / n
+    }
+    assert(adjVar <= rawVar, s"CUPED increased variance: $adjVar > $rawVar")
+  }
+
   test("dedup-pagerank-rep equals a from-scratch integer pagerank") {
     val pairs = DedupOps.persistedJaccardPairs(spark, sf())
       .select("d1", "d2").collect().map(x => (x.getLong(0), x.getLong(1)))
