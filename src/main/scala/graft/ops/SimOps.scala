@@ -1181,6 +1181,76 @@ object SimOps {
       .orderBy(col("q_id"), col("sim").desc, col("n_id"))
   }
 
+  /** k-NN graph reciprocity — the mutual-neighbor rate of the LSH kNN@3
+    * graph over the whole corpus (every vector queries its own bucket,
+    * self excluded). Reciprocity is a standard embedding-quality gauge:
+    * hubness-afflicted or anisotropic embedding spaces produce many
+    * one-way edges (a hub is everyone's neighbor but reciprocates
+    * almost nobody), while a healthy local metric reciprocates most
+    * edges — and mutual-kNN is itself the edge filter semantic-dedup
+    * graphs use. Companion to sim-hubness (this is the graph-level
+    * symptom of the same pathology).
+    *
+    * Scale shape: the kNN build is the sim-lsh-ann shape (bucket
+    * equi-join, never corpus×corpus); the reciprocity check is one
+    * self-join of the 3N-row edge list on the reversed key — edge-list
+    * sized, not corpus sized.
+    */
+  val simKnnReciprocity: Op = Op.sql(
+    "sim-knn-reciprocity",
+    s"""WITH iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (
+       |  SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+       |withb AS (
+       |  SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |  FROM withb q JOIN withb c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored),
+       |e AS (SELECT q_id, n_id FROM ranked WHERE rn <= 3),
+       |m AS (SELECT count(*) AS n_mutual
+       |      FROM e a JOIN e b ON a.q_id = b.n_id AND a.n_id = b.q_id),
+       |t AS (SELECT count(*) AS n_edges, count(DISTINCT q_id) AS n_nodes FROM e)
+       |SELECT CAST(t.n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(t.n_edges AS BIGINT) AS n_edges,
+       |       CAST(m.n_mutual AS BIGINT) AS n_mutual,
+       |       CAST((m.n_mutual * 10000) // t.n_edges AS BIGINT) AS reciprocity_bp
+       |FROM t, m""".stripMargin
+  ) { (s, d) =>
+    val wb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+    val q = wb.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = wb.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
+    val knn = graft.functions.TopK.topkPerGroup(
+        q.join(c, "bucket").filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", Similarity.cosine(col("qv"), col("nv")))
+          .select("q_id", "n_id", "sim"),
+        Seq("q_id"), Seq(col("sim").desc, col("n_id").asc), 3)
+      .select("q_id", "n_id")
+    val rev = knn.select(col("q_id").as("b_q"), col("n_id").as("b_n"))
+    val mutual = knn
+      .join(rev, col("q_id") === col("b_n") && col("n_id") === col("b_q"))
+      .agg(count(lit(1)).as("n_mutual"))
+    knn.agg(count(lit(1)).as("n_edges"), countDistinct("q_id").as("n_nodes"))
+      .crossJoin(broadcast(mutual))
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+        expr("(n_mutual * 10000) div n_edges").as("reciprocity_bp"))
+  }
+
   /** Johnson–Lindenstrauss distortion audit: project the 64-dim
     * embeddings to 16 dims with a deterministic ±1 sign matrix
     * (md5-parity per (j, dim) — balanced and engine-portable) and
@@ -1273,7 +1343,8 @@ object SimOps {
     simRangeSearch, simLabelStats, simSemanticDedup, simMrlRecall,
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
-    simListPurity, simIndexCost, simAssignMargin, simJlDistortion)
+    simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
+    simKnnReciprocity)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit
