@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{ArrayDot, ArrayDotLong, ArrayOrderedPairs, BloomFolds,
-  GradientSampleHash, RepetitionStats, SimhashFingerprint, TokenEntropy}
+  CdcCuts, GradientSampleHash, RepetitionStats, SimhashFingerprint,
+  TokenEntropy, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions for SQL use. Install with
@@ -53,6 +54,16 @@ object GraftExtensions {
     "gradient_sample_hash" -> { es =>
       val bits = if (es.size > 1) litInt(es(1), "bits") else 48
       GradientSampleHash(es(0), bits)
+    },
+    "cdc_cuts" -> { es =>
+      val window = if (es.size > 1) litInt(es(1), "window") else 4
+      val divisor = if (es.size > 2) litInt(es(2), "divisor").toLong else 16L
+      CdcCuts(es(0), window, divisor)
+    },
+    "winnow_fingerprints" -> { es =>
+      val k = if (es.size > 1) litInt(es(1), "k") else 4
+      val w = if (es.size > 2) litInt(es(2), "w") else 4
+      WinnowFingerprints(es(0), k, w)
     })
 
   /** Register the same functions on an ALREADY-RUNNING session

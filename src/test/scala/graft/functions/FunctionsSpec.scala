@@ -61,7 +61,9 @@ class FunctionsSpec extends SparkSpec {
         |       token_entropy(array('a', 'a', 'b')) AS te,
         |       simhash_fingerprint(array('a', 'b')) AS s20,
         |       simhash_fingerprint(array('a', 'b'), 48, 1) AS s48,
-        |       gradient_sample_hash('payload', 48) AS gh
+        |       gradient_sample_hash('payload', 48) AS gh,
+        |       cdc_cuts(array('a', 'b', 'c', 'd', 'e', 'f')) AS cc,
+        |       winnow_fingerprints(array('a', 'b', 'c', 'd', 'e', 'f', 'g')) AS wf
         |""".stripMargin).head()
     assert(row.getLong(0) === 11L)
     assert(row.getSeq[Long](1).size === 3)
@@ -73,6 +75,16 @@ class FunctionsSpec extends SparkSpec {
       graft.functions.SimhashFingerprint.mixed(col("ts"), 48).as("s48")).head()
     assert(row.getLong(4) === viaApi.getLong(0))
     assert(row.getLong(5) === viaApi.getLong(1))
+    // the two round-7 kernels round-trip through SQL too
+    val toks = Seq(Tuple1(Seq("a", "b", "c", "d", "e", "f", "g")))
+      .toDF("ts")
+    val wfApi = toks
+      .select(graft.functions.WinnowFingerprints(col("ts")).as("wf"))
+      .select(expr("transform(wf, x -> x.fp)")).head().getSeq[Long](0)
+    assert(row.getSeq[org.apache.spark.sql.Row](8).map(_.getLong(1)) === wfApi)
+    val ccApi = Seq(Tuple1(Seq("a", "b", "c", "d", "e", "f"))).toDF("ts")
+      .select(graft.functions.CdcCuts(col("ts")).as("cc")).head().getSeq[Long](0)
+    assert(row.getSeq[Long](7) === ccApi)
   }
 
   test("chain aggregator verifies an intact chain and localizes breaks") {
