@@ -579,8 +579,70 @@ object PipelineOps {
         (col("diff") * col("diff") > lit(9L) * col("n_users")).as("srm"))
   }
 
+  /** Declarative data-quality suite (the Deequ/Great-Expectations tier)
+    * over the events stream plus one cross-table referential check —
+    * every row-level expectation and the uniqueness check fold into ONE
+    * conditional-aggregation pass of the table ([[graft.dq.Dq.suite]]),
+    * so 50 checks cost the same scan as one; the report rows explode
+    * from the single aggregate row (never a union of N selects over one
+    * aggregated subtree). Two expectations fail by design on this corpus
+    * (the value-cap canary and the no-error canary), so the report
+    * exercises both verdicts.
+    *
+    * Scale shape: one map-side-combined pass for the suite, one
+    * key-grained anti-join for the referential row; the UNION joins two
+    * REPORT tables (≤ checks rows), not two scans.
+    */
+  val pipelineDqSuite: Op = Op.sql(
+    "pipeline-dq-suite",
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      |  CAST(sum(CASE WHEN value >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+      |             ('click','view','purchase','signup','error')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS u0
+      |  FROM events),
+      |r AS (SELECT (SELECT count(*) FROM orders) AS nc,
+      |             (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |                ON o.o_custkey = c.c_custkey
+      |              WHERE c.c_custkey IS NULL) AS v),
+      |rep AS (
+      |  SELECT 'value_non_negative' AS check_name, n AS n_checked, v0 AS n_violations FROM s
+      |  UNION ALL SELECT 'value_below_300', n, v1 FROM s
+      |  UNION ALL SELECT 'event_type_known', n, v2 FROM s
+      |  UNION ALL SELECT 'no_error_events', n, v3 FROM s
+      |  UNION ALL SELECT 'ts_not_null', n, v4 FROM s
+      |  UNION ALL SELECT 'user_id_not_null', n, v5 FROM s
+      |  UNION ALL SELECT 'unique:event_id', n, u0 FROM s
+      |  UNION ALL SELECT 'ref:orders.o_custkey->customer',
+      |                   CAST(nc AS BIGINT), CAST(v AS BIGINT) FROM r)
+      |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |       CAST(n_violations AS BIGINT) AS n_violations,
+      |       n_violations = 0 AS pass
+      |FROM rep ORDER BY check_name""".stripMargin
+  ) { (s, d) =>
+    import graft.dq.Dq
+    val knownTypes = Seq("click", "view", "purchase", "signup", "error")
+    val report = Dq.suite(Tables.events(s, d), Seq(
+        Dq.Check("value_non_negative", col("value") < 0),
+        Dq.Check("value_below_300", col("value") >= 300),
+        Dq.Check("event_type_known",
+          col("event_type").isNull || !col("event_type").isin(knownTypes: _*)),
+        Dq.Check("no_error_events", col("event_type") === "error"),
+        Dq.Check("ts_not_null", col("ts").isNull),
+        Dq.Check("user_id_not_null", col("user_id").isNull)),
+      uniqueKeys = Seq("event_id"))
+    report.unionByName(Dq.referential(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "ref:orders.o_custkey->customer"))
+      .orderBy("check_name")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
     pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine,
-    pipelineAbAssign)
+    pipelineAbAssign, pipelineDqSuite)
 }

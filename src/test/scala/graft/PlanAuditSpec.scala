@@ -779,6 +779,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size <= 2, p) // sketch + exact
   }
 
+  test("pipeline-dq-suite evaluates every check in ONE scan of events") {
+    val p = plan("pipeline-dq-suite")
+    // 6 row-level checks + uniqueness = one conditional-aggregation pass;
+    // only the referential row may add its own (orders/customer) scans
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("mm-shard-pack windows per (kind, ingest batch), never corpus-globally") {
     val p = plan("mm-shard-pack")
     assert(p.contains("windowspecdefinition(kind"), p)

@@ -141,6 +141,24 @@ class OpsR16Spec extends SparkSpec {
     assert(r.exists(_.getBoolean(4)))
   }
 
+  test("pipeline-dq-suite: canaries fail, clean expectations pass, counts exact") {
+    val r = PipelineOps.pipelineDqSuite.build(spark, sf()).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r.size == 8)
+    val nEvents = graft.Tables.events(spark, sf()).count()
+    val errs = graft.Tables.events(spark, sf())
+      .filter(col("event_type") === "error").count()
+    // canaries fail with exact counts
+    assert(r("no_error_events") == ((nEvents, errs, false)))
+    assert(!r("value_below_300")._3 && r("value_below_300")._2 > 0)
+    // clean expectations pass
+    Seq("value_non_negative", "event_type_known", "ts_not_null",
+      "user_id_not_null", "unique:event_id").foreach { c =>
+      assert(r(c)._2 == 0 && r(c)._3, s"$c should pass")
+    }
+    assert(r("ref:orders.o_custkey->customer")._3)
+  }
+
   test("agg-cuped-adjust matches a from-scratch covariance recompute") {
     val ev = graft.Tables.events(spark, sf())
       .select(col("user_id"), expr("ts div 86400000000000").as("day"),
