@@ -1086,6 +1086,60 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Prefix-truncation artifacts: document pairs where the short doc is
+    * a token-boundary PREFIX of the long one — the fingerprint of
+    * truncated crawls, connection drops and length-capped re-scrapes,
+    * which exact dedup (different hashes) and jaccard (containment, not
+    * symmetric similarity, at large length gaps) both miss. Candidates
+    * share their first-8-token head; heads in more than 50 docs are
+    * pruned (boilerplate openings — the viral-shingle rule applied to
+    * heads), then the exact `startswith(long, short || ' ')` predicate
+    * decides. The head prune cannot drop a true pair's evidence: a pair
+    * passing startswith shares its head by construction, so only
+    * boilerplate-head groups above the df cap are excluded — the same
+    * bounded-fan-out contract as shingleSets.
+    *
+    * Scale shape: one equi-join on the 8-byte xxhash64 head key (a hash
+    * collision cannot create a false pair — startswith re-checks the
+    * actual text), group fan-out df-bounded at 50; the residual
+    * predicate is per-pair.
+    */
+  val dedupPrefixArtifacts: Op = Op.sql(
+    "dedup-prefix-artifacts",
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |h AS (SELECT doc_id, text, len(ws) AS n,
+      |             array_to_string(ws[1:8], ' ') AS head
+      |      FROM d),
+      |ok AS (SELECT head FROM h GROUP BY head HAVING count(*) <= 50)
+      |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+      |       CAST(a.n AS BIGINT) AS short_tokens,
+      |       CAST(b.n AS BIGINT) AS long_tokens
+      |FROM h a JOIN ok ON a.head = ok.head
+      |         JOIN h b ON a.head = b.head AND a.n < b.n
+      |                 AND starts_with(b.text, a.text || ' ')
+      |ORDER BY short_id, long_id""".stripMargin
+  ) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.text.TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("text"), size(col("ws")).cast("long").as("n"),
+        xxhash64(concat_ws(" ", slice(col("ws"), 1, 8))).as("hk"))
+    val ok = h.groupBy("hk").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 50).select("hk")
+    val pruned = h.join(ok, "hk")
+    val a = pruned.select(col("hk"), col("doc_id").as("short_id"),
+      col("text").as("a_text"), col("n").as("short_tokens"))
+    val b = pruned.select(col("hk"), col("doc_id").as("long_id"),
+      col("text").as("b_text"), col("n").as("long_tokens"))
+    a.join(b, "hk")
+      .filter(col("short_tokens") < col("long_tokens") &&
+        expr("startswith(b_text, concat(a_text, ' '))"))
+      .select("short_id", "long_id", "short_tokens", "long_tokens")
+      .orderBy("short_id", "long_id")
+  }
+
   /** PageRank centrality over the near-dup similarity graph (3 damped
     * iterations, d = 0.85, ranks in exact 10⁻⁶ units): the
     * link-analysis upgrade to dedup-cluster-rep's min-id choice — inside
@@ -1153,7 +1207,8 @@ object DedupOps {
     dedupGraphDegree, dedupGraphTriangles, dedupSimhashHamming,
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
-    dedupClusterSources, dedupHammingSweep, dedupPagerankRep)
+    dedupClusterSources, dedupHammingSweep, dedupPagerankRep,
+    dedupPrefixArtifacts)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
