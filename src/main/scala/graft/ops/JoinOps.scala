@@ -800,6 +800,73 @@ object JoinOps {
       .orderBy("n_items")
   }
 
+  /** Allen-relation census over the interval join: every intersecting or
+    * touching (activity-interval, window) pair from join-interval-
+    * overlap's bucketed join, classified into Allen's interval algebra
+    * (equals/meets/met_by/starts/started_by/finishes/finished_by/
+    * during/contains/overlaps/overlapped_by) by one mutually-exclusive
+    * CASE ladder written identically on both engines. The census is the
+    * temporal-reasoning summary a scheduling/billing audit reads:
+    * `contains` mass is activity fully covering a window (bill the whole
+    * window), `during` is windows covering activity (one window
+    * suffices), the rare exact-boundary classes flag clock-aligned
+    * artifacts. Disjoint relations (before/after) are deliberately out —
+    * counting them is the unbounded cross product.
+    *
+    * Scale shape: identical to join-interval-overlap (explode to 6h
+    * buckets, 8-byte equi-join, exact predicate, DISTINCT collapses
+    * multi-bucket matches); classification is a projection and the
+    * census a ≤11-row map-side-combined groupBy.
+    */
+  val intervalAllenCensus: Op = {
+    val G = 21600000000000L
+    val W = 25200000000000L
+    val L = 14400000000000L
+    val caseSql =
+      """CASE WHEN s = ws AND e = we THEN 'equals'
+        |     WHEN e = ws THEN 'meets'
+        |     WHEN s = we THEN 'met_by'
+        |     WHEN s = ws AND e < we THEN 'starts'
+        |     WHEN s = ws THEN 'started_by'
+        |     WHEN e = we AND s > ws THEN 'finishes'
+        |     WHEN e = we THEN 'finished_by'
+        |     WHEN s > ws AND e < we THEN 'during'
+        |     WHEN s < ws AND e > we THEN 'contains'
+        |     WHEN s < ws THEN 'overlaps'
+        |     ELSE 'overlapped_by' END""".stripMargin
+    Op.sql(
+      "interval-allen-census",
+      s"""WITH a AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+         |                  min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) AS e
+         |           FROM events GROUP BY user_id, day),
+         |g AS (SELECT min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1 FROM events),
+         |wi AS (SELECT unnest(generate_series(0, CAST((t1 - t0) // $W AS BIGINT))) AS w_id,
+         |              t0 FROM g),
+         |w AS (SELECT w_id, t0 + w_id * $W AS ws, t0 + w_id * $W + $L AS we FROM wi),
+         |p AS (SELECT a.user_id, a.day, w.w_id, a.s, a.e, w.ws, w.we
+         |      FROM a JOIN w ON a.s <= w.we AND w.ws <= a.e)
+         |SELECT $caseSql AS relation, count(*) AS n_pairs
+         |FROM p GROUP BY relation ORDER BY relation""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val a = ev.groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      val w = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select(explode(expr(s"sequence(0L, (t1 - t0) div $W)")).as("w_id"), col("t0"))
+        .select(col("w_id"), (col("t0") + col("w_id") * lit(W)).as("ws"))
+        .withColumn("we", col("ws") + lit(L))
+      val ab = a.withColumn("bucket", explode(expr(s"sequence(s div $G, e div $G)")))
+      val wb = w.withColumn("bucket", explode(expr(s"sequence(ws div $G, we div $G)")))
+      ab.join(wb, "bucket")
+        .filter(col("s") <= col("we") && col("ws") <= col("e"))
+        .select("user_id", "day", "w_id", "s", "e", "ws", "we")
+        .distinct()
+        .select(expr(caseSql).as("relation"))
+        .groupBy("relation").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("relation")
+    }
+  }
+
   /** Null-key bypass join — the production spelling of a LEFT join whose
     * key column is nullable (here: every 50th order's custkey is NULL,
     * the unresolved-reference shape of late-arriving dims): null keys can
@@ -855,5 +922,5 @@ object JoinOps {
     joinAsof, joinRangeBin, joinIntervalOverlap, joinStarRevenue,
     joinMergeUpsert, joinSkewSalted, joinAsofTolerance, joinBloomPrune,
     joinLocalSupplier, joinCardEstimate, joinDimLate, joinFanoutProfile,
-    joinNullBypass)
+    joinNullBypass, intervalAllenCensus)
 }
