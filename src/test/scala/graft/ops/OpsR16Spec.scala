@@ -199,6 +199,40 @@ class OpsR16Spec extends SparkSpec {
     assert(adjVar <= rawVar, s"CUPED increased variance: $adjVar > $rawVar")
   }
 
+  test("sim-knn-reciprocity: mutual edges are paired and bounded") {
+    val r = SimOps.simKnnReciprocity.build(spark, sf()).head()
+    val (nodes, edges, mutual, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(mutual % 2 == 0, "mutual edges come in pairs")
+    assert(mutual <= edges && edges <= 3 * nodes)
+    assert(bp == mutual * 10000 / edges)
+  }
+
+  test("dedup-prefix-artifacts: every reported pair is a true token-boundary prefix") {
+    val texts = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val r = DedupOps.dedupPrefixArtifacts.build(spark, sf()).collect()
+    r.foreach { row =>
+      val (shortT, longT) = (texts(row.getLong(0)), texts(row.getLong(1)))
+      assert(longT.startsWith(shortT + " "),
+        s"${row.getLong(0)} is not a prefix of ${row.getLong(1)}")
+      assert(row.getLong(2) == shortT.split(" ").length)
+      assert(row.getLong(3) == longT.split(" ").length)
+    }
+  }
+
+  test("interval-allen-census partitions exactly the interval-overlap pair set") {
+    val census = JoinOps.intervalAllenCensus.build(spark, sf()).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val overlapPairs = JoinOps.joinIntervalOverlap.build(spark, sf()).count()
+    assert(census.values.sum == overlapPairs,
+      "every intersecting pair lands in exactly one Allen class")
+    assert(census.keySet.subsetOf(Set("equals", "meets", "met_by", "starts",
+      "started_by", "finishes", "finished_by", "during", "contains",
+      "overlaps", "overlapped_by")))
+  }
+
   test("dedup-pagerank-rep equals a from-scratch integer pagerank") {
     val pairs = DedupOps.persistedJaccardPairs(spark, sf())
       .select("d1", "d2").collect().map(x => (x.getLong(0), x.getLong(1)))
