@@ -641,8 +641,136 @@ object PipelineOps {
       .orderBy("check_name")
   }
 
+  /** Expectation auto-profiler — the other half of the DQ tier: scan the
+    * table once and SUGGEST the expectation suite (per column: a
+    * [p0.5%, p99.5%] value band snapped to integers, observed null rate
+    * in bp, and the row count the band was fitted on). The suggested
+    * rows are exactly what a reviewer promotes into pipeline-dq-suite
+    * checks — profile once, enforce forever. Quantile bands (not
+    * min/max) so one historical outlier doesn't bless future outliers.
+    *
+    * Scale shape: ONE aggregation pass computes every column's
+    * percentiles/min/max/null counts (map-side partial aggregation);
+    * the per-column suggestion rows explode from the single aggregate
+    * row — same single-scan contract as Dq.suite, pinned alongside it.
+    * At 100 TB swap percentile for approx_percentile; nothing else
+    * changes.
+    */
+  val pipelineDqSuggest: Op = Op.sql(
+    "pipeline-dq-suggest",
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(round(quantile_cont(value, 0.005) * 100) AS BIGINT) AS v_lo,
+      |  CAST(round(quantile_cont(value, 0.995) * 100) AS BIGINT) AS v_hi,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |  CAST(min(user_id) AS BIGINT) AS u_lo, CAST(max(user_id) AS BIGINT) AS u_hi,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_null,
+      |  CAST(min(event_id) AS BIGINT) AS e_lo, CAST(max(event_id) AS BIGINT) AS e_hi,
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_null,
+      |  CAST(min(epoch_ns(ts) // 86400000000000) AS BIGINT) AS t_lo,
+      |  CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT) AS t_hi,
+      |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_null
+      |  FROM events),
+      |r AS (
+      |  SELECT 'value_cents' AS column_name, v_lo AS lo, v_hi AS hi, v_null AS nn, n FROM s
+      |  UNION ALL SELECT 'user_id', u_lo, u_hi, u_null, n FROM s
+      |  UNION ALL SELECT 'event_id', e_lo, e_hi, e_null, n FROM s
+      |  UNION ALL SELECT 'ts_day', t_lo, t_hi, t_null, n FROM s)
+      |SELECT column_name, lo AS suggested_lo, hi AS suggested_hi,
+      |       CAST((nn * 10000) // n AS BIGINT) AS null_bp,
+      |       CAST(n AS BIGINT) AS n_profiled
+      |FROM r ORDER BY column_name""".stripMargin
+  ) { (s, d) =>
+    val one = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(value, 0.005D)") * 100).cast("long").as("v_lo"),
+      round(expr("percentile(value, 0.995D)") * 100).cast("long").as("v_hi"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).cast("long").as("v_null"),
+      min("user_id").cast("long").as("u_lo"), max("user_id").cast("long").as("u_hi"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).cast("long").as("u_null"),
+      min("event_id").cast("long").as("e_lo"), max("event_id").cast("long").as("e_hi"),
+      sum(when(col("event_id").isNull, 1L).otherwise(0L)).cast("long").as("e_null"),
+      min(expr("ts div 86400000000000")).cast("long").as("t_lo"),
+      max(expr("ts div 86400000000000")).cast("long").as("t_hi"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).cast("long").as("t_null"))
+    def row(name: String, lo: String, hi: String, nn: String) =
+      struct(lit(name).as("column_name"), col(lo).as("lo"), col(hi).as("hi"),
+        col(nn).as("nn"))
+    one.select(col("n"), explode(array(
+        row("value_cents", "v_lo", "v_hi", "v_null"),
+        row("user_id", "u_lo", "u_hi", "u_null"),
+        row("event_id", "e_lo", "e_hi", "e_null"),
+        row("ts_day", "t_lo", "t_hi", "t_null"))).as("r"))
+      .select(col("r.column_name").as("column_name"),
+        col("r.lo").as("suggested_lo"), col("r.hi").as("suggested_hi"),
+        expr("(r.nn * 10000) div n").as("null_bp"),
+        col("n").as("n_profiled"))
+      .orderBy("column_name")
+  }
+
+  /** Incremental view maintenance — the CHANGE SET a materialized
+    * per-user spend aggregate needs when one new day of events lands:
+    * 'update' rows carry old and new totals for users the delta day
+    * touched, 'insert' rows are first-seen users (old total NULL). This
+    * is the Delta-Live-Tables/Materialize contract the reference's
+    * skip-existing + fix cycle approximates at file grain
+    * (src/command/fix.rs:39-69) — emit only what changed, never
+    * recompute the view. The delta day is the LAST populated day (a
+    * 1-row broadcast anchor).
+    *
+    * Scale shape: the base aggregates only delta-touched users (semi
+    * join on the delta's key set BEFORE the base aggregation — the
+    * base view is read key-pruned, which at 100 TB is the difference
+    * between touching one bucket and recomputing the world); one
+    * key-grained outer join of two delta-key-sized tables emits the
+    * change set.
+    */
+  val pipelineIvmDelta: Op = Op.sql(
+    "pipeline-ivm-delta",
+    """WITH g AS (SELECT max(epoch_ns(ts) // 86400000000000) AS dday FROM events),
+      |delta AS (SELECT user_id,
+      |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS d_cents,
+      |                 count(*) AS d_events
+      |          FROM events WHERE epoch_ns(ts) // 86400000000000 = (SELECT dday FROM g)
+      |          GROUP BY user_id),
+      |base AS (SELECT user_id,
+      |                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS b_cents,
+      |                count(*) AS b_events
+      |         FROM events
+      |         WHERE epoch_ns(ts) // 86400000000000 < (SELECT dday FROM g)
+      |           AND user_id IN (SELECT user_id FROM delta)
+      |         GROUP BY user_id)
+      |SELECT d.user_id AS user_id,
+      |       CASE WHEN b.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+      |       b.b_cents AS old_cents,
+      |       CAST(coalesce(b.b_cents, 0) + d.d_cents AS BIGINT) AS new_cents,
+      |       CAST(coalesce(b.b_events, 0) + d.d_events AS BIGINT) AS new_events
+      |FROM delta d LEFT JOIN base b ON d.user_id = b.user_id
+      |ORDER BY d.user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val g = ev.agg(max("day").as("dday"))
+    val evd = ev.crossJoin(broadcast(g))
+    val delta = evd.filter(col("day") === col("dday"))
+      .groupBy("user_id")
+      .agg(sum("cents").cast("long").as("d_cents"), count(lit(1)).as("d_events"))
+    val base = evd.filter(col("day") < col("dday"))
+      .join(broadcast(delta.select(col("user_id"))), Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(sum("cents").cast("long").as("b_cents"), count(lit(1)).as("b_events"))
+      .withColumnRenamed("user_id", "b_user")
+    delta.join(base, col("user_id") === col("b_user"), "left")
+      .select(col("user_id"),
+        when(col("b_user").isNull, lit("insert")).otherwise(lit("update")).as("op"),
+        col("b_cents").as("old_cents"),
+        (coalesce(col("b_cents"), lit(0L)) + col("d_cents")).cast("long").as("new_cents"),
+        (coalesce(col("b_events"), lit(0L)) + col("d_events")).cast("long").as("new_events"))
+      .orderBy("user_id")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
     pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine,
-    pipelineAbAssign, pipelineDqSuite)
+    pipelineAbAssign, pipelineDqSuite, pipelineDqSuggest, pipelineIvmDelta)
 }
