@@ -1889,6 +1889,61 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The sampler's final per-document weight — the capstone the weight
+    * tier feeds: dedup weight (1/n_copies, dedup-weights' soft-dedup
+    * factor) × source mix weight (text-mix-weights' equal-share
+    * negotiation) with a hard drop for sub-8-token fragments, all in
+    * exact integer micro-units (final = wd·ws div 10⁶). This one column
+    * is what a training dataloader actually consumes: expected epochs
+    * per document under the negotiated mix with duplication bias
+    * neutralized. Emitting it as a table (not folding it into the
+    * sampler) is deliberate — the weight is auditable, diffable between
+    * corpus versions, and joinable against quality tiers.
+    *
+    * Scale shape: one md5-groupBy (distinct-text-sized, AQE-splittable
+    * hot groups), a broadcast source-weight table (catalog-sized), and
+    * per-row integer arithmetic — no new shuffle beyond dedup-weights'
+    * own.
+    */
+  val textSampleWeights: Op = Op.sql(
+    "text-sample-weights",
+    """WITH g AS (SELECT md5(text) AS h, count(*) AS n_copies
+      |           FROM documents GROUP BY 1),
+      |s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources
+      |      FROM s),
+      |w AS (SELECT source,
+      |             least(1000000, CAST(round(total * 1000000.0 /
+      |                                       (n_sources * n_docs)) AS BIGINT))
+      |               AS ws_e6
+      |      FROM s, t)
+      |SELECT d.doc_id, g.n_copies, w.ws_e6,
+      |       CAST(round(1000000.0 / g.n_copies) AS BIGINT) AS wd_e6,
+      |       CASE WHEN len(string_split(d.text, ' ')) < 8 THEN 0
+      |            ELSE (CAST(round(1000000.0 / g.n_copies) AS BIGINT) * w.ws_e6)
+      |                 // 1000000 END AS final_e6
+      |FROM documents d JOIN g ON md5(d.text) = g.h JOIN w ON d.source = w.source
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"))
+    val g = docs.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySrc.agg(sum("n_docs").as("total"), count(lit(1)).as("n_sources"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), least(lit(1000000L),
+        round(col("total") * lit(1000000.0) / (col("n_sources") * col("n_docs")))
+          .cast("long")).as("ws_e6"))
+    docs.join(g, "h").join(broadcast(w), "source")
+      .withColumn("wd_e6", round(lit(1000000.0) / col("n_copies")).cast("long"))
+      .select(col("doc_id"), col("n_copies"), col("ws_e6"), col("wd_e6"),
+        when(col("ntok") < 8, lit(0L))
+          .otherwise(expr("(wd_e6 * ws_e6) div 1000000")).as("final_e6"))
+      .orderBy("doc_id")
+  }
+
   val ops: Seq[Op] = Seq(textCodeDetect, textTokens, textQuality, textLangId, textFingerprint,
     textNormalize, textPackSequences, textSampleStratified, textContamination,
     textPiiScrub, textTokenHistogram, textCorpusStats, textUnigramLogprob,
@@ -1901,7 +1956,7 @@ object TextOps {
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
-    textRankFreqCurve, textEpochPlan)
+    textRankFreqCurve, textEpochPlan, textSampleWeights)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
