@@ -233,6 +233,59 @@ class OpsR16Spec extends SparkSpec {
       "overlaps", "overlapped_by")))
   }
 
+  test("pipeline-dq-suggest: bands contain the data they would re-admit") {
+    val r = PipelineOps.pipelineDqSuggest.build(spark, sf()).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.size == 4)
+    val ev = graft.Tables.events(spark, sf())
+    val n = ev.count()
+    // id/day bands are exact min/max — zero rows escape them
+    val (uLo, uHi, _) = r("user_id")
+    assert(ev.filter(col("user_id") < uLo || col("user_id") > uHi).count() == 0)
+    val (dLo, dHi, _) = r("ts_day")
+    assert(ev.filter(expr(s"ts div 86400000000000 < $dLo or ts div 86400000000000 > $dHi")).count() == 0)
+    // the quantile band excludes at most ~1% of rows (0.5% per tail)
+    val (vLo, vHi, _) = r("value_cents")
+    val outside = ev.filter(expr(s"round(value * 100) < $vLo or round(value * 100) > $vHi")).count()
+    assert(outside <= n / 50, s"$outside of $n outside the 99% band")
+    r.values.foreach { case (_, _, nullBp) => assert(nullBp == 0) }
+  }
+
+  test("pipeline-ivm-delta: applying the change set reproduces the full view") {
+    val r = PipelineOps.pipelineIvmDelta.build(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)), x.getLong(3), x.getLong(4)))
+    // full recompute of the view for delta-touched users
+    val full = graft.Tables.events(spark, sf())
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+        count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.nonEmpty)
+    r.foreach { case (uid, op, old, newCents, newEvents) =>
+      assert(full(uid) == ((newCents, newEvents)),
+        s"user $uid change set diverges from the recomputed view")
+      assert((op == "insert") == old.isEmpty)
+    }
+  }
+
+  test("text-sample-weights: factors multiply exactly and dropped docs weigh zero") {
+    val r = TextOps.textSampleWeights.build(spark, sf()).collect()
+    val nDocs = graft.Tables.documents(spark, sf()).count()
+    assert(r.length == nDocs)
+    val short = graft.Tables.documents(spark, sf())
+      .filter(size(split(col("text"), " ")) < 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    r.foreach { x =>
+      val (id, nc, ws, wd, fin) =
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(wd == math.round(1e6 / nc))
+      if (short(id)) assert(fin == 0)
+      else assert(fin == wd * ws / 1000000)
+      assert(fin <= 1000000, "a single doc never exceeds one expected epoch")
+    }
+  }
+
   test("dedup-pagerank-rep equals a from-scratch integer pagerank") {
     val pairs = DedupOps.persistedJaccardPairs(spark, sf())
       .select("d1", "d2").collect().map(x => (x.getLong(0), x.getLong(1)))
