@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
   * sketch) over a token array, row-local and fully native: the portable
-  * polynomial hash (fold (h·31 + char) mod 1000003 — the same fold
+  * polynomial hash (fold (h·31 + char) mod (2³¹−1) — the same fold family
   * [[graft.text.TextAnalysis.polyHash]] encodes columnar-ly, here over
   * each space-joined `k`-token gram) replaces the md5 the op used
   * through round 6, and the window-minimum selection plus the
@@ -27,12 +27,17 @@ import org.apache.spark.sql.types._
   * `ascii(substr(g, i, 1))` codepoint fold for all single-byte text —
   * identical on the ASCII fixture (same contract as [[CdcKernel]]).
   *
-  * Guarantee preserved from the md5 spelling: every window of `w`
-  * consecutive gram hashes contributes its minimum, so any match of
+  * Forward guarantee preserved from the md5 spelling: every window of
+  * `w` consecutive gram hashes contributes its minimum, so any match of
   * ≥ k+w−1 consecutive tokens between two documents shares a
-  * fingerprint, while the sketch stays ~1/w of the gram stream.
-  * (Training-pipeline extension op; the reference archives blocks, not
-  * documents.)
+  * fingerprint, while the sketch stays ~1/w of the gram stream. The
+  * CONVERSE weakens with the hash width: fingerprints live in a
+  * 2³¹−1 space (vs md5's 2¹²⁸), so a shared fingerprint is evidence,
+  * not proof, of shared text — per-pair false-positive odds are
+  * ~|sketch_a|·|sketch_b|/2³¹ (≈3e-5 for 250-fp docs); a match-verify
+  * step (as MOSS itself does) or two independent folds restores
+  * certainty where it matters. (Training-pipeline extension op; the
+  * reference archives blocks, not documents.)
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -71,7 +76,7 @@ object WinnowFingerprints {
 
 /** Static kernel (janino-resolvable, like [[CdcKernel]]). */
 object WinnowKernel {
-  private val M = 1000003L
+  private val M = 2147483647L
 
   /** Gram hashes → window minima → first-window-per-fp, one pass.
     * Fewer than k tokens → no grams → empty sketch; fewer than w grams

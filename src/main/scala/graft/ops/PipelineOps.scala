@@ -755,8 +755,11 @@ object PipelineOps {
     val delta = evd.filter(col("day") === col("dday"))
       .groupBy("user_id")
       .agg(sum("cents").cast("long").as("d_cents"), count(lit(1)).as("d_events"))
+    // no broadcast hint on the delta key set: one day's touched users are
+    // unbounded at 100 TB — a hash semi-join keys the base prune and AQE
+    // broadcasts at fixture scale on its own
     val base = evd.filter(col("day") < col("dday"))
-      .join(broadcast(delta.select(col("user_id"))), Seq("user_id"), "left_semi")
+      .join(delta.select(col("user_id")), Seq("user_id"), "left_semi")
       .groupBy("user_id")
       .agg(sum("cents").cast("long").as("b_cents"), count(lit(1)).as("b_events"))
       .withColumnRenamed("user_id", "b_user")

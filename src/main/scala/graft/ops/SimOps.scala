@@ -1241,6 +1241,9 @@ object SimOps {
           .select("q_id", "n_id", "sim"),
         Seq("q_id"), Seq(col("sim").desc, col("n_id").asc), 3)
       .select("q_id", "n_id")
+      // three consumers (both self-join sides + the totals fold) — persist
+      // the 3N-row edge list so the LSH bucket join runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rev = knn.select(col("q_id").as("b_q"), col("n_id").as("b_n"))
     val mutual = knn
       .join(rev, col("q_id") === col("b_n") && col("n_id") === col("b_q"))

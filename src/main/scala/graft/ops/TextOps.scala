@@ -548,7 +548,7 @@ object TextOps {
     * first-window-per-fp dedup are one native codegen kernel call per
     * row ([[graft.functions.WinnowFingerprints]]); only the final
     * explode leaves the row, and it explodes the ~n/w sketch, not the
-    * gram stream. The gram hash is the (h·31 + char) mod 1000003 fold
+    * gram stream. The gram hash is the (h·31 + char) mod (2³¹−1) fold
     * (TextAnalysis.polyHash's family) — exact and engine-portable via
     * DuckDB's list_reduce over the ascii list, and several-fold cheaper
     * than the per-gram md5 it replaced (round-6's largest pure-CPU
@@ -565,7 +565,7 @@ object TextOps {
       |        list_reduce(list_prepend(0::BIGINT,
       |          [ascii(substr(gram, c, 1))::BIGINT
       |           FOR c IN generate_series(1, length(gram))]),
-      |          (a, b) -> (a * 31 + b) % 1000003) AS gh
+      |          (a, b) -> (a * 31 + b) % 2147483647) AS gh
       |      FROM g),
       |gl AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
       |w AS (SELECT doc_id, CAST(i AS BIGINT) AS win_pos, list_min(gs[i:i+3]) AS fp
@@ -1433,6 +1433,23 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** row_number over (c desc, w) on a CAPPED head, without a window: the
+    * top-`cap` rows (TakeOrderedAndProject — the vocabulary is never
+    * globally sorted) fold into ONE sorted array (struct sorts by -c
+    * then w = the rank order) and posexplode back out; the 1-indexed
+    * position IS the rank. Shared by text-vocab-coverage and
+    * text-rank-freq-curve — the subtle negated-count struct sort lives
+    * in exactly one place. Output columns: rk, w, c.
+    */
+  private def rankedHead(cnt: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame =
+    cnt.orderBy(col("c").desc, col("w")).limit(cap)
+      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
+        col("w").as("w"), col("c").as("c")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("x.w").as("w"), col("x.c").as("c"))
+
   /** Vocabulary-coverage curve: for each candidate vocabulary size K, the
     * fraction of all corpus token OCCURRENCES covered by the top-K types
     * — the table read before fixing a tokenizer's vocab size or an OOV
@@ -1464,14 +1481,7 @@ object TextOps {
     val cnt = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    // rank without a window: fold the capped head into ONE sorted array
-    // (struct sorts by -c then w = the rank order) and posexplode — the
-    // 1-indexed position IS row_number over (c desc, w)
-    val head = cnt.orderBy(col("c").desc, col("w")).limit(ks.max)
-      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
-        col("w").as("w"), col("c").as("c")))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).cast("long").as("rk"), col("x.c").as("c"))
+    val head = rankedHead(cnt, ks.max).select("rk", "c")
     val tot = cnt.agg(sum("c").as("total"))
     head
       .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"),
@@ -1826,15 +1836,8 @@ object TextOps {
     val cnt = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    // rank without a window: the capped head folds into ONE sorted array
-    // (struct sorts by -c then w = the rank order) and posexplode — the
-    // 1-indexed position IS row_number over (c desc, w)
-    val head = cnt.orderBy(col("c").desc, col("w")).limit(1024)
-      .agg(array_sort(collect_list(struct((-col("c")).as("nc"),
-        col("w").as("w"), col("c").as("c")))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).cast("long").as("rank"),
-        col("x.w").as("token"), col("x.c").as("freq"))
+    val head = rankedHead(cnt, 1024)
+      .select(col("rk").as("rank"), col("w").as("token"), col("c").as("freq"))
       .filter(col("rank").isin(ranksWanted: _*))
     val tot = cnt.agg(sum("c").as("total"))
     head.crossJoin(broadcast(tot))

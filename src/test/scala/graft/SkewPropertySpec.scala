@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * one shingle in 50% of documents, one user with 30% of events, one
   * order with 30% of lineitems — and must (a) stay correct and (b) stay
   * within 2× of its uniform-fixture wall time (minimum of 3 passes, plus
-  * a small absolute slack for scheduler jitter on the shared box). A
+  * an absolute slack for scheduler jitter on the shared box). A
   * spelling that funnels the hot key through one task shows up here as a
   * multiple, not a few hundred milliseconds.
   */
 class SkewPropertySpec extends SparkSpec {
 
-  private val SlackSec = 0.75
+  // absolute slack absorbs shared-box contention bursts (the external
+  // tenant): at this fixture scale op times are ~0.5-3s, so 2s of slack
+  // still rejects a genuine hot-key funnel (>= 10x) while keeping the
+  // gate deterministic under load
+  private val SlackSec = 2.0
 
   private def bestOf3(body: => Unit): Double = {
     (1 to 3).map { _ =>

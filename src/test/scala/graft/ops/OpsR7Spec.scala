@@ -11,12 +11,12 @@ import graft.SparkSpec
 class OpsR7Spec extends SparkSpec {
 
   /** The portable gram hash the op uses since round 7: fold
-    * (h·31 + char) mod 1000003 over the space-joined gram's UTF-16 code
+    * (h·31 + char) mod (2³¹−1) over the space-joined gram's UTF-16 code
     * units (the same family as TextAnalysis.polyHash).
     */
   private def polyHash(s: String): Long = {
     var h = 0L; var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % 1000003L; i += 1 }
+    while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % 2147483647L; i += 1 }
     h
   }
 
@@ -56,7 +56,7 @@ class OpsR7Spec extends SparkSpec {
     sample.foreach { case (_, rows) =>
       rows.foreach { r =>
         assert(r.getLong(1) >= 1)
-        assert(r.getLong(2) >= 0L && r.getLong(2) < 1000003L)
+        assert(r.getLong(2) >= 0L && r.getLong(2) < 2147483647L)
       }
     }
     assert(sample.nonEmpty)
