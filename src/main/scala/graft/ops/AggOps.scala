@@ -1665,7 +1665,13 @@ object AggOps {
     * sketch a join planner consults before choosing salted vs plain —
     * and the per-estimator err_bp table shows the variance a single
     * sketch row carries (why production AMS takes a median of means).
-    * All-integer: z and z² are exact on both engines.
+    * All-integer: z and z² are exact on both engines — WITHIN the
+    * int64 envelope: |z| ≤ total event count, so z² overflows int64
+    * once the corpus passes ~3×10⁹ events (Spark wraps silently,
+    * DuckDB errors). At that scale run the estimators over a keyed
+    * sample (scale cnt by the sampling rate) or per shard with
+    * median-of-means across shards; the sf-range fixture never gets
+    * within 10⁴× of the bound. See PLANS.md.
     *
     * Scale shape: one map-side-combined groupBy to user grain; the 8×
     * estimator explode runs over user-grain rows only; the exact F₂ is a

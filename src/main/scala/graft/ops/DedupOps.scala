@@ -1099,10 +1099,14 @@ object DedupOps {
     * boilerplate-head groups above the df cap are excluded — the same
     * bounded-fan-out contract as shingleSets.
     *
-    * Scale shape: one equi-join on the 8-byte xxhash64 head key (a hash
-    * collision cannot create a false pair — startswith re-checks the
-    * actual text), group fan-out df-bounded at 50; the residual
-    * predicate is per-pair.
+    * Scale shape: the df cap counts the EXACT head string (a 64-bit
+    * hash collision at the prune seam could merge two head groups and
+    * over-prune, and unlike candidate generation the startswith
+    * residual cannot repair prune-side loss — so the prune key is the
+    * string itself, ≤8 tokens, bounded bytes); the candidate join then
+    * runs on the 8-byte xxhash64 of that head (a collision there only
+    * adds a candidate the startswith re-check discards). Group fan-out
+    * df-bounded at 50; the residual predicate is per-pair.
     */
   val dedupPrefixArtifacts: Op = Op.sql(
     "dedup-prefix-artifacts",
@@ -1125,10 +1129,11 @@ object DedupOps {
         graft.text.TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
       .select(col("doc_id"), col("text"), size(col("ws")).cast("long").as("n"),
-        xxhash64(concat_ws(" ", slice(col("ws"), 1, 8))).as("hk"))
-    val ok = h.groupBy("hk").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 50).select("hk")
-    val pruned = h.join(ok, "hk")
+        concat_ws(" ", slice(col("ws"), 1, 8)).as("head"))
+      .withColumn("hk", xxhash64(col("head")))
+    val ok = h.groupBy("head").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 50).select("head")
+    val pruned = h.join(ok, "head").drop("head")
     val a = pruned.select(col("hk"), col("doc_id").as("short_id"),
       col("text").as("a_text"), col("n").as("short_tokens"))
     val b = pruned.select(col("hk"), col("doc_id").as("long_id"),
@@ -1320,7 +1325,12 @@ object DedupOps {
     *
     * Scale shape: identical to dedup-minhash-accuracy (signatures only
     * for pair-member docs; pair-table-sized joins); the sweep adds two
-    * conditional sums, not two passes.
+    * conditional sums, not two passes. Bench attribution: the round-7
+    * retirement of the corpus-wide md5 fill moved the 32-permutation
+    * signature build onto this op's own clock (0.97 s → ~3.3 s at
+    * sf0.1) — cost relocation, not regression; the family total fell
+    * 34.8 s → 5.0 s. If a second consumer of k=32 signatures appears,
+    * fold the build into persistedMd5Base.
     */
   lazy val dedupMinhashKSweep: Op = Op.sql(
     "dedup-minhash-k-sweep",
