@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.text.TextAnalysis
@@ -1115,6 +1116,21 @@ object TextOps {
       |       min(mean_u) AS lo_u, max(mean_u) AS hi_u
       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
   ) { (s, d) =>
+    unigramDecileBuckets(s, d)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("mean_u").as("lo_u"), max("mean_u").as("hi_u"))
+      .orderBy("bucket")
+  }
+
+  /** Per-document unigram-logprob decile bucket (doc_id, mean_u, bucket)
+    * — the scoring+bucketing subtree of text-quality-deciles, extracted
+    * so text-classifier-score can calibrate against the SAME buckets
+    * (round 8). Expressions are bit-identical to the round-6 inline
+    * spelling; the decile-boundary cross-engine argument lives on
+    * [[textQualityDeciles]].
+    */
+  private[graft] def unigramDecileBuckets(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1129,11 +1145,8 @@ object TextOps {
       expr("percentile(mean_u, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
         .as("bnds"))
     scores.crossJoin(broadcast(bnds))
-      .select(col("mean_u"),
+      .select(col("doc_id"), col("mean_u"),
         size(filter(col("bnds"), x => x <= col("mean_u"))).cast("long").as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), min("mean_u").as("lo_u"), max("mean_u").as("hi_u"))
-      .orderBy("bucket")
   }
 
   /** Language-ID classifier evaluation: the confusion table of the truth
@@ -1959,7 +1972,8 @@ object TextOps {
     textReadability, textTokenizerFertility, textTrainSplit, textCtxFit,
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
-    textRankFreqCurve, textEpochPlan, textSampleWeights)
+    textRankFreqCurve, textEpochPlan, textSampleWeights,
+    textBpeTrain, textClassifierScore, textMixSchedule)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2176,5 +2190,239 @@ object TextOps {
         countDistinct("w").as("n_types"))
       .withColumn("ttr_bp", expr("(n_types * 10000) div n_tokens"))
       .orderBy("source")
+  }
+
+  /** Iterative BPE tokenizer TRAINING (Sennrich et al. 2016), three
+    * unrolled merge rounds — the canonical tokenizer-training dataflow
+    * (text-bpe-pairs is one pair-count step; this LEARNS merges): words
+    * become spaced symbol sequences, each round counts adjacent symbol
+    * pairs weighted by word frequency, adopts the argmax pair
+    * (count desc, pair asc — a total order, so ties cannot diverge) and
+    * applies it as a greedy left-to-right non-overlapping merge. The
+    * merge application is a plain string `replace` on the
+    * space-separated sequence with sentinel boundary spaces — replace's
+    * left-to-right non-overlap semantics IS the BPE merge rule, and is
+    * identical on both engines (no regex, no loops).
+    *
+    * Scale shape: rounds run at the VOCAB grain (word-type table with
+    * map-side-combined frequencies — never the token stream), persisted
+    * once; each round is one pair explode over vocab rows + a top-1
+    * TakeOrdered (1-row result). Merge winners are collected driver-side
+    * (1 row/round — the k-means model-state pattern: config-sized state
+    * drives the next distributed round). Three fixed rounds, integer
+    * counts throughout.
+    */
+  lazy val textBpeTrain: Op = {
+    val ROUNDS = 3
+    Op.sql(
+      "text-bpe-train",
+      """WITH v AS (SELECT w, count(*) AS freq
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |           GROUP BY w),
+        |s1 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, freq FROM v),
+        |e1 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s1)
+        |       WHERE len(syms) >= 2),
+        |c1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+        |              CAST(sum(freq) AS BIGINT) AS cnt FROM e1 GROUP BY pair),
+        |w1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT replace(seq, ' ' || pair || ' ',
+        |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+        |       FROM s1, w1),
+        |e2 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s2)
+        |       WHERE len(syms) >= 2),
+        |c2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+        |              CAST(sum(freq) AS BIGINT) AS cnt FROM e2 GROUP BY pair),
+        |w2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (SELECT replace(seq, ' ' || pair || ' ',
+        |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+        |       FROM s2, w2),
+        |e3 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s3)
+        |       WHERE len(syms) >= 2),
+        |c3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+        |              CAST(sum(freq) AS BIGINT) AS cnt FROM e3 GROUP BY pair),
+        |w3 AS (SELECT pair, cnt FROM c3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, pair AS merge_pair, cnt FROM w1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM w2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM w3)
+        |ORDER BY round""".stripMargin
+    ) { (s, d) =>
+      val seqs0 = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+          col("freq"))
+        .persist()
+      def pairsOf(seqs: DataFrame): DataFrame = seqs
+        .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
+      def applyMerge(seqs: DataFrame, pair: String): DataFrame = seqs
+        .withColumn("pat", lit(" " + pair + " "))
+        .withColumn("rep", lit(" " + pair.replace(" ", "") + " "))
+        .select(expr("replace(seq, pat, rep)").as("seq"), col("freq"))
+      // learn the merges: collect 1 winner row per round (driver-held
+      // model state, the k-means pattern), feed it into the next round
+      var merges = List.empty[String]
+      var r = 0
+      while (r < ROUNDS && merges.length == r) {
+        val cur = merges.reverse.foldLeft(seqs0)(applyMerge)
+        val top = pairsOf(cur).orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()
+        if (top.nonEmpty) merges = top(0).getString(0) :: merges
+        r += 1
+      }
+      // emit: re-derive each adopted round's top-1 distributedly off the
+      // persisted vocab (3 tiny branches; no shared aggregated subtree
+      // re-executes — seqs0 is cached)
+      val ordered = merges.reverse
+      val branches = ordered.zipWithIndex.map { case (_, idx) =>
+        pairsOf(ordered.take(idx).foldLeft(seqs0)(applyMerge))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select(lit((idx + 1).toLong).as("round"),
+            col("pair").as("merge_pair"), col("cnt"))
+      }
+      branches.reduce(_.union(_)).orderBy("round")
+    }
+  }
+
+  /** fastText-style linear quality-classifier INFERENCE + calibration
+    * (Joulin et al. 2016): each document's hashing-trick bag-of-words
+    * (the text-hash-embedding 16-bucket space) dots a plan-time literal
+    * weight vector, and the margin z maps through the fast sigmoid
+    * z/(2(1+|z|)) + 1/2 (Elliott activation — only +,*,/,abs, so the
+    * double is BIT-IDENTICAL cross-engine where exp()-based logistic
+    * would drift with libm) to a micro-unit score. Scores calibrate
+    * against the unigram-logprob quality deciles: per decile, document
+    * count, positive count (z > 0) and mean score — the table that
+    * validates a cheap classifier against the corpus's intrinsic
+    * quality signal before it gates a 100 TB mix.
+    *
+    * Scale shape: scoring is ZERO-shuffle — the token→weight transform
+    * and the dot-sum fold run inside the document's own row (the hash
+    * IS the dictionary, the weights are plan literals; a real model
+    * broadcasts) — pinned in PlanAuditSpec. Calibration reuses the
+    * decile subtree (broadcast LM + 1-row percentile broadcast) and one
+    * bucket-grain groupBy.
+    */
+  lazy val textClassifierScore: Op = {
+    val wts = Seq(3L, -2L, 1L, 0L, 2L, -1L, -3L, 2L, 1L, -2L, 0L, 1L,
+      -1L, 2L, -2L, 3L)
+    val wtsSql = wts.mkString("[", ", ", "]")
+    Op.sql(
+      "text-classifier-score",
+      s"""WITH wt AS (SELECT $wtsSql AS v),
+         |z AS (SELECT doc_id,
+         |        CAST(list_sum(list_transform(string_split(text, ' '),
+         |          w -> v[CAST(CAST(concat('0x', substr(md5(w), 1, 4)) AS UBIGINT)
+         |                      % 16 AS INT) + 1])) AS BIGINT) - 1 AS z
+         |      FROM documents, wt),
+         |sc AS (SELECT doc_id, z,
+         |         CAST(round((z / (2.0 * (1 + abs(z))) + 0.5) * 1000000) AS BIGINT)
+         |           AS score_micro
+         |       FROM z),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |t AS (SELECT count(*) AS tot FROM toks),
+         |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+         |       FROM v, t),
+         |mu AS (SELECT doc_id,
+         |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
+         |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
+         |b AS (SELECT quantile_cont(mean_u,
+         |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+         |      FROM mu),
+         |bk AS (SELECT doc_id,
+         |              len(list_filter(bnds, x -> x <= mean_u)) AS bucket
+         |       FROM mu, b)
+         |SELECT CAST(bk.bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       CAST(round(sum(sc.score_micro) * 1.0 / count(*)) AS BIGINT)
+         |         AS mean_score_micro
+         |FROM sc JOIN bk ON sc.doc_id = bk.doc_id
+         |GROUP BY bk.bucket ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      classifierScores(s, d)
+        .join(unigramDecileBuckets(s, d).select("doc_id", "bucket"), Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
+          round(sum("score_micro") * lit(1.0) / count(lit(1))).cast("long")
+            .as("mean_score_micro"))
+        .orderBy("bucket")
+    }
+  }
+
+  /** Zero-shuffle scoring subtree of [[textClassifierScore]]: doc_id,
+    * margin z, fast-sigmoid micro-score. Exposed for the PlanAuditSpec
+    * no-exchange pin.
+    */
+  private[graft] def classifierScores(s: SparkSession, d: String): DataFrame = {
+    val wts = array(Seq(3L, -2L, 1L, 0L, 2L, -1L, -3L, 2L, 1L, -2L, 0L, 1L,
+      -1L, 2L, -2L, 3L).map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (aggregate(
+          transform(TextAnalysis.tokens(col("text")), w =>
+            element_at(wts,
+              ((conv(substring(md5(w), 1, 4), 16, 10).cast("long") % 16) + 1)
+                .cast("int"))),
+          lit(0L), (a, x) => a + x) - 1L).as("z"))
+      .select(col("doc_id"), col("z"),
+        round((col("z").cast("double") /
+          (lit(2.0) * (lit(1L) + abs(col("z")))) + lit(0.5)) * 1000000)
+          .cast("long").as("score_micro"))
+  }
+
+  /** Curriculum mix SCHEDULE: per-training-step interpolation between
+    * the natural (document-proportional) source mix at step 0 and the
+    * τ=0.5 temperature-flattened mix (the text-mix-temperature shape)
+    * at the final step — the warmup→final weight ramp a curriculum
+    * trainer feeds its sampler, step-grain companion to
+    * text-sample-weights. Weights are exact integer micro-units; the
+    * interpolation (raw·(S−step) + temp·step) div S is all-non-negative
+    * integer arithmetic, so Spark's truncating div and DuckDB's
+    * flooring // agree.
+    *
+    * Scale shape: one source-grain map-side-combined aggregate, one
+    * 1-row broadcast total, then a 9-step explode over source-grain
+    * rows. Corpus pass count: one.
+    */
+  lazy val textMixSchedule: Op = Op.sql(
+    "text-mix-schedule",
+    """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |r AS (SELECT source, n_docs,
+      |             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS r_e6 FROM per),
+      |tot AS (SELECT CAST(sum(r_e6) AS BIGINT) AS tot,
+      |               CAST(sum(n_docs) AS BIGINT) AS nt FROM r),
+      |m AS (SELECT source,
+      |             CAST(round(n_docs * 1000000.0 / nt) AS BIGINT) AS raw_e6,
+      |             CAST(round(r_e6 * 1000000.0 / tot) AS BIGINT) AS temp_e6
+      |      FROM r, tot),
+      |st AS (SELECT unnest(generate_series(0, 8)) AS step)
+      |SELECT CAST(step AS BIGINT) AS step, source,
+      |       CAST((raw_e6 * (8 - step) + temp_e6 * step) // 8 AS BIGINT) AS w_micro
+      |FROM m, st ORDER BY step, source""".stripMargin
+  ) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("r_e6", round(sqrt(col("n_docs")) * 1000000).cast("long"))
+    val tot = per.agg(sum("r_e6").as("tot"), sum("n_docs").as("nt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        round(col("n_docs") * lit(1000000.0) / col("nt")).cast("long").as("raw_e6"),
+        round(col("r_e6") * lit(1000000.0) / col("tot")).cast("long").as("temp_e6"))
+      .select(col("source"), col("raw_e6"), col("temp_e6"),
+        explode(sequence(lit(0L), lit(8L))).as("step"))
+      .select(col("step"), col("source"),
+        expr("(raw_e6 * (8 - step) + temp_e6 * step) div 8").as("w_micro"))
+      .orderBy("step", "source")
   }
 }

@@ -793,4 +793,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("batch"), p)
     assert(p.contains("partial_sum"), p) // manifest rollup map-side combines
   }
+
+  test("text-classifier-score's scoring subtree is zero-shuffle") {
+    val p = ops.TextOps.classifierScores(spark, sf())
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Exchange"), p) // per-row fold: hash IS the dictionary
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("join-pit-scd2 probes runs on (cust, bucket), never all customer runs") {
+    val p = plan("join-pit-scd2")
+    // the fact-side exchange keys on cust AND the 32-day bucket
+    assert(p.contains("hashpartitioning(cust"), p)
+    assert(p.contains("bkt"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }
