@@ -1744,7 +1744,7 @@ object AggOps {
       |SELECT event_type,
       |       CAST(count(*) AS BIGINT) AS n_active_minutes,
       |       CAST(max(n) AS BIGINT) AS peak_per_min,
-      |       CAST(quantile_cont(n, 0.99) * 2 AS BIGINT) AS p99x2_per_min,
+      |       CAST(round(quantile_cont(n, 0.99) * 2) AS BIGINT) AS p99x2_per_min,
       |       CAST((max(n) * 10000) // CAST(quantile_cont(n, 0.5) * 2 AS BIGINT)
       |            * 2 AS BIGINT) AS peak_over_median_bp
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -1755,7 +1755,11 @@ object AggOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_active_minutes"),
         max("n").cast("long").as("peak_per_min"),
-        (expr("percentile(n, 0.99D)") * 2).cast("long").as("p99x2_per_min"),
+        // round() before the integer snap: DuckDB CAST(x AS BIGINT)
+        // ROUNDS while Spark .cast truncates — the ×2 grain is only
+        // exact for p = 0.5 interpolations, and p99's fraction can land
+        // anywhere (fuzz seed 101 caught 5.66 → 6 vs 5)
+        round(expr("percentile(n, 0.99D)") * 2).cast("long").as("p99x2_per_min"),
         (expr("percentile(n, 0.5D)") * 2).cast("long").as("med2"))
       .select(col("event_type"), col("n_active_minutes"), col("peak_per_min"),
         col("p99x2_per_min"),
@@ -1907,7 +1911,7 @@ object AggOps {
       |uw AS (SELECT week, user_id, CAST(sum(cents) AS BIGINT) AS spend
       |       FROM p GROUP BY week, user_id),
       |cut AS (SELECT week,
-      |               CAST(quantile_cont(spend, 0.9) * 2 AS BIGINT) AS p90x2
+      |               CAST(round(quantile_cont(spend, 0.9) * 2) AS BIGINT) AS p90x2
       |        FROM uw GROUP BY week),
       |wh AS (SELECT uw.week, uw.user_id FROM uw JOIN cut ON cut.week = uw.week
       |       WHERE uw.spend * 2 >= cut.p90x2),
@@ -1931,7 +1935,10 @@ object AggOps {
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("week", "user_id").agg(sum("cents").cast("long").as("spend"))
     val cut = uw.groupBy("week")
-      .agg((expr("percentile(spend, 0.9D)") * 2).cast("long").as("p90x2"))
+      // round() before the snap (the agg-peak-rate CAST-vs-trunc fix):
+      // p90's interpolation fraction is arbitrary, and the threshold
+      // feeds whale membership
+      .agg(round(expr("percentile(spend, 0.9D)") * 2).cast("long").as("p90x2"))
     val wh = uw.join(broadcast(cut), Seq("week"))
       .filter(col("spend") * 2 >= col("p90x2"))
       .select("week", "user_id")
@@ -2276,8 +2283,9 @@ object AggOps {
       |             CAST(sum(x * x) AS BIGINT) AS s2
       |      FROM d GROUP BY event_type)
       |SELECT event_type, n, s AS n_events,
-      |       CAST(((n * s2 - s * s) * 1000000) // (s * (n - 1)) AS BIGINT)
-      |         AS fano_micro
+      |       CAST(CASE WHEN n > 1
+      |                 THEN ((n * s2 - s * s) * 1000000) // (s * (n - 1))
+      |                 ELSE NULL END AS BIGINT) AS fano_micro
       |FROM m ORDER BY event_type""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
@@ -2288,7 +2296,12 @@ object AggOps {
         sum("x").cast("long").as("s"),
         sum(col("x") * col("x")).cast("long").as("s2"))
       .select(col("event_type"), col("n"), col("s").as("n_events"),
-        expr("((n * s2 - s * s) * 1000000) div (s * (n - 1))").as("fano_micro"))
+        // single-day corpora: n = 1 makes the sample variance undefined;
+        // NULL on both engines (fuzz seed 101; DuckDB // 0 is NULL,
+        // Spark ANSI div throws) — CASE WHEN evaluates lazily in codegen
+        expr("""case when n > 1
+               |     then ((n * s2 - s * s) * 1000000) div (s * (n - 1))
+               |     else null end""".stripMargin).as("fano_micro"))
       .orderBy("event_type")
   }
 

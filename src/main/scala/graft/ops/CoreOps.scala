@@ -18,17 +18,23 @@ object CoreOps {
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) { (s, d) =>
+    // revenue snaps each row to integer cents BEFORE summing (order-free;
+    // a raw double sum diverges by a ULP across engines when the 2dp
+    // round lands on a boundary — fuzz seed 404). sum_qty stays a plain
+    // double sum: quantities are integral, so the sum is exact.
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).cast("long") / lit(100.0)).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
   }

@@ -183,7 +183,9 @@ object WindowOps {
   }
 
   /** Gap-based sessionization (scale extension): user activity split into
-    * sessions at ≥30-minute silences — the canonical event-stream
+    * sessions at >30-minute silences (session_window's boundary is
+    * CLOSED: two events exactly gap apart still merge — fuzz-probed,
+    * and the oracle's lag test is strict `>` to match) — the canonical
     * sessionize, done with Spark's NATIVE `session_window` aggregation in
     * batch (the same operator Structured Streaming uses for stateful
     * sessions, so this plan lifts to the streaming path unchanged).
@@ -199,7 +201,7 @@ object WindowOps {
     """WITH g AS (
       |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
       |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ts, cents,
       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
@@ -1227,7 +1229,7 @@ object WindowOps {
     "win-session-depth",
     """WITH g AS (
       |  SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-      |                                ORDER BY ts) >= INTERVAL 30 MINUTE
+      |                                ORDER BY ts) > INTERVAL 30 MINUTE
       |                           THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ts,

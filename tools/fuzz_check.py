@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Seeded oracle-parity fuzzing (round-8, VERDICT r7 item 6).
+
+Generates N adversarial fixtures (graft.tools.FuzzGen — negative values,
+ties at every grain, degenerate groups, all-duplicate corpora, exact .5
+edges), runs the FULL op board through graft.Verify on each, and checks
+every op against its DuckDB oracle with tools/oracle_check.py. The
+engine-divergence traps (integer div, CAST-vs-trunc, tie order, boundary
+closure) are guarded op-by-op in CLAUDE.md; this guards the ones nobody
+wrote down.
+
+Usage: python3 tools/fuzz_check.py [--seeds 101,202,303,404,505]
+                                   [--base /tmp/graft-fuzz]
+Exit 1 if any seed has any failing op. Summary written to FUZZ.md-ready
+stdout lines.
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="101,202,303,404,505")
+    ap.add_argument("--base", default="/tmp/graft-fuzz")
+    args = ap.parse_args()
+    seeds = [s.strip() for s in args.seeds.split(",")]
+
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.tools.FuzzGen {args.base} {','.join(seeds)}"],
+        cwd=REPO, timeout=900, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    print(f"[fuzz] fixtures generated for seeds {seeds}", flush=True)
+
+    any_fail = False
+    for seed in seeds:
+        fix = f"{args.base}/s{seed}"
+        out = f"{args.base}/out{seed}"
+        subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {fix} {out}"],
+            cwd=REPO, timeout=900,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
+             fix, out],
+            capture_output=True, text=True, timeout=900)
+        tail = r.stdout.strip().splitlines()
+        fails = [l for l in tail if l.startswith("FAIL")]
+        summary = next((l for l in tail if l.startswith("==")), "== ?")
+        m = re.match(r"== (\d+) ok, (\d+) fail", summary)
+        print(f"[fuzz] seed {seed}: {summary}", flush=True)
+        for f in fails:
+            print(f"[fuzz]   {f}", flush=True)
+        if not m or m.group(2) != "0":
+            any_fail = True
+    sys.exit(1 if any_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
