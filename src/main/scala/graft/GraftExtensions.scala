@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{ArrayDot, ArrayDotLong, ArrayOrderedPairs, BloomFolds,
-  CdcCuts, GradientSampleHash, RepetitionStats, SimhashFingerprint,
-  TokenEntropy, WinnowFingerprints}
+  ByteBucketHistogram, CdcCuts, GradientSampleHash, RepetitionStats,
+  SimhashFingerprint, TokenEntropy, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions for SQL use. Install with
@@ -50,6 +50,10 @@ object GraftExtensions {
       val bits = if (es.size > 1) litInt(es(1), "bits") else 20
       val remix = es.size > 2 && litInt(es(2), "remix") != 0
       SimhashFingerprint(es(0), bits, remix)
+    },
+    "byte_bucket_histogram" -> { es =>
+      val width = if (es.size > 1) litInt(es(1), "width") else 16
+      ByteBucketHistogram(es(0), width)
     },
     "gradient_sample_hash" -> { es =>
       val bits = if (es.size > 1) litInt(es(1), "bits") else 48

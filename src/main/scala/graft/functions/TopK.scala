@@ -32,7 +32,15 @@ object TopK {
       k: Int,
       salts: Int = 64): DataFrame = {
     val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    // explicit width on phase 1's exchange: its shuffle BYTES are small
+    // (row-pruned input), so AQE's size-based coalescing would fold the
+    // salts×keys partitions into one or two and serialize the window
+    // sort — the exact funnel the salt exists to prevent (scaling
+    // harness: 17 s single-task sort of 6M rows at sf1). A user-sized
+    // repartition is exempt from coalescing, and the window's
+    // partitionBy matches it so no second exchange forms.
     val phase1 = df.withColumn("_salt", salt)
+      .repartition(salts, (col("_salt") +: groupCols.map(col)): _*)
       .withColumn("_rn", row_number().over(
         Window.partitionBy((col("_salt") +: groupCols.map(col)): _*).orderBy(orderCols: _*)))
       .filter(col("_rn") <= k)

@@ -82,12 +82,19 @@ object Multimodal {
     * inside the same explode/groupBy plan.
     */
   def featureExtract(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // round-8 re-plan: the per-character explode carried the FULL payload
+    // string into every exploded row (O(len²) bytes per document — the
+    // scaling harness's worst non-fill slope) and diverged on empty
+    // payloads (Spark sequence(1, 0) descends, DuckDB generate_series is
+    // empty). The native kernel builds the whole histogram in one byte
+    // loop inside the row; only (doc, bucket, count) rows ever move.
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("t"),
-        explode(sequence(lit(1), length(col(textCol)))).as("i"))
-      .groupBy(col("doc_id"),
-        floor(ascii(col("t").substr(col("i"), lit(1))) / 16).cast("long").as("feature"))
-      .agg(count(lit(1)).as("value"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ByteBucketHistogram(col(textCol)).as("h"))
+      .select(col("doc_id"), posexplode(col("h")).as(Seq("feature", "value")))
+      .filter(col("value") > 0)
+      .select(col("doc_id"), col("feature").cast("long").as("feature"),
+        col("value"))
 
   /** Resize plan stub: aspect-preserving target dims bounded by `maxSide`
     * — metadata-only arithmetic; the pixel work happens in the decode
