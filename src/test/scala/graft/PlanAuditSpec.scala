@@ -40,17 +40,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("topk-largest-group never funnels the table through k key partitions") {
     val p = plan("topk-largest-group")
-    // Phase 1 must window over (salt, key) — an exchange keyed on the raw
-    // 3-value group column alone would be the skewed-window anti-pattern.
-    assert(p.contains("hashpartitioning(_salt"), p)
+    // round 8: the bounded top-k aggregate partial-combines to <= k rows
+    // per (group, map partition) BEFORE the exchange — keying on the raw
+    // 3-value group column is now safe because shuffle volume is bounded
+    // by configuration, not data
+    assert(p.contains("partial_bounded_top_structs"), p)
   }
 
   test("sim-topk-cosine never funnels the corpus through per-query partitions") {
     val p = plan("sim-topk-cosine")
-    // phase 1 of the salted top-k must window over (salt, q_id); with a
-    // handful of queries an exchange keyed on q_id alone would put every
-    // scored corpus row for one query into a single task
-    assert(p.contains("hashpartitioning(_salt"), p)
+    // the bounded top-k partial aggregate must combine map-side; with a
+    // handful of queries an unaggregated exchange keyed on q_id alone
+    // would put every scored corpus row for one query into a single task
+    assert(p.contains("partial_bounded_top_structs"), p)
   }
 
   test("dedup-simhash sizes fingerprint groups without a fingerprint window") {
@@ -156,16 +158,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sim-pq-ann")
     // encoding + distance tables are projections over codebook literals —
     // the corpus must never sort-merge; the only join is the broadcast of
-    // the tiny query table set, and the top-k must be the salted two-phase
+    // the tiny query table set, and the top-k must partial-combine
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(p.contains("partial_bounded_top_structs"), p)
   }
 
   test("sim-ann-recall evaluates over salted exact top-k, no cartesian") {
     val p = plan("sim-ann-recall")
-    // the exact side must keep the salted two-phase shape; the recall
+    // the exact side must keep the bounded-partial top-k shape; the recall
     // joins run over top-k tables only
-    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(p.contains("partial_bounded_top_structs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -181,9 +183,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sim-rrf-hybrid retrieves through salted top-k, fuses without cartesian") {
     val p = plan("sim-rrf-hybrid")
-    // both retrievers select with the salted two-phase top-k; the fusion
+    // both retrievers select with the bounded-partial top-k; the fusion
     // join runs over top-k tables only
-    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(p.contains("partial_bounded_top_structs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -399,10 +401,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(hll.contains("partial_max"), hll)
     val shll = plan("stream-hll")
     assert(shll.contains("partial_max"), shll)
-    // KMV: the k-smallest build must rank per (salt, group), never a raw
-    // per-group window over the distinct-hash stream.
+    // KMV: the k-smallest build must partial-combine per map partition,
+    // never a raw per-group window over the distinct-hash stream.
     val kmv = plan("agg-kmv-overlap")
-    assert(kmv.contains("hashpartitioning(_salt"), kmv)
+    assert(kmv.contains("partial_bounded_top_structs"), kmv)
   }
 
   test("join-star-revenue broadcasts every dimension hop, no nested loop") {
@@ -531,8 +533,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sim-int8-recall")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // both top-k selections ride the salted two-phase TopK
-    assert(p.contains("hashpartitioning(_salt"), p)
+    // both top-k selections ride the bounded-partial TopK
+    assert(p.contains("partial_bounded_top_structs"), p)
     // the integer code dot is the codegen ArrayDotLong, not a HOF chain
     assert(p.toLowerCase.contains("arraydotlong"), p)
   }
@@ -588,7 +590,7 @@ class PlanAuditSpec extends SparkSpec {
     // HASH join on label (not BNLJ over the whole corpus)
     assert(p.contains("BroadcastHashJoin [label"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(p.contains("partial_bounded_top_structs"), p)
   }
 
   test("dedup-canonical-tiers explodes all tiers from one scan") {
@@ -716,9 +718,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("text-source-lang-purity argmax rides the salted TopK") {
+  test("text-source-lang-purity argmax rides the bounded-partial TopK") {
     val p = plan("text-source-lang-purity")
-    assert(p.contains("hashpartitioning(_salt"), p)
+    assert(p.contains("partial_bounded_top_structs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
