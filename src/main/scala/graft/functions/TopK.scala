@@ -39,18 +39,22 @@ object TopK {
       orderCols: Seq[Column],
       k: Int,
       salts: Int = 64): DataFrame = {
-    val normalized: Seq[Option[Column]] = orderCols.map { c =>
+    val normalized: Seq[Option[Seq[Column]]] = orderCols.map { c =>
       Bridge.sortOrder(c) match {
-        case None => Some(c) // a bare column sorts ascending
-        case Some((child, true, true)) => Some(child)
+        case None => Some(Seq(c)) // a bare column sorts ascending
+        case Some((child, true, true)) =>
+          Some(Seq(child)) // NULLS FIRST = natural struct null order
         case Some((child, false, true))
             if df.select(child).schema.head.dataType.isInstanceOf[NumericType] =>
-          Some(negate(child))
+          // desc NULLS LAST: an is-null prefix field sends nulls after
+          // every value (negate(null) alone would sort them FIRST —
+          // the window spelling's NULLS LAST would disagree)
+          Some(Seq(isnull(child).cast("int"), negate(child)))
         case _ => None // non-numeric descending / non-default null order
       }
     }
     if (normalized.forall(_.isDefined))
-      topkViaAggregate(df, groupCols, normalized.flatten, k)
+      topkViaAggregate(df, groupCols, normalized.flatten.flatten, k)
     else
       topkViaSaltedWindows(df, groupCols, orderCols, k, salts)
   }
