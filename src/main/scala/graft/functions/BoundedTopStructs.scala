@@ -62,8 +62,11 @@ case class BoundedTopStructs(
 
   /** Insert keeping the buffer sorted ascending and ≤ k long. The hot
     * path (full buffer, row ≥ current k-th) is a single comparison.
+    * `needCopy` is true for update's scan-backed rows (which Spark
+    * reuses) and false for merge's already-owned deserialized rows.
     */
-  private def insert(buf: ArrayBuffer[InternalRow], row: InternalRow): Unit = {
+  private def insert(buf: ArrayBuffer[InternalRow], row: InternalRow,
+      needCopy: Boolean): Unit = {
     if (buf.length >= k && ordering.compare(row, buf.last) >= 0) return
     // binary search for the insertion point
     var lo = 0
@@ -72,29 +75,18 @@ case class BoundedTopStructs(
       val mid = (lo + hi) >>> 1
       if (ordering.compare(buf(mid), row) <= 0) lo = mid + 1 else hi = mid
     }
-    buf.insert(lo, row.copy())
+    buf.insert(lo, if (needCopy) row.copy() else row)
     if (buf.length > k) buf.remove(buf.length - 1)
   }
 
   override def update(buf: ArrayBuffer[InternalRow], input: InternalRow): ArrayBuffer[InternalRow] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[InternalRow])
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow], needCopy = true)
     buf
   }
 
   override def merge(buf: ArrayBuffer[InternalRow], other: ArrayBuffer[InternalRow]): ArrayBuffer[InternalRow] = {
-    other.foreach { row =>
-      if (buf.length < k || ordering.compare(row, buf.last) < 0) {
-        var lo = 0
-        var hi = buf.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (ordering.compare(buf(mid), row) <= 0) lo = mid + 1 else hi = mid
-        }
-        buf.insert(lo, row)
-        if (buf.length > k) buf.remove(buf.length - 1)
-      }
-    }
+    other.foreach(row => insert(buf, row, needCopy = false))
     buf
   }
 

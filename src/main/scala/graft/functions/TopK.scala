@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types._
 
 /** Exact top-k rows per group that survives low-cardinality group keys
   * (reference semantics: `max_by_key` selection, src/command/verify.rs:385-387,
@@ -44,13 +44,27 @@ object TopK {
         case None => Some(Seq(c)) // a bare column sorts ascending
         case Some((child, true, true)) =>
           Some(Seq(child)) // NULLS FIRST = natural struct null order
-        case Some((child, false, true))
-            if df.select(child).schema.head.dataType.isInstanceOf[NumericType] =>
-          // desc NULLS LAST: an is-null prefix field sends nulls after
-          // every value (negate(null) alone would sort them FIRST —
-          // the window spelling's NULLS LAST would disagree)
-          Some(Seq(isnull(child).cast("int"), negate(child)))
-        case _ => None // non-numeric descending / non-default null order
+        case Some((child, false, true)) =>
+          // desc NULLS LAST, order-reversed into ascending struct fields.
+          // The prefix field sends NaN first (sort treats NaN as the
+          // LARGEST value, so desc ranks it first) and nulls last
+          // (negate(null)/~null alone would sort them FIRST). Integral
+          // types reverse via bitwise NOT — ~x is strictly decreasing
+          // with NO overflow, where negate(Long.MinValue) silently
+          // wraps to itself and would rank the minimum as top-1
+          // (round-8 self-review findings).
+          df.select(child).schema.head.dataType match {
+            case FloatType | DoubleType =>
+              Some(Seq(
+                when(isnull(child), 2).when(isnan(child), 0).otherwise(1),
+                negate(child)))
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(Seq(isnull(child).cast("int"), bitwise_not(child)))
+            case _: NumericType => // decimal: negate is exact
+              Some(Seq(isnull(child).cast("int"), negate(child)))
+            case _ => None // non-numeric descending
+          }
+        case _ => None // non-default null order
       }
     }
     if (normalized.forall(_.isDefined))

@@ -2199,18 +2199,24 @@ object TextOps {
     * pairs weighted by word frequency, adopts the argmax pair
     * (count desc, pair asc — a total order, so ties cannot diverge) and
     * applies it as a greedy left-to-right non-overlapping merge. The
-    * merge application is a plain string `replace` on the
-    * space-separated sequence with sentinel boundary spaces — replace's
-    * left-to-right non-overlap semantics IS the BPE merge rule, and is
-    * identical on both engines (no regex, no loops).
+    * merge application is a plain string `replace` over a DOUBLE-space
+    * symbol separator (" a  b  c  "): each symbol owns a flanking space
+    * on both sides, so replacing " a  b " with " ab " consumes no
+    * neighbor's boundary and ADJACENT occurrences of the winning pair
+    * all merge ("abab" → [ab, ab], "aaa" → [aa, a]) — exactly the BPE
+    * merge rule, with identical non-overlapping replace semantics on
+    * both engines (a single-space separator would swallow the shared
+    * boundary and skip every second adjacent pair — caught in the
+    * round-8 self-review).
     *
     * Scale shape: rounds run at the VOCAB grain (word-type table with
     * map-side-combined frequencies — never the token stream), persisted
-    * once; each round is one pair explode over vocab rows + a top-1
-    * TakeOrdered (1-row result). Merge winners are collected driver-side
-    * (1 row/round — the k-means model-state pattern: config-sized state
-    * drives the next distributed round). Three fixed rounds, integer
-    * counts throughout.
+    * for the learn loop and unpersisted after; each round is one pair
+    * explode over vocab rows + a top-1 TakeOrdered whose single row
+    * collects driver-side (the k-means model-state pattern:
+    * config-sized state drives the next distributed round). The emitted
+    * result IS that model — 3 rows computed by the three distributed
+    * rounds; no re-derivation pass.
     */
   lazy val textBpeTrain: Op = {
     val ROUNDS = 3
@@ -2219,27 +2225,27 @@ object TextOps {
       """WITH v AS (SELECT w, count(*) AS freq
         |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |           GROUP BY w),
-        |s1 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, freq FROM v),
+        |s1 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seq, freq FROM v),
         |e1 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
-        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s1)
+        |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s1)
         |       WHERE len(syms) >= 2),
         |c1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
         |              CAST(sum(freq) AS BIGINT) AS cnt FROM e1 GROUP BY pair),
         |w1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
-        |s2 AS (SELECT replace(seq, ' ' || pair || ' ',
+        |s2 AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
         |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
         |       FROM s1, w1),
         |e2 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
-        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s2)
+        |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s2)
         |       WHERE len(syms) >= 2),
         |c2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
         |              CAST(sum(freq) AS BIGINT) AS cnt FROM e2 GROUP BY pair),
         |w2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
-        |s3 AS (SELECT replace(seq, ' ' || pair || ' ',
+        |s3 AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
         |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
         |       FROM s2, w2),
         |e3 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
-        |       FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s3)
+        |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s3)
         |       WHERE len(syms) >= 2),
         |c3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
         |              CAST(sum(freq) AS BIGINT) AS cnt FROM e3 GROUP BY pair),
@@ -2253,11 +2259,11 @@ object TextOps {
       val seqs0 = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("seq"),
           col("freq"))
         .persist()
       def pairsOf(seqs: DataFrame): DataFrame = seqs
-        .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
+        .select(col("freq"), split(trim(col("seq")), " +").as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("freq"),
           explode(transform(sequence(lit(1), size(col("syms")) - 1),
@@ -2265,31 +2271,36 @@ object TextOps {
               element_at(col("syms"), i + 1)))).as("pair"))
         .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
       def applyMerge(seqs: DataFrame, pair: String): DataFrame = seqs
-        .withColumn("pat", lit(" " + pair + " "))
+        .withColumn("pat", lit(" " + pair.replace(" ", "  ") + " "))
         .withColumn("rep", lit(" " + pair.replace(" ", "") + " "))
         .select(expr("replace(seq, pat, rep)").as("seq"), col("freq"))
       // learn the merges: collect 1 winner row per round (driver-held
       // model state, the k-means pattern), feed it into the next round
-      var merges = List.empty[String]
+      var merges = List.empty[(String, Long)]
       var r = 0
       while (r < ROUNDS && merges.length == r) {
-        val cur = merges.reverse.foldLeft(seqs0)(applyMerge)
+        val cur = merges.reverse.map(_._1).foldLeft(seqs0)(applyMerge)
         val top = pairsOf(cur).orderBy(col("cnt").desc, col("pair")).limit(1)
           .collect()
-        if (top.nonEmpty) merges = top(0).getString(0) :: merges
+        if (top.nonEmpty) merges = (top(0).getString(0), top(0).getLong(1)) :: merges
         r += 1
       }
-      // emit: re-derive each adopted round's top-1 distributedly off the
-      // persisted vocab (3 tiny branches; no shared aggregated subtree
-      // re-executes — seqs0 is cached)
-      val ordered = merges.reverse
-      val branches = ordered.zipWithIndex.map { case (_, idx) =>
-        pairsOf(ordered.take(idx).foldLeft(seqs0)(applyMerge))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .select(lit((idx + 1).toLong).as("round"),
-            col("pair").as("merge_pair"), col("cnt"))
+      seqs0.unpersist()
+      // the learned merge table IS the output (each row was computed by
+      // its own distributed round above); empty corpus → empty table,
+      // matching the oracle's empty w1/w2/w3
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("merge_pair",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = merges.reverse.zipWithIndex.map { case ((pair, cnt), idx) =>
+        org.apache.spark.sql.Row((idx + 1).toLong, pair, cnt)
       }
-      branches.reduce(_.union(_)).orderBy("round")
+      s.createDataFrame(rows.asJava, schema).orderBy("round")
     }
   }
 

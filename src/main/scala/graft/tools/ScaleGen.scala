@@ -53,8 +53,20 @@ object ScaleGen {
 
     /** Offset an id column by rep × the source key-space size (next
       * power-of-ten-ish stride keeps ids readable; any stride ≥ span
-      * works since source ids are 0-based and dense). */
+      * works since source ids are 0-based and dense). Strides are sized
+      * for the sf0.1 testdata — guard so running against a LARGER
+      * source cannot silently overlap replica id spaces and corrupt the
+      * "independent shards" scaling model (round-8 self-review).
+      */
     def off(c: String, stride: Long) = col(c) + col("rep") * stride
+
+    def requireFits(df: DataFrame, c: String, stride: Long): DataFrame = {
+      val mx = df.agg(max(col(c))).head().getLong(0)
+      require(mx < stride,
+        s"$c max $mx >= replica stride $stride — source larger than the " +
+          "sf0.1 key space these strides assume; raise the stride")
+      df
+    }
 
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -65,35 +77,35 @@ object ScaleGen {
     write(Tables.region(spark, src), "region")
     write(Tables.nation(spark, src), "nation")
 
-    write(replicate(Tables.customer(spark, src))
+    write(replicate(requireFits(Tables.customer(spark, src), "c_custkey", 15000))
       .select(off("c_custkey", 15000).as("c_custkey"),
         when(col("rep") === 0, col("c_name"))
           .otherwise(concat(col("c_name"), lit("-r"), col("rep"))).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer")
 
-    write(replicate(Tables.supplier(spark, src))
+    write(replicate(requireFits(Tables.supplier(spark, src), "s_suppkey", 1000))
       .select(off("s_suppkey", 1000).as("s_suppkey"),
         when(col("rep") === 0, col("s_name"))
           .otherwise(concat(col("s_name"), lit("-r"), col("rep"))).as("s_name"),
         col("s_nationkey"), col("s_acctbal")),
       "supplier")
 
-    write(replicate(Tables.part(spark, src))
+    write(replicate(requireFits(Tables.part(spark, src), "p_partkey", 20000))
       .select(off("p_partkey", 20000).as("p_partkey"),
         when(col("rep") === 0, col("p_name"))
           .otherwise(concat(col("p_name"), lit(" r"), col("rep"))).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part")
 
-    write(replicate(Tables.orders(spark, src))
+    write(replicate(requireFits(Tables.orders(spark, src), "o_orderkey", 150000))
       .select(off("o_orderkey", 150000).as("o_orderkey"),
         off("o_custkey", 15000).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
       "orders")
 
-    write(replicate(Tables.lineitem(spark, src))
+    write(replicate(requireFits(Tables.lineitem(spark, src), "l_orderkey", 150000))
       .select(off("l_orderkey", 150000).as("l_orderkey"),
         off("l_partkey", 20000).as("l_partkey"),
         off("l_suppkey", 1000).as("l_suppkey"),
@@ -105,7 +117,7 @@ object ScaleGen {
     // events: ts arrives as canonical epoch-nanos LONG via Tables.events
     // (the seam absorbs the physical type); written back as a plain long
     // the same seam accepts.
-    write(replicate(Tables.events(spark, src))
+    write(replicate(requireFits(requireFits(Tables.events(spark, src), "event_id", 100000), "user_id", 1500))
       .select(off("event_id", 100000).as("event_id"), col("ts"),
         off("user_id", 1500).as("user_id"),
         col("event_type"), col("value"), col("props")),
@@ -114,7 +126,7 @@ object ScaleGen {
     // documents: replica 0 byte-identical; others prefix every token
     // with r{i} (disjoint token spaces ⇒ dedup structure replicates
     // exactly; n_chars re-derived to stay consistent with the text).
-    write(replicate(Tables.documents(spark, src))
+    write(replicate(requireFits(Tables.documents(spark, src), "doc_id", 5000))
       .select(off("doc_id", 5000).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(concat(lit("r"), col("rep"),
@@ -127,7 +139,7 @@ object ScaleGen {
     // embeddings: replica 0 identical; others fresh deterministic
     // unit-norm vectors (uniform components from xxhash64, normalized).
     val dims = 64
-    write(replicate(Tables.embeddings(spark, src))
+    write(replicate(requireFits(Tables.embeddings(spark, src), "vec_id", 2000))
       .withColumn("raw",
         transform(sequence(lit(0), lit(dims - 1)), j =>
           (xxhash64(col("vec_id"), col("rep"), j) % 1000001L)

@@ -41,10 +41,18 @@ def main():
     for seed in seeds:
         fix = f"{args.base}/s{seed}"
         out = f"{args.base}/out{seed}"
-        subprocess.run(
+        # clear stale outputs: a crashed Verify must not leave a previous
+        # run's parquet behind for oracle_check to bless as green
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        r0 = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {fix} {out}"],
             cwd=REPO, timeout=900,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        if r0.returncode != 0:
+            print(f"[fuzz] seed {seed}: Verify exited {r0.returncode}", flush=True)
+            any_fail = True
+            continue
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
              fix, out],

@@ -44,9 +44,19 @@ SCALES = [("sf0.01", "/root/testdata/sf0.01", 0.01),
 def run_pass(sf_dir, timeout):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
     cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(OPS)]
-    subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    with open(os.path.join(REPO, "bench_latest.json")) as f:
+    # Bench rewrites bench_latest.json on success; delete it first so a
+    # crashed/timed-out pass can never silently re-serve the previous
+    # pass's (or previous scale's) numbers
+    out_path = os.path.join(REPO, "bench_latest.json")
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    r = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    if r.returncode != 0 or not os.path.exists(out_path):
+        raise RuntimeError(
+            f"bench pass failed at {sf_dir} (rc={r.returncode}, "
+            f"output {'present' if os.path.exists(out_path) else 'missing'})")
+    with open(out_path) as f:
         return json.load(f)["queries"]
 
 
