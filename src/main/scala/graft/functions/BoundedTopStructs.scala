@@ -52,7 +52,15 @@ case class BoundedTopStructs(
   override def dataType: DataType = ArrayType(structType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StructType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    // Every struct field participates in the natural ascending ordering
+    // (TopK packs the full payload row after the sort keys), so the whole
+    // struct must be orderable — a map-typed payload column would
+    // otherwise fail at executor runtime inside RowOrdering (ADVICE r8).
+    case s: StructType if k >= 1 =>
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bounded_top_structs needs an orderable struct (no map fields), got ${s.simpleString}")
     case t => TypeCheckResult.TypeCheckFailure(
       s"bounded_top_structs needs a struct child and k >= 1, got $t / $k")
   }

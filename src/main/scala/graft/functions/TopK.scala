@@ -26,6 +26,13 @@ import org.apache.spark.sql.types._
   * any type pass through. If some order key can't be normalized
   * (non-numeric descending), the old salted two-phase window spelling
   * is the fallback — still exact, still funnel-free.
+  *
+  * Tie-break semantics (aggregate path): the full original row is packed
+  * into the sort struct after the caller's order keys, so when order keys
+  * TIE the payload columns break the tie in column order (deterministic),
+  * where the window spelling resolved ties arbitrarily. Consequently every
+  * payload column must be orderable — [[BoundedTopStructs]] rejects
+  * map-typed columns at analysis time (ADVICE r8).
   */
 object TopK {
 
@@ -107,8 +114,14 @@ object TopK {
       k: Int,
       salts: Int): DataFrame = {
     val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    // Phase-1 exchange width scales with the cluster: `salts` bounds the
+    // per-key spread, but hard-capping the partition COUNT at 64 would run
+    // the full-table window at most 64-wide on a 1000-executor cluster
+    // (ADVICE r8) — size it to the larger of salts and the cluster's
+    // default parallelism.
+    val phase1Parts = math.max(salts, df.sparkSession.sparkContext.defaultParallelism)
     val phase1 = df.withColumn("_salt", salt)
-      .repartition(salts, (col("_salt") +: groupCols.map(col)): _*)
+      .repartition(phase1Parts, (col("_salt") +: groupCols.map(col)): _*)
       .withColumn("_rn", row_number().over(
         Window.partitionBy((col("_salt") +: groupCols.map(col)): _*).orderBy(orderCols: _*)))
       .filter(col("_rn") <= k)

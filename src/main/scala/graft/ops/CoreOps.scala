@@ -27,8 +27,14 @@ object CoreOps {
   ) { (s, d) =>
     // revenue snaps each row to integer cents BEFORE summing (order-free;
     // a raw double sum diverges by a ULP across engines when the 2dp
-    // round lands on a boundary — fuzz seed 404). sum_qty stays a plain
-    // double sum: quantities are integral, so the sum is exact.
+    // round lands on a boundary — fuzz seed 404). DEFINITION NOTE
+    // (ADVICE r8): this is a deliberate semantic change from
+    // round(sum(price*(1-disc)), 2) — per-row cent snapping can drift
+    // from the round-of-sum value by up to half a cent per row. The
+    // engine DEFINES revenue at the cent grain (the money type's native
+    // resolution): it is exact, associative, and engine-independent,
+    // where round-of-double-sum is none of the three. sum_qty stays a
+    // plain double sum: quantities are integral, so the sum is exact.
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(

@@ -93,6 +93,31 @@ class BoundedTopStructsSpec extends SparkSpec {
     assert(got.exists(_._2.isEmpty) || want.forall(_._2.nonEmpty))
   }
 
+  test("unorderable struct fields are rejected at analysis time") {
+    // a map-typed payload column can't participate in RowOrdering; the
+    // check must fail analysis, not the executor (ADVICE r8)
+    val mapStruct = StructType(Seq(
+      StructField("a", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val a = BoundedTopStructs(
+      BoundReference(0, mapStruct, nullable = false), 3)
+    assert(a.checkInputDataTypes().isFailure)
+    // and the plain orderable struct still passes
+    assert(agg(3).checkInputDataTypes().isSuccess)
+    // end-to-end: topkPerGroup with a map column in the payload must
+    // raise an AnalysisException, not an executor runtime failure
+    val df = spark.range(0, 10)
+      .select((col("id") % 2).as("g"), col("id").as("v"),
+        map(lit("x"), col("id")).as("m"))
+    val e = intercept[Exception] {
+      graft.functions.TopK.topkPerGroup(df, Seq("g"), Seq(col("v").asc), k = 2)
+        .collect()
+    }
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException]
+      || e.getMessage.contains("bounded_top_structs"),
+      s"expected analysis-time rejection, got: $e")
+  }
+
   test("end-to-end under forced sort-based fallback (serde in-query)") {
     val prev = spark.conf.getOption(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")

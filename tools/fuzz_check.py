@@ -15,6 +15,7 @@ Exit 1 if any seed has any failing op. Summary written to FUZZ.md-ready
 stdout lines.
 """
 import argparse
+import json
 import os
 import re
 import subprocess
@@ -64,7 +65,18 @@ def main():
         print(f"[fuzz] seed {seed}: {summary}", flush=True)
         for f in fails:
             print(f"[fuzz]   {f}", flush=True)
-        if not m or m.group(2) != "0":
+        # a "0 ok, 0 fail" run (empty output dir, broken op resolution)
+        # must NOT be blessed as green (ADVICE r8): require the ok count
+        # to equal the full oracle board the Verify run emitted.
+        try:
+            expected = len(json.load(open(os.path.join(out, "oracle_sql.json"))))
+        except Exception:
+            expected = -1
+        if not m or m.group(2) != "0" or expected <= 0 \
+                or int(m.group(1)) != expected:
+            if m and m.group(2) == "0":
+                print(f"[fuzz] seed {seed}: ok count {m.group(1) if m else '?'}"
+                      f" != expected board size {expected}", flush=True)
             any_fail = True
     sys.exit(1 if any_fail else 0)
 
