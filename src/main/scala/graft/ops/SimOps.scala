@@ -1347,7 +1347,7 @@ object SimOps {
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
     simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
-    simKnnReciprocity)
+    simKnnReciprocity, simMahalanobis)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit
@@ -1577,5 +1577,82 @@ object SimOps {
       .groupBy(col("n_occ").cast("long").as("n_occ"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("n_occ")
+  }
+
+  /** Diagonal-covariance Mahalanobis out-of-distribution score per
+    * vector — the standardization-based OOD screen that complements
+    * sim-embed-outliers' centroid-cosine view (an embedding can sit
+    * near a centroid yet be wildly off-scale on a single dimension;
+    * per-dim z² catches exactly that): m2 = Σ_d (x_d − μ_d)²/σ²_d,
+    * flagged when the mean z² per dimension exceeds 2.
+    *
+    * Float discipline: coordinates quantize to exact milli-integers
+    * (round BEFORE any long cast — the CAST-rounds-vs-truncates
+    * invariant), and with S_d = Σq_d, Q_d = Σq_d², the n² factors
+    * cancel so each dimension's z² is a ratio of EXACT integers,
+    * (n·q_d − S_d)² / (n·Q_d − S_d²): one identical-tree double
+    * division per dim, snapped to micro-units per dim, then an
+    * order-free INTEGER sum. Constant dimensions (zero variance)
+    * contribute 0 on both engines (the div-by-zero NULL-vs-throw
+    * invariant).
+    *
+    * Scale shape: the per-dim moment table is ONE map-side-combined
+    * groupBy over (vector × dims) positions, collected driver-side at
+    * dims rows (config-sized model state, the k-means pattern); scoring
+    * is then a ZERO-shuffle row-local fold with the moments as plan
+    * literals — no join, no window, one scan. Overflow bound: exact
+    * while n·max|q| < 2^26 (beyond that the double num2 rounds, still
+    * deterministically and identically on both engines).
+    */
+  lazy val simMahalanobis: Op = Op.sql(
+    "sim-mahalanobis",
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |             x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |ix AS (SELECT unnest(generate_series(1,
+      |                (SELECT max(len(q)) FROM e))) AS i),
+      |st AS (SELECT i, CAST(count(q[i]) AS BIGINT) AS n,
+      |              CAST(sum(q[i]) AS BIGINT) AS s,
+      |              CAST(sum(q[i] * q[i]) AS BIGINT) AS qq
+      |       FROM e, ix GROUP BY i),
+      |z AS (SELECT e.vec_id,
+      |        CAST(sum(CASE WHEN e.q[st.i] IS NULL THEN 0
+      |                      WHEN st.n * st.qq - st.s * st.s = 0 THEN 0
+      |                 ELSE CAST(round((1000000.0 *
+      |                        ((st.n * e.q[st.i] - st.s) * (st.n * e.q[st.i] - st.s)))
+      |                        / (st.n * st.qq - st.s * st.s)) AS BIGINT) END)
+      |             AS BIGINT) AS m2_micro
+      |      FROM e, st GROUP BY e.vec_id)
+      |SELECT vec_id, m2_micro,
+      |       (m2_micro > (SELECT max(len(q)) FROM e) * 2000000) AS is_ood
+      |FROM z ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("q"))
+    // per-dim moments: dims rows of driver-held model state
+    val stats = e.select(posexplode(col("q")).as(Seq("i0", "qv")))
+      .groupBy("i0")
+      .agg(count(col("qv")).as("n"), sum("qv").as("s"),
+        sum(col("qv") * col("qv")).as("qq"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val nd = if (stats.isEmpty) 0 else stats.keys.max + 1
+    val terms: Seq[org.apache.spark.sql.Column] = (0 until nd).map { i =>
+      val (n, sSum, qq) = stats(i)
+      val den = n * qq - sSum * sSum
+      val qi = element_at(col("q"), i + 1)
+      if (den == 0L) lit(0L)
+      else when(qi.isNull, lit(0L)).otherwise(
+        round((lit(1000000.0) *
+          ((lit(n) * qi - lit(sSum)) * (lit(n) * qi - lit(sSum)))) / lit(den))
+          .cast("long"))
+    }
+    val m2 = if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+    e.select(col("vec_id"), m2.as("m2_micro"))
+      .withColumn("is_ood", col("m2_micro") > lit(nd.toLong * 2000000L))
+      .orderBy("vec_id")
   }
 }

@@ -1973,7 +1973,8 @@ object TextOps {
     textSplitLeakage, textNoveltyCurve, textTypeToken, textInfillPlan,
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
     textRankFreqCurve, textEpochPlan, textSampleWeights,
-    textBpeTrain, textClassifierScore, textMixSchedule)
+    textBpeTrain, textClassifierScore, textMixSchedule,
+    textBpeApply, textKnBigram)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2218,6 +2219,59 @@ object TextOps {
     * result IS that model — 3 rows computed by the three distributed
     * rounds; no re-derivation pass.
     */
+  /** Corpus word-frequency vocab in spaced-symbol form (" a  b  c  "),
+    * the shared input of the BPE trainer and encoder: vocab-grain (never
+    * the token stream), map-side-combined frequencies.
+    */
+  private def bpeSpacedVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("seq"),
+        col("freq"))
+
+  /** Adjacent-pair counts over spaced-symbol sequences weighted by freq. */
+  private def bpePairsOf(seqs: DataFrame): DataFrame = seqs
+    .select(col("freq"), split(trim(col("seq")), " +").as("syms"))
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"),
+      explode(transform(sequence(lit(1), size(col("syms")) - 1),
+        i => concat(element_at(col("syms"), i), lit(" "),
+          element_at(col("syms"), i + 1)))).as("pair"))
+    .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
+
+  /** One greedy left-to-right non-overlapping BPE merge over a `seq`
+    * column in double-space symbol form (see textBpeTrain's scaladoc for
+    * why the DOUBLE space is load-bearing). Preserves all other columns.
+    */
+  private[ops] def bpeApplyMerge(df: DataFrame, pair: String): DataFrame = df
+    .withColumn("_pat", lit(" " + pair.replace(" ", "  ") + " "))
+    .withColumn("_rep", lit(" " + pair.replace(" ", "") + " "))
+    .withColumn("seq", expr("replace(seq, _pat, _rep)"))
+    .drop("_pat", "_rep")
+
+  /** Learn up to `rounds` BPE merges over the corpus vocab; returns
+    * (pair, weighted count) in merge order, stopping early when no
+    * adjacent pair remains. Each round is one distributed pair count +
+    * a 1-row TakeOrdered collect (driver-held model state, the k-means
+    * pattern).
+    */
+  private[ops] def bpeLearnMerges(s: SparkSession, d: String,
+      rounds: Int): List[(String, Long)] = {
+    val seqs0 = bpeSpacedVocab(s, d).persist()
+    var merges = List.empty[(String, Long)]
+    var r = 0
+    while (r < rounds && merges.length == r) {
+      val cur = merges.reverse.map(_._1).foldLeft(seqs0)(bpeApplyMerge)
+      val top = bpePairsOf(cur).orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.nonEmpty) merges = (top(0).getString(0), top(0).getLong(1)) :: merges
+      r += 1
+    }
+    seqs0.unpersist()
+    merges.reverse
+  }
+
   lazy val textBpeTrain: Op = {
     val ROUNDS = 3
     Op.sql(
@@ -2256,36 +2310,9 @@ object TextOps {
         |  UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM w3)
         |ORDER BY round""".stripMargin
     ) { (s, d) =>
-      val seqs0 = Tables.documents(s, d)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("seq"),
-          col("freq"))
-        .persist()
-      def pairsOf(seqs: DataFrame): DataFrame = seqs
-        .select(col("freq"), split(trim(col("seq")), " +").as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"),
-          explode(transform(sequence(lit(1), size(col("syms")) - 1),
-            i => concat(element_at(col("syms"), i), lit(" "),
-              element_at(col("syms"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
-      def applyMerge(seqs: DataFrame, pair: String): DataFrame = seqs
-        .withColumn("pat", lit(" " + pair.replace(" ", "  ") + " "))
-        .withColumn("rep", lit(" " + pair.replace(" ", "") + " "))
-        .select(expr("replace(seq, pat, rep)").as("seq"), col("freq"))
-      // learn the merges: collect 1 winner row per round (driver-held
-      // model state, the k-means pattern), feed it into the next round
-      var merges = List.empty[(String, Long)]
-      var r = 0
-      while (r < ROUNDS && merges.length == r) {
-        val cur = merges.reverse.map(_._1).foldLeft(seqs0)(applyMerge)
-        val top = pairsOf(cur).orderBy(col("cnt").desc, col("pair")).limit(1)
-          .collect()
-        if (top.nonEmpty) merges = (top(0).getString(0), top(0).getLong(1)) :: merges
-        r += 1
-      }
-      seqs0.unpersist()
+      // learn the merges (bpeLearnMerges: 1 collected winner row per
+      // round — driver-held model state, the k-means pattern)
+      val merges = bpeLearnMerges(s, d, ROUNDS)
       // the learned merge table IS the output (each row was computed by
       // its own distributed round above); empty corpus → empty table,
       // matching the oracle's empty w1/w2/w3
@@ -2297,7 +2324,7 @@ object TextOps {
           org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType, nullable = false)))
-      val rows = merges.reverse.zipWithIndex.map { case ((pair, cnt), idx) =>
+      val rows = merges.zipWithIndex.map { case ((pair, cnt), idx) =>
         org.apache.spark.sql.Row((idx + 1).toLong, pair, cnt)
       }
       s.createDataFrame(rows.asJava, schema).orderBy("round")
@@ -2435,5 +2462,160 @@ object TextOps {
       .select(col("step"), col("source"),
         expr("(raw_e6 * (8 - step) + temp_e6 * step) div 8").as("w_micro"))
       .orderBy("step", "source")
+  }
+
+  /** BPE tokenizer ENCODE — the inference half of text-bpe-train: learn
+    * the 3 merges with the same training dataflow, then apply them to
+    * every document's words and account the result per source (words,
+    * symbols before/after, merges fired, compression in basis points) —
+    * the table that tells you what a tokenizer buys on each slice of a
+    * training mix (reference analogue: per-kind archive statistics,
+    * src/command/verify.rs:62-96, at the tokenizer grain).
+    *
+    * Scale shape: encoding runs at the (source, word-type) grain —
+    * map-side-combined frequencies, NEVER the token stream — and each
+    * learned merge is a driver-literal string `replace` (config-sized
+    * model state, broadcast-free: the pattern is IN the plan), so the
+    * whole encode is one groupBy + row-local string work + one
+    * source-grain rollup. Missing merges (a corpus that exhausts its
+    * pairs early) downgrade to a never-matching sentinel on the oracle
+    * side and a shorter fold here — both engines then apply the same
+    * k < 3 merges.
+    */
+  lazy val textBpeApply: Op = Op.sql(
+    "text-bpe-apply",
+    """WITH v AS (SELECT w, count(*) AS freq
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |           GROUP BY w),
+      |s1 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seq, freq FROM v),
+      |e1 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+      |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s1)
+      |       WHERE len(syms) >= 2),
+      |c1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+      |              CAST(sum(freq) AS BIGINT) AS cnt FROM e1 GROUP BY pair),
+      |w1 AS (SELECT pair FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+      |s2 AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+      |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+      |       FROM s1, w1),
+      |e2 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+      |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s2)
+      |       WHERE len(syms) >= 2),
+      |c2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+      |              CAST(sum(freq) AS BIGINT) AS cnt FROM e2 GROUP BY pair),
+      |w2 AS (SELECT pair FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
+      |s3 AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+      |                      ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+      |       FROM s2, w2),
+      |e3 AS (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+      |       FROM (SELECT regexp_split_to_array(trim(seq), ' +') AS syms, freq FROM s3)
+      |       WHERE len(syms) >= 2),
+      |c3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+      |              CAST(sum(freq) AS BIGINT) AS cnt FROM e3 GROUP BY pair),
+      |w3 AS (SELECT pair FROM c3 ORDER BY cnt DESC, pair LIMIT 1),
+      |p1 AS (SELECT coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM w1), chr(1)) AS pat,
+      |              coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM w1), chr(1)) AS rep),
+      |p2 AS (SELECT coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM w2), chr(1)) AS pat,
+      |              coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM w2), chr(1)) AS rep),
+      |p3 AS (SELECT coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM w3), chr(1)) AS pat,
+      |              coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM w3), chr(1)) AS rep),
+      |sv AS (SELECT source, w, count(*) AS freq
+      |       FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |       GROUP BY source, w),
+      |f0 AS (SELECT source, freq, ' ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seq FROM sv),
+      |fb AS (SELECT source, freq, len(regexp_split_to_array(trim(seq), ' +')) AS nb, seq FROM f0),
+      |f1 AS (SELECT source, freq, nb, replace(seq, p1.pat, p1.rep) AS seq FROM fb, p1),
+      |f2 AS (SELECT source, freq, nb, replace(seq, p2.pat, p2.rep) AS seq FROM f1, p2),
+      |f3 AS (SELECT source, freq, nb, replace(seq, p3.pat, p3.rep) AS seq FROM f2, p3),
+      |fa AS (SELECT source, freq, nb,
+      |              len(regexp_split_to_array(trim(seq), ' +')) AS na FROM f3)
+      |SELECT source,
+      |       CAST(sum(freq) AS BIGINT) AS n_words,
+      |       CAST(sum(freq * nb) AS BIGINT) AS syms_before,
+      |       CAST(sum(freq * na) AS BIGINT) AS syms_after,
+      |       CAST(sum(freq * nb) - sum(freq * na) AS BIGINT) AS merges_done,
+      |       CAST((sum(freq * na) * 10000) // sum(freq * nb) AS BIGINT) AS compression_bp
+      |FROM fa GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val merges = bpeLearnMerges(s, d, 3).map(_._1)
+    val sv = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("freq"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("seq"))
+      .withColumn("nb", size(split(trim(col("seq")), " +")))
+    merges.foldLeft(sv)(bpeApplyMerge)
+      .withColumn("na", size(split(trim(col("seq")), " +")))
+      .groupBy("source")
+      .agg(sum("freq").cast("long").as("n_words"),
+        sum(col("freq") * col("nb")).cast("long").as("syms_before"),
+        sum(col("freq") * col("na")).cast("long").as("syms_after"))
+      .withColumn("merges_done", col("syms_before") - col("syms_after"))
+      .withColumn("compression_bp", expr("(syms_after * 10000) div syms_before"))
+      .orderBy("source")
+  }
+
+  /** Interpolated Kneser–Ney smoothed bigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999), fixed discount D = 0.75 — the smoothing
+    * behind the KenLM-style perplexity filters LLM pipelines use
+    * (CCNet): P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) ×
+    * N1+(·,w2)/|bigram types|. Emits the 20 strongest conditional
+    * probabilities among bigrams seen ≥ 3 times, in micro-units.
+    *
+    * Float discipline: D = 3/4 makes the discounted numerator the exact
+    * integer (4c − 3)/4, every factor is a ratio of exact integer
+    * counts, and the expression tree is IDENTICAL on both engines —
+    * IEEE division/multiplication are correctly rounded, so the double
+    * is bit-identical cross-engine and the 6-dp micro snap is safe
+    * (no libm anywhere).
+    *
+    * Scale shape: one map-side-combined groupBy reduces the token
+    * stream to the bigram-TYPE table; left statistics (c(w1·) and
+    * N1+(w1,·)) come from ONE reuse of that reduced table, right
+    * continuation counts from another — all joins run at the model
+    * grain, never the corpus grain — and the top-20 is a
+    * TakeOrderedAndProject (map-side top-k, no window).
+    */
+  lazy val textKnBigram: Op = Op.sql(
+    "text-kn-bigram",
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
+      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
+      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
+      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
+      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy)
+      |SELECT w1, w2, cnt,
+      |       CAST(round((((4 * cnt - 3) / (4.0 * cx)) +
+      |                   (((3.0 * n1l) / (4.0 * cx)) * (n1r / (1.0 * t))))
+      |                  * 1000000) AS BIGINT) AS pkn_micro
+      |FROM cxy JOIN lft USING (w1) JOIN rgt USING (w2), tt
+      |WHERE cnt >= 3
+      |ORDER BY pkn_micro DESC, w1, w2 LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val pairs = Tables.documents(s, d)
+      .select(TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // the bigram-TYPE table is the LM model — reduce once, reuse thrice
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
+      count(lit(1)).as("n1l"))
+    val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tt = cxy.agg(count(lit(1)).as("t"))
+    cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
+      .filter(col("cnt") >= 3)
+      .withColumn("pkn_micro",
+        round((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
+          (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) *
+            (col("n1r") / (lit(1.0) * col("t"))))) * 1000000)
+          .cast("long"))
+      .select("w1", "w2", "cnt", "pkn_micro")
+      .orderBy(col("pkn_micro").desc, col("w1"), col("w2"))
+      .limit(20)
   }
 }
