@@ -95,6 +95,11 @@ class OpsR18Spec extends SparkSpec {
       assert(sa <= sb && md == sb - sa, s"$src: symbols grew under encoding")
       assert(bp >= 1 && bp <= 10000, s"$src: compression_bp $bp out of range")
     }
+    // tokenizer round-trip: encoding is lossless — concatenating the
+    // encoded symbols reproduces every vocabulary word exactly
+    vocab.keys.foreach { w =>
+      assert(encode(w).mkString == w, s"round-trip lost characters for '$w'")
+    }
   }
 
   test("text-kn-bigram equals a from-scratch interpolated Kneser-Ney model") {
