@@ -99,7 +99,17 @@ def main():
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--sf1-dir", default="/tmp/graft-sf1")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op ids to measure instead of the "
+                         "default slowest-25 list (targeted new-op runs)")
+    ap.add_argument("--out", default="scaling_results.json",
+                    help="results filename under tools/ (targeted runs "
+                         "should not clobber the board-wide baseline)")
     args = ap.parse_args()
+
+    if args.ops:
+        global OPS
+        OPS = [o.strip() for o in args.ops.split(",") if o.strip()]
 
     if not args.skip_gen:
         ensure_sf1(args.sf1_dir)
@@ -130,7 +140,7 @@ def main():
                      "slope": None if s is None else round(s, 1),
                      "verdict": v})
 
-    with open(os.path.join(REPO, "tools", "scaling_results.json"), "w") as f:
+    with open(os.path.join(REPO, "tools", args.out), "w") as f:
         json.dump({"passes": args.passes, "rows": rows}, f, indent=1)
 
     for r in rows:
