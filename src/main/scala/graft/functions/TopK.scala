@@ -31,8 +31,11 @@ import org.apache.spark.sql.types._
   * into the sort struct after the caller's order keys, so when order keys
   * TIE the payload columns break the tie in column order (deterministic),
   * where the window spelling resolved ties arbitrarily. Consequently every
-  * payload column must be orderable — [[BoundedTopStructs]] rejects
-  * map-typed columns at analysis time (ADVICE r8).
+  * payload column must be orderable — an unorderable payload (map-typed
+  * column) routes to the salted-window fallback, which never orders the
+  * payload and handles it exactly; [[BoundedTopStructs]] itself also
+  * rejects unorderable structs at analysis time as defense in depth
+  * (ADVICE r8).
   */
 object TopK {
 
@@ -74,7 +77,12 @@ object TopK {
         case _ => None // non-default null order
       }
     }
-    if (normalized.forall(_.isDefined))
+    // the aggregate path packs the whole row into the sort struct, so
+    // every payload column must be orderable too (map types aren't) —
+    // otherwise fall back to the windows, which never order the payload
+    val payloadOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(df.schema)
+    if (payloadOrderable && normalized.forall(_.isDefined))
       topkViaAggregate(df, groupCols, normalized.flatten.flatten, k)
     else
       topkViaSaltedWindows(df, groupCols, orderCols, k, salts)
@@ -113,7 +121,21 @@ object TopK {
       orderCols: Seq[Column],
       k: Int,
       salts: Int): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    // xxhash64 rejects map-typed inputs (same reason the aggregate path
+    // rejects them: map hashcodes aren't canonical) — salt over the
+    // hashable columns only; the salt just spreads rows, any
+    // deterministic subset works
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case ArrayType(et, _) => hashable(et)
+      case _ => true
+    }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val salt =
+      if (saltCols.isEmpty) lit(0L)
+      else pmod(xxhash64(saltCols: _*), lit(salts))
     // Phase-1 exchange width scales with the cluster: `salts` bounds the
     // per-key spread, but hard-capping the partition COUNT at 64 would run
     // the full-table window at most 64-wide on a 1000-executor cluster

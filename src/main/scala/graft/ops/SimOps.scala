@@ -1600,9 +1600,21 @@ object SimOps {
     * groupBy over (vector × dims) positions, collected driver-side at
     * dims rows (config-sized model state, the k-means pattern); scoring
     * is then a ZERO-shuffle row-local fold with the moments as plan
-    * literals — no join, no window, one scan. Overflow bound: exact
-    * while n·max|q| < 2^26 (beyond that the double num2 rounds, still
-    * deterministically and identically on both engines).
+    * literals — no join, no window, one scan (reference analogue: the
+    * driver-held per-kind statistics of src/command/verify.rs:62-96,
+    * lifted to the embedding-moment grain). Overflow bound: the long
+    * square (n·q_d − S_d)² must fit int64, i.e. |n·q_d − S_d| < 3·10⁹
+    * (under ANSI a long overflow THROWS, it does not round) — at a
+    * corpus size where that binds, quantize coarser than milli (the
+    * documented swap; the z² ratio is scale-invariant).
+    *
+    * Degenerate-shape contract (matches the row-grain oracle exactly):
+    * one output row PER INPUT ROW (duplicate or NULL vec_ids stay
+    * separate rows), ragged/short vectors score only their own
+    * dimensions (a size guard runs before element_at — ANSI
+    * out-of-bounds throws), all-NULL dimensions and zero-variance
+    * dimensions contribute 0, and an all-empty-array corpus scores
+    * every row m2 = 0.
     */
   lazy val simMahalanobis: Op = Op.sql(
     "sim-mahalanobis",
@@ -1615,40 +1627,62 @@ object SimOps {
       |              CAST(sum(q[i]) AS BIGINT) AS s,
       |              CAST(sum(q[i] * q[i]) AS BIGINT) AS qq
       |       FROM e, ix GROUP BY i),
-      |z AS (SELECT e.vec_id,
-      |        CAST(sum(CASE WHEN e.q[st.i] IS NULL THEN 0
-      |                      WHEN st.n * st.qq - st.s * st.s = 0 THEN 0
-      |                 ELSE CAST(round((1000000.0 *
-      |                        ((st.n * e.q[st.i] - st.s) * (st.n * e.q[st.i] - st.s)))
-      |                        / (st.n * st.qq - st.s * st.s)) AS BIGINT) END)
-      |             AS BIGINT) AS m2_micro
-      |      FROM e, st GROUP BY e.vec_id)
+      |stl AS (SELECT coalesce(list(n ORDER BY i), []) AS nl,
+      |               coalesce(list(s ORDER BY i), []) AS sl,
+      |               coalesce(list(qq ORDER BY i), []) AS ql FROM st),
+      |z AS (SELECT vec_id,
+      |        coalesce(CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |          i -> CASE WHEN q[i] IS NULL THEN 0
+      |                    WHEN sl[i] IS NULL THEN 0
+      |                    WHEN nl[i] * ql[i] - sl[i] * sl[i] = 0 THEN 0
+      |               ELSE CAST(round((1000000.0 *
+      |                      ((nl[i] * q[i] - sl[i]) * (nl[i] * q[i] - sl[i])))
+      |                      / (nl[i] * ql[i] - sl[i] * sl[i])) AS BIGINT) END))
+      |          AS BIGINT), 0) AS m2_micro
+      |      FROM e, stl)
       |SELECT vec_id, m2_micro,
-      |       (m2_micro > (SELECT max(len(q)) FROM e) * 2000000) AS is_ood
+      |       (m2_micro > coalesce((SELECT max(len(q)) FROM e), 0) * 2000000) AS is_ood
       |FROM z ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
     val e = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000).cast("long")).as("q"))
-    // per-dim moments: dims rows of driver-held model state
-    val stats = e.select(posexplode(col("q")).as(Seq("i0", "qv")))
+    // per-dim moments: dims rows of driver-held model state. A
+    // dimension whose every value is NULL has sum NULL — treated as
+    // contributing 0, like the oracle's q[i] IS NULL branch.
+    val statRows = e.select(posexplode(col("q")).as(Seq("i0", "qv")))
       .groupBy("i0")
       .agg(count(col("qv")).as("n"), sum("qv").as("s"),
         sum(col("qv") * col("qv")).as("qq"))
       .collect()
+    // nd = max observed dimensionality (equals the oracle's max(len(q)):
+    // posexplode emits a position even when the value is NULL, so an
+    // all-NULL trailing dimension still counts toward the threshold)
+    val nd = if (statRows.isEmpty) 0 else statRows.map(_.getInt(0)).max + 1
+    val stats = statRows
+      .filter(r => !r.isNullAt(2))
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    val nd = if (stats.isEmpty) 0 else stats.keys.max + 1
     val terms: Seq[org.apache.spark.sql.Column] = (0 until nd).map { i =>
-      val (n, sSum, qq) = stats(i)
-      val den = n * qq - sSum * sSum
-      val qi = element_at(col("q"), i + 1)
-      if (den == 0L) lit(0L)
-      else when(qi.isNull, lit(0L)).otherwise(
-        round((lit(1000000.0) *
-          ((lit(n) * qi - lit(sSum)) * (lit(n) * qi - lit(sSum)))) / lit(den))
-          .cast("long"))
+      stats.get(i) match {
+        case None => lit(0L) // all-NULL dimension
+        case Some((n, sSum, qq)) =>
+          val den = n * qq - sSum * sSum
+          if (den == 0L) lit(0L)
+          else {
+            // size guard FIRST: CASE WHEN is lazy, so element_at never
+            // evaluates out of bounds on a ragged/short vector (ANSI
+            // INVALID_ARRAY_INDEX would throw before any null check)
+            val qi = element_at(col("q"), i + 1)
+            when(size(col("q")) < i + 1, lit(0L))
+              .when(qi.isNull, lit(0L))
+              .otherwise(
+                round((lit(1000000.0) *
+                  ((lit(n) * qi - lit(sSum)) * (lit(n) * qi - lit(sSum)))) / lit(den))
+                  .cast("long"))
+          }
+      }
     }
     val m2 = if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
     e.select(col("vec_id"), m2.as("m2_micro"))

@@ -2573,7 +2573,10 @@ object TextOps {
     * N1+(w1,·)) come from ONE reuse of that reduced table, right
     * continuation counts from another — all joins run at the model
     * grain, never the corpus grain — and the top-20 is a
-    * TakeOrderedAndProject (map-side top-k, no window).
+    * TakeOrderedAndProject (map-side top-k, no window). Reference
+    * analogue: the corpus-statistics rollup of
+    * src/command/verify.rs:62-96, lifted to the n-gram model grain
+    * (the reference has no LM tier — extension scope).
     */
   lazy val textKnBigram: Op = Op.sql(
     "text-kn-bigram",

@@ -93,9 +93,10 @@ class BoundedTopStructsSpec extends SparkSpec {
     assert(got.exists(_._2.isEmpty) || want.forall(_._2.nonEmpty))
   }
 
-  test("unorderable struct fields are rejected at analysis time") {
+  test("unorderable payloads: aggregate rejects at analysis, TopK routes to the fallback") {
     // a map-typed payload column can't participate in RowOrdering; the
-    // check must fail analysis, not the executor (ADVICE r8)
+    // aggregate's own check must fail analysis, not the executor
+    // (ADVICE r8) ...
     val mapStruct = StructType(Seq(
       StructField("a", LongType),
       StructField("m", MapType(StringType, LongType))))
@@ -104,18 +105,25 @@ class BoundedTopStructsSpec extends SparkSpec {
     assert(a.checkInputDataTypes().isFailure)
     // and the plain orderable struct still passes
     assert(agg(3).checkInputDataTypes().isSuccess)
-    // end-to-end: topkPerGroup with a map column in the payload must
-    // raise an AnalysisException, not an executor runtime failure
-    val df = spark.range(0, 10)
-      .select((col("id") % 2).as("g"), col("id").as("v"),
+    // ... while topkPerGroup detects the unorderable payload up front
+    // and routes to the salted-window spelling, which never orders the
+    // payload — the caller gets the exact result, not an error
+    val df = spark.range(0, 100)
+      .select((col("id") % 4).as("g"), (col("id") * 17 % 31).as("v"),
         map(lit("x"), col("id")).as("m"))
-    val e = intercept[Exception] {
-      graft.functions.TopK.topkPerGroup(df, Seq("g"), Seq(col("v").asc), k = 2)
-        .collect()
-    }
-    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException]
-      || e.getMessage.contains("bounded_top_structs"),
-      s"expected analysis-time rejection, got: $e")
+    // v = id*17 % 31 is injective per group (ids 4 apart, span < 124),
+    // so (g, v) is a total order and k=2 is deterministic
+    val got = graft.functions.TopK.topkPerGroup(
+      df, Seq("g"), Seq(col("v").asc), k = 2)
+    assert(!got.queryExecution.optimizedPlan.toString
+      .contains("bounded_top_structs"), "map payload must not reach the aggregate")
+    val rows = got.select("g", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (0L until 100L).map(i => (i % 4, i * 17 % 31))
+      .groupBy(_._1).toSeq
+      .flatMap { case (g, xs) => xs.map(_._2).sorted.take(2).map(v => (g, v)) }
+      .sorted
+    assert(rows == want, s"fallback top-k wrong: $rows vs $want")
   }
 
   test("end-to-end under forced sort-based fallback (serde in-query)") {

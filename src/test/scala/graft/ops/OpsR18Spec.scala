@@ -177,6 +177,49 @@ class OpsR18Spec extends SparkSpec {
       s"mean z² per dim ${meanM2 / (nd * 1e6)} far from 1 — standardization broken")
   }
 
+  test("sim-mahalanobis degenerate shapes: ragged, all-NULL dim, dup/null ids, empty arrays") {
+    // the shapes the round-9 review flagged — ANSI out-of-bounds on
+    // ragged vectors, NPE on an all-NULL dimension, grain drift on
+    // duplicate/NULL vec_ids — must all score per-row without error
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    def run(rows: Seq[org.apache.spark.sql.Row]): Seq[(Option[Long], Long, Boolean)] = {
+      val dir = java.nio.file.Files.createTempDirectory("mah").toString
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      SimOps.simMahalanobis.build(spark, dir).collect().toSeq
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getBoolean(2)))
+    }
+    import org.apache.spark.sql.Row
+    // ragged + all-NULL second dim + duplicate id 7 + a NULL id + a
+    // NULL embedding (dropped) — 5 scored rows expected
+    val got = run(Seq(
+      Row(7L, Seq(1.0f, null, 3.0f)),
+      Row(7L, Seq(2.0f, null, 5.0f)),
+      Row(null, Seq(9.0f)), // ragged: dims 2..3 absent
+      Row(8L, Seq(4.0f, null, 3.0f, 100.0f)), // sole dim-4 value: var 0
+      Row(9L, null), // NULL embedding: filtered out
+      Row(10L, Seq(1.0f, null, 3.0f)))) // exact dup of the first vector
+    assert(got.length == 5, s"per-row grain violated: $got")
+    assert(got.count(_._1 == Some(7L)) == 2, "duplicate vec_ids must stay separate rows")
+    assert(got.exists(_._1.isEmpty), "NULL vec_id row must score")
+    // identical vectors score identically; the all-NULL dim and the
+    // variance-0 dim contribute nothing (no crash is the main assert)
+    val m7 = got.filter(r => r._1 == Some(7L) || r._1 == Some(10L)).map(_._2)
+    assert(got.forall(_._2 >= 0))
+    assert(m7.groupBy(identity).values.map(_.size).max >= 2,
+      s"duplicate vectors must score equally: $m7")
+    // all-empty-array corpus: every row scores m2 = 0, none flagged
+    val empty = run(Seq(Row(1L, Seq.empty[Float]), Row(2L, Seq.empty[Float])))
+    assert(empty == Seq((Some(1L), 0L, false), (Some(2L), 0L, false)),
+      s"empty-array corpus must score 0 per row: $empty")
+  }
+
   test("sim-mahalanobis scoring plan is join-free and aggregation-free") {
     // the per-dim moments are plan literals (driver-collected model
     // state); the scoring query itself must be scan → project → sort —

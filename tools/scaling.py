@@ -102,10 +102,17 @@ def main():
     ap.add_argument("--ops", default=None,
                     help="comma-separated op ids to measure instead of the "
                          "default slowest-25 list (targeted new-op runs)")
-    ap.add_argument("--out", default="scaling_results.json",
-                    help="results filename under tools/ (targeted runs "
-                         "should not clobber the board-wide baseline)")
+    ap.add_argument("--out", default=None,
+                    help="results filename under tools/; REQUIRED with "
+                         "--ops (a targeted run must not clobber the "
+                         "board-wide scaling_results.json baseline)")
     args = ap.parse_args()
+
+    if args.ops and not args.out:
+        ap.error("--ops requires an explicit --out "
+                 "(refusing to overwrite the board-wide baseline)")
+    if args.out is None:
+        args.out = "scaling_results.json"
 
     if args.ops:
         global OPS
