@@ -1723,7 +1723,63 @@ object AggOps {
     aggDoubleCharge, aggNewReturning, aggBurstiness, aggMixShift,
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
     aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate,
-    aggHazardCurve, aggAmsF2, aggHllPrecisionSweep, aggCupedAdjust)
+    aggHazardCurve, aggAmsF2, aggHllPrecisionSweep, aggCupedAdjust,
+    aggTrendSlope)
+
+  /** Per-user spend-trend slope — exact ordinary-least-squares over
+    * (day index, daily spend cents): slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²), the regr_slope the curation dashboards rank churn risk by,
+    * spelled so both engines agree bit-for-bit (built-in regr_slope
+    * aggregates doubles in partition order — banned). Reference
+    * analogue: per-kind archive statistics, src/command/verify.rs:62-96,
+    * lifted to the regression grain.
+    *
+    * Float discipline: every moment (n, Σx, Σy, Σxy, Σx²) is an EXACT
+    * integer sum over cent-snapped values — order-free — and the slope
+    * is ONE identical-tree double division, micro-snapped. Single-day
+    * users have a zero denominator → NULL on both engines (the
+    * div-by-zero NULL-vs-throw invariant). Overflow: n·Σxy needs
+    * day·cents·days·n < 2^63 — epoch-day ≈ 2×10⁴ keeps headroom to
+    * ~10¹⁰ cent-events per user; beyond that, re-origin x to
+    * (day − min_day) (documented swap).
+    *
+    * Scale shape: two map-side-combined groupBys (events → user-day →
+    * user); no window, no join; output is user-grain.
+    */
+  lazy val aggTrendSlope: Op = Op.sql(
+    "agg-trend-slope",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |dy AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS y
+      |       FROM e GROUP BY user_id, day),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |             CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(day * y) AS BIGINT) AS sxy,
+      |             CAST(sum(day * day) AS BIGINT) AS sxx
+      |      FROM dy GROUP BY user_id)
+      |SELECT user_id, n_days,
+      |       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |            ELSE CAST(round((1000000.0 * (n_days * sxy - sx * sy))
+      |                       / (n_days * sxx - sx * sx)) AS BIGINT) END AS slope_micro
+      |FROM m ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    e.groupBy("user_id", "day").agg(sum("cents").as("y"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_days"),
+        sum("day").as("sx"), sum("y").as("sy"),
+        sum(col("day") * col("y")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("user_id"), col("n_days"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise(round((lit(1000000.0) *
+            (col("n_days") * col("sxy") - col("sx") * col("sy"))) /
+            (col("n_days") * col("sxx") - col("sx") * col("sx"))).cast("long"))
+          .as("slope_micro"))
+      .orderBy("user_id")
+  }
 
   /** Peak-rate capacity table: per event type, the busiest minute's
     * event count, the P99 minute rate (×2-grain integer parity), and the

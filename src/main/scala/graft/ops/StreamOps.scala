@@ -700,5 +700,89 @@ object StreamOps {
     lateData, reorgRepair, sinkNotifyPulsar, gracefulStop, streamDedup,
     streamHll, streamQuantile, streamTopk, streamWatermarkAudit,
     streamUpsert, streamCountmin, streamStateBudget, streamOutageGaps,
-    streamCmsTopk, streamFinalizedLag)
+    streamCmsTopk, streamFinalizedLag, streamOodFlags)
+
+  /** The train-then-serve z-score flag shared by the batch op and the
+    * live path ([[graft.streaming.Streams.oodFlagsLive]]): expects the
+    * joined per-type moment columns (n, s, qq) next to the row's cents
+    * `c`, and flags |z| > 3 via the integer-moment identity
+    * z² = (n·c − S)²/(n·Q − S²) — evaluated in DOUBLE with an
+    * identical expression tree on both engines (the long square would
+    * overflow at ~10⁵ train rows × 10⁴ cents; the doubles are the SAME
+    * correctly-rounded values on both sides, so the comparison cannot
+    * diverge). Branch order is part of the contract (matches the
+    * oracle's CASE): unseen/thin types → variance ≤ 0 → NULL value →
+    * compare.
+    */
+  private[graft] def oodFlag: org.apache.spark.sql.Column = {
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val znum = nD * col("c") - sD
+    val den = nD * col("qq") - sD * col("s")
+    when(col("n").isNull || col("n") < 2, lit(false))
+      .when(den <= 0, lit(false))
+      .when(col("c").isNull, lit(false))
+      .otherwise(znum * znum > lit(9) * den)
+  }
+
+  /** Streaming out-of-distribution flags — the train-then-serve anomaly
+    * screen (reference analogue: the head-follower's lag/verify checks,
+    * src/command/stream.rs:92-144, lifted to the value dimension): the
+    * first 14 days of each event type train per-type moments (n, Σc,
+    * Σc²), and the remainder of the stream is scored against them,
+    * flagging |z| > 3 spend values; emitted per (hour window, type) as
+    * event and flag counts. This is the op a 100 TB ingest runs forever:
+    * the model is a TYPE-grain table that broadcasts, scoring is
+    * row-local, and the windowed rollup is the only streaming state
+    * (counts merge across micro-batches — the live path
+    * [[graft.streaming.Streams.oodFlagsLive]] is this same plan behind a
+    * watermark, parity-tested in StreamsSpec).
+    *
+    * Float discipline: see [[oodFlag]]. The split day is min(day) + 14
+    * computed as a 1-row broadcast on both engines (no literal date —
+    * fixtures with any time origin train on their own first fortnight).
+    */
+  lazy val streamOodFlags: Op = Op.sql(
+    "stream-ood-flags",
+    """WITH e AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_us,
+      |                  epoch_us(ts) // 86400000000 AS day,
+      |                  event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |           FROM events),
+      |sd AS (SELECT min(day) + 14 AS sd FROM e),
+      |tr AS (SELECT event_type, CAST(count(c) AS BIGINT) AS n,
+      |              CAST(sum(c) AS BIGINT) AS s,
+      |              CAST(sum(c * c) AS BIGINT) AS qq
+      |       FROM e, sd WHERE day < sd GROUP BY event_type),
+      |f AS (SELECT e.win_us, e.event_type,
+      |             CASE WHEN tr.n IS NULL OR tr.n < 2 THEN FALSE
+      |                  WHEN CAST(tr.n AS DOUBLE) * tr.qq
+      |                       - CAST(tr.s AS DOUBLE) * tr.s <= 0 THEN FALSE
+      |                  WHEN e.c IS NULL THEN FALSE
+      |                  ELSE (CAST(tr.n AS DOUBLE) * e.c - CAST(tr.s AS DOUBLE)) *
+      |                       (CAST(tr.n AS DOUBLE) * e.c - CAST(tr.s AS DOUBLE))
+      |                       > 9 * (CAST(tr.n AS DOUBLE) * tr.qq
+      |                              - CAST(tr.s AS DOUBLE) * tr.s)
+      |             END AS flag
+      |      FROM e JOIN sd ON e.day >= sd.sd
+      |      LEFT JOIN tr USING (event_type))
+      |SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM f GROUP BY win_us, event_type ORDER BY win_us, event_type""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      expr("(ts div 1000) div 3600000000 * 3600000000").as("win_us"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val sd = e.agg((min("day") + 14).as("sd"))
+    val tr = e.crossJoin(broadcast(sd)).filter(col("day") < col("sd"))
+      .groupBy("event_type").agg(count(col("c")).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("qq"))
+    e.crossJoin(broadcast(sd)).filter(col("day") >= col("sd"))
+      .join(broadcast(tr), Seq("event_type"), "left_outer")
+      .withColumn("flag", oodFlag)
+      .groupBy("win_us", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("win_us", "event_type")
+  }
 }

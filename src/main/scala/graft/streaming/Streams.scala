@@ -510,4 +510,26 @@ object Streams {
       .agg(sum("c").as("ewma_cents"))
       .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
         col("ewma_cents"))
+
+  /** Live train-then-serve OOD flags — the streaming half of
+    * stream-ood-flags: a STATIC per-type moment table (trained offline —
+    * here the batch op's own train subtree) broadcast-joins into the
+    * live stream (stream–static joins are stateless), the |z| > 3 flag
+    * ([[graft.ops.StreamOps.oodFlag]] — the identical expression the
+    * batch op and the DuckDB oracle evaluate) is row-local, and the only
+    * streaming state is the watermarked (window, type) count pair, which
+    * merges across micro-batches by plain summation. Input: (tsc
+    * timestamp, event_type, c cents); moments: (event_type, n, s, qq).
+    */
+  def oodFlagsLive(events: DataFrame, moments: DataFrame,
+      windowDur: String = "1 hour", horizon: String = "30 minutes"): DataFrame =
+    events
+      .join(broadcast(moments), Seq("event_type"), "left_outer")
+      .withColumn("flag", graft.ops.StreamOps.oodFlag)
+      .withWatermark("tsc", horizon)
+      .groupBy(window(col("tsc"), windowDur).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("event_type"),
+        col("n_events"), col("n_flagged"))
 }

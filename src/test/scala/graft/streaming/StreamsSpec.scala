@@ -753,4 +753,58 @@ class StreamsSpec extends SparkSpec {
     assert(fin(1L) === UpsertRow(1L, 300L, 3L, "c", 30L, 3L))
     assert(fin(2L) === UpsertRow(2L, 50L, 9L, "x", 5L, 1L))
   }
+
+  test("streamed OOD flags equal the batch stream-ood-flags op") {
+    import java.sql.Timestamp
+    import graft.Tables
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000) * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // the batch op's own train/serve split, reconstructed: first 14 days
+    // train the per-type moments, the rest is the scored stream
+    val e = Tables.events(spark, sf()).select(
+      expr("ts div 1000").as("ts_us"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val sd = e.agg((min("day") + 14).as("sd"))
+    val moments = e.crossJoin(broadcast(sd)).filter(col("day") < col("sd"))
+      .groupBy("event_type").agg(count(col("c")).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("qq"))
+    val scored = e.crossJoin(broadcast(sd)).filter(col("day") >= col("sd"))
+      .select("event_type", "c", "ts_us").orderBy("ts_us").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(r.getLong(1)), r.getLong(2)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Option[Long], Timestamp)](spark, 2)
+    val src = input.toDF().toDF("event_type", "c", "tsc")
+    val q = Streams.oodFlagsLive(src, moments).writeStream
+      .format("memory").queryName("ood_out")
+      .outputMode(OutputMode.Append).start()
+    // several micro-batches (cross-batch count merges), then sentinels
+    // far in the future to close every real window
+    scored.grouped(math.max(1, scored.length / 4)).foreach { chunk =>
+      input.addData(chunk.map { case (t, c, us) =>
+        (t, Option(c).map(_.longValue), tsOfMicros(us))
+      }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val far = scored.map(_._3).max + 365L * 86400 * 1000000
+    input.addData(("sentinel", Some(0L), tsOfMicros(far))); q.processAllAvailable()
+    input.addData(("sentinel", Some(0L), tsOfMicros(far + 3600L * 1000000)))
+    q.processAllAvailable()
+    val streamed = spark.table("ood_out")
+      .filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    q.stop()
+    val batch = graft.ops.StreamOps.streamOodFlags.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed === batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+    assert(streamed.nonEmpty && streamed.values.exists(_._2 > 0),
+      "no flags fired anywhere — vacuous parity")
+  }
 }
