@@ -1347,7 +1347,7 @@ object SimOps {
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
     simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
-    simKnnReciprocity, simMahalanobis)
+    simKnnReciprocity, simMahalanobis, simLshMultiprobe)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit
@@ -1577,6 +1577,122 @@ object SimOps {
       .groupBy(col("n_occ").cast("long").as("n_occ"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("n_occ")
+  }
+
+  /** Multi-probe LSH (Lv et al. 2007): each query probes its own
+    * hyperplane bucket PLUS the 8 buckets at Hamming distance 1 (one
+    * sign bit flipped) — the standard recall-vs-tables trade: one index,
+    * 9 probes, instead of 9 independent hash tables. Emits the
+    * single-probe and multi-probe candidate volumes and recall@3 against
+    * the exact top-3 truth side by side — the table that justifies the
+    * probe budget before an index ships. Reference analogue: the
+    * parallel-fetch probe batching of src/command/archiver.rs (bounded
+    * request fan-out per key), lifted to the ANN probe set — extension
+    * scope like the rest of the sim tier.
+    *
+    * Scale shape: buckets are row-local codegen projections
+    * (ArrayDotLong sign dots); the probe set explodes QUERIES only (9
+    * rows per query — queries are the small side and stay broadcast);
+    * candidates come from the bucket equi-join (co-locatable at scale),
+    * dedup and scoring run at the candidate grain, and the per-(mode,
+    * query) top-3 is the bounded aggregate. The corpus is never
+    * re-bucketed per probe — multi-probe reads the SAME index single
+    * probe reads, which is the point.
+    */
+  lazy val simLshMultiprobe: Op = Op.sql(
+    "sim-lsh-multiprobe",
+    s"""WITH iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |x3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM withb q JOIN withb c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |probes AS (
+       |  SELECT vec_id AS q_id, bucket AS pb, 'single' AS mode
+       |  FROM withb WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id, bucket, 'multi' FROM withb WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id, xor(bucket, CAST(2 ** j AS BIGINT)), 'multi'
+       |  FROM withb, (SELECT unnest(generate_series(0, 7)) AS j) g
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT p.mode, p.q_id, cb.vec_id AS n_id
+       |  FROM probes p JOIN withb cb ON cb.bucket = p.pb
+       |  WHERE cb.vec_id >= 10),
+       |r3 AS (
+       |  SELECT mode, q_id, n_id FROM (
+       |    SELECT cand.mode, cand.q_id, cand.n_id,
+       |           row_number() OVER (PARTITION BY cand.mode, cand.q_id
+       |             ORDER BY $CosineSql DESC, cand.n_id) AS rn
+       |    FROM cand JOIN withb q ON q.vec_id = cand.q_id
+       |              JOIN withb c ON c.vec_id = cand.n_id) t
+       |  WHERE rn <= 3),
+       |sums AS (SELECT mode, CAST(count(*) AS BIGINT) AS n_candidates
+       |         FROM cand GROUP BY mode),
+       |hits AS (SELECT mode, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM r3 JOIN x3 USING (q_id, n_id) GROUP BY mode),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM x3)
+       |SELECT s.mode, s.n_candidates,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+       |       CASE WHEN t.n_truth = 0 THEN NULL
+       |            ELSE CAST(coalesce(h.n_hits, 0) * 10000 // t.n_truth AS BIGINT)
+       |       END AS recall_bp
+       |FROM sums s LEFT JOIN hits h USING (mode), tot t
+       |ORDER BY s.mode""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q0 = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      Similarity.lshBucket(col("embedding")).as("bucket"))
+    val c0 = e.filter(col("vec_id") >= 10).select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
+      Similarity.lshBucket(col("embedding")).as("bucket"))
+    val truth = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 3)
+      .select("q_id", "n_id")
+    val single = q0.select(col("q_id"), col("bucket").as("pb"),
+      lit("single").as("mode"))
+    val multi = q0.select(col("q_id"),
+      explode(array((col("bucket") +:
+        (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("pb"),
+      lit("multi").as("mode"))
+    val probes = single.unionByName(multi)
+    val cand = probes
+      .join(c0.select(col("n_id"), col("bucket").as("pb")), Seq("pb"))
+      .select("mode", "q_id", "n_id").distinct()
+    val scored = cand
+      .join(broadcast(q0.select("q_id", "q_emb")), Seq("q_id"))
+      .join(c0.select("n_id", "n_emb"), Seq("n_id"))
+      .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .select("mode", "q_id", "n_id", "sim")
+    val r3 = graft.functions.TopK.topkPerGroup(scored, Seq("mode", "q_id"),
+      Seq(col("sim").desc, col("n_id").asc), k = 3)
+      .select("mode", "q_id", "n_id")
+    val sums = cand.groupBy("mode").agg(count(lit(1)).as("n_candidates"))
+    val hits = r3.join(truth, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("mode").agg(count(lit(1)).as("n_hits"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    sums.join(hits, Seq("mode"), "left_outer").crossJoin(broadcast(tot))
+      .select(col("mode"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"))
+      .withColumn("recall_bp",
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(expr("(n_hits * 10000) div n_truth")))
+      .orderBy("mode")
   }
 
   /** Diagonal-covariance Mahalanobis out-of-distribution score per

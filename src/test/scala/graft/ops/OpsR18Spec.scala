@@ -220,6 +220,40 @@ class OpsR18Spec extends SparkSpec {
       s"empty-array corpus must score 0 per row: $empty")
   }
 
+  test("sim-lsh-multiprobe: candidate sets match a from-scratch probe expansion; recall dominates") {
+    // from-scratch: collect every vector's bucket, expand each query's
+    // probe set (bucket + 8 one-bit flips), count distinct candidates
+    val withB = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        graft.sim.Similarity.lshBucket(col("embedding")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = withB.filter(_._1 >= 10)
+    val queries = withB.filter(_._1 < 10)
+    val expSingle = queries.map { case (_, qb) =>
+      corpus.count(_._2 == qb).toLong
+    }.sum
+    val expMulti = queries.map { case (_, qb) =>
+      val probeSet = (qb +: (0 until 8).map(j => qb ^ (1L << j))).toSet
+      corpus.count(c => probeSet.contains(c._2)).toLong
+    }.sum
+    val got = SimOps.simLshMultiprobe.build(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("single")._1 == expSingle,
+      s"single-probe candidates ${got("single")._1} != from-scratch $expSingle")
+    assert(got("multi")._1 == expMulti,
+      s"multi-probe candidates ${got("multi")._1} != from-scratch $expMulti")
+    // multi-probe dominates single-probe by construction (superset)
+    assert(got("multi")._1 >= got("single")._1)
+    assert(got("multi")._2 >= got("single")._2, "multi recall must dominate")
+    got.values.foreach { case (_, hits, truth, bp) =>
+      assert(hits <= truth && bp >= 0 && bp <= 10000)
+    }
+    // the op is non-vacuous on this fixture: multi actually widens
+    assert(got("multi")._1 > got("single")._1,
+      "probe expansion added no candidates — fixture degenerate?")
+  }
+
   test("sim-mahalanobis scoring plan is join-free and aggregation-free") {
     // the per-dim moments are plan literals (driver-collected model
     // state); the scoring query itself must be scan → project → sort —
