@@ -1736,9 +1736,13 @@ object AggOps {
     *
     * Float discipline: every moment (n, Σx, Σy, Σxy, Σx²) is an EXACT
     * integer sum over cent-snapped values — order-free — and the slope
-    * is ONE identical-tree double division, micro-snapped. Single-day
-    * users have a zero denominator → NULL on both engines (the
-    * div-by-zero NULL-vs-throw invariant). Overflow: n·Σxy needs
+    * is ONE identical-tree double division, micro-snapped. Days whose
+    * spend sum is NULL (every value NULL that day) are DROPPED before
+    * the moment pass — otherwise n/Σx/Σx² would count a day that
+    * Σy/Σxy skip and the result would be the OLS of no observed point
+    * set (round-9 review). Users with fewer than two OBSERVED days
+    * have a zero denominator → NULL on both engines (the div-by-zero
+    * NULL-vs-throw invariant). Overflow: n·Σxy needs
     * day·cents·days·n < 2^63 — epoch-day ≈ 2×10⁴ keeps headroom to
     * ~10¹⁰ cent-events per user; beyond that, re-origin x to
     * (day − min_day) (documented swap).
@@ -1751,7 +1755,8 @@ object AggOps {
     """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
       |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
       |dy AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS y
-      |       FROM e GROUP BY user_id, day),
+      |       FROM e GROUP BY user_id, day
+      |       HAVING sum(cents) IS NOT NULL),
       |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
       |             CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |             CAST(sum(day * y) AS BIGINT) AS sxy,
@@ -1767,6 +1772,7 @@ object AggOps {
       expr("(ts div 1000) div 86400000000").as("day"),
       round(col("value") * 100).cast("long").as("cents"))
     e.groupBy("user_id", "day").agg(sum("cents").as("y"))
+      .filter(col("y").isNotNull)
       .groupBy("user_id").agg(
         count(lit(1)).as("n_days"),
         sum("day").as("sx"), sum("y").as("sy"),

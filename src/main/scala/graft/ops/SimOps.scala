@@ -1586,8 +1586,8 @@ object SimOps {
     * single-probe and multi-probe candidate volumes and recall@3 against
     * the exact top-3 truth side by side — the table that justifies the
     * probe budget before an index ships. Reference analogue: the
-    * parallel-fetch probe batching of src/command/archiver.rs (bounded
-    * request fan-out per key), lifted to the ANN probe set — extension
+    * bounded per-key request fan-out of src/archiver/block.rs:36-60
+    * (parallel fetch batching), lifted to the ANN probe set — extension
     * scope like the rest of the sim tier.
     *
     * Scale shape: buckets are row-local codegen projections

@@ -254,6 +254,70 @@ class OpsR18Spec extends SparkSpec {
       "probe expansion added no candidates — fixture degenerate?")
   }
 
+  test("stream-ood-flags' flag expression survives adversarial values (fuzz can't reach the serve path)") {
+    // FuzzGen fixtures span <= 20 hours, so the fortnight serve set is
+    // empty on every fuzz fixture — drive the flag expression directly
+    // over the shapes fuzzing would have thrown at it: negative cents,
+    // values landing EXACTLY on the |z| = 3 boundary, zero variance,
+    // thin and unseen types, NULL values
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c", LongType, nullable = true),
+      StructField("n", LongType, nullable = true),
+      StructField("s", LongType, nullable = true),
+      StructField("qq", LongType, nullable = true)))
+    // train set {-10, 10}: n=2, s=0, qq=200; sigma^2=100/4... identity:
+    // flag iff (n*c - s)^2 > 9*(n*qq - s^2) = 9*400 -> |2c| > 60 -> |c| > 30
+    val rows = Seq(
+      Row(30L, 2L, 0L, 200L),   // exactly on the boundary: NOT flagged
+      Row(31L, 2L, 0L, 200L),   // just past: flagged
+      Row(-30L, 2L, 0L, 200L),  // negative boundary: NOT flagged
+      Row(-31L, 2L, 0L, 200L),  // negative past: flagged
+      Row(1000L, 1L, 5L, 25L),  // n < 2: never flagged
+      Row(1000L, 2L, 10L, 50L), // zero variance (2*50 = 10*10): never flagged
+      Row(null, 2L, 0L, 200L),  // NULL value: never flagged
+      Row(1000L, null, null, null)) // unseen type: never flagged
+    import scala.jdk.CollectionConverters._
+    val got = spark.createDataFrame(rows.asJava, schema)
+      .withColumn("flag", graft.ops.StreamOps.oodFlag)
+      .collect().map(r => r.getBoolean(4)).toSeq
+    assert(got == Seq(false, true, false, true, false, false, false, false),
+      s"flag vector diverged: $got")
+  }
+
+  test("agg-trend-slope drops all-NULL-spend days from the moment set") {
+    // a user-day whose every value is NULL must not count toward
+    // n_days/sx/sxx while sy/sxy skip it (round-9 review): with one
+    // observed day the slope is NULL, not a garbage two-point fit
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = true),
+      StructField("ts", LongType, nullable = true), // nanos epoch
+      StructField("user_id", LongType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = true),
+      StructField("props", StringType, nullable = true)))
+    val day0 = 19723L * 86400L * 1000000000L
+    val rows = Seq(
+      Row(0L, day0, 1L, "purchase", 10.0, "{}"),
+      Row(1L, day0 + 86400L * 1000000000L, 1L, "purchase", null, "{}"),
+      Row(2L, day0, 2L, "purchase", 10.0, "{}"),
+      Row(3L, day0 + 86400L * 1000000000L, 2L, "purchase", 20.0, "{}"))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AggOps.aggTrendSlope.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    // user 1: one OBSERVED day -> NULL slope; user 2: exact slope
+    // (2000-1000 cents)/1 day = 1000 cents/day = 1e9 micro
+    assert(got == Seq((1L, 1L, None), (2L, 2L, Some(1000000000L))),
+      s"trend rows diverged: $got")
+  }
+
   test("sim-mahalanobis scoring plan is join-free and aggregation-free") {
     // the per-dim moments are plan literals (driver-collected model
     // state); the scoring query itself must be scan → project → sort —

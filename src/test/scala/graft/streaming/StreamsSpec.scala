@@ -795,7 +795,10 @@ class StreamsSpec extends SparkSpec {
     input.addData(("sentinel", Some(0L), tsOfMicros(far + 3600L * 1000000)))
     q.processAllAvailable()
     val streamed = spark.table("ood_out")
-      .filter(col("event_type") =!= "sentinel").collect()
+      // null-safe: a NULL event_type must survive the sentinel filter
+      // (NULL =!= 'sentinel' is NULL and would silently drop the row)
+      .filter(not(coalesce(col("event_type") === "sentinel", lit(false))))
+      .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     q.stop()
