@@ -1213,7 +1213,7 @@ object DedupOps {
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
     dedupClusterSources, dedupHammingSweep, dedupPagerankRep,
-    dedupPrefixArtifacts)
+    dedupPrefixArtifacts, dedupSemantic)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
@@ -1550,5 +1550,49 @@ object DedupOps {
         count(lit(1)).as("n_union"))
       .select(col("n_jaccard"), col("n_hamming"), col("n_both"), col("n_union"),
         expr("(n_both * 1000000) div n_union").as("agreement_micro"))
+  }
+
+  /** SemDeDup as a PIPELINE step — the per-source kept/dropped budget of
+    * embedding-space semantic dedup (Abbas et al. 2023), bridging the sim
+    * and dedup tiers: the per-vector keep verdict is
+    * [[SimOps.semanticKeepTable]] (1-round k-means clustering, within-
+    * cluster ≥ 0.35-cosine pairs, lowest-id keeper — the SQL CTEs are
+    * shared VERBATIM with sim-semantic-dedup via SimOps.SemDedupCtes so
+    * the tiers cannot diverge), joined to the documents table on
+    * vec_id = doc_id (the embedded subset) and rolled up per source —
+    * the table a 100 TB curation run reads to see how much of each
+    * source semantic dedup removes. Reference analogue: the per-kind
+    * dedup accounting of src/command/fix.rs:160-210, lifted to the
+    * embedding grain (the reference has no vector tier — extension
+    * scope).
+    *
+    * Scale shape: clustering + assignment are the shared subtree's
+    * (config-sized centroid collect + broadcast projection); the pair
+    * stage joins on cid so cost is Σ|cluster|², bounded by k as in the
+    * paper; the doc join is a plain equi-join on the id (AQE broadcasts
+    * the keep table while the embedded subset fits — at full scale both
+    * sides are id-partitioned and co-locate); the rollup is
+    * source-grain, map-side combined.
+    */
+  lazy val dedupSemantic: Op = Op.sql(
+    "dedup-semantic",
+    s"""${SimOps.SemDedupCtes},
+       |keep AS (SELECT m.vec_id, dropped.vec_id IS NULL AS keep
+       |         FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN k.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM documents d JOIN keep k ON d.doc_id = k.vec_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    val keep = SimOps.semanticKeepTable(s, d)
+      .select(col("vec_id").as("doc_id"), col("keep"))
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(keep, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
+      .orderBy("source")
   }
 }

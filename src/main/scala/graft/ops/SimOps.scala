@@ -571,8 +571,14 @@ object SimOps {
     * Cosines snap to integer micro-units before every compare (the
     * decimal-round of a derived double is not cross-engine stable).
     */
-  val simSemanticDedup: Op = Op.sql(
-    "sim-semantic-dedup",
+  /** The SemDeDup CTE chain (1-round k-means from the 4 lowest vec_ids,
+    * reassignment to the updated centroids, within-cluster ≥ 0.35-cosine
+    * pairs, lowest-id keeper) up to the `m` (membership) and `dropped`
+    * CTEs — shared VERBATIM by [[simSemanticDedup]] and DedupOps'
+    * dedup-semantic so the two tiers can never diverge on clustering,
+    * tiebreaks or the epsilon threshold.
+    */
+  private[graft] val SemDedupCtes: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       |         FROM e ORDER BY vec_id LIMIT 4),
@@ -614,12 +620,14 @@ object SimOps {
       |  AND CAST(round(list_dot_product(a.v, b.v) /
       |                 (sqrt(list_dot_product(a.v, a.v)) *
       |                  sqrt(list_dot_product(b.v, b.v))) * 1000000)
-      |           AS BIGINT) >= 350000)
-      |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid,
-      |       dropped.vec_id IS NULL AS keep
-      |FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id
-      |ORDER BY m.vec_id""".stripMargin
-  ) { (s, d) =>
+      |           AS BIGINT) >= 350000)""".stripMargin
+
+  /** SemDeDup keep table (vec_id, cid, keep) — the Spark half of the
+    * shared subtree behind [[simSemanticDedup]] and DedupOps'
+    * dedup-semantic.
+    */
+  private[graft] def semanticKeepTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def cosU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       round(Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
@@ -641,7 +649,21 @@ object SimOps {
       .select(col("vec_id").as("d_id"))
     members.join(dropped, col("vec_id") === col("d_id"), "left")
       .select(col("vec_id"), col("cid"), col("d_id").isNull.as("keep"))
-      .orderBy("vec_id")
+  }
+
+  /** Per-vector SemDeDup verdict (vec_id, cid, keep) — see the paper/scale
+    * notes on [[SemDedupCtes]]; the per-source pipeline rollup is DedupOps'
+    * dedup-semantic over the same shared subtree.
+    */
+  val simSemanticDedup: Op = Op.sql(
+    "sim-semantic-dedup",
+    s"""$SemDedupCtes
+       |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid,
+       |       dropped.vec_id IS NULL AS keep
+       |FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+  ) { (s, d) =>
+    semanticKeepTable(s, d).select("vec_id", "cid", "keep").orderBy("vec_id")
   }
 
   /** Matryoshka (MRL) truncation eval: how much top-3 recall survives when
@@ -1347,7 +1369,7 @@ object SimOps {
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
     simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
-    simKnnReciprocity, simMahalanobis, simLshMultiprobe)
+    simKnnReciprocity, simMahalanobis, simLshMultiprobe, simProbeOrder)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit
@@ -1712,17 +1734,24 @@ object SimOps {
     * contribute 0 on both engines (the div-by-zero NULL-vs-throw
     * invariant).
     *
-    * Scale shape: the per-dim moment table is ONE map-side-combined
-    * groupBy over (vector × dims) positions, collected driver-side at
-    * dims rows (config-sized model state, the k-means pattern); scoring
-    * is then a ZERO-shuffle row-local fold with the moments as plan
-    * literals — no join, no window, one scan (reference analogue: the
-    * driver-held per-kind statistics of src/command/verify.rs:62-96,
-    * lifted to the embedding-moment grain). Overflow bound: the long
-    * square (n·q_d − S_d)² must fit int64, i.e. |n·q_d − S_d| < 3·10⁹
-    * (under ANSI a long overflow THROWS, it does not round) — at a
-    * corpus size where that binds, quantize coarser than milli (the
-    * documented swap; the z² ratio is scale-invariant).
+    * Scale shape: the op scans the corpus TWICE — once for the per-dim
+    * moment table (ONE map-side-combined groupBy over (vector × dims)
+    * positions, collected driver-side at dims rows — config-sized model
+    * state, the k-means pattern) and once for scoring, a ZERO-shuffle
+    * row-local fold with the moments as plan literals — no join, no
+    * window (reference analogue: the driver-held per-kind statistics of
+    * src/command/verify.rs:62-96, lifted to the embedding-moment
+    * grain). Two scans of a milli-quantized projection beat persisting
+    * it at 100 TB: the cache would be corpus-sized while each scan is
+    * pruned to the embedding column and pipelines entirely. Overflow
+    * bound: the long square (n·q_d − S_d)² must fit int64, i.e.
+    * |n·q_d − S_d| < 3·10⁹ (under ANSI a long overflow THROWS, it does
+    * not round) — at a corpus size where that binds, quantize coarser
+    * than milli (the documented swap; the z² ratio is scale-invariant).
+    * The moment collect carries each dim's max |q_d|, and the driver
+    * ASSERTS the bound before building the scoring plan, so the failure
+    * is an actionable "quantize coarser" message instead of a mid-job
+    * ANSI arithmetic exception (ADVICE r9).
     *
     * Degenerate-shape contract (matches the row-grain oracle exactly):
     * one output row PER INPUT ROW (duplicate or NULL vec_ids stay
@@ -1770,8 +1799,19 @@ object SimOps {
     val statRows = e.select(posexplode(col("q")).as(Seq("i0", "qv")))
       .groupBy("i0")
       .agg(count(col("qv")).as("n"), sum("qv").as("s"),
-        sum(col("qv") * col("qv")).as("qq"))
+        sum(col("qv") * col("qv")).as("qq"),
+        max(abs(col("qv"))).as("ma"))
       .collect()
+    // overflow guard (ADVICE r9): |n·q_d − S_d| ≤ n·max|q_d| + |S_d| must
+    // stay below √Long.MaxValue or the ANSI long square throws mid-job;
+    // checked in double (the bound itself could overflow a long)
+    statRows.filter(r => !r.isNullAt(2)).foreach { r =>
+      val bound = r.getLong(1).toDouble * r.getLong(4) + math.abs(r.getLong(2)).toDouble
+      require(bound < 3.0e9,
+        s"sim-mahalanobis: dim ${r.getInt(0)} moment magnitude $bound would " +
+          "overflow the exact long square (n*q - S)^2 — quantize coarser " +
+          "than milli (the z^2 ratio is scale-invariant)")
+    }
     // nd = max observed dimensionality (equals the oracle's max(len(q)):
     // posexplode emits a position even when the value is NULL, so an
     // all-NULL trailing dimension still counts toward the threshold)
@@ -1804,5 +1844,141 @@ object SimOps {
     e.select(col("vec_id"), m2.as("m2_micro"))
       .withColumn("is_ood", col("m2_micro") > lit(nd.toLong * 2000000L))
       .orderBy("vec_id")
+  }
+
+  /** Query-directed probe ORDERING for multi-probe LSH — the actual
+    * contribution of Lv et al. 2007 on top of sim-lsh-multiprobe's
+    * flip-everything baseline: perturbations are ranked by the query's
+    * margin on each hyperplane (the smaller |dot| is, the likelier the
+    * true neighbors sit just across that plane), and only the top-T
+    * lowest-margin flips are probed. The emitted T-sweep (T ∈ {2, 4, 8};
+    * T = 8 equals the full Hamming-1 set) is candidates vs recall@3 per
+    * probe budget — the table that PICKS T for a deployment: where the
+    * ordered T = 2 column recovers most of T = 8's recall at a quarter
+    * of the candidate volume, the margin ordering has paid for itself.
+    * Reference analogue: the bounded per-key request fan-out of
+    * src/archiver/block.rs:36-60, lifted to a PRIORITIZED probe set —
+    * extension scope like the rest of the sim tier.
+    *
+    * Scale shape: margins are the SAME exact-integer sign dots the
+    * bucket is built from ([[Similarity.lshMargins]] — row-local codegen
+    * projections, deterministic under any partitioning); the ranked
+    * flip set explodes QUERIES only (8 rows per query before the budget
+    * filter, queries broadcast) and the T-sweep is a constant-size
+    * budget explode × rank filter on that one table — the corpus is
+    * bucketed ONCE and every budget reads the same bucket equi-join;
+    * dedup, exact re-rank and the per-(T, query) top-3 run at the
+    * candidate grain through the bounded top-k aggregate.
+    */
+  lazy val simProbeOrder: Op = Op.sql(
+    "sim-probe-order",
+    s"""WITH iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |mg AS (
+       |  SELECT vec_id, j,
+       |         list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                   FOR d IN generate_series(0, len(ie) - 1)]) AS s
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (SELECT vec_id,
+       |              sum(CASE WHEN s > 0 THEN (2 ** j)::BIGINT ELSE 0 END) AS bucket
+       |       FROM mg GROUP BY vec_id),
+       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |x3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM withb q JOIN withb c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |rk AS (
+       |  SELECT mg.vec_id AS q_id, mg.j,
+       |         row_number() OVER (PARTITION BY mg.vec_id
+       |           ORDER BY abs(mg.s), mg.j) AS flip_rank
+       |  FROM mg WHERE mg.vec_id < 10),
+       |probes0 AS (
+       |  SELECT vec_id AS q_id, bucket AS pb, CAST(0 AS BIGINT) AS flip_rank
+       |  FROM withb WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT rk.q_id, xor(wb.bucket, CAST(2 ** rk.j AS BIGINT)),
+       |         CAST(rk.flip_rank AS BIGINT)
+       |  FROM rk JOIN withb wb ON wb.vec_id = rk.q_id),
+       |budget AS (SELECT unnest([2, 4, 8]) AS t_budget),
+       |probes AS (SELECT CAST(b.t_budget AS BIGINT) AS t_budget, p.q_id, p.pb
+       |           FROM probes0 p, budget b WHERE p.flip_rank <= b.t_budget),
+       |cand AS (
+       |  SELECT DISTINCT p.t_budget, p.q_id, cb.vec_id AS n_id
+       |  FROM probes p JOIN withb cb ON cb.bucket = p.pb
+       |  WHERE cb.vec_id >= 10),
+       |r3 AS (
+       |  SELECT t_budget, q_id, n_id FROM (
+       |    SELECT cand.t_budget, cand.q_id, cand.n_id,
+       |           row_number() OVER (PARTITION BY cand.t_budget, cand.q_id
+       |             ORDER BY $CosineSql DESC, cand.n_id) AS rn
+       |    FROM cand JOIN withb q ON q.vec_id = cand.q_id
+       |              JOIN withb c ON c.vec_id = cand.n_id) t
+       |  WHERE rn <= 3),
+       |sums AS (SELECT t_budget, CAST(count(*) AS BIGINT) AS n_candidates
+       |         FROM cand GROUP BY t_budget),
+       |hits AS (SELECT t_budget, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM r3 JOIN x3 USING (q_id, n_id) GROUP BY t_budget),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM x3)
+       |SELECT s.t_budget, s.n_candidates,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth,
+       |       CASE WHEN t.n_truth = 0 THEN NULL
+       |            ELSE CAST(coalesce(h.n_hits, 0) * 10000 // t.n_truth AS BIGINT)
+       |       END AS recall_bp
+       |FROM sums s LEFT JOIN hits h USING (t_budget), tot t
+       |ORDER BY s.t_budget""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q0 = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      Similarity.lshBucket(col("embedding")).as("bucket"),
+      Similarity.lshMargins(col("embedding")).as("margins"))
+    val c0 = e.filter(col("vec_id") >= 10).select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
+      Similarity.lshBucket(col("embedding")).as("bucket"))
+    val truth = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 3)
+      .select("q_id", "n_id")
+    // margin-ranked flips: sort (|s_j|, j) structs ascending — a row-local
+    // array sort over 8 elements, then position + 1 IS the flip rank
+    val flips = q0.select(col("q_id"), col("bucket"),
+      posexplode(array_sort(transform(sequence(lit(0), lit(7)), j =>
+        struct(abs(element_at(col("margins"), j + 1)).as("am"),
+          j.cast("long").as("j"))))).as(Seq("r0", "f")))
+      .select(col("q_id"),
+        col("bucket").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), f.j)")).as("pb"),
+        (col("r0") + 1).cast("long").as("flip_rank"))
+    val probes0 = q0.select(col("q_id"), col("bucket").as("pb"),
+      lit(0L).as("flip_rank")).unionByName(flips)
+    val probes = probes0
+      .withColumn("t_budget", explode(array(lit(2L), lit(4L), lit(8L))))
+      .filter(col("flip_rank") <= col("t_budget"))
+      .select("t_budget", "q_id", "pb")
+    val cand = probes
+      .join(c0.select(col("n_id"), col("bucket").as("pb")), Seq("pb"))
+      .select("t_budget", "q_id", "n_id").distinct()
+    val scored = cand
+      .join(broadcast(q0.select("q_id", "q_emb")), Seq("q_id"))
+      .join(c0.select("n_id", "n_emb"), Seq("n_id"))
+      .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .select("t_budget", "q_id", "n_id", "sim")
+    val r3 = graft.functions.TopK.topkPerGroup(scored, Seq("t_budget", "q_id"),
+      Seq(col("sim").desc, col("n_id").asc), k = 3)
+      .select("t_budget", "q_id", "n_id")
+    val sums = cand.groupBy("t_budget").agg(count(lit(1)).as("n_candidates"))
+    val hits = r3.join(truth, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("t_budget").agg(count(lit(1)).as("n_hits"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    sums.join(hits, Seq("t_budget"), "left_outer").crossJoin(broadcast(tot))
+      .select(col("t_budget"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"))
+      .withColumn("recall_bp",
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(expr("(n_hits * 10000) div n_truth")))
+      .orderBy("t_budget")
   }
 }

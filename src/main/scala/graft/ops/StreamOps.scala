@@ -728,8 +728,11 @@ object StreamOps {
   /** Streaming out-of-distribution flags — the train-then-serve anomaly
     * screen (reference analogue: the head-follower's lag/verify checks,
     * src/command/stream.rs:92-144, lifted to the value dimension): the
-    * first 14 days of each event type train per-type moments (n, Σc,
-    * Σc²), and the remainder of the stream is scored against them,
+    * stream's GLOBAL first fortnight (days before min(day) + 14, one
+    * split for all types) trains per-type moments (n, Σc, Σc²), and the
+    * remainder of the stream is scored against them — a type first seen
+    * after the split has no moments and routes to the `n IS NULL →
+    * false` branch by design (never-trained types are never flagged),
     * flagging |z| > 3 spend values; emitted per (hour window, type) as
     * event and flag counts. This is the op a 100 TB ingest runs forever:
     * the model is a TYPE-grain table that broadcasts, scoring is

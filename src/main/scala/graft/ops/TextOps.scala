@@ -1974,7 +1974,7 @@ object TextOps {
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
     textRankFreqCurve, textEpochPlan, textSampleWeights,
     textBpeTrain, textClassifierScore, textMixSchedule,
-    textBpeApply, textKnBigram)
+    textBpeApply, textKnBigram, textDocPerplexity)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2223,7 +2223,7 @@ object TextOps {
     * the shared input of the BPE trainer and encoder: vocab-grain (never
     * the token stream), map-side-combined frequencies.
     */
-  private def bpeSpacedVocab(s: SparkSession, d: String): DataFrame =
+  private[ops] def bpeSpacedVocab(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -2250,25 +2250,77 @@ object TextOps {
     .withColumn("seq", expr("replace(seq, _pat, _rep)"))
     .drop("_pat", "_rep")
 
+  /** Broadcast-merge-table BPE encode at the decode seam — the documented
+    * production swap for [[textBpeApply]]'s plan-literal replaces: a real
+    * 32k-merge vocabulary cannot live as 32k stacked `replace` nodes in
+    * the plan (analysis cost alone is quadratic), so the merge table
+    * BROADCASTS and one mapPartitions pass applies the merges in learned
+    * order per row (mapPartitions is allowed here by the connector/decode-
+    * seam rule — this IS the tokenizer decode seam). Exactly the same
+    * double-space symbol representation and left-to-right non-overlapping
+    * `replace` semantics as [[bpeApplyMerge]]; OpsR19Spec parity-tests the
+    * two paths on the same learned merges.
+    */
+  private[graft] def bpeEncodeBroadcast(df: DataFrame,
+      merges: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val table = merges.map(p =>
+      (" " + p.replace(" ", "  ") + " ", " " + p.replace(" ", "") + " ")).toArray
+    val bc = spark.sparkContext.broadcast(table)
+    val schema = df.schema
+    val idx = schema.fieldIndex("seq")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      val t = bc.value
+      it.map { r =>
+        var s = r.getString(idx)
+        var i = 0
+        while (i < t.length) { s = s.replace(t(i)._1, t(i)._2); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(idx, s))
+      }
+    }
+  }
+
   /** Learn up to `rounds` BPE merges over the corpus vocab; returns
     * (pair, weighted count) in merge order, stopping early when no
     * adjacent pair remains. Each round is one distributed pair count +
     * a 1-row TakeOrdered collect (driver-held model state, the k-means
-    * pattern).
+    * pattern). The merged vocab CARRIES FORWARD across rounds via an
+    * eager localCheckpoint — both halves matter at a production 32k-merge
+    * depth: carrying forward makes learning O(rounds) replace passes (not
+    * the O(rounds²) refold-from-seqs0 — ADVICE r9), and the CHECKPOINT
+    * (vs a plain persist) truncates the logical plan each round; a
+    * persist-only chain keeps all previous rounds' replaces + cache nodes
+    * in the lineage and the plan bookkeeping alone OOMs the driver near
+    * round ~60 (measured — OpsR19Spec runs this at 64 rounds).
     */
   private[ops] def bpeLearnMerges(s: SparkSession, d: String,
       rounds: Int): List[(String, Long)] = {
-    val seqs0 = bpeSpacedVocab(s, d).persist()
+    var cur = bpeSpacedVocab(s, d).persist()
     var merges = List.empty[(String, Long)]
     var r = 0
-    while (r < rounds && merges.length == r) {
-      val cur = merges.reverse.map(_._1).foldLeft(seqs0)(bpeApplyMerge)
+    var dry = false
+    while (r < rounds && !dry) {
       val top = bpePairsOf(cur).orderBy(col("cnt").desc, col("pair")).limit(1)
         .collect()
-      if (top.nonEmpty) merges = (top(0).getString(0), top(0).getLong(1)) :: merges
+      if (top.isEmpty) dry = true
+      else {
+        val pair = top(0).getString(0)
+        merges = (pair, top(0).getLong(1)) :: merges
+        if (r + 1 < rounds) {
+          // eager: the successor materializes BEFORE the parent's blocks
+          // are released (a lazy handoff would recompute — or, once the
+          // parent is checkpointed, have nothing to recompute FROM)
+          val next = bpeApplyMerge(cur, pair).localCheckpoint(true)
+          cur.unpersist()
+          cur = next
+        }
+      }
       r += 1
     }
-    seqs0.unpersist()
+    cur.unpersist()
     merges.reverse
   }
 
@@ -2620,5 +2672,103 @@ object TextOps {
       .select("w1", "w2", "cnt", "pkn_micro")
       .orderBy(col("pkn_micro").desc, col("w1"), col("w2"))
       .limit(20)
+  }
+
+  /** Per-document cross-entropy under the interpolated Kneser–Ney bigram
+    * LM of [[textKnBigram]] — the CCNet/KenLM-style perplexity quality
+    * filter (Wenzek et al. 2020): each document's bigrams score
+    * −ln P_KN(w2|w1) under the corpus-trained model, the per-document
+    * mean is its cross-entropy in micro-nats-per-bigram (low = fluent,
+    * high = junk), and documents bucket into corpus-wide deciles; the
+    * emitted (source, decile) table — document count and mean
+    * cross-entropy — is the quality profile a 100 TB mix is screened on
+    * before training. Reference analogue: the per-file content
+    * validation pass of src/command/verify.rs:516-577, lifted to the LM
+    * grain (the reference has no LM tier — extension scope).
+    *
+    * Float discipline: P_KN is the EXACT-integer-ratio tree of
+    * textKnBigram (D = 3/4, no libm inside), so its double is
+    * bit-identical cross-engine; the single ln() snaps to integer
+    * micro-nats at the MODEL grain (the textClassifierScore precedent),
+    * and every downstream step is exact-integer sums / identical-tree
+    * divisions. Scoring the training corpus means every document bigram
+    * IS in the model — no OOV branch (a held-out scorer would add the
+    * backoff-only term). Decile boundaries follow the
+    * textQualityDeciles engine-stability argument (interpolated
+    * percentiles of integers, identical formula both engines).
+    *
+    * Scale shape: the only corpus-grain work is one token→bigram pass,
+    * read twice (model build and scoring — like sim-mahalanobis' two
+    * scans, cheaper than persisting at 100 TB); the model tables (cxy /
+    * left / continuation stats) all live at the bigram-TYPE grain and
+    * the scoring join BROADCASTS the model into the per-document fold
+    * (a shipped KenLM does exactly this — the model rides in executor
+    * memory); the decile pass is a 1-row percentile broadcast and the
+    * output rollup is (source × 10)-sized.
+    */
+  lazy val textDocPerplexity: Op = Op.sql(
+    "text-doc-perplexity",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, ws,
+      |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
+      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
+      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
+      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
+      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy),
+      |lm AS (SELECT w1, w2,
+      |         CAST(round(ln(((4 * cnt - 3) / (4.0 * cx)) +
+      |                       (((3.0 * n1l) / (4.0 * cx)) * (n1r / (1.0 * t))))
+      |                    * 1000000) AS BIGINT) AS lp
+      |       FROM cxy JOIN lft USING (w1) JOIN rgt USING (w2), tt),
+      |dx AS (SELECT pr.doc_id, pr.source,
+      |              CAST(round(-sum(lm.lp) * 1.0 / count(*)) AS BIGINT) AS xent_micro
+      |       FROM pr JOIN lm USING (w1, w2) GROUP BY pr.doc_id, pr.source),
+      |b AS (SELECT quantile_cont(xent_micro,
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM dx),
+      |bk AS (SELECT source, xent_micro,
+      |              len(list_filter(bnds, x -> x <= xent_micro)) AS bucket
+      |       FROM dx, b)
+      |SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+      |       CAST(round(sum(xent_micro) * 1.0 / count(*)) AS BIGINT) AS mean_xent_micro
+      |FROM bk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+  ) { (s, d) =>
+    val pr = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // the KN model at the bigram-TYPE grain — textKnBigram's exact trees
+    val cxy = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
+      count(lit(1)).as("n1l"))
+    val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tt = cxy.agg(count(lit(1)).as("t"))
+    val lm = cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"),
+        round(log((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
+          (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) *
+            (col("n1r") / (lit(1.0) * col("t")))))) * 1000000)
+          .cast("long").as("lp"))
+    val dx = pr.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(round(-sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("xent_micro"))
+    val bnds = dx.agg(expr(
+      "percentile(xent_micro, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+      .as("bnds"))
+    dx.crossJoin(broadcast(bnds))
+      .select(col("source"),
+        size(filter(col("bnds"), x => x <= col("xent_micro"))).cast("long").as("bucket"),
+        col("xent_micro"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("xent_micro") * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_xent_micro"))
+      .orderBy("source", "bucket")
   }
 }

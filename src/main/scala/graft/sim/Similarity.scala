@@ -76,6 +76,22 @@ object Similarity {
     bucketBits.reduce(_ + _)
   }
 
+  /** Per-plane signed projection values (array of `planes` longs) for the
+    * same deterministic hyperplanes as [[lshBucket]] — the query-directed
+    * probe-ordering signal of multi-probe LSH (Lv et al. 2007): the
+    * smaller |margin_j|, the likelier the true neighbors sit across plane
+    * j, so perturbations are probed in ascending |margin| order. Exact
+    * integer dots (codegen ArrayDotLong), so the ordering can never
+    * drift with partitioning.
+    */
+  def lshMargins(emb: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val e = intScaled(emb)
+    array((0 until planes).map { j =>
+      val w = array((0 until dims).map(d => lit(((j * 131 + d * 31) % 17 - 8).toLong)): _*)
+      graft.functions.ArrayDotLong(e, w)
+    }: _*)
+  }
+
   /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
     * + top-k inside the bucket. Trades recall for a corpus-partitionable
     * plan (bucket is a join key — co-located at scale).
@@ -203,6 +219,18 @@ object Similarity {
     corpus
       .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
       .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
+
+  /** [[assignToCentroids]] that KEEPS the caller's columns and appends
+    * `cid` — still a zero-shuffle broadcast projection (same argmax and
+    * lowest-cid tiebreak). For consumers that need the vector next to
+    * its assignment (e.g. within-cluster semantic dedup) without paying
+    * a corpus-sized self-join to get it back.
+    */
+  def withCentroidAssignment(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
+      .withColumn("cid", -col("_b.nc"))
+      .drop("_b")
 
   /** Per-query probed list ids (the top-`nprobe` centroids by cosine,
     * ties to the lowest id) — the probe half of [[ivfTopK]] exposed for

@@ -74,9 +74,15 @@ def main():
             expected = -1
         if not m or m.group(2) != "0" or expected <= 0 \
                 or int(m.group(1)) != expected:
-            if m and m.group(2) == "0":
-                print(f"[fuzz] seed {seed}: ok count {m.group(1) if m else '?'}"
-                      f" != expected board size {expected}", flush=True)
+            # diagnose EVERY guard trip (ADVICE r9): an unparsable
+            # summary or a missing/unreadable oracle_sql.json must say
+            # so, not just silently set the exit code
+            print(f"[fuzz] seed {seed}: board-size guard tripped — "
+                  f"ok count {m.group(1) if m else '?'} / fail count "
+                  f"{m.group(2) if m else '?'} vs expected board size "
+                  f"{expected}"
+                  + ("" if expected > 0 else " (oracle_sql.json missing/unreadable)")
+                  + ("" if m else " (summary line unparsable)"), flush=True)
             any_fail = True
     sys.exit(1 if any_fail else 0)
 
