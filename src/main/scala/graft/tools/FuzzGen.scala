@@ -175,7 +175,17 @@ object FuzzGen {
       })
 
     // ---- events: hot user, ts ties, negative values -------------------
+    // Seeds >= 600 are LONG-SPAN fixtures (round-10, VERDICT r9 item 2):
+    // events spread over 40 DAYS at 15-minute grain (2000 draws over 3840
+    // slots keep exact-ts ties likely), so day-split ops — the
+    // stream-ood-flags serve path (day >= min + 14), agg-trend-slope's
+    // multi-day moments, the retention/cohort/LTV family — run
+    // NON-degenerately under fuzz; seeds < 600 keep the original <= 20 h
+    // span that stresses the within-day tie/boundary paths.
+    // tools/fuzz_check.py asserts the serve/moment sets are non-empty on
+    // long-span seeds.
     val re = new Random(seed * 7919 + 6)
+    val longSpan = seed >= 600
     val types = Seq("view", "click", "purchase", "signup", "error")
     val events = df(StructType(Seq(
       StructField("event_id", LongType, nullable = true),
@@ -186,8 +196,10 @@ object FuzzGen {
       StructField("props", StringType, nullable = true))))(
       (0 until 2000).map { i =>
         val uid = if (re.nextInt(10) < 3) 0L else re.nextInt(50).toLong
-        // coarse second grain => many exact ts ties (micros kept zero)
-        val us = ts0 + re.nextInt(1200) * 1000000L * 60L
+        // coarse slot grain => many exact ts ties (micros kept zero)
+        val us =
+          if (longSpan) ts0 + re.nextInt(3840) * 900000000L // 40 d, 15-min grain
+          else ts0 + re.nextInt(1200) * 1000000L * 60L // <= 20 h, 1-min grain
         Seq(i.toLong, ntz(us), uid, types(re.nextInt(5)),
           (re.nextInt(2001) - 1000) / 2.0,
           s"""{"k": ${re.nextInt(201) - 100}}""")

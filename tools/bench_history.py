@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Cross-round bench-regression harness (round-10, VERDICT r9 item 5).
+
+tools/bench_history.jsonl holds ONE line per round: the full per-op
+MINIMUM map under the bench protocol (sf0.1, local[32], per-op minimum
+over >= 3 passes — PLANS.md; single-pass totals on this shared box are
+±20% noise and must never be compared).
+
+Usage:
+  # record a round from its pass files (graft.Bench JSON lines; only the
+  # first JSON object per file is read — Bench emits a top-25 second line)
+  python3 tools/bench_history.py --append 10 /tmp/p1.json /tmp/p2.json ...
+
+  # flag regressions: compares the two highest rounds on file; an op
+  # regresses when min_new > 1.5 x min_old AND the delta exceeds the
+  # 0.15 s noise floor (sub-0.15 s swings are scheduler jitter even at
+  # minimum). Exit 1 on any regression.
+  python3 tools/bench_history.py --check
+
+Appending the same round again REPLACES its line (re-sweeps supersede).
+"""
+import argparse
+import json
+import os
+import sys
+
+HIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "bench_history.jsonl")
+RATIO = 1.5
+FLOOR_S = 0.15
+
+
+def load_history():
+    rows = []
+    if os.path.exists(HIST):
+        with open(HIST) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+    return rows
+
+
+def write_history(rows):
+    rows.sort(key=lambda r: r["round"])
+    with open(HIST, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+
+def first_json_line(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    raise ValueError(f"no JSON object line in {path}")
+
+
+def append(round_no, files):
+    maps = [first_json_line(p)["queries"] for p in files]
+    keys = sorted(set().union(*[set(m) for m in maps]))
+    mins = {k: min(m[k] for m in maps if k in m) for k in keys}
+    rows = [r for r in load_history() if r["round"] != round_no]
+    rows.append({
+        "round": round_no,
+        "passes": len(files),
+        "entries": len(mins),
+        "sum_min_s": round(sum(mins.values()), 1),
+        "mins": mins,
+    })
+    write_history(rows)
+    print(f"[bench-history] round {round_no}: {len(mins)} entries, "
+          f"sum of minimums {round(sum(mins.values()), 1)} s "
+          f"over {len(files)} pass(es)")
+
+
+def check():
+    rows = load_history()
+    if len(rows) < 2:
+        print("[bench-history] need >= 2 rounds to compare")
+        return 0
+    prev, cur = rows[-2], rows[-1]
+    print(f"[bench-history] comparing round {cur['round']} "
+          f"({cur['entries']} entries, {cur['sum_min_s']} s) vs "
+          f"round {prev['round']} ({prev['entries']} entries, "
+          f"{prev['sum_min_s']} s)")
+    regressions = []
+    for op, new in sorted(cur["mins"].items()):
+        old = prev["mins"].get(op)
+        if old is None:
+            continue  # new op this round — no baseline
+        if new > old * RATIO and new - old > FLOOR_S:
+            regressions.append((op, old, new))
+    gone = sorted(set(prev["mins"]) - set(cur["mins"]))
+    if gone:
+        print(f"[bench-history] ops absent this round (renamed/removed?): "
+              f"{', '.join(gone)}")
+    for op, old, new in regressions:
+        print(f"[bench-history] REGRESSION {op}: {old:.2f} s -> {new:.2f} s "
+              f"({new / old:.2f}x)")
+    if not regressions:
+        print("[bench-history] no per-op minimum regressed "
+              f"> {RATIO}x (+{FLOOR_S} s floor)")
+    return 1 if regressions else 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--append", type=int, metavar="ROUND")
+    ap.add_argument("files", nargs="*")
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+    if args.append is not None:
+        if not args.files:
+            ap.error("--append needs at least one bench pass JSON file")
+        append(args.append, args.files)
+    if args.check:
+        sys.exit(check())
+    if args.append is None and not args.check:
+        ap.error("nothing to do: pass --append ROUND files... and/or --check")
+
+
+if __name__ == "__main__":
+    main()

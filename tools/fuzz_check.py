@@ -9,7 +9,14 @@ engine-divergence traps (integer div, CAST-vs-trunc, tie order, boundary
 closure) are guarded op-by-op in CLAUDE.md; this guards the ones nobody
 wrote down.
 
-Usage: python3 tools/fuzz_check.py [--seeds 101,202,303,404,505]
+Seeds >= 600 generate LONG-SPAN fixtures (40-day event span — round-10,
+VERDICT r9 item 2) and additionally assert NON-VACUITY of the day-split
+paths: the stream-ood-flags serve set (rows past the min(day)+14 train
+split) and agg-trend-slope's multi-day moment set (users with a defined
+slope) must both be non-empty, so those ops are fuzz-exercised in their
+real serving shape, not just their empty/degenerate form.
+
+Usage: python3 tools/fuzz_check.py [--seeds 101,202,303,404,505,606]
                                    [--base /tmp/graft-fuzz]
 Exit 1 if any seed has any failing op. Summary written to FUZZ.md-ready
 stdout lines.
@@ -26,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", default="101,202,303,404,505")
+    ap.add_argument("--seeds", default="101,202,303,404,505,606")
     ap.add_argument("--base", default="/tmp/graft-fuzz")
     args = ap.parse_args()
     seeds = [s.strip() for s in args.seeds.split(",")]
@@ -84,6 +91,29 @@ def main():
                   + ("" if expected > 0 else " (oracle_sql.json missing/unreadable)")
                   + ("" if m else " (summary line unparsable)"), flush=True)
             any_fail = True
+        # long-span seeds: the day-split ops must run NON-degenerately
+        if int(seed) >= 600:
+            import duckdb
+            try:
+                n_serve = duckdb.sql(
+                    f"SELECT count(*) FROM '{out}/stream-ood-flags/*.parquet'"
+                ).fetchone()[0]
+                n_moment = duckdb.sql(
+                    f"SELECT count(*) FROM '{out}/agg-trend-slope/*.parquet' "
+                    "WHERE slope_micro IS NOT NULL AND n_days >= 2"
+                ).fetchone()[0]
+            except Exception as e:
+                print(f"[fuzz] seed {seed}: non-vacuity read failed: {e}",
+                      flush=True)
+                n_serve, n_moment = -1, -1
+            print(f"[fuzz] seed {seed}: long-span non-vacuity — "
+                  f"ood serve rows {n_serve}, defined trend slopes {n_moment}",
+                  flush=True)
+            if n_serve <= 0 or n_moment <= 0:
+                print(f"[fuzz] seed {seed}: day-split ops ran DEGENERATE "
+                      "on a long-span fixture — serve/moment set empty",
+                      flush=True)
+                any_fail = True
     sys.exit(1 if any_fail else 0)
 
 
