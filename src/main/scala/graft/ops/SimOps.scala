@@ -1748,10 +1748,11 @@ object SimOps {
     * |n·q_d − S_d| < 3·10⁹ (under ANSI a long overflow THROWS, it does
     * not round) — at a corpus size where that binds, quantize coarser
     * than milli (the documented swap; the z² ratio is scale-invariant).
-    * The moment collect carries each dim's max |q_d|, and the driver
-    * ASSERTS the bound before building the scoring plan, so the failure
-    * is an actionable "quantize coarser" message instead of a mid-job
-    * ANSI arithmetic exception (ADVICE r9).
+    * The moment collect carries each dim's min/max q_d, and the driver
+    * ASSERTS the exact worst-case |n·q − S| (skipping zero-variance dims,
+    * whose scoring term never computes the square) before building the
+    * scoring plan, so the failure is an actionable "quantize coarser"
+    * message instead of a mid-job ANSI arithmetic exception (ADVICE r9).
     *
     * Degenerate-shape contract (matches the row-grain oracle exactly):
     * one output row PER INPUT ROW (duplicate or NULL vec_ids stay
@@ -1800,17 +1801,25 @@ object SimOps {
       .groupBy("i0")
       .agg(count(col("qv")).as("n"), sum("qv").as("s"),
         sum(col("qv") * col("qv")).as("qq"),
-        max(abs(col("qv"))).as("ma"))
+        min(col("qv")).as("mn"), max(col("qv")).as("mx"))
       .collect()
-    // overflow guard (ADVICE r9): |n·q_d − S_d| ≤ n·max|q_d| + |S_d| must
-    // stay below √Long.MaxValue or the ANSI long square throws mid-job;
-    // checked in double (the bound itself could overflow a long)
+    // overflow guard (ADVICE r9): the worst per-row |n·q_d − S_d| is
+    // exactly max(|n·max_d − S_d|, |n·min_d − S_d|) (n·q − S is monotone
+    // in q), and it must stay below √Long.MaxValue or the ANSI long
+    // square throws mid-job. Checked in double (the bound itself could
+    // overflow a long); zero-variance dims are skipped — their scoring
+    // term is the literal 0L and never computes the square.
     statRows.filter(r => !r.isNullAt(2)).foreach { r =>
-      val bound = r.getLong(1).toDouble * r.getLong(4) + math.abs(r.getLong(2)).toDouble
-      require(bound < 3.0e9,
-        s"sim-mahalanobis: dim ${r.getInt(0)} moment magnitude $bound would " +
-          "overflow the exact long square (n*q - S)^2 — quantize coarser " +
-          "than milli (the z^2 ratio is scale-invariant)")
+      val (n, sSum, qq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (n.toDouble * qq - sSum.toDouble * sSum != 0.0) {
+        val bound = math.max(
+          math.abs(n.toDouble * r.getLong(5) - sSum.toDouble),
+          math.abs(n.toDouble * r.getLong(4) - sSum.toDouble))
+        require(bound < 3.0e9,
+          s"sim-mahalanobis: dim ${r.getInt(0)} moment magnitude $bound would " +
+            "overflow the exact long square (n*q - S)^2 — quantize coarser " +
+            "than milli (the z^2 ratio is scale-invariant)")
+      }
     }
     // nd = max observed dimensionality (equals the oracle's max(len(q)):
     // posexplode emits a position even when the value is NULL, so an

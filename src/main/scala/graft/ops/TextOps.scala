@@ -2275,8 +2275,12 @@ object TextOps {
       val t = bc.value
       it.map { r =>
         var s = r.getString(idx)
-        var i = 0
-        while (i < t.length) { s = s.replace(t(i)._1, t(i)._2); i += 1 }
+        // NULL passes through, matching SQL replace()'s null semantics on
+        // the plan-literal path
+        if (s != null) {
+          var i = 0
+          while (i < t.length) { s = s.replace(t(i)._1, t(i)._2); i += 1 }
+        }
         org.apache.spark.sql.Row.fromSeq(
           r.toSeq.updated(idx, s))
       }

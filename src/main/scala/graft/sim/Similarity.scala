@@ -220,18 +220,6 @@ object Similarity {
       .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
       .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
 
-  /** [[assignToCentroids]] that KEEPS the caller's columns and appends
-    * `cid` — still a zero-shuffle broadcast projection (same argmax and
-    * lowest-cid tiebreak). For consumers that need the vector next to
-    * its assignment (e.g. within-cluster semantic dedup) without paying
-    * a corpus-sized self-join to get it back.
-    */
-  def withCentroidAssignment(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus
-      .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
-      .withColumn("cid", -col("_b.nc"))
-      .drop("_b")
-
   /** Per-query probed list ids (the top-`nprobe` centroids by cosine,
     * ties to the lowest id) — the probe half of [[ivfTopK]] exposed for
     * consumers that bring their own candidate store (e.g. a list-

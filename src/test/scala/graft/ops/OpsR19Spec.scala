@@ -35,7 +35,11 @@ class OpsR19Spec extends SparkSpec {
     round6(dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))) + 0.0
 
   test("text-doc-perplexity equals a from-scratch KN cross-entropy scorer") {
+    // NULL text drops on the op side (size(split(NULL)) is NULL -> filter
+    // false); mirror that here so a regenerated fixture with NULLs crashes
+    // neither scorer
     val docs = graft.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     // the KN model over all documents with >= 2 tokens
@@ -93,6 +97,7 @@ class OpsR19Spec extends SparkSpec {
 
   test("dedup-semantic equals a from-scratch SemDeDup (kmeans + pairs + rollup)") {
     val vecs = graft.Tables.embeddings(spark, sf())
+      .filter(col("embedding").isNotNull) // NPE-proof the reference scorer
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
@@ -157,6 +162,7 @@ class OpsR19Spec extends SparkSpec {
 
   test("sim-probe-order equals a from-scratch margin-ordered probe sweep") {
     val vecs = graft.Tables.embeddings(spark, sf())
+      .filter(col("embedding").isNotNull) // NPE-proof the reference scorer
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     // exact-integer margins and buckets (Similarity.lshBucket/lshMargins)

@@ -35,6 +35,9 @@ def load_history():
     if os.path.exists(HIST):
         with open(HIST) as f:
             rows = [json.loads(l) for l in f if l.strip()]
+    # a hand-edited / merge-resolved file may be out of order; --check
+    # compares the two HIGHEST rounds, so order here, not just on write
+    rows.sort(key=lambda r: r["round"])
     return rows
 
 
