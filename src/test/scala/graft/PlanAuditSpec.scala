@@ -810,4 +810,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bkt"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  test("text-doc-perplexity broadcasts the LM into the per-document fold") {
+    val p = plan("text-doc-perplexity")
+    // the lp model table joins the corpus-grain bigram stream as a
+    // broadcast (the KenLM-in-executor-memory shape) — a shuffled join
+    // here would re-exchange the whole token stream on (w1, w2)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p) // type-grain map-side combine
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("text-perplexity-holdout broadcasts the lp table; no cartesian") {
+    val p = plan("text-perplexity-holdout")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("dedup-semantic resolves drops with a cid-keyed semi-join, no cartesian") {
+    val p = plan("dedup-semantic")
+    // the within-cluster pair stage must stay an equi-join on cid with a
+    // LeftSemi drop resolution — Σ|cluster|² work, never corpus²
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("sim-probe-order ranks candidates through the bounded top-k, no window funnel") {
+    val p = plan("sim-probe-order")
+    // per-(T, query) top-3 must partial-combine map-side — a window over
+    // (t_budget, q_id) would funnel every candidate for one query/budget
+    // into a single task
+    assert(p.contains("partial_bounded_top_structs"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }
