@@ -1811,7 +1811,10 @@ object SimOps {
     // term is the literal 0L and never computes the square.
     statRows.filter(r => !r.isNullAt(2)).foreach { r =>
       val (n, sSum, qq) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      if (n.toDouble * qq - sSum.toDouble * sSum != 0.0) {
+      // the skip must match the plan's EXACT den == 0L decision — a double
+      // subtraction at ~1e26 magnitudes can read 0.0 for a barely-nonzero
+      // variance and silently skip the guard for a dim the plan squares
+      if (BigInt(n) * qq != BigInt(sSum) * sSum) {
         val bound = math.max(
           math.abs(n.toDouble * r.getLong(5) - sSum.toDouble),
           math.abs(n.toDouble * r.getLong(4) - sSum.toDouble))

@@ -2634,37 +2634,74 @@ object TextOps {
     * src/command/verify.rs:62-96, lifted to the n-gram model grain
     * (the reference has no LM tier — extension scope).
     */
-  lazy val textKnBigram: Op = Op.sql(
-    "text-kn-bigram",
-    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 2),
-      |pr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
-      |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
-      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
-      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
-      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
-      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
-      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy)
-      |SELECT w1, w2, cnt,
-      |       CAST(round((((4 * cnt - 3) / (4.0 * cx)) +
-      |                   (((3.0 * n1l) / (4.0 * cx)) * (n1r / (1.0 * t))))
-      |                  * 1000000) AS BIGINT) AS pkn_micro
-      |FROM cxy JOIN lft USING (w1) JOIN rgt USING (w2), tt
-      |WHERE cnt >= 3
-      |ORDER BY pkn_micro DESC, w1, w2 LIMIT 20""".stripMargin
-  ) { (s, d) =>
-    val pairs = Tables.documents(s, d)
-      .select(TextAnalysis.tokens(col("text")).as("ws"))
+  /** Corpus bigram stream at (doc_id, source, is_train, w1, w2) — the
+    * shared front of the three KN-LM ops (textKnBigram's model table,
+    * textDocPerplexity's training-corpus scorer, textPerplexityHoldout's
+    * held-out scorer), so the tokenization, the ≥ 2-token filter and the
+    * bigram explode can never diverge between them. `is_train` is the
+    * text-train-split 'train' predicate (md5 bucket < 'e6'); consumers
+    * that model the whole corpus simply ignore it (Catalyst prunes the
+    * unused column). SQL mirror: [[DocBigramCtes]].
+    */
+  private[ops] def docBigramStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ws"),
+        (substring(md5(col("text")), 1, 2) < "e6").as("is_train"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // the bigram-TYPE table is the LM model — reduce once, reuse thrice
-    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** KN model tables over a bigram stream: (cxy bigram types with counts,
+    * lft = c(w1·)/N1+(w1,·), rgt = N1+(·,w2)) — the bigram-TYPE-grain
+    * model shared by the three KN-LM ops. SQL mirror: [[knModelCtes]].
+    */
+  private[ops] def knModelTables(pr: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cxy = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
       count(lit(1)).as("n1l"))
     val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    (cxy, lft, rgt)
+  }
+
+  /** SQL mirror of [[docBigramStream]]: `d0` + `pr` CTEs (starts with
+    * WITH; append further CTEs after a comma). Lazy: the `ops` board val
+    * is declared earlier in the object and forces the LM ops during
+    * object init — a strict val here would still be null at that point.
+    */
+  private[ops] lazy val DocBigramCtes: String =
+    """WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |                   substr(md5(text), 1, 2) < 'e6' AS is_train
+      |            FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |pr AS (SELECT doc_id, source, is_train, ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, is_train, ws,
+      |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM d0))""".stripMargin
+
+  /** SQL mirror of [[knModelTables]] over the bigram source `src`. */
+  private[ops] def knModelCtes(src: String): String =
+    s"""cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
+       |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
+       |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2)""".stripMargin
+
+  lazy val textKnBigram: Op = Op.sql(
+    "text-kn-bigram",
+    s"""$DocBigramCtes,
+       |${knModelCtes("pr")},
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy)
+       |SELECT w1, w2, cnt,
+       |       CAST(round((((4 * cnt - 3) / (4.0 * cx)) +
+       |                   (((3.0 * n1l) / (4.0 * cx)) * (n1r / (1.0 * t))))
+       |                  * 1000000) AS BIGINT) AS pkn_micro
+       |FROM cxy JOIN lft USING (w1) JOIN rgt USING (w2), tt
+       |WHERE cnt >= 3
+       |ORDER BY pkn_micro DESC, w1, w2 LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    // the bigram-TYPE table is the LM model — reduce once, reuse thrice
+    val (cxy, lft, rgt) = knModelTables(docBigramStream(s, d))
     val tt = cxy.agg(count(lit(1)).as("t"))
     cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
       .filter(col("cnt") >= 3)
@@ -2712,15 +2749,8 @@ object TextOps {
     */
   lazy val textDocPerplexity: Op = Op.sql(
     "text-doc-perplexity",
-    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 2),
-      |pr AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
-      |       FROM (SELECT doc_id, source, ws,
-      |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM t)),
-      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
-      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
-      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
-      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
+    s"""$DocBigramCtes,
+      |${knModelCtes("pr")},
       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cxy),
       |lm AS (SELECT w1, w2,
       |         CAST(round(ln(((4 * cnt - 3) / (4.0 * cx)) +
@@ -2739,19 +2769,9 @@ object TextOps {
       |       CAST(round(sum(xent_micro) * 1.0 / count(*)) AS BIGINT) AS mean_xent_micro
       |FROM bk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
   ) { (s, d) =>
-    val pr = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pr = docBigramStream(s, d)
     // the KN model at the bigram-TYPE grain — textKnBigram's exact trees
-    val cxy = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-    val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
-      count(lit(1)).as("n1l"))
-    val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val (cxy, lft, rgt) = knModelTables(pr)
     val tt = cxy.agg(count(lit(1)).as("t"))
     val lm = cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
       .select(col("w1"), col("w2"),
@@ -2810,21 +2830,12 @@ object TextOps {
     */
   lazy val textPerplexityHoldout: Op = Op.sql(
     "text-perplexity-holdout",
-    """WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
-      |                   substr(md5(text), 1, 2) < 'e6' AS is_train
-      |            FROM documents WHERE len(string_split(text, ' ')) >= 2),
-      |pr AS (SELECT doc_id, source, is_train, ws[i] AS w1, ws[i + 1] AS w2
-      |       FROM (SELECT doc_id, source, is_train, ws,
-      |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM d0)),
-      |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
-      |        FROM pr WHERE is_train GROUP BY 1, 2),
-      |lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cx,
-      |               CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY w1),
-      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY w2),
+    s"""$DocBigramCtes,
+      |trn AS (SELECT w1, w2 FROM pr WHERE is_train),
+      |${knModelCtes("trn")},
       |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cxy) AS t,
       |              (SELECT CAST(count(*) AS BIGINT) + 1 FROM rgt) AS v),
-      |hb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_occ
-      |       FROM pr WHERE NOT is_train GROUP BY 1, 2),
+      |hb AS (SELECT DISTINCT w1, w2 FROM pr WHERE NOT is_train),
       |lp AS (SELECT hb.w1, hb.w2,
       |              CAST(round(ln(CASE
       |                WHEN cxy.cnt IS NOT NULL THEN
@@ -2851,25 +2862,11 @@ object TextOps {
       |       CAST((sum(n_oov) * 10000) // sum(n_bi) AS BIGINT) AS oov_bp
       |FROM dx GROUP BY source ORDER BY source""".stripMargin
   ) { (s, d) =>
-    val pr = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ws"),
-        (substring(md5(col("text")), 1, 2) < "e6").as("is_train"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("source"), col("is_train"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("source"), col("is_train"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cxy = pr.filter(col("is_train")).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("cnt"))
-    val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
-      count(lit(1)).as("n1l"))
-    val rgt = cxy.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val pr = docBigramStream(s, d)
+    val (cxy, lft, rgt) = knModelTables(pr.filter(col("is_train")))
     val tv = cxy.agg(count(lit(1)).as("t"))
       .crossJoin(rgt.agg((count(lit(1)) + 1).as("v")))
-    val hb = pr.filter(!col("is_train")).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("n_occ"))
+    val hb = pr.filter(!col("is_train")).select("w1", "w2").distinct()
     val pcont = (coalesce(col("n1r"), lit(0L)) + 1) /
       (lit(1.0) * (col("t") + col("v")))
     val lp = hb

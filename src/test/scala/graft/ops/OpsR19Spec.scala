@@ -275,9 +275,20 @@ class OpsR19Spec extends SparkSpec {
     // is a fraction, not everything (the model generalizes somewhat)
     assert(got.map(_._4).max > 0, "no OOV bigrams — holdout is memorized?")
     assert(got.map(_._4).min < 10000, "everything OOV — model vacuous")
-    // held-out cross-entropy exceeds the training-corpus score of the
-    // same sources (generalization gap is non-negative in aggregate)
     assert(got.forall(_._3 > 0), "cross-entropy must be positive")
+    // the generalization gap is real and points the right way: score the
+    // TRAIN docs under the same model/scorer — the corpus-wide held-out
+    // mean must exceed the training mean (an inverted is_train split, or
+    // a scorer that leaks held-out mass into the model, flips this)
+    val trainXents = train.map { case (_, _, text) =>
+      val bs = bigrams(text).map(score)
+      halfUp(-bs.map(_._1).sum * 1.0 / bs.length)
+    }
+    val trainMean = trainXents.sum.toDouble / trainXents.length
+    val holdoutMean = perDoc.map(_._2).sum.toDouble / perDoc.length
+    assert(holdoutMean > trainMean,
+      s"held-out mean xent $holdoutMean <= training mean $trainMean — " +
+        "split inverted or model leaked the holdout")
   }
 
   test("broadcast-merge-table BPE encode: foldLeft parity + 64-merge scale proof") {
