@@ -1213,7 +1213,7 @@ object DedupOps {
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
     dedupClusterSources, dedupHammingSweep, dedupPagerankRep,
-    dedupPrefixArtifacts, dedupSemantic)
+    dedupPrefixArtifacts, dedupSemantic, dedupSemanticSweep)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
@@ -1594,5 +1594,64 @@ object DedupOps {
         sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
       .orderBy("source")
+  }
+
+  /** SemDeDup epsilon SWEEP — the table that PICKS the dedup-semantic /
+    * sim-semantic-dedup threshold (Abbas et al. sweep ε per cluster
+    * budget): within-cluster pairs are scored ONCE at the micro-cosine
+    * grain over the SAME cluster membership as the keep table
+    * ([[SimOps.semanticMembers]]), then every ε ∈ {0.30, 0.35, 0.40,
+    * 0.45} is a FILTER over that one pair table (the
+    * dedup-threshold-sweep discipline — a config explode must never
+    * re-execute the pair subtree), emitting kept/dropped totals per ε.
+    * The shipped ops' ε = 0.35 row is readable straight off this table.
+    * Reference analogue: the retry/threshold tuning tables of
+    * src/archiver/block.rs:36-60, lifted to the dedup budget — extension
+    * scope.
+    *
+    * Scale shape: clustering/assignment are the shared config-sized
+    * collect + broadcast projection; the pair stage joins on cid
+    * (Σ|cluster|², bounded by k exactly as dedup-semantic); the sweep is
+    * a 4-row broadcast theta-join over the PAIR table (4·|pairs|
+    * comparisons — pair-grain, never corpus-grain) with a left join so
+    * an ε that drops nothing still reports 0.
+    */
+  lazy val dedupSemanticSweep: Op = Op.sql(
+    "dedup-semantic-sweep",
+    s"""${SimOps.SemDedupCtes},
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id,
+       |         CAST(round(list_dot_product(a.v, b.v) /
+       |              (sqrt(list_dot_product(a.v, a.v)) *
+       |               sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT) AS cos_u
+       |  FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+       |eps AS (SELECT unnest([300000, 350000, 400000, 450000]) AS eps_micro),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM m),
+       |dr AS (SELECT CAST(e.eps_micro AS BIGINT) AS eps_micro,
+       |              CAST(count(DISTINCT p.a_id) AS BIGINT) AS n_dropped
+       |       FROM eps e LEFT JOIN pairs p ON p.cos_u >= e.eps_micro
+       |       GROUP BY e.eps_micro)
+       |SELECT dr.eps_micro, tot.n_vectors,
+       |       CAST(tot.n_vectors - dr.n_dropped AS BIGINT) AS n_kept,
+       |       dr.n_dropped
+       |FROM dr, tot ORDER BY dr.eps_micro""".stripMargin
+  ) { (s, d) =>
+    val members = SimOps.semanticMembers(s, d)
+    val other = members.select(col("cid").as("b_cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val pairs = members.join(other,
+        col("cid") === col("b_cid") && col("b_id") < col("vec_id"))
+      .select(col("vec_id").as("a_id"),
+        SimOps.cosMicro(col("embedding"), col("b_emb")).as("cos_u"))
+    val eps = s.range(1).select(explode(
+      typedLit(Seq(300000L, 350000L, 400000L, 450000L))).as("eps_micro"))
+    val tot = members.agg(count(lit(1)).as("n_vectors"))
+    eps.join(pairs, col("cos_u") >= col("eps_micro"), "left_outer")
+      .groupBy("eps_micro")
+      .agg(countDistinct(col("a_id")).as("n_dropped"))
+      .crossJoin(broadcast(tot))
+      .select(col("eps_micro"), col("n_vectors"),
+        (col("n_vectors") - col("n_dropped")).as("n_kept"), col("n_dropped"))
+      .orderBy("eps_micro")
   }
 }

@@ -622,30 +622,44 @@ object SimOps {
       |                  sqrt(list_dot_product(b.v, b.v))) * 1000000)
       |           AS BIGINT) >= 350000)""".stripMargin
 
+  /** Micro-integer cosine (round(cos · 10⁶) as long) — SemDeDup's compare
+    * grain, shared by the keep table and the epsilon sweep. */
+  private[graft] def cosMicro(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
+      * 1000000).cast("long")
+
+  /** SemDeDup cluster membership (vec_id, cid, embedding): 1-round
+    * k-means + reassignment at the micro-cosine grain — the `m` CTE of
+    * [[SemDedupCtes]], shared by [[semanticKeepTable]] and DedupOps'
+    * dedup-semantic-sweep.
+    */
+  private[graft] def semanticMembers(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_u", cosMicro(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+  }
+
   /** SemDeDup keep table (vec_id, cid, keep) — the Spark half of the
     * shared subtree behind [[simSemanticDedup]] and DedupOps'
     * dedup-semantic.
     */
   private[graft] def semanticKeepTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def cosU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      round(Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
-        * 1000000).cast("long")
-    val cents = graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
-      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val members = e.crossJoin(broadcast(cents))
-      .withColumn("cos_u", cosU(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    val members = semanticMembers(s, d)
     val other = members.select(col("cid").as("b_cid"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"))
     val dropped = members.join(other,
         col("cid") === col("b_cid") && col("b_id") < col("vec_id") &&
-          cosU(col("embedding"), col("b_emb")) >= 350000, "left_semi")
+          cosMicro(col("embedding"), col("b_emb")) >= 350000, "left_semi")
       .select(col("vec_id").as("d_id"))
     members.join(dropped, col("vec_id") === col("d_id"), "left")
       .select(col("vec_id"), col("cid"), col("d_id").isNull.as("keep"))

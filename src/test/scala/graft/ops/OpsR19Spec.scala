@@ -95,13 +95,22 @@ class OpsR19Spec extends SparkSpec {
     assert(means.max > means.min, "no spread — scoring is constant")
   }
 
-  test("dedup-semantic equals a from-scratch SemDeDup (kmeans + pairs + rollup)") {
+  /** Micro-cosine (semanticKeepTable's cosMicro grain). */
+  private def cosU(a: Array[Double], b: Array[Double]): Long =
+    halfUp(dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))) * 1000000)
+
+  /** From-scratch SemDeDup cluster membership: 1 Lloyd round from the 4
+    * lowest vec_ids (graft.sim.KMeans semantics — assignment at the
+    * 6-dp-cosine grain), then reassignment to the UPDATED centroids at
+    * the micro-cosine grain with ties to the lowest cid. Shared by the
+    * dedup-semantic and dedup-semantic-sweep reference scorers.
+    */
+  private def refSemanticMembers(): Array[(Long, Array[Double], Int)] = {
     val vecs = graft.Tables.embeddings(spark, sf())
       .filter(col("embedding").isNotNull) // NPE-proof the reference scorer
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    // 1 Lloyd round from the 4 lowest vec_ids (graft.sim.KMeans semantics)
     val init = vecs.take(4).map(_._2)
     def assign(cents: IndexedSeq[Array[Double]], v: Array[Double]): Int =
       cents.indices.maxBy(ci => (cos6(v, cents(ci)), -ci))
@@ -115,14 +124,14 @@ class OpsR19Spec extends SparkSpec {
         round6(sv.toDouble / members.length / 10000.0)
       }.toArray
     }
-    // reassignment to the UPDATED centroids at micro-cosine grain
-    // (semanticKeepTable's cosU: round(cos * 1e6) long, ties -> lowest cid)
-    def cosU(a: Array[Double], b: Array[Double]): Long =
-      halfUp(dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))) * 1000000)
-    val members = vecs.map { case (id, v) =>
+    vecs.map { case (id, v) =>
       val cid = (0 until 4).maxBy(ci => (cosU(v, updated(ci)), -ci))
       (id, v, cid)
     }
+  }
+
+  test("dedup-semantic equals a from-scratch SemDeDup (kmeans + pairs + rollup)") {
+    val members = refSemanticMembers()
     // within-cluster pairs >= 0.35 micro-cosine; lowest-id keeper
     val dropped = members.filter { case (id, v, cid) =>
       members.exists { case (bId, bV, bCid) =>
@@ -158,6 +167,34 @@ class OpsR19Spec extends SparkSpec {
       .count(d => keepTbl(d._1)).toLong
     assert(got.map(_._3).sum == expKept,
       "dedup-semantic and sim-semantic-dedup disagree on total kept")
+  }
+
+  test("dedup-semantic-sweep equals a from-scratch epsilon sweep") {
+    val members = refSemanticMembers()
+    val epsilons = Seq(300000L, 350000L, 400000L, 450000L)
+    val n = members.length.toLong
+    val expected = epsilons.map { eps =>
+      val dropped = members.count { case (id, v, cid) =>
+        members.exists { case (bId, bV, bCid) =>
+          bCid == cid && bId < id && cosU(v, bV) >= eps
+        }
+      }.toLong
+      (eps, n, n - dropped, dropped)
+    }
+    val got = DedupOps.dedupSemanticSweep.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"semantic sweep diverges:\n got $got\n exp $expected")
+    // the sweep is a real budget curve: drops strictly shrink as epsilon
+    // tightens on this fixture, and the shipped eps = 0.35 row must agree
+    // with dedup-semantic's total drop count over the embedded doc subset
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse, "drops not monotone in eps")
+    assert(got.map(_._4).distinct.size > 1, "sweep is flat — fixture degenerate")
+    val dropAt35 = got.find(_._1 == 350000L).get._4
+    val keepTblDropped = graft.ops.SimOps.simSemanticDedup.build(spark, sf())
+      .collect().count(r => !r.getBoolean(2)).toLong
+    assert(dropAt35 == keepTblDropped,
+      s"sweep eps=0.35 drops $dropAt35 != keep-table drops $keepTblDropped")
   }
 
   test("sim-probe-order equals a from-scratch margin-ordered probe sweep") {
