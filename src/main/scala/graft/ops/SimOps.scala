@@ -633,19 +633,31 @@ object SimOps {
     * k-means + reassignment at the micro-cosine grain — the `m` CTE of
     * [[SemDedupCtes]], shared by [[semanticKeepTable]] and DedupOps'
     * dedup-semantic-sweep.
+    *
+    * Assignment is a row-local `greatest(struct(cos_u, -cid))` fold over
+    * the four collected centroid LITERALS — the same zero-shuffle spelling
+    * as [[simEmbedOutliers]] and [[graft.sim.KMeans]]'s own Lloyd rounds.
+    * `greatest` over (cos_u, -cid) structs picks max cosine then min cid,
+    * exactly the `row_number() ... ORDER BY cos_u DESC, cid` argmax of the
+    * oracle's `sc2` CTE; the corpus never exchanges (the old
+    * crossJoin+window spelling sorted the 4×-exploded corpus on vec_id
+    * purely to argmax over 4 rows).
     */
   private[graft] def semanticMembers(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
-      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+    val cents: IndexedSeq[(Long, Seq[Double])] =
+      graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toIndexedSeq
+        .sortBy(_._1)
+    val centStructs = cents.map { case (cid, cv) =>
+      struct(cosMicro(col("embedding"), typedLit(cv)).as("cu"),
+        lit(-cid).as("nc"))
+    }
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_u", cosMicro(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos_u").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+      .withColumn("_b", greatest(centStructs: _*))
+      .select(col("vec_id"), (-col("_b.nc")).as("cid"), col("embedding"))
   }
 
   /** SemDeDup keep table (vec_id, cid, keep) — the Spark half of the

@@ -2680,6 +2680,44 @@ object TextOps {
       |       FROM (SELECT doc_id, source, is_train, ws,
       |                    unnest(generate_series(1, len(ws) - 1)) AS i FROM d0))""".stripMargin
 
+  /** The KN min-count prune (session conf `graft.kn.minCount`, default 1
+    * = keep every type — the shipped-SF behavior): drops rare bigram
+    * types from the SCORING side of the model before it rides a
+    * broadcast, exactly how a shipped KenLM prunes before loading. At
+    * 100 TB the unpruned bigram-TYPE table is broadcast-hostile; this is
+    * the knob PLANS.md's scale rule names. Model statistics (lft / rgt /
+    * T) stay at the full type grain — pruning changes which pairs score
+    * via the seen-pair branch, never the smoothing mass.
+    */
+  private[ops] def knPruned(cxy: DataFrame): DataFrame = {
+    val minCount =
+      cxy.sparkSession.conf.get("graft.kn.minCount", "1").toLong
+    require(minCount >= 1, s"graft.kn.minCount must be >= 1, got $minCount")
+    if (minCount > 1) cxy.filter(col("cnt") >= minCount) else cxy
+  }
+
+  /** Driver-side bound assert on a model table headed into a broadcast —
+    * the sim-mahalanobis precedent (SimOps.scala:1835): at scale the
+    * failure mode must be an actionable message, not an executor OOM
+    * mid-broadcast. Counts the model ONCE when session conf
+    * `graft.kn.maxBroadcastTypes` is set (production deployments set it
+    * alongside `graft.kn.minCount`; unset — the shipped-SF default — the
+    * count job is skipped and the plan is byte-identical to round 10).
+    */
+  private[ops] def knBroadcastGuard(model: DataFrame, what: String): DataFrame = {
+    model.sparkSession.conf.getOption("graft.kn.maxBroadcastTypes")
+      .foreach { boundS =>
+        val bound = boundS.toLong
+        val n = model.count()
+        require(n <= bound,
+          s"$what: $n bigram types exceed graft.kn.maxBroadcastTypes=$bound " +
+            "— raise graft.kn.minCount to prune rare types before the " +
+            "broadcast (KenLM-style), or raise the bound if executors " +
+            "have the memory")
+      }
+    model
+  }
+
   /** SQL mirror of [[knModelTables]] over the bigram source `src`. */
   private[ops] def knModelCtes(src: String): String =
     s"""cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY 1, 2),
@@ -2773,12 +2811,14 @@ object TextOps {
     // the KN model at the bigram-TYPE grain — textKnBigram's exact trees
     val (cxy, lft, rgt) = knModelTables(pr)
     val tt = cxy.agg(count(lit(1)).as("t"))
-    val lm = cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
-      .select(col("w1"), col("w2"),
-        round(log((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
-          (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) *
-            (col("n1r") / (lit(1.0) * col("t")))))) * 1000000)
-          .cast("long").as("lp"))
+    val lm = knBroadcastGuard(
+      knPruned(cxy).join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"),
+          round(log((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
+            (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) *
+              (col("n1r") / (lit(1.0) * col("t")))))) * 1000000)
+            .cast("long").as("lp")),
+      "text-doc-perplexity LM")
     val dx = pr.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id", "source")
       .agg(round(-sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("xent_micro"))
@@ -2869,8 +2909,8 @@ object TextOps {
     val hb = pr.filter(!col("is_train")).select("w1", "w2").distinct()
     val pcont = (coalesce(col("n1r"), lit(0L)) + 1) /
       (lit(1.0) * (col("t") + col("v")))
-    val lp = hb
-      .join(cxy, Seq("w1", "w2"), "left_outer")
+    val lp = knBroadcastGuard(hb
+      .join(knPruned(cxy), Seq("w1", "w2"), "left_outer")
       .join(lft, Seq("w1"), "left_outer")
       .join(rgt, Seq("w2"), "left_outer")
       .crossJoin(broadcast(tv))
@@ -2882,7 +2922,8 @@ object TextOps {
             .when(col("cx").isNotNull,
               ((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont)
             .otherwise(pcont)) * 1000000).cast("long").as("lp"),
-        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov")),
+      "text-perplexity-holdout scoring table")
     val dx = pr.filter(!col("is_train"))
       .join(broadcast(lp), Seq("w1", "w2"))
       .groupBy("doc_id", "source")

@@ -65,6 +65,16 @@ object Similarity {
     * native ArrayDotLong — a codegen'd loop, not an interpreted HOF chain.
     * Dimension count is fixed per dataset (embeddings are 64-wide here;
     * `dims` parameterizes it).
+    *
+    * CONTRACT (whole LSH family — bucket, margins, and every consumer):
+    * embedding elements must be NON-NULL. A NULL element makes
+    * ArrayDotLong propagate NULL where DuckDB's list_sum SKIPS the NULL
+    * product, so bucket ids (s > 0 vs NULL) and margin orderings (NULLS
+    * LAST vs struct-null-first) would diverge cross-engine — silently,
+    * per bucket. The invariant is asserted on the shipped fixtures
+    * (OpsR19Spec "embedding elements are non-null"); a corpus with NULL
+    * elements must be repaired (coalesce/drop) BEFORE the LSH tier, the
+    * same boundary where sim-mahalanobis defends ragged/NULL vectors.
     */
   def lshBucket(emb: Column, planes: Int = 8, dims: Int = 64): Column = {
     val e = intScaled(emb)

@@ -835,6 +835,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("SemDeDup assignment is a zero-shuffle centroid-literal fold") {
+    // the shared subtree behind sim-semantic-dedup / dedup-semantic /
+    // dedup-semantic-sweep: assignment must be greatest(struct) over
+    // centroid LITERALS — a pure projection. The old crossJoin+row_number
+    // spelling exchanged+sorted the 4×-exploded corpus on vec_id purely
+    // to argmax over 4 rows (round-10 verdict finding 1).
+    val p = ops.SimOps.semanticMembers(spark, sf())
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("greatest"), p)
+  }
+
+  test("dedup-semantic-sweep: cid-keyed pairs, eps as 4-row broadcast loop") {
+    val p = plan("dedup-semantic-sweep")
+    // pairs are scored ONCE on the cid equi-join (Σ|cluster|², never
+    // corpus²); the ε sweep is a broadcast nested-loop whose BUILD side
+    // is the 4-row eps table (BuildLeft — eps is the join's left input),
+    // so the pair table streams and is never re-executed per ε
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft, LeftOuter"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("sim-probe-order ranks candidates through the bounded top-k, no window funnel") {
     val p = plan("sim-probe-order")
     // per-(T, query) top-3 must partial-combine map-side — a window over

@@ -372,4 +372,57 @@ class OpsR19Spec extends SparkSpec {
     assert(viaBroadcast64.map(_._1.length).sum < viaBroadcast12.map(_._1.length).sum,
       "64 merges compressed no further than 12 — learning stalled")
   }
+
+  test("embedding elements are non-null (the LSH-family contract)") {
+    // Similarity.lshBucket's documented contract: a NULL element makes
+    // ArrayDotLong propagate NULL where DuckDB's list_sum skips it, so
+    // buckets and margin orderings would diverge cross-engine. Guard the
+    // fixture invariant loudly instead of letting a regenerated fixture
+    // fail as a silent per-bucket hash mismatch (round-10 ADVICE item 3).
+    val bad = graft.Tables.embeddings(spark, sf())
+      .filter(col("embedding").isNotNull)
+      .filter(exists(col("embedding"), x => x.isNull))
+      .count()
+    assert(bad == 0L,
+      s"$bad embeddings carry NULL elements — repair (coalesce/drop) " +
+        "before the LSH tier per the Similarity.lshBucket contract")
+  }
+
+  test("KN broadcast guard: min-count prune + bounded-broadcast assert") {
+    // round-10 verdict finding 5: the 100 TB model prune must be ENFORCED,
+    // not just documented — the failure mode at scale is an actionable
+    // message, not an executor OOM mid-broadcast.
+    import spark.implicits._
+    val cxy = Seq(("a", "b", 5L), ("a", "c", 1L), ("b", "c", 2L))
+      .toDF("w1", "w2", "cnt")
+    // default (no conf): identity — the shipped-SF plan is unchanged
+    assert(TextOps.knPruned(cxy).collect().length == 3)
+    try {
+      spark.conf.set("graft.kn.minCount", "2")
+      assert(TextOps.knPruned(cxy).collect().map(_.getString(1)).sorted
+        .sameElements(Array("b", "c")))
+      // the bound assert fires with the actionable message...
+      spark.conf.set("graft.kn.maxBroadcastTypes", "1")
+      val e = intercept[IllegalArgumentException] {
+        TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM")
+      }
+      assert(e.getMessage.contains("graft.kn.minCount"), e.getMessage)
+      // ...and passes when the pruned model fits the bound
+      spark.conf.set("graft.kn.maxBroadcastTypes", "2")
+      assert(TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM")
+        .collect().length == 2)
+      // end-to-end: both scorer ops run under an enforced bound (the
+      // sf0.001 model is small enough for a generous bound; the guard's
+      // count job actually executes on this path)
+      spark.conf.set("graft.kn.minCount", "1")
+      spark.conf.set("graft.kn.maxBroadcastTypes", "10000000")
+      assert(graft.SparkEntry.queries("text-doc-perplexity")(spark, sf())
+        .collect().length > 0)
+      assert(graft.SparkEntry.queries("text-perplexity-holdout")(spark, sf())
+        .collect().length > 0)
+    } finally {
+      spark.conf.unset("graft.kn.minCount")
+      spark.conf.unset("graft.kn.maxBroadcastTypes")
+    }
+  }
 }
