@@ -42,7 +42,8 @@ object Bench {
     // own line items — the total stays honest (fills are inside it) and
     // per-op numbers become the marginal cost a pipeline actually pays.
     val fills: Seq[(String, () => Unit)] =
-      if (ordered.exists(_.startsWith("dedup-")))
+      if (ordered.exists(o => o.startsWith("dedup-") ||
+          o == "pipeline-curation-e2e")) // rides the cluster-table fill too
         Seq[(String, () => Unit)](
           "fill:shingles" -> (() => { ops.DedupOps.persistedShingles(spark, sfDir).count(); () }),
           "fill:jaccard-pairs" -> (() => { ops.DedupOps.persistedJaccardPairs(spark, sfDir).count(); () }),

@@ -101,7 +101,7 @@ object DedupOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  private val ShingleOracle =
+  private[ops] val ShingleOracle =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS s
       |  FROM (SELECT doc_id, ws,
@@ -118,6 +118,25 @@ object DedupOps {
       |  SELECT d1, d2,
       |         round(inter * 1.0 / (x.n + y.n - inter), 6) AS jac
       |  FROM pairs JOIN sz x ON x.id = d1 JOIN sz y ON y.id = d2)""".stripMargin
+
+  /** The exact-jaccard near-dup cluster chain over [[ShingleOracle]]'s
+    * pair table (p8 → edges → reach → cl): connected components at
+    * j ≥ 0.8 labeled by min id — the DuckDB mirror of
+    * [[persistedDocClusters]], shared verbatim by every cluster-table
+    * oracle (cluster-rep / survivorship / cluster-sizes /
+    * savings-by-source / cluster-sources / tokens-saved and
+    * PipelineOps' curation composite).
+    */
+  private[ops] val ClusterOracle: String =
+    """p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM p8
+      |          UNION ALL SELECT d2, d1 FROM p8),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
+      |       FROM reach GROUP BY src)""".stripMargin
 
   /** Exact dedup: md5-groupBy, keep the smallest id per content group. */
   val dedupExact: Op = Op.sql(
@@ -317,15 +336,7 @@ object DedupOps {
   val dedupClusterRep: Op = Op.sql(
     "dedup-cluster-rep",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src),
+       |$ClusterOracle,
        |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len
        |          FROM cl JOIN documents d ON d.doc_id = cl.id),
        |reps AS (SELECT cluster, id, len,
@@ -573,15 +584,7 @@ object DedupOps {
   val dedupSurvivorship: Op = Op.sql(
     "dedup-survivorship",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src),
+       |$ClusterOracle,
        |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len
        |          FROM cl JOIN documents d ON d.doc_id = cl.id),
        |per AS (SELECT cluster, count(*) AS n, CAST(sum(len) AS BIGINT) AS bytes,
@@ -671,15 +674,7 @@ object DedupOps {
   val dedupClusterSizes: Op = Op.sql(
     "dedup-cluster-sizes",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src),
+       |$ClusterOracle,
        |per AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY cluster)
        |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
        |       CAST(sz * count(*) AS BIGINT) AS n_docs
@@ -706,15 +701,7 @@ object DedupOps {
   val dedupSavingsBySource: Op = Op.sql(
     "dedup-savings-by-source",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src)
+       |$ClusterOracle
        |SELECT d.source, count(*) AS n_docs,
        |       CAST(sum(CASE WHEN cl.cluster <> d.doc_id THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_dropped,
@@ -1284,15 +1271,7 @@ object DedupOps {
   lazy val dedupClusterSources: Op = Op.sql(
     "dedup-cluster-sources",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src),
+       |$ClusterOracle,
        |cs AS (SELECT cl.cluster, count(*) AS n_docs,
        |              count(DISTINCT d.source) AS n_sources
        |       FROM cl JOIN documents d ON d.doc_id = cl.id
@@ -1410,15 +1389,7 @@ object DedupOps {
   lazy val dedupTokensSaved: Op = Op.sql(
     "dedup-tokens-saved",
     s"""WITH RECURSIVE $ShingleOracle,
-       |p8 AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
-       |edges AS (SELECT d1 AS a, d2 AS b FROM p8
-       |          UNION ALL SELECT d2, d1 FROM p8),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-       |cl AS (SELECT src AS id, CAST(min(dst) AS BIGINT) AS cluster
-       |       FROM reach GROUP BY src)
+       |$ClusterOracle
        |SELECT d.source,
        |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
        |         AS tokens_total,

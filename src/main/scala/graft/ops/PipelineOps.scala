@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{Op, Tables}
 import graft.dedup.Dedup
@@ -772,8 +773,202 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  /** END-TO-END curation composite — the LLM-pipeline analogue of
+    * verify-full-roundtrip (which composes the reference's five commands,
+    * /root/reference/src/command/verify.rs:409-477): the canonical
+    * curation pass — exact dedup → near-dup cluster drop → quality screen
+    * → mix quota → leakage-safe split → sequence packing — run as ONE
+    * declarative plan whose output pins the surviving doc count, bytes
+    * and tokens after every stage. Each stage is the standalone board
+    * op's subtree, shared VERBATIM (so the composite can never drift from
+    * the parts a pipeline also runs individually):
+    *  - stage 1 exact-dedup: keep the min doc_id per md5(text) group
+    *    (dedup-exact's rule);
+    *  - stage 2 near-dup drop: keep the cluster representative
+    *    (cluster label == own id) of [[DedupOps.persistedDocClusters]] —
+    *    the dedup-savings-by-source rule over the shared memoized table;
+    *  - stage 3 quality screen: drop the bottom unigram-logprob decile
+    *    ([[TextOps.unigramDecileBuckets]], text-quality-deciles' subtree);
+    *  - stage 4 mix quota: per-source n_keep from text-mix-weights'
+    *    negotiated table ([[TextOps.mixWeightTable]]), filled among the
+    *    stage-3 survivors in md5(doc_id) order (the seedless deterministic
+    *    draw of text-mix-apply / text-sample-uniform);
+    *  - stage 5 split: the text-train-split 'train' predicate
+    *    (content-hash bucket < 'e6' — leakage-safe by construction);
+    *  - stage 6 pack: [[graft.text.Packing.packSequences]] (budget 512,
+    *    8 shards) over the survivors; n_units flips meaning here to the
+    *    PHYSICAL count of packed 512-token sequences
+    *    (Σ_shard ⌈tokens/512⌉), with n_tokens read off the packing
+    *    output so the Packing subtree is load-bearing.
+    * NULL-text documents are excluded at stage 0 (the corpus row counts
+    * READABLE docs — same filter both engines). Quality deciles and mix
+    * weights are computed over the FULL corpus exactly as their
+    * standalone ops do (shared-verbatim discipline); the funnel applies
+    * them cumulatively.
+    *
+    * Scale shape: stages 0-3 are ONE pass over the doc catalog joined to
+    * two id-keyed derived tables (the memoized cluster table and the
+    * decile buckets — the doc_id exchange is planned once and reused);
+    * exact-dedup keeper is a min-over-window partitioned by the 16-byte
+    * content hash (one corpus exchange, no join-back); the quota rank
+    * windows per SOURCE over the already-reduced stage-3 survivors; the
+    * pack cumsum windows per SHARD (text-pack-sequences' shape — never a
+    * global sort). The quota rank window orders k3 DESC first, so
+    * survivors' ranks equal their rank among survivors alone — ALL six
+    * doc-grain stage counters then fold in ONE aggregation over the one
+    * ranked corpus pass (no per-stage branches), the pack metrics fold
+    * over the 8 shard subtotals, and the 7 output rows EXPLODE from the
+    * single assembled row (the one-aggregated-DF rule).
+    * At 100 TB the dominant cost is the token-grain quality-scoring pass
+    * (swap exact percentile → approx_percentile, nothing else changes);
+    * the shared cluster table amortizes across the whole dedup family.
+    */
+  lazy val pipelineCurationE2e: Op = Op.sql(
+    "pipeline-curation-e2e",
+    s"""WITH RECURSIVE ${DedupOps.ShingleOracle},
+      |${DedupOps.ClusterOracle},
+      |d AS (SELECT doc_id, source,
+      |             CAST(length(text) AS BIGINT) AS n_bytes,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             md5(text) AS h,
+      |             substr(md5(text), 1, 2) < 'e6' AS is_train
+      |      FROM documents WHERE text IS NOT NULL),
+      |ek AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+      |t AS (SELECT count(*) AS tot FROM toks),
+      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+      |       FROM v, t),
+      |sc AS (SELECT doc_id,
+      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
+      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
+      |b AS (SELECT quantile_cont(mean_u,
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM sc),
+      |qa AS (SELECT doc_id, len(list_filter(bnds, x -> x <= mean_u)) AS bucket
+      |       FROM sc, b),
+      |f AS (SELECT d.*,
+      |             (d.doc_id = ek.keep_id) AS k1,
+      |             (d.doc_id = ek.keep_id AND cl.cluster = d.doc_id) AS k2,
+      |             (d.doc_id = ek.keep_id AND cl.cluster = d.doc_id
+      |              AND qa.bucket >= 1) AS k3
+      |      FROM d JOIN ek USING (h)
+      |             JOIN cl ON cl.id = d.doc_id
+      |             JOIN qa USING (doc_id)),
+      |ms AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |mt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM ms),
+      |mw AS (SELECT source, n_docs,
+      |         least(1000000, CAST(round(total * 1000000.0 / (n_sources * n_docs)) AS BIGINT)) AS w_e6
+      |       FROM ms, mt),
+      |mq AS (SELECT source, (n_docs * w_e6) // 1000000 AS n_keep FROM mw),
+      |rnk AS (SELECT f.*, row_number() OVER (PARTITION BY source
+      |                 ORDER BY k3 DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |        FROM f),
+      |fl AS (SELECT rnk.*, (k3 AND rk <= mq.n_keep) AS k4,
+      |              (k3 AND rk <= mq.n_keep AND is_train) AS k5
+      |       FROM rnk JOIN mq ON rnk.source = mq.source),
+      |fr AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |              CAST(sum(n_bytes) AS BIGINT) AS b0,
+      |              CAST(sum(n_tokens) AS BIGINT) AS t0,
+      |              CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |              CAST(sum(CASE WHEN k1 THEN n_bytes ELSE 0 END) AS BIGINT) AS b1,
+      |              CAST(sum(CASE WHEN k1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+      |              CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |              CAST(sum(CASE WHEN k2 THEN n_bytes ELSE 0 END) AS BIGINT) AS b2,
+      |              CAST(sum(CASE WHEN k2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+      |              CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |              CAST(sum(CASE WHEN k3 THEN n_bytes ELSE 0 END) AS BIGINT) AS b3,
+      |              CAST(sum(CASE WHEN k3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+      |              CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |              CAST(sum(CASE WHEN k4 THEN n_bytes ELSE 0 END) AS BIGINT) AS b4,
+      |              CAST(sum(CASE WHEN k4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+      |              CAST(sum(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+      |              CAST(sum(CASE WHEN k5 THEN n_bytes ELSE 0 END) AS BIGINT) AS b5,
+      |              CAST(sum(CASE WHEN k5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+      |       FROM fl),
+      |pk0 AS (SELECT doc_id % 8 AS shard, CAST(sum(n_tokens) AS BIGINT) AS st
+      |        FROM fl WHERE k5 GROUP BY shard),
+      |pk AS (SELECT coalesce(CAST(sum((st + 511) // 512) AS BIGINT), 0) AS n_seqs,
+      |              coalesce(CAST(sum(st) AS BIGINT), 0) AS t6 FROM pk0)
+      |SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS stage_name,
+      |       n0 AS n_units, b0 AS n_bytes, t0 AS n_tokens FROM fr
+      |UNION ALL SELECT CAST(1 AS BIGINT), 'exact-dedup', n1, b1, t1 FROM fr
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'neardup-cluster-drop', n2, b2, t2 FROM fr
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'quality-screen', n3, b3, t3 FROM fr
+      |UNION ALL SELECT CAST(4 AS BIGINT), 'mix-quota', n4, b4, t4 FROM fr
+      |UNION ALL SELECT CAST(5 AS BIGINT), 'train-split', n5, b5, t5 FROM fr
+      |UNION ALL SELECT CAST(6 AS BIGINT), 'pack-512', pk.n_seqs, fr.b5, pk.t6
+      |          FROM pk, fr
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_bytes"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"),
+        (substring(md5(col("text")), 1, 2) < "e6").as("is_train"))
+    val withK1 = docs.withColumn("k1",
+      col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+    val clusters = DedupOps.persistedDocClusters(s, d)
+      .withColumnRenamed("id", "doc_id")
+    val buckets = TextOps.unigramDecileBuckets(s, d).select("doc_id", "bucket")
+    val f = withK1
+      .join(clusters, Seq("doc_id"))
+      .join(buckets, Seq("doc_id"))
+      .withColumn("k2", col("k1") && col("cluster") === col("doc_id"))
+      .withColumn("k3", col("k2") && col("bucket") >= 1)
+    val quotas = TextOps.mixWeightTable(s, d)
+      .select(col("source"), expr("(n_docs * w_e6) div 1000000").as("n_keep"))
+    // k3 survivors sort FIRST within each source (k3 desc), so their
+    // ranks equal the rank among survivors alone — one window over f
+    // instead of a filtered branch, letting ALL six stage counters fold
+    // in a single aggregation pass
+    val ranked = f
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("k3").desc, md5(col("doc_id").cast("string")),
+          col("doc_id"))).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("k4", col("k3") && col("rk") <= col("n_keep"))
+      .withColumn("k5", col("k4") && col("is_train"))
+    def stageAgg(flag: Column, i: Int) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).cast("long").as(s"n$i"),
+      sum(when(flag, col("n_bytes")).otherwise(0L)).cast("long").as(s"b$i"),
+      sum(when(flag, col("n_tokens")).otherwise(0L)).cast("long").as(s"t$i"))
+    val allAggs = stageAgg(lit(true), 0) ++ stageAgg(col("k1"), 1) ++
+      stageAgg(col("k2"), 2) ++ stageAgg(col("k3"), 3) ++
+      stageAgg(col("k4"), 4) ++ stageAgg(col("k5"), 5)
+    val fr = ranked.agg(allAggs.head, allAggs.tail: _*)
+    val ids5 = ranked.filter(col("k5")).select("doc_id")
+    val packed = graft.text.Packing.packSequences(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(ids5, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", budget = 512L, shards = 8)
+    val pk = packed.groupBy("shard").agg(sum("n_tokens").as("st"))
+      .agg(coalesce(sum(expr("(st + 511) div 512")), lit(0L)).cast("long").as("n_seqs"),
+        coalesce(sum("st"), lit(0L)).cast("long").as("t6"))
+    def stageRow(i: Long, name: String, n: Column, b: Column, t: Column) =
+      struct(lit(i).as("stage"), lit(name).as("stage_name"),
+        n.cast("long").as("n_units"), b.cast("long").as("n_bytes"),
+        t.cast("long").as("n_tokens"))
+    fr.crossJoin(broadcast(pk))
+      .select(explode(array(
+        stageRow(0L, "corpus", col("n0"), col("b0"), col("t0")),
+        stageRow(1L, "exact-dedup", col("n1"), col("b1"), col("t1")),
+        stageRow(2L, "neardup-cluster-drop", col("n2"), col("b2"), col("t2")),
+        stageRow(3L, "quality-screen", col("n3"), col("b3"), col("t3")),
+        stageRow(4L, "mix-quota", col("n4"), col("b4"), col("t4")),
+        stageRow(5L, "train-split", col("n5"), col("b5"), col("t5")),
+        stageRow(6L, "pack-512", col("n_seqs"), col("b5"), col("t6")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_units").as("n_units"), col("r.n_bytes").as("n_bytes"),
+        col("r.n_tokens").as("n_tokens"))
+      .orderBy("stage")
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
     pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine,
-    pipelineAbAssign, pipelineDqSuite, pipelineDqSuggest, pipelineIvmDelta)
+    pipelineAbAssign, pipelineDqSuite, pipelineDqSuggest, pipelineIvmDelta,
+    pipelineCurationE2e)
 }

@@ -495,6 +495,19 @@ object TextOps {
       |       (n_docs * w_e6) // 1000000 AS n_keep
       |FROM w ORDER BY source""".stripMargin
   ) { (s, d) =>
+    mixWeightTable(s, d)
+      .select(col("source"), col("n_docs"),
+        (col("w_e6") / lit(1000000.0)).as("weight"),
+        expr("(n_docs * w_e6) div 1000000").as("n_keep"))
+      .orderBy("source")
+  }
+
+  /** The equal-share mix-weight table (source, n_docs, w_e6) behind
+    * [[textMixWeights]] — extracted so PipelineOps' curation composite
+    * draws its per-source quota from the SAME negotiated weights
+    * (expressions bit-identical to the original inline spelling).
+    */
+  private[ops] def mixWeightTable(s: SparkSession, d: String): DataFrame = {
     val bySrc = Tables.documents(s, d)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val tot = bySrc.agg(sum("n_docs").as("total"), count(lit(1)).as("n_sources"))
@@ -502,10 +515,6 @@ object TextOps {
       .withColumn("w_e6", least(lit(1000000L),
         round(col("total") * lit(1000000.0) / (col("n_sources") * col("n_docs")))
           .cast("long")))
-      .select(col("source"), col("n_docs"),
-        (col("w_e6") / lit(1000000.0)).as("weight"),
-        expr("(n_docs * w_e6) div 1000000").as("n_keep"))
-      .orderBy("source")
   }
 
   /** Token-length histogram in log2 buckets ([2^k, 2^(k+1)) per bucket):

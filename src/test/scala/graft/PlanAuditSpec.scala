@@ -859,6 +859,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("pipeline-curation-e2e: hash-keyed keeper window, per-source/shard windows, no cartesian") {
+    val p = plan("pipeline-curation-e2e")
+    // exact keeper = min over a window partitioned by the content hash
+    // (one 16-byte-key exchange, no groupBy+join-back); the quota rank
+    // windows per SOURCE over reduced survivors. The pack stage's cumsum
+    // window must be PRUNED away entirely: the composite reads only
+    // (shard, n_tokens) off Packing's output, so a shard window in the
+    // optimized plan means column pruning broke
+    assert(p.contains("windowspecdefinition(h#"), p)
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.contains("windowspecdefinition(shard"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("sim-probe-order ranks candidates through the bounded top-k, no window funnel") {
     val p = plan("sim-probe-order")
     // per-(T, query) top-3 must partial-combine map-side — a window over

@@ -1,0 +1,184 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the round-11 op batch. The driver gate owns
+  * value-exactness vs DuckDB; these pin semantics independently with a
+  * from-scratch Scala reference implementation of the end-to-end curation
+  * funnel (exact dedup → near-dup cluster drop → quality decile screen →
+  * mix quota → content-hash split → sequence packing), run against BOTH
+  * the real sf0.001 fixture and a synthetic skewed-source corpus where
+  * the mix-quota stage provably drops documents (it is vacuous on the
+  * equal-source driver fixtures — equal-share weights cap at 1.0 there).
+  */
+class OpsR20Spec extends SparkSpec {
+
+  private def halfUp(v: Double): Long =
+    new JBigDecimal(v).setScale(0, RoundingMode.HALF_UP).longValueExact()
+
+  private def round6(v: Double): Double =
+    new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Spark `percentile` (linear interpolation) over sorted longs. */
+  private def pct(sorted: IndexedSeq[Long], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  private case class DocMeta(id: Long, src: String, bytes: Long, nTok: Long,
+      h: String, isTrain: Boolean)
+
+  /** From-scratch curation funnel — mirrors pipeline-curation-e2e's
+    * semantics: stages over readable docs, quality/mix tables over the
+    * full corpus, clusters from exact jaccard ≥ 0.8 on df ≤ 20 3-gram
+    * shingles (the oracle's spelling of the minhash cluster table).
+    */
+  private def expectedFunnel(all: Seq[(Long, String, Option[String])])
+      : Seq[(Long, String, Long, Long, Long)] = {
+    val readable = all.collect { case (id, src, Some(t)) => (id, src, t) }
+    def toks(t: String): Array[String] = t.split(" ", -1)
+    val meta = readable.map { case (id, src, t) =>
+      val h = md5hex(t)
+      DocMeta(id, src, t.length.toLong, toks(t).length.toLong, h,
+        h.substring(0, 2) < "e6")
+    }
+    // stage 1: exact keeper = min doc_id per content hash
+    val keepByH = meta.groupBy(_.h).map { case (h, xs) => h -> xs.map(_.id).min }
+    // stage 2: near-dup cluster rep. Shingle = ws[i..i+2] (1-based DuckDB
+    // slice; short docs emit their whole prefix), DISTINCT per doc,
+    // df <= 20 prune, exact jaccard round6 >= 0.8, CC labeled by min id.
+    val shingleSets: Map[Long, Set[String]] = readable.map { case (id, _, t) =>
+      val ws = toks(t)
+      val ss =
+        if (ws.length >= 3)
+          (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+        else Set(ws.take(3).mkString(" "))
+      id -> ss
+    }.toMap
+    val df = shingleSets.values.flatten.groupBy(identity)
+      .map { case (s, xs) => s -> xs.size }
+    val kept = shingleSets.map { case (id, ss) => id -> ss.filter(df(_) <= 20) }
+    val inter = scala.collection.mutable.Map[(Long, Long), Int]()
+    for {
+      ids <- kept.toSeq.flatMap { case (id, ss) => ss.map(s => (s, id)) }
+        .groupBy(_._1).values.map(_.map(_._2).sorted)
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+    } inter((ids(i), ids(j))) = inter.getOrElse((ids(i), ids(j)), 0) + 1
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      readable.map(r => r._1 -> r._1)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    inter.foreach { case ((a, b), in) =>
+      val j = round6(in * 1.0 / (kept(a).size + kept(b).size - in))
+      if (j >= 0.8) parent(find(a)) = find(b)
+    }
+    val cluster: Map[Long, Long] = {
+      val roots = readable.map(r => r._1 -> find(r._1)).toMap
+      val minOf = roots.toSeq.groupBy(_._2)
+        .map { case (root, xs) => root -> xs.map(_._1).min }
+      roots.map { case (id, root) => id -> minOf(root) }
+    }
+    // stage 3: unigram-logprob decile screen over the full corpus
+    val allToks = readable.flatMap { case (_, _, t) => toks(t) }
+    val cnt = allToks.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val tot = allToks.size.toLong
+    val lp = cnt.map { case (w, c) =>
+      w -> halfUp((math.log(c.toDouble) - math.log(tot.toDouble)) * 1000000)
+    }
+    val meanU: Map[Long, Long] = readable.map { case (id, _, t) =>
+      val ts = toks(t)
+      id -> halfUp(ts.map(lp).sum * 1.0 / ts.length)
+    }.toMap
+    val sortedU = meanU.values.toIndexedSeq.sorted
+    val bnds = (1 to 9).map(k => pct(sortedU, k / 10.0))
+    val bucket = meanU.map { case (id, u) => id -> bnds.count(_ <= u.toDouble) }
+    val k1 = meta.map(m => m.id -> (m.id == keepByH(m.h))).toMap
+    def k2(id: Long) = k1(id) && cluster(id) == id
+    def k3(id: Long) = k2(id) && bucket(id) >= 1
+    // stage 4: text-mix-weights quota over the FULL corpus (NULL text
+    // included in the per-source counts, as the shared subtree counts it)
+    val ms = all.groupBy(_._2).map { case (src, xs) => src -> xs.size.toLong }
+    val total = all.size.toLong
+    val nsrc = ms.size.toLong
+    val nKeep = ms.map { case (src, nd) =>
+      val w = math.min(1000000L, halfUp(total * 1000000.0 / (nsrc * nd)))
+      src -> nd * w / 1000000L
+    }
+    val surv3 = meta.filter(m => k3(m.id))
+    val s4ids: Set[Long] = surv3.groupBy(_.src).flatMap { case (src, xs) =>
+      xs.sortBy(m => (md5hex(m.id.toString), m.id))
+        .take(nKeep(src).toInt).map(_.id)
+    }.toSet
+    val s5 = surv3.filter(m => s4ids(m.id) && m.isTrain)
+    // stage 6: concat-then-chunk packing, 8 shards, 512-token budget
+    val shardTok = s5.groupBy(_.id % 8).values.map(_.map(_.nTok).sum)
+    val nSeqs = shardTok.map(st => (st + 511) / 512).sum
+    def stage(i: Long, name: String, p: DocMeta => Boolean) = {
+      val xs = meta.filter(p)
+      (i, name, xs.length.toLong, xs.map(_.bytes).sum, xs.map(_.nTok).sum)
+    }
+    val rows = Seq(
+      stage(0L, "corpus", _ => true),
+      stage(1L, "exact-dedup", m => k1(m.id)),
+      stage(2L, "neardup-cluster-drop", m => k2(m.id)),
+      stage(3L, "quality-screen", m => k3(m.id)),
+      stage(4L, "mix-quota", m => s4ids(m.id)),
+      stage(5L, "train-split", m => s4ids(m.id) && m.isTrain))
+    val b5 = rows.last._4
+    rows :+ ((6L, "pack-512", nSeqs, b5, shardTok.sum))
+  }
+
+  private def runOp(dir: String): Seq[(Long, String, Long, Long, Long)] =
+    PipelineOps.pipelineCurationE2e.build(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  test("pipeline-curation-e2e equals a from-scratch curation funnel (sf0.001)") {
+    val all = graft.Tables.documents(spark, sf())
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    val expected = expectedFunnel(all)
+    val got = runOp(sf())
+    assert(got == expected, s"\nexpected: $expected\ngot:      $got")
+    // the funnel is monotone over doc-grain stages and genuinely funnels
+    val counts = got.take(6).map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, got)
+    assert(counts.last < counts.head, "no stage dropped anything — vacuous")
+  }
+
+  test("pipeline-curation-e2e mix-quota stage bites on a skewed source mix") {
+    // equal-share weights are vacuous on the equal-source driver fixtures
+    // (w caps at 1.0); this corpus over-represents one source so the
+    // text-mix-weights quota must drop the over-share. Near-dups are
+    // EXACT dups only, so the minhash cluster table provably equals the
+    // from-scratch exact-jaccard clusters (identical sets always band
+    // together; candidates are exact-verified).
+    val big = (0L until 60L).map(i =>
+      (i, "big", Some(s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h")))
+    val dups = Seq((60L, "big", big.head._3), (61L, "big", big.head._3))
+    val small = (100L until 104L).map(i =>
+      (i, "small", Some(s"s${i}a s${i}b s${i}c s${i}d s${i}e s${i}f s${i}g s${i}h")))
+    val all = big ++ dups ++ small ++ Seq((200L, "small", None))
+    val dir = java.nio.file.Files.createTempDirectory("cur").toString
+    import spark.implicits._
+    all.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = expectedFunnel(all)
+    val got = runOp(dir)
+    assert(got == expected, s"\nexpected: $expected\ngot:      $got")
+    val byStage = got.map(r => r._1 -> r._3).toMap
+    assert(byStage(1L) == byStage(0L) - 2, "exact dedup must drop the 2 copies")
+    assert(byStage(4L) < byStage(3L),
+      s"mix-quota stage did not bite on a skewed mix: $got")
+  }
+}
