@@ -1200,7 +1200,8 @@ object DedupOps {
     dedupSavingsBySource, dedupMinhashAccuracy, dedupMethodAgreement,
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
     dedupClusterSources, dedupHammingSweep, dedupPagerankRep,
-    dedupPrefixArtifacts, dedupSemantic, dedupSemanticSweep)
+    dedupPrefixArtifacts, dedupSemantic, dedupSemanticSweep,
+    dedupSemanticOrphans)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before
@@ -1624,5 +1625,78 @@ object DedupOps {
       .select(col("eps_micro"), col("n_vectors"),
         (col("n_vectors") - col("n_dropped")).as("n_kept"), col("n_dropped"))
       .orderBy("eps_micro")
+  }
+
+  /** SemDeDup over-deletion audit (the Abbas et al. 2023 one-round
+    * keep-rule's known artifact): a document is dropped when ANY
+    * smaller-id ε-neighbor exists — but that neighbor may itself be
+    * dropped, leaving the document ORPHANED: deleted although no KEPT
+    * representative sits within ε of it (chain-drops through a
+    * similarity path a..b..c where cos(a,c) < ε). Per cluster: members,
+    * drops, orphans, and the orphan share of drops in basis points —
+    * the table that says how much semantic coverage the one-round rule
+    * sacrificed vs an ε-net, read before shipping its keep list.
+    * Reference analogue: the gap-audit shape of
+    * src/command/verify.rs:409-477 at the SemDeDup grain (extension
+    * scope).
+    *
+    * Scale shape: membership and keep verdicts are the shared SemDeDup
+    * subtree (zero-shuffle assignment + cid-bounded pair stage); the
+    * rescue probe is one more cid equi-join between the dropped and
+    * kept partitions of the SAME member table (≤ Σ|cluster|², strictly
+    * smaller than the keep table's own pair stage); the rollup is
+    * cluster-grained. orphan_bp guards its n_dropped = 0 denominator to
+    * NULL on both engines.
+    */
+  lazy val dedupSemanticOrphans: Op = Op.sql(
+    "dedup-semantic-orphans",
+    s"""${SimOps.SemDedupCtes},
+       |kp AS (SELECT m.vec_id, m.cid, m.v, dropped.vec_id IS NULL AS keep
+       |       FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id),
+       |resc AS (SELECT DISTINCT d.cid, d.vec_id
+       |         FROM kp d JOIN kp k ON d.cid = k.cid
+       |          AND NOT d.keep AND k.keep
+       |          AND CAST(round(list_dot_product(d.v, k.v) /
+       |                         (sqrt(list_dot_product(d.v, d.v)) *
+       |                          sqrt(list_dot_product(k.v, k.v))) * 1000000)
+       |                   AS BIGINT) >= 350000),
+       |per AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+       |                 AS n_dropped
+       |        FROM kp GROUP BY cid),
+       |oc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_rescued
+       |       FROM resc GROUP BY cid)
+       |SELECT CAST(per.cid AS BIGINT) AS cid, per.n_members, per.n_dropped,
+       |       CAST(per.n_dropped - coalesce(oc.n_rescued, 0) AS BIGINT)
+       |         AS n_orphaned,
+       |       CASE WHEN per.n_dropped = 0 THEN NULL
+       |            ELSE CAST(((per.n_dropped - coalesce(oc.n_rescued, 0))
+       |                       * 10000) // per.n_dropped AS BIGINT)
+       |       END AS orphan_bp
+       |FROM per LEFT JOIN oc USING (cid) ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    val m = SimOps.semanticMembers(s, d)
+      .join(SimOps.semanticKeepTable(s, d).select("vec_id", "keep"),
+        Seq("vec_id"))
+    val droppedM = m.filter(!col("keep"))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val keptM = m.filter(col("keep")).select(col("cid").as("k_cid"),
+      col("vec_id").as("k_id"), col("embedding").as("k_emb"))
+    val rescued = droppedM.join(keptM,
+        col("cid") === col("k_cid") &&
+          SimOps.cosMicro(col("embedding"), col("k_emb")) >= 350000,
+        "left_semi")
+      .select("cid", "vec_id")
+    val per = m.groupBy("cid").agg(count(lit(1)).as("n_members"),
+      sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_dropped"))
+    val oc = rescued.groupBy("cid").agg(count(lit(1)).as("n_rescued"))
+    per.join(broadcast(oc), Seq("cid"), "left_outer")
+      .select(col("cid"), col("n_members"), col("n_dropped"),
+        (col("n_dropped") - coalesce(col("n_rescued"), lit(0L)))
+          .as("n_orphaned"))
+      .withColumn("orphan_bp",
+        when(col("n_dropped") === 0, lit(null))
+          .otherwise(expr("(n_orphaned * 10000) div n_dropped")))
+      .orderBy("cid")
   }
 }

@@ -643,15 +643,30 @@ object SimOps {
     * crossJoin+window spelling sorted the 4×-exploded corpus on vec_id
     * purely to argmax over 4 rows).
     */
+  // The fitted SemDeDup centroids, memoized per (session, dir) — KMeans.fit
+  // executes eagerly (one corpus shuffle + a k·dims collect) at every
+  // builder CALL, and four board ops build this subtree (sim-semantic-dedup,
+  // dedup-semantic, dedup-semantic-sweep, dedup-semantic-orphans — the last
+  // twice, members + keep table). Fit is deterministic, so the memo can
+  // never change a result. Weak on the session (the clusterCache rationale:
+  // a stopped session must stay collectable).
+  private val centroidCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, IndexedSeq[(Long, Seq[Double])]]]()
+  private[graft] def semanticCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[(Long, Seq[Double])] = centroidCache.synchronized {
+    centroidCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d,
+        graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .toIndexedSeq
+          .sortBy(_._1))
+  }
+
   private[graft] def semanticMembers(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val cents: IndexedSeq[(Long, Seq[Double])] =
-      graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toIndexedSeq
-        .sortBy(_._1)
-    val centStructs = cents.map { case (cid, cv) =>
+    val centStructs = semanticCentroids(s, d).map { case (cid, cv) =>
       struct(cosMicro(col("embedding"), typedLit(cv)).as("cu"),
         lit(-cid).as("nc"))
     }
@@ -1395,7 +1410,8 @@ object SimOps {
     simEmbedOutliers, simBucketDiversity, simIvfBalance, simNprobeSweep,
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
     simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
-    simKnnReciprocity, simMahalanobis, simLshMultiprobe, simProbeOrder)
+    simKnnReciprocity, simMahalanobis, simLshMultiprobe, simProbeOrder,
+    simHardNegatives, simRankEval)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit
@@ -2018,5 +2034,173 @@ object SimOps {
         when(col("n_truth") === 0, lit(null))
           .otherwise(expr("(n_hits * 10000) div n_truth")))
       .orderBy("t_budget")
+  }
+
+  /** Hard-negative mining for contrastive / triplet training (Schroff et
+    * al. 2015, FaceNet §3.2): per anchor query, the NEAREST SAME-label
+    * corpus vector (the easiest positive) and the NEAREST DIFFERENT-label
+    * vector (the hardest negative), their micro-cosines, the triplet
+    * margin pos−neg, and whether the triplet is VIOLATED (a negative
+    * strictly closer than every positive — the pairs a metric-learning
+    * pass must mine, and the count that says whether the embedding
+    * space separates the labels at all). Reference analogue: the
+    * verify-vs-expected comparison tables of src/command/verify.rs at
+    * the embedding grain (extension scope).
+    *
+    * Scale shape: queries BROADCAST into one corpus projection (the
+    * bruteForceTopK discipline — the corpus never shuffles); both
+    * argmaxes are `max(struct(cos_u, -n_id))` groupBys with map-side
+    * combine (query-count groups, no window, no sort). Cosines snap to
+    * integer micro-units before every compare; the margin subtracts as
+    * exact integers. NULL labels match nothing on either side (SQL
+    * equality semantics, identical both engines).
+    */
+  lazy val simHardNegatives: Op = Op.sql(
+    "sim-hard-negatives",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |           FROM embeddings),
+      |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |              q.label AS ql, c.label AS cl,
+      |              CAST(round(list_dot_product(q.v, c.v) /
+      |                         (sqrt(list_dot_product(q.v, q.v)) *
+      |                          sqrt(list_dot_product(c.v, c.v))) * 1000000)
+      |                   AS BIGINT) AS cu
+      |       FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+      |pos AS (SELECT q_id, n_id AS pos_id, cu AS pos_cos_u FROM (
+      |          SELECT q_id, n_id, cu, row_number() OVER (PARTITION BY q_id
+      |                   ORDER BY cu DESC, n_id) AS rn
+      |          FROM sc WHERE ql = cl) t WHERE rn = 1),
+      |neg AS (SELECT q_id, n_id AS neg_id, cu AS neg_cos_u FROM (
+      |          SELECT q_id, n_id, cu, row_number() OVER (PARTITION BY q_id
+      |                   ORDER BY cu DESC, n_id) AS rn
+      |          FROM sc WHERE ql <> cl) t WHERE rn = 1)
+      |SELECT p.q_id, p.pos_id, p.pos_cos_u, n.neg_id, n.neg_cos_u,
+      |       p.pos_cos_u - n.neg_cos_u AS margin_u,
+      |       p.pos_cos_u < n.neg_cos_u AS violated
+      |FROM pos p JOIN neg n USING (q_id) ORDER BY p.q_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"))
+    val c = e.filter(col("vec_id") >= 10).select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("label").as("n_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        cosMicro(col("q_emb"), col("n_emb")).as("cu"))
+    def nearest(df: org.apache.spark.sql.DataFrame, idName: String,
+        cuName: String) =
+      df.groupBy("q_id")
+        .agg(max(struct(col("cu"), (-col("n_id")).as("nn"))).as("m"))
+        .select(col("q_id"), (-col("m.nn")).as(idName), col("m.cu").as(cuName))
+    val pos = nearest(scored.filter(col("q_label") === col("n_label")),
+      "pos_id", "pos_cos_u")
+    val neg = nearest(scored.filter(col("q_label") =!= col("n_label")),
+      "neg_id", "neg_cos_u")
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos_u"),
+        col("neg_id"), col("neg_cos_u"),
+        (col("pos_cos_u") - col("neg_cos_u")).as("margin_u"),
+        (col("pos_cos_u") < col("neg_cos_u")).as("violated"))
+      .orderBy("q_id")
+  }
+
+  /** Rank-AWARE retrieval quality of the LSH-ANN tier: MRR and NDCG@3 of
+    * [[graft.sim.Similarity.annTopK]]'s ranked list against the exact
+    * cosine top-3 truth — the metrics that distinguish "found the
+    * neighbors" (recall, sim-ann-recall) from "found them IN ORDER"
+    * (what a retrieval stack actually serves). Log2 discounts enter as
+    * INTEGER MICRO LITERALS per rank (1/log2(r+1) · 10⁶ = 1000000,
+    * 630930, 500000; reciprocal ranks 1000000, 500000, 333333) — the
+    * rank domain is {1,2,3}, so no engine ever evaluates a logarithm
+    * and every sum/division is exact integer arithmetic.
+    *
+    * Scale shape: truth is bruteForceTopK (queries broadcast, salted
+    * bounded top-k — corpus never shuffles); the system list is the
+    * bucket equi-join ANN; everything after is top-k-table-sized
+    * (3·|queries| rows): one left join to mark relevance, one
+    * query-grain groupBy. ndcg_bp divides non-negative integers.
+    */
+  lazy val simRankEval: Op = Op.sql(
+    "sim-rank-eval",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |iv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |a3 AS (
+       |  SELECT q_id, n_id, rn AS rank FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
+       |    FROM withb q JOIN withb c ON q.bucket = c.bucket
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10) t
+       |  WHERE rn <= 3),
+       |mk AS (SELECT a.q_id, a.rank,
+       |              CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |       FROM a3 a LEFT JOIN x3 x ON a.q_id = x.q_id AND a.n_id = x.n_id),
+       |pq AS (SELECT q_id,
+       |         max(CASE WHEN rel = 1 THEN
+       |               CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+       |                         ELSE 333333 END ELSE 0 END) AS mrr_micro,
+       |         sum(CASE WHEN rel = 1 THEN
+       |               CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+       |                         ELSE 500000 END ELSE 0 END) AS dcg_micro
+       |       FROM mk GROUP BY q_id),
+       |kf AS (SELECT q_id, count(*) AS k_eff FROM x3 GROUP BY q_id)
+       |SELECT kf.q_id, CAST(kf.k_eff AS BIGINT) AS k_eff,
+       |       CAST(coalesce(pq.mrr_micro, 0) AS BIGINT) AS mrr_micro,
+       |       CAST(coalesce(pq.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       |       CAST(CASE kf.k_eff WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+       |                          ELSE 2130930 END AS BIGINT) AS idcg_micro,
+       |       CAST((coalesce(pq.dcg_micro, 0) * 10000) //
+       |            (CASE kf.k_eff WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+       |                           ELSE 2130930 END) AS BIGINT) AS ndcg_bp
+       |FROM kf LEFT JOIN pq USING (q_id) ORDER BY kf.q_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val truth = Similarity.bruteForceTopK(q, c, k = 3).select("q_id", "n_id")
+    val sys = Similarity.annTopK(q, c, k = 3)
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))).cast("long"))
+      .select("q_id", "n_id", "rank")
+    val marked = sys
+      .join(truth.select(col("q_id"), col("n_id"), lit(1L).as("rel")),
+        Seq("q_id", "n_id"), "left_outer")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val rr = when(col("rank") === 1, 1000000L)
+      .when(col("rank") === 2, 500000L).otherwise(333333L)
+    val disc = when(col("rank") === 1, 1000000L)
+      .when(col("rank") === 2, 630930L).otherwise(500000L)
+    val perQ = marked.groupBy("q_id").agg(
+      max(when(col("rel") === 1, rr).otherwise(0L)).as("mrr_micro"),
+      sum(when(col("rel") === 1, disc).otherwise(0L)).cast("long").as("dcg_micro"))
+    val idcg = when(col("k_eff") === 1, 1000000L)
+      .when(col("k_eff") === 2, 1630930L).otherwise(2130930L)
+    truth.groupBy("q_id").agg(count(lit(1)).as("k_eff"))
+      .join(broadcast(perQ), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("k_eff"),
+        coalesce(col("mrr_micro"), lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcg.as("idcg_micro"))
+      .withColumn("ndcg_bp", expr("(dcg_micro * 10000) div idcg_micro"))
+      .orderBy("q_id")
   }
 }

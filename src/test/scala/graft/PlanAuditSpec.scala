@@ -873,6 +873,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("sim-hard-negatives argmaxes with map-side combine, no window funnel") {
+    val p = plan("sim-hard-negatives")
+    // queries broadcast into one corpus projection; both nearest-neighbor
+    // argmaxes are max(struct) groupBys that partial-combine map-side —
+    // a row_number window would funnel each anchor's candidates into one
+    // task
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("row_number"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("sim-rank-eval grades through the bounded top-k truth table") {
+    val p = plan("sim-rank-eval")
+    assert(p.contains("partial_bounded_top_structs"), p) // exact truth side
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("dedup-semantic-orphans rescues via a cid-keyed semi-join") {
+    val p = plan("dedup-semantic-orphans")
+    // the dropped→kept rescue probe must stay an equi-join on cid
+    // (Σ|cluster|² work) resolved as LeftSemi; assignment stays the
+    // zero-shuffle centroid fold (no row_number anywhere)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("row_number"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("sim-probe-order ranks candidates through the bounded top-k, no window funnel") {
     val p = plan("sim-probe-order")
     // per-(T, query) top-3 must partial-combine map-side — a window over

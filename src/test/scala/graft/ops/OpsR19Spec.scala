@@ -197,6 +197,45 @@ class OpsR19Spec extends SparkSpec {
       s"sweep eps=0.35 drops $dropAt35 != keep-table drops $keepTblDropped")
   }
 
+  test("dedup-semantic-orphans equals a from-scratch over-deletion audit") {
+    val members = refSemanticMembers()
+    val dropped = members.filter { case (id, v, cid) =>
+      members.exists { case (bId, bV, bCid) =>
+        bCid == cid && bId < id && cosU(v, bV) >= 350000L
+      }
+    }.map(_._1).toSet
+    val expected = members.groupBy(_._3).toSeq.map { case (cid, xs) =>
+      val dr = xs.filter(m => dropped.contains(m._1))
+      val kept = xs.filter(m => !dropped.contains(m._1))
+      val orphans = dr.count { case (_, v, _) =>
+        !kept.exists { case (_, kv, _) => cosU(v, kv) >= 350000L }
+      }.toLong
+      val nDrop = dr.length.toLong
+      (cid, xs.length.toLong, nDrop, orphans,
+        if (nDrop == 0) None else Some(orphans * 10000 / nDrop))
+    }.sortBy(_._1)
+    val got = DedupOps.dedupSemanticOrphans.build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected, s"\nexpected: $expected\ngot:      $got")
+    // non-vacuity + the structural facts the audit rests on: drops exist,
+    // orphans never exceed drops, and the KEPT set is ε-independent (no
+    // two kept members of one cluster within ε — otherwise the later one
+    // would have been dropped), which is what makes "no kept neighbor"
+    // the right orphan criterion
+    assert(got.map(_._3).sum > 0, "no drops — audit vacuous on this corpus")
+    got.foreach { case (cid, _, dr, orph, _) =>
+      assert(orph <= dr, s"cluster $cid: orphans $orph > drops $dr")
+    }
+    val keptM = members.filter(m => !dropped.contains(m._1))
+    for {
+      (id, v, cid) <- keptM
+      (bId, bV, bCid) <- keptM
+      if bCid == cid && bId < id
+    } assert(cosU(v, bV) < 350000L,
+      s"kept pair ($bId, $id) within eps — keep rule broken")
+  }
+
   test("sim-probe-order equals a from-scratch margin-ordered probe sweep") {
     val vecs = graft.Tables.embeddings(spark, sf())
       .filter(col("embedding").isNotNull) // NPE-proof the reference scorer

@@ -46,6 +46,7 @@ def main():
     print(f"[fuzz] fixtures generated for seeds {seeds}", flush=True)
 
     any_fail = False
+    holdout_live_seeds = 0  # seeds where the OOV/backoff branches ran
     for seed in seeds:
         fix = f"{args.base}/s{seed}"
         out = f"{args.base}/out{seed}"
@@ -114,6 +115,29 @@ def main():
                       "on a long-span fixture — serve/moment set empty",
                       flush=True)
                 any_fail = True
+        # holdout-scorer OOV non-vacuity (VERDICT r10 item 7): the
+        # OOV/backoff branches are text-perplexity-holdout's load-bearing
+        # novelty; a sweep where every held-out bigram is in-model would
+        # go vacuously green. Require >= 1 seed with scored held-out docs
+        # AND a positive OOV share.
+        try:
+            import duckdb
+            hd, hoov = duckdb.sql(
+                f"SELECT coalesce(sum(n_docs), 0), coalesce(max(oov_bp), 0) "
+                f"FROM '{out}/text-perplexity-holdout/*.parquet'"
+            ).fetchone()
+            if hd > 0 and hoov > 0:
+                holdout_live_seeds += 1
+        except Exception as e:
+            print(f"[fuzz] seed {seed}: holdout non-vacuity read failed: {e}",
+                  flush=True)
+    print(f"[fuzz] holdout OOV non-vacuity: {holdout_live_seeds} seed(s) "
+          "scored held-out docs with >0 OOV bigrams", flush=True)
+    if holdout_live_seeds == 0:
+        print("[fuzz] text-perplexity-holdout ran VACUOUS on every seed — "
+              "no held-out doc hit an OOV bigram; the backoff branches "
+              "were never exercised", flush=True)
+        any_fail = True
     sys.exit(1 if any_fail else 0)
 
 
