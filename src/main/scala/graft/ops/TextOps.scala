@@ -1983,7 +1983,8 @@ object TextOps {
     textLmHoldoutGap, textSourceHhi, textSourceLangPurity,
     textRankFreqCurve, textEpochPlan, textSampleWeights,
     textBpeTrain, textClassifierScore, textMixSchedule,
-    textBpeApply, textKnBigram, textDocPerplexity, textPerplexityHoldout)
+    textBpeApply, textKnBigram, textDocPerplexity, textPerplexityHoldout,
+    textKnTrigram)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2759,6 +2760,96 @@ object TextOps {
           .cast("long"))
       .select("w1", "w2", "cnt", "pkn_micro")
       .orderBy(col("pkn_micro").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM LM (Chen & Goodman 1999 eq. 4.24 at
+    * order 3 — the shape a shipped KenLM actually loads): the top-20
+    * trigram types by
+    *   P_KN(w3|w1w2) = (c₃−D)/c(w1w2·) + D·N1+(w1w2·)/c(w1w2·) · P_KN(w3|w2)
+    * where the ORDER-2 term is the CONTINUATION bigram model — counts
+    * c'(w2w3) = N1+(·w2w3) (distinct left contexts, not raw counts: the
+    * Kneser–Ney insight that "Francisco" is frequent but follows only
+    * "San") — recursing into the continuation unigram
+    * N1+(·w3)/N1+(··). D = 3/4 exactly as [[textKnBigram]], so the two
+    * orders share the discount discipline. Extends the round-9/10 LM
+    * family (bigram model → doc scoring → held-out scoring → order 3);
+    * reference analogue: src/command/verify.rs:516-577 at the LM grain
+    * (extension scope — the reference has no LM tier).
+    *
+    * Float discipline: every factor is an exact-integer ratio combined
+    * in ONE identical expression tree both engines (no libm anywhere);
+    * the only rounding is the final micro snap. Denominators are
+    * positive by construction (c(w1w2·) ≥ c₃ ≥ 1, c'(w2·) ≥ 1,
+    * N1+(··) ≥ 1 on any corpus with one trigram).
+    *
+    * Scale shape: ONE corpus token→trigram pass, map-side combined to
+    * the trigram-TYPE grain; every model table derives from c3 by
+    * further type-grain reductions (contexts (w1,w2), continuation
+    * bigrams (w2,w3), continuation-context (w2), continuation-unigram
+    * (w3), 1-row total) — the corpus never joins anything. The scoring
+    * joins run at the TYPE grain keyed (w1,w2) / (w2,w3) / (w2) / (w3);
+    * the (w2)/(w3)/total tables are vocabulary-sized or smaller and the
+    * final top-20 is a TakeOrdered, never a global sort.
+    */
+  lazy val textKnTrigram: Op = Op.sql(
+    "text-kn-trigram",
+    """WITH d0 AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 3),
+      |tr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      |             FROM d0)),
+      |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM tr GROUP BY 1, 2, 3),
+      |ctx AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2,
+      |               CAST(count(*) AS BIGINT) AS n1p3
+      |        FROM c3 GROUP BY w1, w2),
+      |cb AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cp
+      |       FROM c3 GROUP BY w2, w3),
+      |cbx AS (SELECT w2, CAST(sum(cp) AS BIGINT) AS cpx,
+      |               CAST(count(*) AS BIGINT) AS n1p2
+      |        FROM cb GROUP BY w2),
+      |pc AS (SELECT w3, CAST(count(*) AS BIGINT) AS nc FROM cb GROUP BY w3),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb)
+      |SELECT w1, w2, w3, cnt,
+      |       CAST(round((((4 * cnt - 3) / (4.0 * c2)) +
+      |                   (((3.0 * n1p3) / (4.0 * c2)) *
+      |                    (((4 * cp - 3) / (4.0 * cpx)) +
+      |                     (((3.0 * n1p2) / (4.0 * cpx)) * (nc / (1.0 * t))))))
+      |                  * 1000000) AS BIGINT) AS pkn_micro
+      |FROM c3 JOIN ctx USING (w1, w2) JOIN cb USING (w2, w3)
+      |        JOIN cbx USING (w2) JOIN pc USING (w3), tt
+      |WHERE cnt >= 3
+      |ORDER BY pkn_micro DESC, w1, w2, w3 LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tr = Tables.documents(s, d)
+      .select(TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val c3 = tr.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    val ctx = c3.groupBy("w1", "w2").agg(sum("cnt").cast("long").as("c2"),
+      count(lit(1)).as("n1p3"))
+    val cb = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cp"))
+    val cbx = cb.groupBy("w2").agg(sum("cp").cast("long").as("cpx"),
+      count(lit(1)).as("n1p2"))
+    val pc = cb.groupBy("w3").agg(count(lit(1)).as("nc"))
+    val tt = cb.agg(count(lit(1)).as("t"))
+    c3.join(ctx, Seq("w1", "w2")).join(cb, Seq("w2", "w3"))
+      .join(cbx, Seq("w2")).join(pc, Seq("w3")).crossJoin(broadcast(tt))
+      .filter(col("cnt") >= 3)
+      .withColumn("pkn_micro",
+        round((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("c2"))) +
+          (((lit(3.0) * col("n1p3")) / (lit(4.0) * col("c2"))) *
+            (((lit(4) * col("cp") - 3) / (lit(4.0) * col("cpx"))) +
+              (((lit(3.0) * col("n1p2")) / (lit(4.0) * col("cpx"))) *
+                (col("nc") / (lit(1.0) * col("t"))))))) * 1000000)
+          .cast("long"))
+      .select("w1", "w2", "w3", "cnt", "pkn_micro")
+      .orderBy(col("pkn_micro").desc, col("w1"), col("w2"), col("w3"))
       .limit(20)
   }
 

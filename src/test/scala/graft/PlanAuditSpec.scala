@@ -873,6 +873,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("text-kn-trigram reduces to type grain map-side; top-20 is TakeOrdered") {
+    val p = plan("text-kn-trigram")
+    // the corpus trigram stream partial-combines before its one exchange,
+    // and the top-20 must never become a global sort
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("sim-hard-negatives argmaxes with map-side combine, no window funnel") {
     val p = plan("sim-hard-negatives")
     // queries broadcast into one corpus projection; both nearest-neighbor

@@ -145,6 +145,52 @@ class OpsR20Spec extends SparkSpec {
       expected.forall(r => r._5 >= 1000000L && r._6 <= 10000L), got)
   }
 
+  test("text-kn-trigram equals a from-scratch interpolated order-3 KN") {
+    val trigrams = graft.Tables.documents(spark, sf())
+      .select("text").collect().map(_.getString(0))
+      .filter(t => t != null)
+      .map(_.split(" ", -1)).filter(_.length >= 3)
+      .flatMap(_.sliding(3).map(a => (a(0), a(1), a(2))))
+      .toSeq
+    val c3 = trigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = c3.toSeq.groupBy(t => (t._1._1, t._1._2)).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val cb = c3.keys.toSeq.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.size.toLong).toMap
+    val cbx = cb.toSeq.groupBy(_._1._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val pc = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = cb.size.toLong
+    val expected = c3.toSeq.collect {
+      case ((w1, w2, w3), cnt) if cnt >= 3 =>
+        val (c2, n1p3) = ctx((w1, w2))
+        val cp = cb((w2, w3))
+        val (cpx, n1p2) = cbx(w2)
+        val nc = pc(w3)
+        // the op's expression tree, verbatim
+        val pkn = ((4 * cnt - 3) / (4.0 * c2)) +
+          (((3.0 * n1p3) / (4.0 * c2)) *
+            (((4 * cp - 3) / (4.0 * cpx)) +
+              (((3.0 * n1p2) / (4.0 * cpx)) * (nc / (1.0 * t)))))
+        (w1, w2, w3, cnt, halfUp(pkn * 1000000))
+    }.sortBy { case (w1, w2, w3, _, m) => (-m, w1, w2, w3) }.take(20)
+    val got = TextOps.textKnTrigram.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"\nexpected: $expected\ngot:      $got")
+    assert(got.length == 20 && got.map(_._5).distinct.size > 1,
+      s"trigram table degenerate: $got")
+    // probabilities are probabilities, and the backoff mass is live:
+    // every row must exceed its bare seen-trigram term
+    got.foreach { case (w1, w2, w3, cnt, m) =>
+      assert(m > 0 && m <= 1000000L, s"($w1,$w2,$w3) pkn_micro $m out of range")
+      val (c2, _) = ctx((w1, w2))
+      val bare = halfUp((4 * cnt - 3) / (4.0 * c2) * 1000000)
+      assert(m > bare - 1,
+        s"($w1,$w2,$w3): interpolated $m below bare term $bare")
+    }
+  }
+
   test("sim-rank-eval mechanics: guaranteed hits on a clustered corpus") {
     // 8-plane buckets are so selective at sf0.001 that the ANN list never
     // intersects the exact top-3 (DCG 0 everywhere — grader equality
