@@ -1675,9 +1675,7 @@ object DedupOps {
        |       END AS orphan_bp
        |FROM per LEFT JOIN oc USING (cid) ORDER BY cid""".stripMargin
   ) { (s, d) =>
-    val m = SimOps.semanticMembers(s, d)
-      .join(SimOps.semanticKeepTable(s, d).select("vec_id", "keep"),
-        Seq("vec_id"))
+    val m = SimOps.semanticKeepTable(s, d) // (vec_id, cid, embedding, keep)
     val droppedM = m.filter(!col("keep"))
       .select(col("cid"), col("vec_id"), col("embedding"))
     val keptM = m.filter(col("keep")).select(col("cid").as("k_cid"),

@@ -811,14 +811,17 @@ object PipelineOps {
     * decile buckets — the doc_id exchange is planned once and reused);
     * exact-dedup keeper is a min-over-window partitioned by the 16-byte
     * content hash (one corpus exchange, no join-back); the quota rank
-    * windows per SOURCE over the already-reduced stage-3 survivors; the
+    * windows per SOURCE over the WHOLE catalog — ordering k3 DESC first
+    * means survivors' ranks equal their rank among survivors alone, the
+    * deliberate trade that lets ALL six doc-grain stage counters fold in
+    * ONE aggregation over one ranked pass (no per-stage branches). The
+    * per-source window is low-cardinality-partitioned — the same funnel
+    * shape text-mix-apply documents, with the same pathological-shape
+    * remedy (near-single-source corpus → salted two-phase rank); the
     * pack cumsum windows per SHARD (text-pack-sequences' shape — never a
-    * global sort). The quota rank window orders k3 DESC first, so
-    * survivors' ranks equal their rank among survivors alone — ALL six
-    * doc-grain stage counters then fold in ONE aggregation over the one
-    * ranked corpus pass (no per-stage branches), the pack metrics fold
-    * over the 8 shard subtotals, and the 7 output rows EXPLODE from the
-    * single assembled row (the one-aggregated-DF rule).
+    * global sort). The pack metrics fold over the 8 shard subtotals, and
+    * the 7 output rows EXPLODE from the single assembled row (the
+    * one-aggregated-DF rule).
     * At 100 TB the dominant cost is the token-grain quality-scoring pass
     * (swap exact percentile → approx_percentile, nothing else changes);
     * the shared cluster table amortizes across the whole dedup family.
@@ -935,7 +938,10 @@ object PipelineOps {
       sum(when(flag, 1L).otherwise(0L)).cast("long").as(s"n$i"),
       sum(when(flag, col("n_bytes")).otherwise(0L)).cast("long").as(s"b$i"),
       sum(when(flag, col("n_tokens")).otherwise(0L)).cast("long").as(s"t$i"))
-    val allAggs = stageAgg(lit(true), 0) ++ stageAgg(col("k1"), 1) ++
+    // n0 is count(1), not sum(when(true,1)): on an EMPTY readable corpus
+    // a global sum returns NULL where the oracle's count(*) returns 0
+    val allAggs = Seq(count(lit(1)).cast("long").as("n0")) ++
+      stageAgg(lit(true), 0).tail ++ stageAgg(col("k1"), 1) ++
       stageAgg(col("k2"), 2) ++ stageAgg(col("k3"), 3) ++
       stageAgg(col("k4"), 4) ++ stageAgg(col("k5"), 5)
     val fr = ranked.agg(allAggs.head, allAggs.tail: _*)

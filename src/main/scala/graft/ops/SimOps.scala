@@ -18,6 +18,29 @@ object SimOps {
       |       (sqrt(list_dot_product(q.v, q.v)) *
       |        sqrt(list_dot_product(c.v, c.v))), 6) + 0.0)""".stripMargin
 
+  /** The LSH sign-projection bucketing chain (iv → bits → bk → withb):
+    * DuckDB mirror of [[graft.sim.Similarity.lshBucket]]'s exact integer
+    * projections over the deterministic (j·131 + d·31) % 17 − 8
+    * hyperplanes. Shared by every LSH-family oracle that buckets the
+    * embeddings table as-is (the ClusterOracle precedent — one spelling,
+    * so a hash change can never silently diverge per op). The two
+    * structural variants (sim-bucket-diversity's v-less projection and
+    * sim-jl-distortion's bucketing of a derived `e` table) stay inline.
+    */
+  private[ops] val LshBucketOracle: String =
+    """iv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, j,
+      |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
+      |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
+      |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
+      |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
+      |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+      |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id))""".stripMargin
+
   /** Brute-force cosine top-5 per query (queries = vec_id < 10, corpus =
     * the rest): the exact baseline every ANN variant is judged against.
     */
@@ -46,20 +69,7 @@ object SimOps {
     */
   val simLshAnn: Op = Op.sql(
     "sim-lsh-ann",
-    s"""WITH iv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
-       |  FROM embeddings),
-       |bits AS (
-       |  SELECT vec_id, j,
-       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
-       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
-       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
-       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
-       |bk AS (
-       |  SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-       |withb AS (
-       |  SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+    s"""WITH $LshBucketOracle,
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
        |  FROM withb q JOIN withb c ON q.bucket = c.bucket
@@ -223,18 +233,7 @@ object SimOps {
        |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
        |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
        |  WHERE rn <= 3),
-       |iv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
-       |  FROM embeddings),
-       |bits AS (
-       |  SELECT vec_id, j,
-       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
-       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
-       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
-       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
-       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |$LshBucketOracle,
        |a3 AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -675,9 +674,11 @@ object SimOps {
       .select(col("vec_id"), (-col("_b.nc")).as("cid"), col("embedding"))
   }
 
-  /** SemDeDup keep table (vec_id, cid, keep) — the Spark half of the
-    * shared subtree behind [[simSemanticDedup]] and DedupOps'
-    * dedup-semantic.
+  /** SemDeDup keep table (vec_id, cid, embedding, keep) — the Spark half
+    * of the shared subtree behind [[simSemanticDedup]], DedupOps'
+    * dedup-semantic and dedup-semantic-orphans. Carries the embedding
+    * through so a consumer that re-scores pairs (the orphan audit) never
+    * rebuilds the members subtree just to reattach the vector column.
     */
   private[graft] def semanticKeepTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -689,7 +690,8 @@ object SimOps {
           cosMicro(col("embedding"), col("b_emb")) >= 350000, "left_semi")
       .select(col("vec_id").as("d_id"))
     members.join(dropped, col("vec_id") === col("d_id"), "left")
-      .select(col("vec_id"), col("cid"), col("d_id").isNull.as("keep"))
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        col("d_id").isNull.as("keep"))
   }
 
   /** Per-vector SemDeDup verdict (vec_id, cid, keep) — see the paper/scale
@@ -1261,20 +1263,7 @@ object SimOps {
     */
   val simKnnReciprocity: Op = Op.sql(
     "sim-knn-reciprocity",
-    s"""WITH iv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
-       |  FROM embeddings),
-       |bits AS (
-       |  SELECT vec_id, j,
-       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
-       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
-       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
-       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
-       |bk AS (
-       |  SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-       |withb AS (
-       |  SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+    s"""WITH $LshBucketOracle,
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
        |  FROM withb q JOIN withb c
@@ -1665,18 +1654,7 @@ object SimOps {
     */
   lazy val simLshMultiprobe: Op = Op.sql(
     "sim-lsh-multiprobe",
-    s"""WITH iv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
-       |  FROM embeddings),
-       |bits AS (
-       |  SELECT vec_id, j,
-       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
-       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
-       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
-       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
-       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+    s"""WITH $LshBucketOracle,
        |x3 AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -2130,18 +2108,7 @@ object SimOps {
        |             ORDER BY $CosineSql DESC, c.vec_id) AS rn
        |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10) t
        |  WHERE rn <= 3),
-       |iv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS ie
-       |  FROM embeddings),
-       |bits AS (
-       |  SELECT vec_id, j,
-       |         CASE WHEN list_sum([ie[d + 1] * (((j * 131 + d * 31) % 17) - 8)
-       |                             FOR d IN generate_series(0, len(ie) - 1)]) > 0
-       |              THEN (2 ** j)::BIGINT ELSE 0 END AS bitval
-       |  FROM iv, (SELECT unnest(generate_series(0, 7)) AS j) g),
-       |bk AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-       |withb AS (SELECT iv.vec_id, iv.v, bk.bucket FROM iv JOIN bk USING (vec_id)),
+       |$LshBucketOracle,
        |a3 AS (
        |  SELECT q_id, n_id, rn AS rank FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -2696,8 +2696,15 @@ object TextOps {
     * broadcast, exactly how a shipped KenLM prunes before loading. At
     * 100 TB the unpruned bigram-TYPE table is broadcast-hostile; this is
     * the knob PLANS.md's scale rule names. Model statistics (lft / rgt /
-    * T) stay at the full type grain — pruning changes which pairs score
-    * via the seen-pair branch, never the smoothing mass.
+    * T) stay at the full type grain. Consumer semantics (per the
+    * held-out scorer, the ONLY prunable consumer): a pruned-but-seen
+    * pair flows to the backoff branch and counts as OOV — exactly how a
+    * pruned KenLM treats it. The training-corpus scorer
+    * (text-doc-perplexity) is deliberately NOT pruned: its design
+    * premise is that every scored bigram is in-model (no backoff
+    * branch), so a prune there would silently drop bigram occurrences
+    * from the per-document mean; its broadcast guard names the holdout
+    * scorer as the scale remedy instead.
     */
   private[ops] def knPruned(cxy: DataFrame): DataFrame = {
     val minCount =
@@ -2713,17 +2720,22 @@ object TextOps {
     * `graft.kn.maxBroadcastTypes` is set (production deployments set it
     * alongside `graft.kn.minCount`; unset — the shipped-SF default — the
     * count job is skipped and the plan is byte-identical to round 10).
+    * `remedy` names the lever that ACTUALLY shrinks this broadcast —
+    * per-consumer, because they differ: the doc scorer's LM table
+    * shrinks with graft.kn.minCount, but the holdout scorer's lp table
+    * is HELD-OUT-type-sized (hb left-joins the model, so pruning cannot
+    * shrink it) — there the remedy is scoring in smaller held-out
+    * batches.
     */
-  private[ops] def knBroadcastGuard(model: DataFrame, what: String): DataFrame = {
+  private[ops] def knBroadcastGuard(model: DataFrame, what: String,
+      remedy: String): DataFrame = {
     model.sparkSession.conf.getOption("graft.kn.maxBroadcastTypes")
       .foreach { boundS =>
         val bound = boundS.toLong
         val n = model.count()
         require(n <= bound,
           s"$what: $n bigram types exceed graft.kn.maxBroadcastTypes=$bound " +
-            "— raise graft.kn.minCount to prune rare types before the " +
-            "broadcast (KenLM-style), or raise the bound if executors " +
-            "have the memory")
+            s"— $remedy, or raise the bound if executors have the memory")
       }
     model
   }
@@ -2911,14 +2923,21 @@ object TextOps {
     // the KN model at the bigram-TYPE grain — textKnBigram's exact trees
     val (cxy, lft, rgt) = knModelTables(pr)
     val tt = cxy.agg(count(lit(1)).as("t"))
+    // NOT knPruned: this op scores the TRAINING corpus, where every
+    // bigram is in-model by design (no backoff branch) — a prune here
+    // would silently drop occurrences from the per-document mean. The
+    // prunable deployment scorer is text-perplexity-holdout.
     val lm = knBroadcastGuard(
-      knPruned(cxy).join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
+      cxy.join(lft, "w1").join(rgt, "w2").crossJoin(broadcast(tt))
         .select(col("w1"), col("w2"),
           round(log((((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
             (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) *
               (col("n1r") / (lit(1.0) * col("t")))))) * 1000000)
             .cast("long").as("lp")),
-      "text-doc-perplexity LM")
+      "text-doc-perplexity LM",
+      "this exact training-corpus scorer cannot prune (every bigram must " +
+        "be in-model) — at this scale score with text-perplexity-holdout's " +
+        "pruned backoff scorer (graft.kn.minCount) instead")
     val dx = pr.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id", "source")
       .agg(round(-sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("xent_micro"))
@@ -3023,7 +3042,10 @@ object TextOps {
               ((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont)
             .otherwise(pcont)) * 1000000).cast("long").as("lp"),
         when(col("cnt").isNull, 1L).otherwise(0L).as("oov")),
-      "text-perplexity-holdout scoring table")
+      "text-perplexity-holdout scoring table",
+      "this table is HELD-OUT-type-sized (graft.kn.minCount prunes the " +
+        "model joins, not this broadcast) — score in smaller held-out " +
+        "batches (split the md5 bucket range) or partition the scoring join")
     val dx = pr.filter(!col("is_train"))
       .join(broadcast(lp), Seq("w1", "w2"))
       .groupBy("doc_id", "source")

@@ -863,7 +863,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("pipeline-curation-e2e")
     // exact keeper = min over a window partitioned by the content hash
     // (one 16-byte-key exchange, no groupBy+join-back); the quota rank
-    // windows per SOURCE over reduced survivors. The pack stage's cumsum
+    // windows per SOURCE over the whole catalog (k3 sorts survivors
+    // first — the single-aggregation trade). The pack stage's cumsum
     // window must be PRUNED away entirely: the composite reads only
     // (shard, n_tokens) off Packing's output, so a shard window in the
     // optimized plan means column pruning broke

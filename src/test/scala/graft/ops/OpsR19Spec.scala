@@ -440,15 +440,16 @@ class OpsR19Spec extends SparkSpec {
       spark.conf.set("graft.kn.minCount", "2")
       assert(TextOps.knPruned(cxy).collect().map(_.getString(1)).sorted
         .sameElements(Array("b", "c")))
-      // the bound assert fires with the actionable message...
+      // the bound assert fires with the consumer's actionable remedy...
       spark.conf.set("graft.kn.maxBroadcastTypes", "1")
       val e = intercept[IllegalArgumentException] {
-        TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM")
+        TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM",
+          "raise graft.kn.minCount")
       }
       assert(e.getMessage.contains("graft.kn.minCount"), e.getMessage)
       // ...and passes when the pruned model fits the bound
       spark.conf.set("graft.kn.maxBroadcastTypes", "2")
-      assert(TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM")
+      assert(TextOps.knBroadcastGuard(TextOps.knPruned(cxy), "test LM", "r")
         .collect().length == 2)
       // end-to-end: both scorer ops run under an enforced bound (the
       // sf0.001 model is small enough for a generous bound; the guard's

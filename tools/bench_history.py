@@ -64,16 +64,21 @@ def append(round_no, files):
     maps = [first_json_line(p)["queries"] for p in files]
     keys = sorted(set().union(*[set(m) for m in maps]))
     mins = {k: min(m[k] for m in maps if k in m) for k in keys}
-    # the documented protocol is a minimum over >= MIN_PASSES passes; an op
-    # present in fewer pass files would silently record a 1- or 2-pass
-    # "minimum" (round-10 ADVICE: warn, don't weaken the protocol quietly)
+    # the documented protocol is a minimum over EVERY pass in the append
+    # (>= MIN_PASSES of them); an op present in fewer pass files silently
+    # records a weaker minimum (round-10 ADVICE: warn, don't weaken the
+    # protocol quietly). Expected coverage is len(files) — each op should
+    # appear in every pass — with MIN_PASSES only as the floor when fewer
+    # files are given at all.
+    if len(files) < MIN_PASSES:
+        print(f"[bench-history] WARNING: only {len(files)} pass file(s) — "
+              f"the protocol wants >= {MIN_PASSES}")
     thin = {k: n for k in keys
-            if (n := sum(1 for m in maps if k in m)) < min(MIN_PASSES,
-                                                           len(files))}
+            if (n := sum(1 for m in maps if k in m)) < len(files)}
     if thin:
         print(f"[bench-history] WARNING: {len(thin)} op(s) appear in fewer "
-              f"than {min(MIN_PASSES, len(files))} passes — their recorded "
-              "minimums are weaker than the protocol:")
+              f"than {len(files)} passes — their recorded minimums are "
+              "weaker than the protocol:")
         for k, n in sorted(thin.items()):
             print(f"[bench-history]   {k}: {n} pass(es)")
     rows = [r for r in load_history() if r["round"] != round_no]
