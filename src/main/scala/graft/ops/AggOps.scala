@@ -1711,6 +1711,103 @@ object AggOps {
       .orderBy("estimator")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift per event type: the KS
+    * distance D = max_x |F_type(x) − F_rest(x)| between one event type's
+    * value distribution (at integer-cent grain) and the POOLED REST,
+    * with the location of the maximum — the distribution-shape drift
+    * monitor that catches what mean/variance screens (agg-rate-anomaly)
+    * and binned TV distance (agg-value-drift's week-over-week read)
+    * miss: a shift confined to one region of the CDF. Reference
+    * analogue: the per-kind verify statistics of
+    * /root/reference/src/command/verify.rs:62-96, lifted to the
+    * distribution grain (extension scope).
+    *
+    * Integer discipline: D's numerator is max |cum1·n2 − cum2·n1| —
+    * pure integer cumulative counts cross-multiplied, so the max is
+    * exact with NO float CDF anywhere; the single division snaps via
+    * floor div of non-negative integers (div == //); argmax ties break
+    * to the lowest cents via max(struct(dnum, −cents)) ≡ the oracle's
+    * min-cents-at-max; n1·n2 = 0 (a type that is the whole stream)
+    * yields NULL both engines.
+    *
+    * Scale shape: the corpus reduces in ONE map-side-combined
+    * (cents, type) groupBy; everything after lives on the
+    * (distinct-cents × types) grid — value-domain-sized, not
+    * corpus-sized. The per-type cumulative window partitions by type;
+    * the pooled cumulative is an unpartitioned window over the
+    * Aggregate-reduced distinct-cents table (WindowAudit-legal). At
+    * 100 TB: quantize cents coarser (the grid is the only growing
+    * state) and mind the integer headroom — cum·n products need
+    * N < 3×10⁹ rows per comparison; above that, pre-aggregate to a
+    * coarser value grid or run per-shard and merge counts first.
+    */
+  val aggKsDrift: Op = Op.sql(
+    "agg-ks-drift",
+    """WITH p AS (SELECT event_type,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |g AS (SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2),
+      |ct AS (SELECT cents, sum(c) AS c_all FROM g GROUP BY 1),
+      |ca AS (SELECT cents, sum(c_all) OVER (ORDER BY cents) AS cum_all FROM ct),
+      |ty AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n1 FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+      |gj AS (SELECT ca.cents, ty.event_type, ca.cum_all, ty.n1,
+      |              coalesce(g.c, 0) AS c1
+      |       FROM ca CROSS JOIN ty
+      |       LEFT JOIN g ON g.cents = ca.cents AND g.event_type = ty.event_type),
+      |cm AS (SELECT cents, event_type, cum_all, n1,
+      |              sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1
+      |       FROM gj),
+      |dn AS (SELECT event_type, n1, tot.n - n1 AS n2, cents,
+      |              abs(cum1 * (tot.n - n1) - (cum_all - cum1) * n1) AS dnum
+      |       FROM cm, tot),
+      |mx AS (SELECT event_type, max(n1) AS n_type, max(n2) AS n_rest,
+      |              max(dnum) AS dmax FROM dn GROUP BY event_type),
+      |loc AS (SELECT dn.event_type, min(dn.cents) AS at_cents
+      |        FROM dn JOIN mx ON dn.event_type = mx.event_type
+      |                       AND dn.dnum = mx.dmax
+      |        GROUP BY dn.event_type)
+      |SELECT m.event_type, CAST(m.n_type AS BIGINT) AS n_type,
+      |       CAST(m.n_rest AS BIGINT) AS n_rest,
+      |       CASE WHEN m.n_type * m.n_rest > 0
+      |            THEN CAST((m.dmax * 1000000) // (m.n_type * m.n_rest) AS BIGINT)
+      |            ELSE NULL END AS d_micro,
+      |       l.at_cents
+      |FROM mx m JOIN loc l USING (event_type) ORDER BY m.event_type""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // four consumers (ct/ty/tot/gj) read the reduced count table — persist
+    // it so the corpus scans ONCE (the table is grid-sized: distinct
+    // cents × types; CacheManager dedups repeat builds by analyzed plan)
+    val g = p.groupBy("cents", "event_type").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = g.groupBy("cents").agg(sum("c").as("c_all"))
+    val ca = ct.select(col("cents"),
+      sum("c_all").over(Window.orderBy("cents")).as("cum_all"))
+    val ty = g.groupBy("event_type").agg(sum("c").as("n1"))
+    val tot = g.agg(sum("c").as("n"))
+    val gj = ca.crossJoin(broadcast(ty))
+      .join(g, Seq("cents", "event_type"), "left")
+      .select(col("cents"), col("event_type"), col("cum_all"), col("n1"),
+        coalesce(col("c"), lit(0L)).as("c1"))
+    val cm = gj.withColumn("cum1",
+        sum("c1").over(Window.partitionBy("event_type").orderBy("cents")))
+      .crossJoin(broadcast(tot))
+    val dn = cm.select(col("event_type"), col("n1"),
+      (col("n") - col("n1")).as("n2"), col("cents"),
+      abs(col("cum1") * (col("n") - col("n1"))
+        - (col("cum_all") - col("cum1")) * col("n1")).as("dnum"))
+    dn.groupBy("event_type")
+      .agg(max("n1").as("n_type"), max("n2").as("n_rest"),
+        max(struct(col("dnum"), (-col("cents")).as("nc"))).as("b"))
+      .select(col("event_type"), col("n_type"), col("n_rest"),
+        when(col("n_type") * col("n_rest") > 0,
+          expr("(b.dnum * 1000000) div (n_type * n_rest)")).as("d_micro"),
+        (-col("b.nc")).as("at_cents"))
+      .orderBy("event_type")
+  }
+
   val ops: Seq[Op] = Seq(aggDedupLargest, aggVerifyStat, aggDupHeight,
     aggDupTxid, aggMaxHeight, aggThroughput, aggThroughputSliding,
     aggMetrics, aggLatencyQuantiles, aggChainVerify, aggRetention, aggFunnel,
@@ -1724,7 +1821,7 @@ object AggOps {
     aggRfmSegments, aggOrderInversions, aggWowGrowth, aggValueLogHistogram,
     aggValueDrift, aggWhaleStability, aggMtbf, aggPeakRate,
     aggHazardCurve, aggAmsF2, aggHllPrecisionSweep, aggCupedAdjust,
-    aggTrendSlope)
+    aggTrendSlope, aggKsDrift)
 
   /** Per-user spend-trend slope — exact ordinary-least-squares over
     * (day index, daily spend cents): slope = (nΣxy − ΣxΣy)/(nΣx² −

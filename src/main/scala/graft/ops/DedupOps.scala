@@ -570,6 +570,83 @@ object DedupOps {
         frac(col("n_hit"), col("n_true")).as("p_recall"))
   }
 
+  /** Blocking-quality evaluation of WINNOWING-fingerprint blocking
+    * (Schleimer et al. 2003) against the exact-jaccard truth set at
+    * j ≥ 0.8 — the MOSS-sketch sibling of [[dedupSimhashEval]]: two docs
+    * are candidates iff they share at least one winnowing fingerprint
+    * (guaranteed whenever they share ≥ 7 consecutive tokens), so this
+    * one row says whether the ~1/w sketch is a usable dedup blocker on
+    * this corpus, and at what candidate-volume price. Same scorecard
+    * columns as the simhash eval so the two blockers compare directly.
+    *
+    * Scale shape: the sketch is the ZERO-shuffle codegen kernel of
+    * text-winnowing ([[graft.functions.WinnowFingerprints]] — fps
+    * already distinct per doc); predicted pairs explode per fingerprint
+    * group via the one-shuffle collect_list + ArrayOrderedPairs pattern
+    * (fp groups are shared-passage-sized — a viral boilerplate passage
+    * would need the df-prune treatment upstream, the dedup-df-spectrum
+    * read); the pair DISTINCT and all three count joins are
+    * pair-table-sized; truth rides the persisted shingle cache.
+    */
+  val dedupWinnowingEval: Op = Op.sql(
+    "dedup-winnowing-eval",
+    s"""WITH $ShingleOracle,
+       |twn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 4),
+       |gwn AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS gram
+       |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+       |              FROM twn)),
+       |hwn AS (SELECT doc_id, i,
+       |          list_reduce(list_prepend(0::BIGINT,
+       |            [ascii(substr(gram, c, 1))::BIGINT
+       |             FOR c IN generate_series(1, length(gram))]),
+       |            (a, b) -> (a * 31 + b) % 2147483647) AS gh
+       |        FROM gwn),
+       |glwn AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM hwn GROUP BY doc_id),
+       |wwn AS (SELECT doc_id, list_min(gs[i:i+3]) AS fp
+       |        FROM (SELECT doc_id, gs,
+       |                     unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
+       |              FROM glwn)),
+       |fps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wwn),
+       |pred AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |tru AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+       |np AS (SELECT count(*) AS n_pred FROM pred),
+       |nt AS (SELECT count(*) AS n_true FROM tru),
+       |nh AS (SELECT count(*) AS n_hit FROM pred JOIN tru USING (d1, d2))
+       |SELECT n_pred, n_true, n_hit,
+       |       CASE WHEN n_pred = 0 THEN 0.0
+       |            ELSE CAST(round(n_hit * 1000000.0 / n_pred) AS BIGINT) / 1000000.0
+       |       END AS p_precision,
+       |       CASE WHEN n_true = 0 THEN 0.0
+       |            ELSE CAST(round(n_hit * 1000000.0 / n_true) AS BIGINT) / 1000000.0
+       |       END AS p_recall
+       |FROM np, nt, nh""".stripMargin
+  ) { (s, d) =>
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("ws"), 4, 4)).as("sel"))
+      .select(col("doc_id"), col("sel.fp").as("fp"))
+    val pred = fps.groupBy("fp")
+      .agg(array_sort(collect_list("doc_id")).as("ids"))
+      .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
+      .select(col("p.d1"), col("p.d2")).distinct()
+    val tru = persistedJaccardPairs(s, d)
+      .filter(col("jac") >= 0.8).select("d1", "d2")
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val nt = tru.agg(count(lit(1)).as("n_true"))
+    val nh = pred.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(
+        round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
+    np.crossJoin(nt).crossJoin(nh)
+      .select(col("n_pred"), col("n_true"), col("n_hit"),
+        frac(col("n_hit"), col("n_pred")).as("p_precision"),
+        frac(col("n_hit"), col("n_true")).as("p_recall"))
+  }
+
   /** Corpus-level survivorship of the minhash keep/drop pass — the
     * one-row answer to "how much does dedup actually buy us": total
     * documents, documents caught in a near-dup cluster, dropped members
@@ -1201,7 +1278,7 @@ object DedupOps {
     dedupSimilarDocs, dedupTokensSaved, dedupMinhashKSweep,
     dedupClusterSources, dedupHammingSweep, dedupPagerankRep,
     dedupPrefixArtifacts, dedupSemantic, dedupSemanticSweep,
-    dedupSemanticOrphans)
+    dedupSemanticOrphans, dedupWinnowingEval)
 
   /** Hamming-radius calibration for the simhash tier: cumulative pair
     * and doc counts at distance ≤ 0, 1, 2, 3 — the curve read before

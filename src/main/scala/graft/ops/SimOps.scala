@@ -552,6 +552,243 @@ object SimOps {
       .orderBy("label")
   }
 
+  /** SQL mirror of one deterministic Lloyd round at `k` (the
+    * init/asgn/members/dims/sums/initdims/cent chain of
+    * [[simKmeansCentroids]]'s oracle parameterized by k, suffixed so
+    * several ks coexist in one oracle) — shared by the elbow and
+    * nlist-recall sweeps.
+    */
+  private def kmeansFitCtes(k: Int): String =
+    s"""init$k AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |         FROM e ORDER BY vec_id LIMIT $k),
+       |asgn$k AS (
+       |  SELECT e.vec_id, e.v, ic.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(list_dot_product(e.v, ic.cv) /
+       |                          (sqrt(list_dot_product(e.v, e.v)) *
+       |                           sqrt(list_dot_product(ic.cv, ic.cv))), 6) DESC,
+       |                    ic.cid) AS rn
+       |  FROM e CROSS JOIN init$k ic),
+       |members$k AS (SELECT vec_id, v, cid FROM asgn$k WHERE rn = 1),
+       |dims$k AS (SELECT cid, unnest(generate_series(0, len(v) - 1)) AS dim,
+       |                  unnest(v) AS x FROM members$k),
+       |sums$k AS (SELECT cid, dim, sum(CAST(round(x * 10000) AS BIGINT)) AS sv,
+       |                  count(*) AS n
+       |           FROM dims$k GROUP BY cid, dim),
+       |initdims$k AS (SELECT cid, unnest(generate_series(0, len(cv) - 1)) AS dim,
+       |                      unnest(cv) AS cx FROM init$k),
+       |cent$k AS (SELECT i.cid,
+       |                  list(coalesce(round(s.sv / s.n / 10000.0, 6), i.cx)
+       |                       ORDER BY i.dim) AS cv
+       |           FROM initdims$k i LEFT JOIN sums$k s
+       |             ON s.cid = i.cid AND s.dim = i.dim
+       |           GROUP BY i.cid)""".stripMargin
+
+  /** [[kmeansFitCtes]] plus assignment-to-fitted-centroids and the
+    * pico-snapped within-cluster inertia — the per-k CTE chain of
+    * [[simKmeansElbow]]. Assignment follows [[SemDedupCtes]]'s `sc`/`m`
+    * and the deviations follow [[simLabelStats]]'s `d2`.
+    */
+  private def kmeansInertiaCtes(k: Int): String =
+    s"""${kmeansFitCtes(k)},
+       |sc$k AS (SELECT e.vec_id, e.v, c.cid, c.cv,
+       |                CAST(round(list_dot_product(e.v, c.cv) /
+       |                           (sqrt(list_dot_product(e.v, e.v)) *
+       |                            sqrt(list_dot_product(c.cv, c.cv))) * 1000000)
+       |                     AS BIGINT) AS cos_u
+       |         FROM e CROSS JOIN cent$k c),
+       |m$k AS (SELECT vec_id, v, cv FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_u DESC, cid) AS rn FROM sc$k)
+       |        WHERE rn = 1),
+       |dx$k AS (SELECT vec_id, cv, unnest(generate_series(1, len(v))) AS i,
+       |                unnest(v) AS x FROM m$k),
+       |d2_$k AS (SELECT vec_id,
+       |                 sum(CAST(round((x - cv[i]) * (x - cv[i])
+       |                                * 1000000000000.0) AS BIGINT)) AS d2e12
+       |          FROM dx$k GROUP BY vec_id),
+       |ag$k AS (SELECT CAST($k AS BIGINT) AS k,
+       |                CAST(count(*) AS BIGINT) AS n_vecs,
+       |                CAST(sum(d2e12) AS BIGINT) AS sd2 FROM d2_$k)""".stripMargin
+
+  /** k-means ELBOW sweep: within-cluster inertia of the 1-round
+    * deterministic fit at k ∈ {2, 4, 8}, with the relative inertia drop
+    * vs the previous k — the diminishing-returns curve that picks an IVF
+    * nlist ([[simIvfAnn]]) or a SemDeDup k ([[simSemanticDedup]]) BEFORE
+    * an index is built or a dedup pass committed. Reference analogue:
+    * the chunk-size calibration role of
+    * /root/reference/src/archiver/range.rs:220-261 (how coarse should a
+    * unit of organization be), lifted to the vector tier (extension
+    * scope — the reference has no vector ops).
+    *
+    * Float discipline: fits are [[graft.sim.KMeans]] (integer-scaled
+    * element sums — order-independent); assignment compares micro-int
+    * cosines with ties to the lowest cid ([[cosMicro]], the SemDeDup
+    * reassignment grain); per-dimension squared deviations snap to
+    * integer pico-units row-locally ([[simLabelStats]]'s discipline) so
+    * every aggregation is an integer sum; mean inertia and the drop
+    * ratio are identical round()-snapped trees both engines, and the
+    * k=2 row's drop is NULL (no predecessor) with a prev>0 guard on the
+    * division both sides.
+    *
+    * Scale shape: each fit is one corpus-sized map-side-combined
+    * shuffle + a k·dims collect (at 100 TB fit on a sample — the
+    * KMeans scaladoc contract); the sweep itself adds ONE corpus scan
+    * computing all three assignments as row-local greatest(struct)
+    * folds over centroid LITERALS (zero corpus shuffle — the
+    * [[semanticMembers]] spelling) folding into ONE 1-row aggregation;
+    * the 3-row curve explodes from that row (never a re-scan per k)
+    * and the lag window orders 3 rows.
+    */
+  val simKmeansElbow: Op = Op.sql(
+    "sim-kmeans-elbow",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Seq(2, 4, 8).map(kmeansInertiaCtes).mkString(",\n")},
+       |curve AS (SELECT * FROM ag2 UNION ALL SELECT * FROM ag4
+       |          UNION ALL SELECT * FROM ag8),
+       |mm AS (SELECT k, n_vecs,
+       |              CAST(round(sd2 / (n_vecs * 1000000.0)) AS BIGINT)
+       |                / 1000000.0 AS mean_dist2
+       |       FROM curve),
+       |lg AS (SELECT k, n_vecs, mean_dist2,
+       |              lag(mean_dist2) OVER (ORDER BY k) AS prev FROM mm)
+       |SELECT k, n_vecs, mean_dist2,
+       |       CASE WHEN prev > 0 THEN
+       |         CAST(round((prev - mean_dist2) / prev * 1000000) AS BIGINT)
+       |       ELSE NULL END AS drop_micro
+       |FROM lg ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    val ks = Seq(2, 4, 8)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // per k: a row-local argmax over centroid literals that carries the
+    // pico-snapped squared distance in the struct tail — (cu, nc) is
+    // unique per centroid, so the d2 field can never drive the compare
+    val d2Cols = ks.map { k =>
+      val structs = fittedCentroids(s, d, k).map { case (cid, cv) =>
+        struct(cosMicro(col("v"), typedLit(cv)).as("cu"),
+          lit(-cid).as("nc"),
+          aggregate(zip_with(col("v"), typedLit(cv),
+            (x, c) => round((x - c) * (x - c) * lit(1000000000000.0))
+              .cast("long")),
+            lit(0L), (a, b) => a + b).as("d2"))
+      }
+      greatest(structs: _*).getField("d2").as(s"d2_$k")
+    }
+    val one = e.select(d2Cols: _*)
+      .agg(count(lit(1)).as("n_vecs"),
+        ks.map(k => sum(col(s"d2_$k")).as(s"s$k")): _*)
+    val curve = one
+      .select(explode(array(ks.map(k =>
+        struct(lit(k.toLong).as("k"), col("n_vecs"),
+          col(s"s$k").as("sd2"))): _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.n_vecs").as("n_vecs"),
+        (round(col("r.sd2") / (col("r.n_vecs") * lit(1000000.0))).cast("long")
+          / lit(1000000.0)).as("mean_dist2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+    curve.withColumn("prev", lag("mean_dist2", 1).over(w))
+      .select(col("k"), col("n_vecs"), col("mean_dist2"),
+        when(col("prev") > 0,
+          round((col("prev") - col("mean_dist2")) / col("prev") * 1000000)
+            .cast("long")).as("drop_micro"))
+      .orderBy("k")
+  }
+
+  /** Per-k IVF search + recall grading CTEs for [[simIvfNlistRecall]]:
+    * corpus assignment to the k fitted lists, nprobe=2 query probes,
+    * top-3 by exact cosine inside probed lists, hit count vs the
+    * `exact` truth CTE — [[simIvfAnn]]'s oracle spelling over
+    * [[kmeansFitCtes]]'s centroids.
+    */
+  private def ivfRecallCtes(k: Int): String =
+    s"""asg$k AS (
+       |  SELECT c.vec_id AS n_id, c.v AS nv, cc.cid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(list_dot_product(c.v, cc.cv) /
+       |                          (sqrt(list_dot_product(c.v, c.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e c, cent$k cc WHERE c.vec_id >= 10),
+       |lists$k AS (SELECT n_id, nv, cid FROM asg$k WHERE rn = 1),
+       |prb$k AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, cc.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, cc.cv) /
+       |                          (sqrt(list_dot_product(q.v, q.v)) *
+       |                           sqrt(list_dot_product(cc.cv, cc.cv))), 6) DESC,
+       |                    cc.cid) AS rn
+       |  FROM e q, cent$k cc WHERE q.vec_id < 10),
+       |probes$k AS (SELECT q_id, qv, cid FROM prb$k WHERE rn <= 2),
+       |scq$k AS (
+       |  SELECT p.q_id, l.n_id,
+       |         (round(list_dot_product(p.qv, l.nv) /
+       |                (sqrt(list_dot_product(p.qv, p.qv)) *
+       |                 sqrt(list_dot_product(l.nv, l.nv))), 6) + 0.0) AS sim
+       |  FROM probes$k p JOIN lists$k l USING (cid)),
+       |top$k AS (SELECT q_id, n_id FROM (
+       |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, n_id) AS rn FROM scq$k) WHERE rn <= 3),
+       |rec$k AS (SELECT CAST($k AS BIGINT) AS nlist,
+       |                 CAST(count(*) AS BIGINT) AS k_eff,
+       |                 CAST(sum(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS n_hits
+       |          FROM exact ex LEFT JOIN top$k t
+       |            ON ex.q_id = t.q_id AND ex.n_id = t.n_id)""".stripMargin
+
+  /** IVF recall-vs-nlist sweep — the QUALITY side of the elbow's cost
+    * curve ([[simKmeansElbow]] picks k by inertia; this op reports what
+    * each k COSTS in recall@3 at fixed nprobe=2): for nlist ∈ {2, 4, 8},
+    * the fitted inverted lists of [[graft.sim.KMeans]] are probed
+    * exactly as [[simIvfAnn]] does, and the top-3 candidates grade
+    * against the exact brute-force truth. nlist=2 with nprobe=2 probes
+    * every list (recall 1 by construction — the curve's anchor); each
+    * halving of probed mass trades recall for scan cost, and this row
+    * pair with sim-nprobe-sweep (nprobe at fixed nlist) spans the whole
+    * IVF tuning grid. Reference analogue: chunk-size calibration of
+    * /root/reference/src/archiver/range.rs:220-261 at the index grain
+    * (extension scope).
+    *
+    * Scale shape: the exact truth ([[Similarity.bruteForceTopK]] —
+    * corpus never shuffles, salted top-k) computes ONCE and persists
+    * (top-k-sized); each k's search is [[Similarity.ivfTopK]] over the
+    * memoized [[fittedCentroids]] (assignment = zero-shuffle centroid
+    * literal fold; probes broadcast); the three gradings are
+    * top-k-table-sized semi-joins, and the 3-row output unions three
+    * genuinely different searches (never a re-execution of one subtree).
+    */
+  val simIvfNlistRecall: Op = Op.sql(
+    "sim-ivf-nlist-recall",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |exsc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, $CosineSql AS sim
+       |         FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |exact AS (SELECT q_id, n_id FROM (
+       |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, n_id) AS rn FROM exsc) WHERE rn <= 3),
+       |${Seq(2, 4, 8).map(k => s"${kmeansFitCtes(k)},\n${ivfRecallCtes(k)}")
+        .mkString(",\n")}
+       |SELECT nlist, k_eff, n_hits, round(n_hits * 1.0 / k_eff, 6) AS recall
+       |FROM (SELECT * FROM rec2 UNION ALL SELECT * FROM rec4
+       |      UNION ALL SELECT * FROM rec8)
+       |ORDER BY nlist""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, k = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = Seq(2, 4, 8).map { k =>
+      val cents = fittedCentroids(s, d, k).toDF("vec_id", "embedding")
+      val ann = Similarity.ivfTopK(q, c, cents, k = 3, nprobe = 2)
+      val hits = exact.join(broadcast(ann.select("q_id", "n_id")),
+        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("n_hits"))
+      exact.agg(count(lit(1)).as("k_eff")).crossJoin(hits)
+        .select(lit(k.toLong).as("nlist"), col("k_eff"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / col("k_eff"), 6).as("recall"))
+    }
+    rows.reduce(_ union _).orderBy("nlist")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means clusters the
     * embedding space, then near-duplicates are resolved ONLY inside each
@@ -652,16 +889,24 @@ object SimOps {
   private val centroidCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Map[String, IndexedSeq[(Long, Seq[Double])]]]()
+  /** 1-round deterministic k-means centroids for any k, memoized per
+    * (session, dir, k) — the k = 4 entry is the SemDeDup model, the
+    * other ks back the elbow sweep. Fit is deterministic, so the memo
+    * can never change a result.
+    */
+  private[graft] def fittedCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): IndexedSeq[(Long, Seq[Double])] =
+    centroidCache.synchronized {
+      centroidCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#k=$k",
+          graft.sim.KMeans.fit(Tables.embeddings(s, d), k = k, iters = 1)
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1)))
+            .toIndexedSeq
+            .sortBy(_._1))
+    }
   private[graft] def semanticCentroids(s: org.apache.spark.sql.SparkSession,
-      d: String): IndexedSeq[(Long, Seq[Double])] = centroidCache.synchronized {
-    centroidCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-      .getOrElseUpdate(d,
-        graft.sim.KMeans.fit(Tables.embeddings(s, d), k = 4, iters = 1)
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .toIndexedSeq
-          .sortBy(_._1))
-  }
+      d: String): IndexedSeq[(Long, Seq[Double])] = fittedCentroids(s, d, 4)
 
   private[graft] def semanticMembers(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -1400,7 +1645,7 @@ object SimOps {
     simIvfPq, simIvfIndexLayout, simInt8Recall, simFilteredTopk, simHubness,
     simListPurity, simIndexCost, simAssignMargin, simJlDistortion,
     simKnnReciprocity, simMahalanobis, simLshMultiprobe, simProbeOrder,
-    simHardNegatives, simRankEval)
+    simHardNegatives, simRankEval, simKmeansElbow, simIvfNlistRecall)
 
   /** Assignment-confidence margins: per IVF list, the mean (top1 − top2)
     * cosine margin of its members in micro-units — low-margin lists sit

@@ -1984,7 +1984,7 @@ object TextOps {
     textRankFreqCurve, textEpochPlan, textSampleWeights,
     textBpeTrain, textClassifierScore, textMixSchedule,
     textBpeApply, textKnBigram, textDocPerplexity, textPerplexityHoldout,
-    textKnTrigram)
+    textKnTrigram, textMinKProb)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -2740,6 +2740,60 @@ object TextOps {
     model
   }
 
+  /** KN backoff scoring table over a DISTINCT (w1, w2) pair set: the
+    * three-branch interpolated-KN probability of [[textPerplexityHoldout]]
+    * (seen pair / seen-w1 backoff / continuation-only), with
+    * Pcont(w2) = (N1+(·,w2)+1)/(T+V) the Laplace-smoothed continuation.
+    * Factored out so the holdout scorer and the Min-K% membership scorer
+    * ([[textMinKProb]]) share one expression tree and can never diverge
+    * on branches, smoothing or the micro-nat snap. `scoredPairs` must be
+    * distinct (the lp table is scored-TYPE-grain); model tables come from
+    * [[knModelTables]]; `tv` is the 1-row (t, v) totals table. The model join
+    * rides [[knPruned]] (graft.kn.minCount) and the result passes the
+    * [[knBroadcastGuard]] with a per-consumer remedy. SQL mirror:
+    * [[knBackoffLpCte]].
+    */
+  private[ops] def knBackoffLp(scoredPairs: DataFrame, cxy: DataFrame,
+      lft: DataFrame, rgt: DataFrame, tv: DataFrame,
+      what: String, remedy: String): DataFrame = {
+    val pcont = (coalesce(col("n1r"), lit(0L)) + 1) /
+      (lit(1.0) * (col("t") + col("v")))
+    knBroadcastGuard(scoredPairs
+      .join(knPruned(cxy), Seq("w1", "w2"), "left_outer")
+      .join(lft, Seq("w1"), "left_outer")
+      .join(rgt, Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tv))
+      .select(col("w1"), col("w2"),
+        round(log(
+          when(col("cnt").isNotNull,
+            ((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
+              (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont))
+            .when(col("cx").isNotNull,
+              ((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont)
+            .otherwise(pcont)) * 1000000).cast("long").as("lp"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov")),
+      what, remedy)
+  }
+
+  /** SQL mirror of [[knBackoffLp]]: the `lp` CTE over the distinct pair
+    * source `src` (expects cxy/lft/rgt/tv CTEs in scope). */
+  private[ops] def knBackoffLpCte(src: String): String =
+    s"""lp AS (SELECT $src.w1, $src.w2,
+       |              CAST(round(ln(CASE
+       |                WHEN cxy.cnt IS NOT NULL THEN
+       |                  ((4 * cxy.cnt - 3) / (4.0 * lft.cx)) +
+       |                  (((3.0 * lft.n1l) / (4.0 * lft.cx)) *
+       |                   ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))))
+       |                WHEN lft.cx IS NOT NULL THEN
+       |                  ((3.0 * lft.n1l) / (4.0 * lft.cx)) *
+       |                  ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v)))
+       |                ELSE (coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))
+       |              END) * 1000000) AS BIGINT) AS lp,
+       |              CASE WHEN cxy.cnt IS NULL THEN 1 ELSE 0 END AS oov
+       |       FROM $src LEFT JOIN cxy ON $src.w1 = cxy.w1 AND $src.w2 = cxy.w2
+       |                LEFT JOIN lft ON $src.w1 = lft.w1
+       |                LEFT JOIN rgt ON $src.w2 = rgt.w2, tv)""".stripMargin
+
   /** SQL mirror of [[knModelTables]] over the bigram source `src`. */
   private[ops] def knModelCtes(src: String): String =
     s"""cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY 1, 2),
@@ -2995,21 +3049,7 @@ object TextOps {
       |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cxy) AS t,
       |              (SELECT CAST(count(*) AS BIGINT) + 1 FROM rgt) AS v),
       |hb AS (SELECT DISTINCT w1, w2 FROM pr WHERE NOT is_train),
-      |lp AS (SELECT hb.w1, hb.w2,
-      |              CAST(round(ln(CASE
-      |                WHEN cxy.cnt IS NOT NULL THEN
-      |                  ((4 * cxy.cnt - 3) / (4.0 * lft.cx)) +
-      |                  (((3.0 * lft.n1l) / (4.0 * lft.cx)) *
-      |                   ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))))
-      |                WHEN lft.cx IS NOT NULL THEN
-      |                  ((3.0 * lft.n1l) / (4.0 * lft.cx)) *
-      |                  ((coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v)))
-      |                ELSE (coalesce(rgt.n1r, 0) + 1) / (1.0 * (tv.t + tv.v))
-      |              END) * 1000000) AS BIGINT) AS lp,
-      |              CASE WHEN cxy.cnt IS NULL THEN 1 ELSE 0 END AS oov
-      |       FROM hb LEFT JOIN cxy ON hb.w1 = cxy.w1 AND hb.w2 = cxy.w2
-      |                LEFT JOIN lft ON hb.w1 = lft.w1
-      |                LEFT JOIN rgt ON hb.w2 = rgt.w2, tv),
+      |${knBackoffLpCte("hb")},
       |dx AS (SELECT pr.doc_id, pr.source,
       |              CAST(round(-sum(lp.lp) * 1.0 / count(*)) AS BIGINT) AS xent,
       |              CAST(sum(lp.oov) AS BIGINT) AS n_oov,
@@ -3026,22 +3066,7 @@ object TextOps {
     val tv = cxy.agg(count(lit(1)).as("t"))
       .crossJoin(rgt.agg((count(lit(1)) + 1).as("v")))
     val hb = pr.filter(!col("is_train")).select("w1", "w2").distinct()
-    val pcont = (coalesce(col("n1r"), lit(0L)) + 1) /
-      (lit(1.0) * (col("t") + col("v")))
-    val lp = knBroadcastGuard(hb
-      .join(knPruned(cxy), Seq("w1", "w2"), "left_outer")
-      .join(lft, Seq("w1"), "left_outer")
-      .join(rgt, Seq("w2"), "left_outer")
-      .crossJoin(broadcast(tv))
-      .select(col("w1"), col("w2"),
-        round(log(
-          when(col("cnt").isNotNull,
-            ((lit(4) * col("cnt") - 3) / (lit(4.0) * col("cx"))) +
-              (((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont))
-            .when(col("cx").isNotNull,
-              ((lit(3.0) * col("n1l")) / (lit(4.0) * col("cx"))) * pcont)
-            .otherwise(pcont)) * 1000000).cast("long").as("lp"),
-        when(col("cnt").isNull, 1L).otherwise(0L).as("oov")),
+    val lp = knBackoffLp(hb, cxy, lft, rgt, tv,
       "text-perplexity-holdout scoring table",
       "this table is HELD-OUT-type-sized (graft.kn.minCount prunes the " +
         "model joins, not this broadcast) — score in smaller held-out " +
@@ -3058,5 +3083,97 @@ object TextOps {
           .as("mean_xent_micro"),
         expr("(sum(n_oov) * 10000) div sum(n_bi)").as("oov_bp"))
       .orderBy("source")
+  }
+
+  /** Min-K% Prob membership inference (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models"): per document, score
+    * every bigram under the KN model trained on the text-train-split
+    * 'train' partition, keep only the k% = 20% LEAST-probable bigrams
+    * (the document's hardest tokens) and average their costs. Member
+    * documents (the model saw them) stay cheap even on their worst
+    * bigrams; non-members spike — the per-(source, split) rollup of mean
+    * and median Min-K cost is the memorization/contamination read: a
+    * "held-out" source whose Min-K distribution matches the member one
+    * has leaked into training. Complements [[textDocPerplexity]] (mean
+    * over ALL tokens — fluency) and text-contamination (surface n-gram
+    * overlap — this op needs no benchmark list). Reference analogue:
+    * the per-file content-validation pass of
+    * /root/reference/src/command/verify.rs:516-577, lifted to the LM
+    * grain (extension scope — the reference has no LM tier).
+    *
+    * Float discipline: the per-pair cost is [[knBackoffLp]]'s integer
+    * micro-nat (shared tree with the holdout scorer — the branches
+    * cannot diverge); the Min-K selection sorts INTEGER costs
+    * descending (ties are equal values, so the boundary pick cannot
+    * change the sum); k_sel = greatest(1, n div 5) divides non-negative
+    * integers (div == //); the two terminal means are identical
+    * round(sum·1.0/n) trees and the median is the interpolated
+    * percentile of integers both engines compute with the same formula.
+    *
+    * Scale shape: three corpus token→bigram passes (model build on the
+    * train split, distinct scored-pair set, scoring), each map-side
+    * combined or distinct-reduced to the TYPE grain before any join;
+    * the lp table is corpus-bigram-TYPE-sized and BROADCASTS into the
+    * per-document fold ([[knBroadcastGuard]]-checked — at 100 TB score
+    * in md5-bucket batches); the per-document Min-K fold is a
+    * collect_list at the DOC grain (state per group = the document's
+    * own bigram list, the same bound as the text column itself) with
+    * the sort/slice/sum running row-locally — no corpus-grain window
+    * sort anywhere; the rollup is (source × 2)-sized.
+    */
+  lazy val textMinKProb: Op = Op.sql(
+    "text-min-k-prob",
+    s"""$DocBigramCtes,
+      |trn AS (SELECT w1, w2 FROM pr WHERE is_train),
+      |${knModelCtes("trn")},
+      |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cxy) AS t,
+      |              (SELECT CAST(count(*) AS BIGINT) + 1 FROM rgt) AS v),
+      |sp AS (SELECT DISTINCT w1, w2 FROM pr),
+      |${knBackoffLpCte("sp")},
+      |sc AS (SELECT pr.doc_id, pr.source, pr.is_train, -lp.lp AS cost,
+      |              row_number() OVER (PARTITION BY pr.doc_id
+      |                ORDER BY -lp.lp DESC, pr.w1, pr.w2) AS r,
+      |              count(*) OVER (PARTITION BY pr.doc_id) AS n
+      |       FROM pr JOIN lp ON pr.w1 = lp.w1 AND pr.w2 = lp.w2),
+      |dk AS (SELECT doc_id, source, is_train,
+      |              CAST(round(sum(CASE WHEN r <= greatest(1, n // 5)
+      |                                  THEN cost END) * 1.0
+      |                         / greatest(1, n // 5)) AS BIGINT) AS mink
+      |       FROM sc GROUP BY doc_id, source, is_train, n)
+      |SELECT source,
+      |       CASE WHEN is_train THEN 'member' ELSE 'holdout' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(round(sum(mink) * 1.0 / count(*)) AS BIGINT) AS mean_mink_micro,
+      |       round(quantile_cont(mink, 0.5), 1) AS p50_mink_micro
+      |FROM dk GROUP BY source, is_train ORDER BY source, split""".stripMargin
+  ) { (s, d) =>
+    val pr = docBigramStream(s, d)
+    val (cxy, lft, rgt) = knModelTables(pr.filter(col("is_train")))
+    val tv = cxy.agg(count(lit(1)).as("t"))
+      .crossJoin(rgt.agg((count(lit(1)) + 1).as("v")))
+    val sp = pr.select("w1", "w2").distinct()
+    val lp = knBackoffLp(sp, cxy, lft, rgt, tv,
+      "text-min-k-prob scoring table",
+      "this table is corpus-bigram-TYPE-sized — score in md5-bucket " +
+        "batches (split the scored pair set) or partition the scoring join")
+    pr.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy("doc_id", "source", "is_train")
+      .agg(collect_list((-col("lp")).cast("long")).as("costs"))
+      .select(col("source"), col("is_train"),
+        expr("greatest(1L, size(costs) div 5)").as("k_sel"),
+        reverse(array_sort(col("costs"))).as("sorted"))
+      .select(col("source"), col("is_train"),
+        round(aggregate(slice(col("sorted"), lit(1), col("k_sel").cast("int")),
+          lit(0L), (a, b) => a + b) * lit(1.0) / col("k_sel"))
+          .cast("long").as("mink"))
+      .groupBy("source", "is_train")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("mink") * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_mink_micro"),
+        round(expr("percentile(mink, 0.5)"), 1).as("p50_mink_micro"))
+      .select(col("source"),
+        when(col("is_train"), "member").otherwise("holdout").as("split"),
+        col("n_docs"), col("mean_mink_micro"), col("p50_mink_micro"))
+      .orderBy("source", "split")
   }
 }

@@ -827,6 +827,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("text-min-k-prob broadcasts the lp table; the doc fold has no corpus window") {
+    val p = plan("text-min-k-prob")
+    // the scored-pair lp table joins the corpus-grain bigram stream as a
+    // broadcast (the KenLM-in-executor-memory shape of its two LM
+    // siblings), and the per-document Min-K selection must stay a
+    // row-local sort/slice over the collected cost list — a
+    // windowspecdefinition here would mean the corpus bigram stream is
+    // being exchange+sorted per doc just to rank 20% of it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("sim-kmeans-elbow: one corpus scan, literal-fold assignment, no rank window") {
+    val p = plan("sim-kmeans-elbow")
+    // all three ks assign via row-local greatest(struct) folds over
+    // centroid LITERALS in ONE map-side-combined corpus aggregation;
+    // the only window is the 3-row lag over the exploded curve
+    assert(p.contains("greatest"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dedup-winnowing-eval: row-local sketch, pair-table joins, no cartesian") {
+    val p = plan("dedup-winnowing-eval")
+    // the sketch is the zero-shuffle winnowing kernel; predicted pairs
+    // explode per fp group (one 8-byte-key exchange), and every
+    // counting join is pair-table-sized
+    assert(p.toLowerCase.contains("winnowfingerprints"), p)
+    assert(p.toLowerCase.contains("arrayorderedpairs"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("sim-ivf-nlist-recall: probes broadcast into the lists; no cartesian") {
+    val p = plan("sim-ivf-nlist-recall")
+    // each k's candidate scoring joins the assigned corpus against
+    // BROADCAST probes on cid (the ivfTopK shape); gradings are
+    // top-k-table-sized semi-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("dedup-semantic resolves drops with a cid-keyed semi-join, no cartesian") {
     val p = plan("dedup-semantic")
     // the within-cluster pair stage must stay an equi-join on cid with a
