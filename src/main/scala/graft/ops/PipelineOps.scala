@@ -972,9 +972,104 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** Stage-ORDER sensitivity of the curation funnel: does running the
+    * quality screen BEFORE near-dup dedup change which documents
+    * survive? Per multi-member near-dup cluster, compare the keeper
+    * under dedup-first (longest member of the WHOLE cluster, kept only
+    * if it passes the quality screen) against quality-first (longest
+    * member among QUALITY-PASSING members; the cluster vanishes if none
+    * passes). The one-row report — clusters whose keeper CHANGES,
+    * clusters LOST entirely under each order — is the empirical answer
+    * to the "filter order doesn't matter, right?" assumption every
+    * pipeline quietly makes (it does matter exactly when a cluster's
+    * longest member is junk but a shorter twin is clean). Shares
+    * [[DedupOps.persistedDocClusters]] and
+    * [[TextOps.unigramDecileBuckets]] verbatim with the standalone ops
+    * and [[pipelineCurationE2e]] (which hard-codes dedup-first — k2
+    * before k3; this op measures what that choice costs). Reference
+    * analogue: verify's fail-fast stage ordering,
+    * /root/reference/src/command/verify.rs:535-545 (block failure skips
+    * tx/trace verify), lifted to the curation grain (extension scope).
+    *
+    * Both keepers ride ONE cluster-grain aggregation: the all-members
+    * argmax carries the keeper's quality bucket as struct payload
+    * ((len, -id) is unique per doc, so the bucket can never drive the
+    * compare — the sim-kmeans-elbow trick), and the quality-first
+    * argmax is a conditional max that is NULL when no member passes.
+    * Keeper rule = dedup-cluster-rep's max(struct(len, -id)) verbatim.
+    *
+    * Scale shape: cluster table and decile buckets amortize across the
+    * dedup/curation family (persisted / shared subtrees); this op adds
+    * two doc-keyed joins, one cluster-grain map-side-combined groupBy
+    * and a 1-row fold — no window, no new corpus pass beyond the
+    * shared subtrees.
+    */
+  val pipelineOrderSensitivity: Op = Op.sql(
+    "pipeline-order-sensitivity",
+    s"""WITH RECURSIVE ${DedupOps.ShingleOracle},
+      |${DedupOps.ClusterOracle},
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+      |t AS (SELECT count(*) AS tot FROM toks),
+      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+      |       FROM v, t),
+      |sc AS (SELECT doc_id,
+      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
+      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
+      |b AS (SELECT quantile_cont(mean_u,
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM sc),
+      |qa AS (SELECT doc_id, len(list_filter(bnds, x -> x <= mean_u)) AS bucket
+      |       FROM sc, b),
+      |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len, qa.bucket
+      |          FROM cl JOIN documents d ON d.doc_id = cl.id
+      |                  JOIN qa ON qa.doc_id = cl.id),
+      |alk AS (SELECT cluster, count(*) AS n_members FROM sized GROUP BY cluster),
+      |rd AS (SELECT cluster, id, bucket,
+      |              row_number() OVER (PARTITION BY cluster
+      |                                 ORDER BY len DESC, id) AS rn FROM sized),
+      |rq AS (SELECT cluster, id,
+      |              row_number() OVER (PARTITION BY cluster
+      |                                 ORDER BY len DESC, id) AS rn
+      |       FROM sized WHERE bucket >= 1),
+      |per AS (SELECT a.cluster, d1.id AS kd, d1.bucket AS kdb, q1.id AS kq
+      |        FROM alk a JOIN rd d1 ON d1.cluster = a.cluster AND d1.rn = 1
+      |                   LEFT JOIN rq q1 ON q1.cluster = a.cluster AND q1.rn = 1
+      |        WHERE a.n_members > 1)
+      |SELECT count(*) AS n_clusters,
+      |       CAST(sum(CASE WHEN kq IS NOT NULL AND kq <> kd
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper_changed,
+      |       CAST(sum(CASE WHEN kq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_lost_quality_first,
+      |       CAST(sum(CASE WHEN kdb >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dq_kept,
+      |       CAST(sum(CASE WHEN kq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_qd_kept
+      |FROM per""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), length(col("text")).as("len"))
+    val buckets = TextOps.unigramDecileBuckets(s, d)
+      .select(col("doc_id").as("id"), col("bucket"))
+    val sized = DedupOps.persistedDocClusters(s, d)
+      .join(docs, "id").join(buckets, "id")
+    val per = sized.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("id")).as("nid"),
+          col("bucket").as("b"))).as("am"),
+        max(when(col("bucket") >= 1,
+          struct(col("len"), (-col("id")).as("nid")))).as("qm"))
+      .filter(col("n_members") > 1)
+    per.agg(count(lit(1)).as("n_clusters"),
+      sum(when(col("qm").isNotNull && col("qm.nid") =!= col("am.nid"), 1L)
+        .otherwise(0L)).as("n_keeper_changed"),
+      sum(when(col("qm").isNull, 1L).otherwise(0L)).as("n_lost_quality_first"),
+      sum(when(col("am.b") >= 1, 1L).otherwise(0L)).as("n_dq_kept"),
+      sum(when(col("qm").isNotNull, 1L).otherwise(0L)).as("n_qd_kept"))
+  }
+
   val ops: Seq[Op] = Seq(pipelinePreprocess, pipelineFilterFunnel,
     pipelineDataCard, pipelineColumnProfile, pipelineIncrementalDelta,
     pipelineContentFingerprint, pipelineFingerprintDiff, pipelineQuarantine,
     pipelineAbAssign, pipelineDqSuite, pipelineDqSuggest, pipelineIvmDelta,
-    pipelineCurationE2e)
+    pipelineCurationE2e, pipelineOrderSensitivity)
 }

@@ -1984,7 +1984,7 @@ object TextOps {
     textRankFreqCurve, textEpochPlan, textSampleWeights,
     textBpeTrain, textClassifierScore, textMixSchedule,
     textBpeApply, textKnBigram, textDocPerplexity, textPerplexityHoldout,
-    textKnTrigram, textMinKProb)
+    textKnTrigram, textMinKProb, textTermBurstiness)
 
   /** Language purity per source: dominant language and its share in
     * basis points — the crawler-drift monitor (a source whose purity
@@ -3175,5 +3175,51 @@ object TextOps {
         when(col("is_train"), "member").otherwise("holdout").as("split"),
         col("n_docs"), col("mean_mink_micro"), col("p50_mink_micro"))
       .orderBy("source", "split")
+  }
+
+  /** Term burstiness (Church & Gale 1995; Katz 1996): for every term
+    * with document frequency ≥ 5, the mean occurrences PER CONTAINING
+    * DOCUMENT (cf/df) — the overdispersion signal that separates topical
+    * content words (bursty: when they appear, they appear repeatedly)
+    * from function words (evenly spread, cf/df ≈ 1) without any stopword
+    * list. Top-20 burstiest terms with their corpus and document
+    * frequencies — the read a vocab builder or tf-idf damping schedule
+    * is calibrated on (complements text-collocations' cross-term PMI and
+    * text-token-histogram's raw Zipf head). Reference analogue: the
+    * per-kind archive statistics of
+    * /root/reference/src/command/verify.rs:62-96, lifted to the term
+    * grain (extension scope).
+    *
+    * Integer discipline: burst_micro = (cf·10⁶) div df on positive
+    * integers (div == //); ties order by term ascending both engines.
+    *
+    * Scale shape: ONE corpus token pass map-side combined at the
+    * (term, doc) grain, then a (term)-grain reduction — the classic
+    * two-level distinct-count shape with no Expand; the df ≥ 5 prune
+    * lands before the ranking and the top-20 is a TakeOrdered, never a
+    * global sort.
+    */
+  lazy val textTermBurstiness: Op = Op.sql(
+    "text-term-burstiness",
+    """WITH pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |                  FROM documents)
+      |            GROUP BY w, doc_id),
+      |st AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+      |              CAST(count(*) AS BIGINT) AS df
+      |       FROM pd GROUP BY w)
+      |SELECT w, cf, df, CAST((cf * 1000000) // df AS BIGINT) AS burst_micro
+      |FROM st WHERE df >= 5
+      |ORDER BY burst_micro DESC, w LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val pd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    pd.groupBy("w").agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("w"), col("cf"), col("df"),
+        expr("(cf * 1000000) div df").as("burst_micro"))
+      .orderBy(col("burst_micro").desc, col("w"))
+      .limit(20)
   }
 }

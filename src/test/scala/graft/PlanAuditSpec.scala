@@ -872,6 +872,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("text-term-burstiness: two-level map-side reduction, TakeOrdered top-20") {
+    val p = plan("text-term-burstiness")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("pipeline-order-sensitivity: struct-max keepers, no rank window, no cartesian") {
+    val p = plan("pipeline-order-sensitivity")
+    // both keepers come from ONE cluster-grain aggregation of max(struct)
+    // partials — a cluster-partitioned rank window here would funnel a
+    // boilerplate mega-cluster through one task (the cluster-rep rule)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("dedup-semantic resolves drops with a cid-keyed semi-join, no cartesian") {
     val p = plan("dedup-semantic")
     // the within-cluster pair stage must stay an equi-join on cid with a

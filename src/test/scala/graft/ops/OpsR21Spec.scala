@@ -227,6 +227,103 @@ class OpsR21Spec extends SparkSpec {
       s"degenerate scorecard: $expected")
   }
 
+  test("text-term-burstiness equals a from-scratch cf/df ranker") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2 != null).toSeq
+    val perDoc = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) =>
+        (w, id, xs.length.toLong)
+      }
+    }
+    val expected = perDoc.groupBy(_._1).map { case (w, xs) =>
+      (w, xs.map(_._3).sum, xs.length.toLong)
+    }.collect { case (w, cf, df) if df >= 5 =>
+      (w, cf, df, cf * 1000000 / df)
+    }.toSeq.sortBy(x => (-x._4, x._1)).take(20)
+    val got = TextOps.textTermBurstiness.build(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"\nexpected: $expected\ngot:      $got")
+    // non-vacuity: the board is full and burstiness is live (cf > df
+    // somewhere — terms DO repeat within documents on the fixture)
+    assert(got.length == 20 && got.head._4 > 1000000L, s"degenerate: $got")
+  }
+
+  test("pipeline-order-sensitivity equals a from-scratch two-order funnel") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2 != null).toSeq
+    val ids = docs.map(_._1).sorted
+    // near-dup clusters: 3-shingle df<=20 exact jaccard >= 0.8 (round-6)
+    // + connected components labeled by min id (the ClusterOracle model)
+    def shinglesOf(text: String): Set[String] = {
+      val ws = text.split(" ", -1)
+      val upper = math.max(1, ws.length - 2)
+      (1 to upper).map(i => ws.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> shinglesOf(t) }.toMap
+    val dfm = byDoc.values.flatten.groupBy(identity)
+      .map { case (s0, xs) => s0 -> xs.size }
+    val pruned = byDoc.map { case (id, ss) => id -> ss.filter(dfm(_) <= 20) }
+    val edges = for {
+      a <- ids; b <- ids if a < b
+      inter = (pruned(a) & pruned(b)).size if inter > 0
+      jac = new JBigDecimal(inter.toDouble /
+        (pruned(a).size + pruned(b).size - inter))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue() if jac >= 0.8
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = ids.map(i => i -> find(i)).toMap
+    // quality deciles: corpus-fit unigram LM, per-doc mean micro-nats,
+    // bucket = #boundaries <= score (unigramDecileBuckets' model)
+    val allToks = docs.flatMap(_._2.split(" ", -1))
+    val cnt = allToks.groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val tot = allToks.length
+    val lp = cnt.map { case (w, c) =>
+      w -> halfUp((math.log(c.toDouble) - math.log(tot.toDouble)) * 1000000)
+    }
+    val meanU = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> halfUp(ws.map(lp).sum * 1.0 / ws.length)
+    }.toMap
+    val bnds = {
+      val sorted = meanU.values.toIndexedSeq.sorted
+      (1 to 9).map(i => pct(sorted, i / 10.0))
+    }
+    val bucket = meanU.map { case (id, m) =>
+      id -> bnds.count(_ <= m)
+    }
+    // both keepers per multi-member cluster
+    val lens = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val per = ids.groupBy(cluster).values.filter(_.size > 1).map { members =>
+      val kd = members.minBy(i => (-lens(i), i))
+      val passing = members.filter(bucket(_) >= 1)
+      val kq = if (passing.isEmpty) None
+        else Some(passing.minBy(i => (-lens(i), i)))
+      (kd, bucket(kd), kq)
+    }.toSeq
+    val expected = (per.size.toLong,
+      per.count { case (kd, _, kq) => kq.exists(_ != kd) }.toLong,
+      per.count(_._3.isEmpty).toLong,
+      per.count(_._2 >= 1).toLong,
+      per.count(_._3.nonEmpty).toLong)
+    val got = PipelineOps.pipelineOrderSensitivity.build(spark, sf()).collect()
+    assert(got.length == 1)
+    val g = (got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getLong(4))
+    assert(g == expected, s"\nexpected: $expected\ngot:      $g")
+    // non-vacuity: order genuinely matters on the fixture — some keeper
+    // changes AND some cluster is lost outright under quality-first
+    assert(expected._2 > 0 && expected._3 > 0, s"order-insensitive fixture: $expected")
+  }
+
   test("text-min-k-prob equals a from-scratch Min-K% membership scorer") {
     val docs = graft.Tables.documents(spark, sf())
       .select("doc_id", "text", "source").collect()
