@@ -1737,9 +1737,11 @@ object AggOps {
     * the pooled cumulative is an unpartitioned window over the
     * Aggregate-reduced distinct-cents table (WindowAudit-legal). At
     * 100 TB: quantize cents coarser (the grid is the only growing
-    * state) and mind the integer headroom — cum·n products need
-    * N < 3×10⁹ rows per comparison; above that, pre-aggregate to a
-    * coarser value grid or run per-shard and merge counts first.
+    * state) and mind the integer headroom — the binding bound is the
+    * cum·n products inside dnum, which need N < 3×10⁹ rows per
+    * comparison (the terminal d_micro multiply runs in 38-digit
+    * decimal/HUGEINT, so it never binds first); above that, sample
+    * rows per comparison or move dnum to decimal too.
     */
   val aggKsDrift: Op = Op.sql(
     "agg-ks-drift",
@@ -1770,7 +1772,8 @@ object AggOps {
       |SELECT m.event_type, CAST(m.n_type AS BIGINT) AS n_type,
       |       CAST(m.n_rest AS BIGINT) AS n_rest,
       |       CASE WHEN m.n_type * m.n_rest > 0
-      |            THEN CAST((m.dmax * 1000000) // (m.n_type * m.n_rest) AS BIGINT)
+      |            THEN CAST((CAST(m.dmax AS HUGEINT) * 1000000)
+      |                      // (CAST(m.n_type AS HUGEINT) * m.n_rest) AS BIGINT)
       |            ELSE NULL END AS d_micro,
       |       l.at_cents
       |FROM mx m JOIN loc l USING (event_type) ORDER BY m.event_type""".stripMargin
@@ -1802,8 +1805,12 @@ object AggOps {
       .agg(max("n1").as("n_type"), max("n2").as("n_rest"),
         max(struct(col("dnum"), (-col("cents")).as("nc"))).as("b"))
       .select(col("event_type"), col("n_type"), col("n_rest"),
+        // the terminal micro multiply runs in 38-digit decimal (HUGEINT in
+        // the oracle): dmax can reach n1·n2, so dmax·10⁶ in int64 would
+        // overflow ~1000× below the dnum products' own N < 3e9 bound
         when(col("n_type") * col("n_rest") > 0,
-          expr("(b.dnum * 1000000) div (n_type * n_rest)")).as("d_micro"),
+          expr("(CAST(b.dnum AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_type AS DECIMAL(38,0)) * n_rest)")).as("d_micro"),
         (-col("b.nc")).as("at_cents"))
       .orderBy("event_type")
   }

@@ -505,6 +505,29 @@ object DedupOps {
       .orderBy("d1", "d2")
   }
 
+  /** Shared blocker-scorecard tail (dedup-simhash-eval and
+    * dedup-winnowing-eval): n_pred / n_true / n_hit plus precision and
+    * recall at micro grain, zero-denominator → 0.0 both engines. The
+    * predicted pair set persists so the two counting reads (total and
+    * truth-intersection) scan it once instead of re-executing the
+    * blocker subtree (pair-sized; CacheManager dedups repeat builds by
+    * analyzed plan).
+    */
+  private def blockerScorecard(pred: org.apache.spark.sql.DataFrame,
+      tru: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = pred.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nt = tru.agg(count(lit(1)).as("n_true"))
+    val nh = p.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(
+        round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
+    np.crossJoin(nt).crossJoin(nh)
+      .select(col("n_pred"), col("n_true"), col("n_hit"),
+        frac(col("n_hit"), col("n_pred")).as("p_precision"),
+        frac(col("n_hit"), col("n_true")).as("p_recall"))
+  }
+
   /** Blocking-quality evaluation: precision/recall of simhash
     * fingerprint-equality blocking against the exact-jaccard truth set at
     * j ≥ 0.8 — the one-row scorecard a pipeline reads before trusting a
@@ -558,16 +581,7 @@ object DedupOps {
       .select(col("p.d1"), col("p.d2"))
     val tru = DedupOps.persistedJaccardPairs(s, d)
       .filter(col("jac") >= 0.8).select("d1", "d2")
-    val np = pred.agg(count(lit(1)).as("n_pred"))
-    val nt = tru.agg(count(lit(1)).as("n_true"))
-    val nh = pred.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
-    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      when(den === 0, lit(0.0)).otherwise(
-        round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
-    np.crossJoin(nt).crossJoin(nh)
-      .select(col("n_pred"), col("n_true"), col("n_hit"),
-        frac(col("n_hit"), col("n_pred")).as("p_precision"),
-        frac(col("n_hit"), col("n_true")).as("p_recall"))
+    blockerScorecard(pred, tru)
   }
 
   /** Blocking-quality evaluation of WINNOWING-fingerprint blocking
@@ -588,25 +602,10 @@ object DedupOps {
     * read); the pair DISTINCT and all three count joins are
     * pair-table-sized; truth rides the persisted shingle cache.
     */
-  val dedupWinnowingEval: Op = Op.sql(
+  lazy val dedupWinnowingEval: Op = Op.sql(
     "dedup-winnowing-eval",
     s"""WITH $ShingleOracle,
-       |twn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-       |        WHERE len(string_split(text, ' ')) >= 4),
-       |gwn AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS gram
-       |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
-       |              FROM twn)),
-       |hwn AS (SELECT doc_id, i,
-       |          list_reduce(list_prepend(0::BIGINT,
-       |            [ascii(substr(gram, c, 1))::BIGINT
-       |             FOR c IN generate_series(1, length(gram))]),
-       |            (a, b) -> (a * 31 + b) % 2147483647) AS gh
-       |        FROM gwn),
-       |glwn AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM hwn GROUP BY doc_id),
-       |wwn AS (SELECT doc_id, list_min(gs[i:i+3]) AS fp
-       |        FROM (SELECT doc_id, gs,
-       |                     unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
-       |              FROM glwn)),
+       |${TextOps.winnowSketchCtes("wn")},
        |fps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wwn),
        |pred AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
@@ -635,16 +634,7 @@ object DedupOps {
       .select(col("p.d1"), col("p.d2")).distinct()
     val tru = persistedJaccardPairs(s, d)
       .filter(col("jac") >= 0.8).select("d1", "d2")
-    val np = pred.agg(count(lit(1)).as("n_pred"))
-    val nt = tru.agg(count(lit(1)).as("n_true"))
-    val nh = pred.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
-    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-      when(den === 0, lit(0.0)).otherwise(
-        round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
-    np.crossJoin(nt).crossJoin(nh)
-      .select(col("n_pred"), col("n_true"), col("n_hit"),
-        frac(col("n_hit"), col("n_pred")).as("p_precision"),
-        frac(col("n_hit"), col("n_true")).as("p_recall"))
+    blockerScorecard(pred, tru)
   }
 
   /** Corpus-level survivorship of the minhash keep/drop pass — the

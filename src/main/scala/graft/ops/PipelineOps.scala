@@ -837,18 +837,7 @@ object PipelineOps {
       |             substr(md5(text), 1, 2) < 'e6' AS is_train
       |      FROM documents WHERE text IS NOT NULL),
       |ek AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
-      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-      |t AS (SELECT count(*) AS tot FROM toks),
-      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
-      |       FROM v, t),
-      |sc AS (SELECT doc_id,
-      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
-      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
-      |b AS (SELECT quantile_cont(mean_u,
-      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM sc),
-      |qa AS (SELECT doc_id, len(list_filter(bnds, x -> x <= mean_u)) AS bucket
-      |       FROM sc, b),
+      |${TextOps.unigramDecileCtes("sc", "qa")},
       |f AS (SELECT d.*,
       |             (d.doc_id = ek.keep_id) AS k1,
       |             (d.doc_id = ek.keep_id AND cl.cluster = d.doc_id) AS k2,
@@ -1008,18 +997,7 @@ object PipelineOps {
     "pipeline-order-sensitivity",
     s"""WITH RECURSIVE ${DedupOps.ShingleOracle},
       |${DedupOps.ClusterOracle},
-      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-      |t AS (SELECT count(*) AS tot FROM toks),
-      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
-      |       FROM v, t),
-      |sc AS (SELECT doc_id,
-      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
-      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
-      |b AS (SELECT quantile_cont(mean_u,
-      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM sc),
-      |qa AS (SELECT doc_id, len(list_filter(bnds, x -> x <= mean_u)) AS bucket
-      |       FROM sc, b),
+      |${TextOps.unigramDecileCtes("sc", "qa")},
       |sized AS (SELECT cl.id, cl.cluster, length(d.text) AS len, qa.bucket
       |          FROM cl JOIN documents d ON d.doc_id = cl.id
       |                  JOIN qa ON qa.doc_id = cl.id),

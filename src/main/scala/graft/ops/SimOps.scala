@@ -730,7 +730,8 @@ object SimOps {
        |              ORDER BY sim DESC, n_id) AS rn FROM scq$k) WHERE rn <= 3),
        |rec$k AS (SELECT CAST($k AS BIGINT) AS nlist,
        |                 CAST(count(*) AS BIGINT) AS k_eff,
-       |                 CAST(sum(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |                 CAST(coalesce(sum(CASE WHEN t.n_id IS NOT NULL
+       |                                        THEN 1 ELSE 0 END), 0)
        |                      AS BIGINT) AS n_hits
        |          FROM exact ex LEFT JOIN top$k t
        |            ON ex.q_id = t.q_id AND ex.n_id = t.n_id)""".stripMargin
@@ -766,7 +767,9 @@ object SimOps {
        |              ORDER BY sim DESC, n_id) AS rn FROM exsc) WHERE rn <= 3),
        |${Seq(2, 4, 8).map(k => s"${kmeansFitCtes(k)},\n${ivfRecallCtes(k)}")
         .mkString(",\n")}
-       |SELECT nlist, k_eff, n_hits, round(n_hits * 1.0 / k_eff, 6) AS recall
+       |SELECT nlist, k_eff, n_hits,
+       |       CASE WHEN k_eff > 0 THEN round(n_hits * 1.0 / k_eff, 6)
+       |            ELSE NULL END AS recall
        |FROM (SELECT * FROM rec2 UNION ALL SELECT * FROM rec4
        |      UNION ALL SELECT * FROM rec8)
        |ORDER BY nlist""".stripMargin
@@ -784,7 +787,10 @@ object SimOps {
         Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("n_hits"))
       exact.agg(count(lit(1)).as("k_eff")).crossJoin(hits)
         .select(lit(k.toLong).as("nlist"), col("k_eff"), col("n_hits"),
-          round(col("n_hits") * lit(1.0) / col("k_eff"), 6).as("recall"))
+          // an empty truth set (degenerate corpus with no queries or no
+          // corpus rows) must grade NULL, not NaN, on both engines
+          when(col("k_eff") > 0,
+            round(col("n_hits") * lit(1.0) / col("k_eff"), 6)).as("recall"))
     }
     rows.reduce(_ union _).orderBy("nlist")
   }

@@ -564,23 +564,34 @@ object TextOps {
     * than the per-gram md5 it replaced (round-6's largest pure-CPU
     * bench line, 8.8 s at sf0.1).
     */
-  val textWinnowing: Op = Op.sql(
+  /** SQL mirror of the winnowing sketch (k=4-token grams, w=4 windows):
+    * the t/g/h/gl/w CTE chain up to the per-window min-fingerprint
+    * table `w$sfx` (doc_id, win_pos, fp). Suffixed so a consumer oracle
+    * with its own CTE names (dedup-winnowing-eval rides ShingleOracle)
+    * can embed it without collisions — one spelling, so a hash or
+    * window change can never silently diverge between the sketch op and
+    * its blocker eval (the knBackoffLpCte discipline).
+    */
+  private[ops] def winnowSketchCtes(sfx: String): String =
+    s"""t$sfx AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 4),
+       |g$sfx AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS gram
+       |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+       |            FROM t$sfx)),
+       |h$sfx AS (SELECT doc_id, i,
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          [ascii(substr(gram, c, 1))::BIGINT
+       |           FOR c IN generate_series(1, length(gram))]),
+       |          (a, b) -> (a * 31 + b) % 2147483647) AS gh
+       |      FROM g$sfx),
+       |gl$sfx AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h$sfx GROUP BY doc_id),
+       |w$sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS win_pos, list_min(gs[i:i+3]) AS fp
+       |      FROM (SELECT doc_id, gs, unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
+       |            FROM gl$sfx))""".stripMargin
+
+  lazy val textWinnowing: Op = Op.sql(
     "text-winnowing",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 4),
-      |g AS (SELECT doc_id, i, array_to_string(ws[i:i+3], ' ') AS gram
-      |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
-      |            FROM t)),
-      |h AS (SELECT doc_id, i,
-      |        list_reduce(list_prepend(0::BIGINT,
-      |          [ascii(substr(gram, c, 1))::BIGINT
-      |           FOR c IN generate_series(1, length(gram))]),
-      |          (a, b) -> (a * 31 + b) % 2147483647) AS gh
-      |      FROM g),
-      |gl AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
-      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS win_pos, list_min(gs[i:i+3]) AS fp
-      |      FROM (SELECT doc_id, gs, unnest(generate_series(1, greatest(1, len(gs) - 3))) AS i
-      |            FROM gl))
+    s"""WITH ${winnowSketchCtes("")}
       |SELECT doc_id, min(win_pos) AS win_pos, CAST(fp AS BIGINT) AS fp
       |FROM w GROUP BY doc_id, fp
       |ORDER BY doc_id, win_pos, fp""".stripMargin
@@ -1107,20 +1118,7 @@ object TextOps {
     */
   val textQualityDeciles: Op = Op.sql(
     "text-quality-deciles",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-      |t AS (SELECT count(*) AS tot FROM toks),
-      |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
-      |       FROM v, t),
-      |sc AS (SELECT doc_id,
-      |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
-      |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
-      |b AS (SELECT quantile_cont(mean_u,
-      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
-      |      FROM sc),
-      |a AS (SELECT doc_id, mean_u,
-      |             len(list_filter(bnds, x -> x <= mean_u)) AS bucket
-      |      FROM sc, b)
+    s"""WITH ${unigramDecileCtes("sc", "a")}
       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
       |       min(mean_u) AS lo_u, max(mean_u) AS hi_u
       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
@@ -1138,6 +1136,32 @@ object TextOps {
     * spelling; the decile-boundary cross-engine argument lives on
     * [[textQualityDeciles]].
     */
+  /** SQL mirror of [[unigramDecileBuckets]]: the toks/v/t/lm chain plus
+    * the per-doc score CTE (named `scoreCte`), the 1-row decile-boundary
+    * CTE `b` and the bucket CTE (named `bucketCte`, carrying doc_id,
+    * mean_u, bucket). Names are parameterized so consumer oracles with
+    * their own CTE namespaces embed it without collisions — ONE
+    * spelling shared by text-quality-deciles, text-classifier-score,
+    * pipeline-curation-e2e and pipeline-order-sensitivity (the
+    * ClusterOracle discipline: a bucket-rule change can never silently
+    * diverge per op).
+    */
+  private[ops] def unigramDecileCtes(scoreCte: String, bucketCte: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |t AS (SELECT count(*) AS tot FROM toks),
+       |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
+       |       FROM v, t),
+       |$scoreCte AS (SELECT doc_id,
+       |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
+       |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
+       |b AS (SELECT quantile_cont(mean_u,
+       |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+       |      FROM $scoreCte),
+       |$bucketCte AS (SELECT doc_id, mean_u,
+       |             len(list_filter(bnds, x -> x <= mean_u)) AS bucket
+       |      FROM $scoreCte, b)""".stripMargin
+
   private[graft] def unigramDecileBuckets(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
@@ -2432,20 +2456,7 @@ object TextOps {
          |         CAST(round((z / (2.0 * (1 + abs(z))) + 0.5) * 1000000) AS BIGINT)
          |           AS score_micro
          |       FROM z),
-         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-         |t AS (SELECT count(*) AS tot FROM toks),
-         |lm AS (SELECT w, CAST(round((ln(cnt) - ln(tot)) * 1000000) AS BIGINT) AS lp
-         |       FROM v, t),
-         |mu AS (SELECT doc_id,
-         |              CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS mean_u
-         |       FROM toks JOIN lm USING (w) GROUP BY doc_id),
-         |b AS (SELECT quantile_cont(mean_u,
-         |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
-         |      FROM mu),
-         |bk AS (SELECT doc_id,
-         |              len(list_filter(bnds, x -> x <= mean_u)) AS bucket
-         |       FROM mu, b)
+         |${unigramDecileCtes("mu", "bk")}
          |SELECT CAST(bk.bucket AS BIGINT) AS bucket, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN sc.z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |       CAST(round(sum(sc.score_micro) * 1.0 / count(*)) AS BIGINT)

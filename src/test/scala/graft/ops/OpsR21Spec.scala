@@ -329,11 +329,14 @@ class OpsR21Spec extends SparkSpec {
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .filter(_._2 != null)
-    // the op's corpus: docs with >= 2 whitespace tokens
+    // the op's corpus: docs with >= 2 whitespace tokens (guard BEFORE
+    // sliding — Scala sliding(2) emits a final partial window, so a
+    // 1-token doc would throw instead of being excluded)
     val withBi = docs.map { case (id, text, src) =>
       val ws = text.split(" ", -1)
       (id, src, md5hex(text).substring(0, 2) < "e6",
-        ws.sliding(2).map(a => (a(0), a(1))).toSeq)
+        if (ws.length >= 2) ws.sliding(2).map(a => (a(0), a(1))).toSeq
+        else Seq.empty[(String, String)])
     }.filter(_._4.nonEmpty).toSeq
     // KN model on the TRAIN split
     val trainBi = withBi.filter(_._3).flatMap(_._4)
