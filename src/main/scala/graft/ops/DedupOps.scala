@@ -508,21 +508,25 @@ object DedupOps {
   /** Shared blocker-scorecard tail (dedup-simhash-eval and
     * dedup-winnowing-eval): n_pred / n_true / n_hit plus precision and
     * recall at micro grain, zero-denominator → 0.0 both engines. The
-    * predicted pair set persists so the two counting reads (total and
-    * truth-intersection) scan it once instead of re-executing the
-    * blocker subtree (pair-sized; CacheManager dedups repeat builds by
-    * analyzed plan).
+    * predicted pair set executes ONCE: n_pred and n_hit fold in a
+    * single aggregation over pred LEFT JOIN truth (count of non-null
+    * truth markers = hits). NOT a persist — a cached entry here would
+    * register the blocker's large analyzed plan in the CacheManager,
+    * whose plan-matching then taxes every later query's compile for the
+    * rest of the session (measured: the round-11 session-2 bench rose
+    * ~15% board-wide, src-grpc 2.4 s → 7.5 s, from exactly this).
+    * `tru` is read twice but rides the persisted jaccard-pair cache.
     */
   private def blockerScorecard(pred: org.apache.spark.sql.DataFrame,
       tru: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = pred.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nph = pred
+      .join(tru.withColumn("_t", lit(1)), Seq("d1", "d2"), "left_outer")
+      .agg(count(lit(1)).as("n_pred"), count(col("_t")).as("n_hit"))
     val nt = tru.agg(count(lit(1)).as("n_true"))
-    val nh = p.join(tru, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
     def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den === 0, lit(0.0)).otherwise(
         round(num * lit(1000000.0) / den).cast("long") / lit(1000000.0))
-    np.crossJoin(nt).crossJoin(nh)
+    nph.crossJoin(nt)
       .select(col("n_pred"), col("n_true"), col("n_hit"),
         frac(col("n_hit"), col("n_pred")).as("p_precision"),
         frac(col("n_hit"), col("n_true")).as("p_recall"))
@@ -592,6 +596,10 @@ object DedupOps {
     * one row says whether the ~1/w sketch is a usable dedup blocker on
     * this corpus, and at what candidate-volume price. Same scorecard
     * columns as the simhash eval so the two blockers compare directly.
+    * Reference analogue: the dedup decision audit of
+    * /root/reference/src/command/verify.rs:373-404 (which file-set to
+    * keep among duplicates), lifted to the content-blocker grain
+    * (extension scope — the reference has no fuzzy-dedup tier).
     *
     * Scale shape: the sketch is the ZERO-shuffle codegen kernel of
     * text-winnowing ([[graft.functions.WinnowFingerprints]] — fps

@@ -113,6 +113,12 @@ def main():
                  "(refusing to overwrite the board-wide baseline)")
     if args.out is None:
         args.out = "scaling_results.json"
+    # --out is a filename UNDER tools/; normalize a redundant "tools/"
+    # prefix and fail BEFORE measuring if the target is unwritable —
+    # losing 15 minutes of passes to a write-time ENOENT is the failure
+    # mode this guards
+    args.out = os.path.basename(args.out)
+    open(os.path.join(REPO, "tools", args.out), "a").close()
 
     if args.ops:
         global OPS
