@@ -6,9 +6,28 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. A warm-up pass (session init,
   * codegen, parquet footer reads) runs before any timing so per-query
   * numbers measure the operator, not JVM startup.
+  *
+  * Contention awareness (VERDICT r11 item 2): the JSON carries
+  * `loadavg_start`/`loadavg_end` (1-min system load) and `procs`
+  * so a run on a busy box is self-identifying — BENCH_r11's 1700 s
+  * driver total vs 351 s judge-reproduced idle-box total was pure
+  * tenant contention, indistinguishable from a regression without
+  * these fields. `wall_s` is the whole main's wall (incl. warm-up);
+  * `value` stays the sum of per-entry times (the historical metric).
   */
 object Bench {
+  /** Connector-seam simulations: their wall time measures thread
+    * scheduling of the seam's real in-flight budget, not engine work
+    * (VERDICT r11 item 3) — timed under a `seam:` key (the `fill:`
+    * convention) and excluded from `value_engine`.
+    */
+  private val seamIds = Set("src-grpc")
+
   def main(args: Array[String]): Unit = {
+    val t0Main = System.nanoTime()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val procs = Runtime.getRuntime.availableProcessors
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,25 +79,36 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val key = if (seamIds(name)) s"seam:$name" else name
+      key -> (System.nanoTime() - t0) / 1e9
     }
+    val total = results.map(_._2).sum
+    // Engine-only total: fills stay in (they are real shared engine work a
+    // pipeline pays once) but seam sims come out — their time is thread
+    // scheduling of a simulated transport, not plan execution.
+    val engineTotal = results.collect {
+      case (k, v) if !k.startsWith("seam:") => v }.sum
+    val loadEnd = osBean.getSystemLoadAverage
+    val wall = (System.nanoTime() - t0Main) / 1e9
+    def env: String =
+      f""""value_engine":$engineTotal%.3f,"wall_s":$wall%.1f,""" +
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"procs":$procs"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}""")
     // The harness keeps only the LAST ~2000 chars of output; the full line
     // above (200+ ops) never fits, so every recorded round had parsed=null.
     // Emit a second, compact line (slowest ops only) that always fits whole
     // inside that tail and parses standalone.
     val slow = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ops":${results.size},"note":"slowest 25 of ${results.size}; full per-op map in the previous line","queries":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$env,"n_ops":${results.size},"note":"slowest 25 of ${results.size}; full per-op map in the previous line","queries":$slow,"sf":"$sfDir"}""")
     // Robust channel for the full line: sbt prefixes piped stdout with
     // "[info] ", which can defeat line-level JSON parsing downstream; the
     // file has no prefix and no truncation.
     try {
       val w = new java.io.PrintWriter("bench_latest.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()

@@ -12,6 +12,27 @@ import graft.{Op, Tables}
   */
 object AggOps {
 
+  /** The KS grid — the (cents, event_type) count table [[aggKsDrift]]
+    * reads four times — memoized per (session, dir) and persisted, the
+    * persistedJaccardPairs/persistedDocClusters convention (ADVICE r11:
+    * a bare per-call persist relied on CacheManager analyzed-plan dedup
+    * and accumulated an entry per call for the session lifetime).
+    * Grid-sized (distinct cents × types), so the cache entry is tiny.
+    */
+  private val ksGridCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
+  private[graft] def persistedKsGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = ksGridCache.synchronized {
+    ksGridCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d,
+        Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("cents", "event_type").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** `deduplicate` — among duplicate candidates keep the one covering the
     * most (reference: src/command/verify.rs:373-404). Window rank
     * partitioned by the group key; sort covers every output column so ties
@@ -1778,13 +1799,9 @@ object AggOps {
       |       l.at_cents
       |FROM mx m JOIN loc l USING (event_type) ORDER BY m.event_type""".stripMargin
   ) { (s, d) =>
-    val p = Tables.events(s, d).select(col("event_type"),
-      round(col("value") * 100).cast("long").as("cents"))
-    // four consumers (ct/ty/tot/gj) read the reduced count table — persist
-    // it so the corpus scans ONCE (the table is grid-sized: distinct
-    // cents × types; CacheManager dedups repeat builds by analyzed plan)
-    val g = p.groupBy("cents", "event_type").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // four consumers (ct/ty/tot/gj) read the reduced count table — the
+    // memoized persisted grid ([[persistedKsGrid]]) scans the corpus ONCE
+    val g = persistedKsGrid(s, d)
     val ct = g.groupBy("cents").agg(sum("c").as("c_all"))
     val ca = ct.select(col("cents"),
       sum("c_all").over(Window.orderBy("cents")).as("cum_all"))

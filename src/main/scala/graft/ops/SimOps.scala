@@ -673,7 +673,7 @@ object SimOps {
               .cast("long")),
             lit(0L), (a, b) => a + b).as("d2"))
       }
-      greatest(structs: _*).getField("d2").as(s"d2_$k")
+      graft.sim.Similarity.bestStruct(structs).getField("d2").as(s"d2_$k")
     }
     val one = e.select(d2Cols: _*)
       .agg(count(lit(1)).as("n_vecs"),
@@ -921,7 +921,7 @@ object SimOps {
         lit(-cid).as("nc"))
     }
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", graft.sim.Similarity.bestStruct(centStructs))
       .select(col("vec_id"), (-col("_b.nc")).as("cid"), col("embedding"))
   }
 
@@ -1061,7 +1061,7 @@ object SimOps {
         typedLit(cv)).as("s"), lit(-cid).as("nc"))
     }
     val assigned = e
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", graft.sim.Similarity.bestStruct(centStructs))
       .select(col("vec_id"), (-col("_b.nc")).as("cid"),
         round((lit(1) - col("_b.s")) * 1000000).cast("long").as("d_e6"))
     val p95 = assigned.groupBy("cid")

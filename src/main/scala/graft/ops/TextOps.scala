@@ -1754,9 +1754,18 @@ object TextOps {
     * attribution is one `min(doc_id)` groupBy over the hashed shingle
     * stream — shuffles move 8-byte xxhash64 keys, never gram strings
     * (the dedup-substring-spans discipline; the string-exact oracle
-    * bounds collisions at test SF). The per-doc totals and the novelty
-    * attribution then meet in a doc-keyed join, both sides already
-    * doc-grained.
+    * bounds collisions at test SF). The totals side never explodes at
+    * all: a doc's distinct-shingle count is `size(array_distinct(...))`,
+    * ROW-LOCAL, folding straight to the 50-doc bucket grain with
+    * map-side combine (VERDICT r11 item 7 — the old spelling exploded
+    * the corpus a second time and joined at doc grain; different
+    * shuffle keys meant no exchange reuse, so the whole scan+explode
+    * ran twice). Both sides meet bucket-grained — config-sized.
+    *
+    * Why it shares no fill: persistedShingles is df-PRUNED (hot
+    * shingles dropped — novelty must count them) and the KN family's
+    * docBigramStream is bigram-grained (novelty is 3-gram), so neither
+    * cache has the right stream; the one explode pass here is its own.
     */
   val textNoveltyCurve: Op = Op.sql(
     "text-novelty-curve",
@@ -1780,21 +1789,30 @@ object TextOps {
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3)
-    val sh = docs
-      .select(col("doc_id"),
-        explode(array_distinct(
-          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("raw"))
+    val grams = array_distinct(
+      graft.text.TextAnalysis.wordShingles(col("text"), 3))
+    // totals + doc counts: row-local distinct-shingle size, folded straight
+    // to bucket grain (~corpus/50 groups, map-side combined — no explode)
+    val tt = docs
+      .select(expr("doc_id div 50").as("bucket"),
+        size(grams).cast("long").as("n_sh"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("total_shingles"))
+    // novelty: the one explode pass — min(doc_id) per 8-byte shingle hash,
+    // then first-occurrence counts fold to the same bucket grain
+    val nv = docs
+      .select(col("doc_id"), explode(grams).as("raw"))
       .select(col("doc_id"), xxhash64(col("raw")).as("h"))
-    val nv = sh.groupBy("h").agg(min("doc_id").as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
-    val tt = sh.groupBy("doc_id").agg(count(lit(1)).as("total"))
-    tt.join(nv, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("novel"), lit(0L)).as("novel"), col("total"))
-      .groupBy(expr("doc_id div 50").as("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum("novel").as("novel_shingles"),
-        sum("total").as("total_shingles"),
-        (round(sum("novel").cast("double") * lit(1000000) /
-          sum("total").cast("double")).cast("long") / lit(1e6)).as("novelty"))
+      .groupBy("h").agg(min("doc_id").as("fd"))
+      .groupBy(expr("fd div 50").as("bucket"))
+      .agg(count(lit(1)).as("novel"))
+    tt.join(nv, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("novel"), lit(0L)).as("novel_shingles"),
+        col("total_shingles"),
+        (round(coalesce(col("novel"), lit(0L)).cast("double") * lit(1000000) /
+          col("total_shingles").cast("double")).cast("long") / lit(1e6))
+          .as("novelty"))
       .orderBy("bucket")
   }
 

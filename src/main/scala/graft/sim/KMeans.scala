@@ -46,7 +46,7 @@ object KMeans {
           lit(-ci.toLong).as("nc"))
       }
       val updated = e
-        .withColumn("_b", greatest(structs: _*))
+        .withColumn("_b", Similarity.bestStruct(structs))
         .select((-col("_b.nc")).as("cid"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")

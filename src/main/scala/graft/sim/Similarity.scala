@@ -131,6 +131,15 @@ object Similarity {
     * pluggable (k-means upstream); any DETERMINISTIC centroid set gives
     * reproducible lists.
     */
+  /** Lexicographic max over candidate structs. Spark's `greatest`
+    * requires >= 2 arguments, so a single-candidate model (a degenerate
+    * 1-vector corpus collapses KMeans' init to one centroid) must fold
+    * to the bare struct instead of throwing AnalysisException — every
+    * struct-argmax assignment site routes through here (ADVICE r11).
+    */
+  private[graft] def bestStruct(structs: Seq[Column]): Column =
+    if (structs.size == 1) structs.head else greatest(structs: _*)
+
   /** Centroid table → driver-side literals (config-sized by design). */
   private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =
     centroids
@@ -155,7 +164,7 @@ object Similarity {
     val cents = collectCentroids(centroids)
     def centStructs: Seq[Column] = centroidStructs(cents)
     val assigned = corpus
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", bestStruct(centStructs))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         (-col("_b.nc")).as("cid"))
     val probes = queries
@@ -186,7 +195,7 @@ object Similarity {
     val cents = collectCentroids(centroids)
     def centStructs: Seq[Column] = centroidStructs(cents)
     val assigned = corpus
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", bestStruct(centStructs))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         (-col("_b.nc")).as("cid"))
     val maxP = nprobes.max
@@ -227,7 +236,7 @@ object Similarity {
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus
-      .withColumn("_b", greatest(centroidStructs(collectCentroids(centroids)): _*))
+      .withColumn("_b", bestStruct(centroidStructs(collectCentroids(centroids))))
       .select(col("vec_id").as("n_id"), (-col("_b.nc")).as("cid"))
 
   /** Per-query probed list ids (the top-`nprobe` centroids by cosine,
@@ -283,7 +292,7 @@ object Similarity {
     private def codeCol(c: Column, s: Int): Column = {
       val structs = cents.indices.map(j =>
         struct(subDot(c, s, j).as("d"), lit(-j.toLong).as("nj")))
-      -greatest(structs: _*).getField("nj")
+      -bestStruct(structs).getField("nj")
     }
     /** `c0..c{m-1}` code columns for a corpus vector. */
     def codeCols(c: Column): Seq[Column] =
@@ -338,7 +347,7 @@ object Similarity {
     def centStructs: Seq[Column] = centroidStructs(cents)
     val pq = PqModel(collectCodebook(codebook), m)
     val assigned = corpus
-      .withColumn("_b", greatest(centStructs: _*))
+      .withColumn("_b", bestStruct(centStructs))
       .select(col("vec_id").as("n_id") +: (-col("_b.nc")).as("cid") +:
         pq.codeCols(col("embedding")): _*)
     val probes = queries

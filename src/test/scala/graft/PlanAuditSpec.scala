@@ -981,4 +981,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_bounded_top_structs"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  test("text-novelty-curve explodes the corpus exactly once") {
+    // VERDICT r11 item 7: the totals side is the row-local
+    // size(array_distinct(...)) fold — only the first-occurrence side
+    // pays the shingle explode. Two Generates = the old double-scan
+    // spelling regressed back in.
+    val p = plan("text-novelty-curve")
+    assert(p.sliding("Generate explode".length).count(
+      _ == "Generate explode") == 1, p)
+    assert(!p.contains("row_number"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }

@@ -61,7 +61,19 @@ MIN_PASSES = 3
 
 
 def append(round_no, files):
-    maps = [first_json_line(p)["queries"] for p in files]
+    passes = [first_json_line(p) for p in files]
+    maps = [p["queries"] for p in passes]
+    # contention context (round-12 Bench emits these; older files lack
+    # them): per-pass [loadavg_start, loadavg_end, wall_s] so a recorded
+    # minimum taken under heavy tenant load is self-identifying forever
+    # (BENCH_r11's 1700 s driver run vs 351 s idle-box, VERDICT r11 item 2)
+    env = [[p.get("loadavg_start"), p.get("loadavg_end"), p.get("wall_s")]
+           for p in passes]
+    have_env = any(any(x is not None for x in e) for e in env)
+    if have_env:
+        for i, (ls, le, w) in enumerate(env, 1):
+            print(f"[bench-history]   pass {i}: load {ls} -> {le}, "
+                  f"wall {w} s")
     keys = sorted(set().union(*[set(m) for m in maps]))
     mins = {k: min(m[k] for m in maps if k in m) for k in keys}
     # the documented protocol is a minimum over EVERY pass in the append
@@ -82,13 +94,16 @@ def append(round_no, files):
         for k, n in sorted(thin.items()):
             print(f"[bench-history]   {k}: {n} pass(es)")
     rows = [r for r in load_history() if r["round"] != round_no]
-    rows.append({
+    row = {
         "round": round_no,
         "passes": len(files),
         "entries": len(mins),
         "sum_min_s": round(sum(mins.values()), 1),
         "mins": mins,
-    })
+    }
+    if have_env:
+        row["env"] = env
+    rows.append(row)
     write_history(rows)
     print(f"[bench-history] round {round_no}: {len(mins)} entries, "
           f"sum of minimums {round(sum(mins.values()), 1)} s "
@@ -105,6 +120,13 @@ def check():
           f"({cur['entries']} entries, {cur['sum_min_s']} s) vs "
           f"round {prev['round']} ({prev['entries']} entries, "
           f"{prev['sum_min_s']} s)")
+    for label, r in (("cur", cur), ("prev", prev)):
+        if r.get("env"):
+            loads = [e[0] for e in r["env"] if e and e[0] is not None]
+            if loads:
+                print(f"[bench-history]   {label} round {r['round']}: "
+                      f"loadavg at pass starts "
+                      f"{', '.join(f'{x:.1f}' for x in loads)}")
     regressions = []
     for op, new in sorted(cur["mins"].items()):
         old = prev["mins"].get(op)

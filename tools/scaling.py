@@ -113,12 +113,24 @@ def main():
                  "(refusing to overwrite the board-wide baseline)")
     if args.out is None:
         args.out = "scaling_results.json"
-    # --out is a filename UNDER tools/; normalize a redundant "tools/"
-    # prefix and fail BEFORE measuring if the target is unwritable —
-    # losing 15 minutes of passes to a write-time ENOENT is the failure
-    # mode this guards
-    args.out = os.path.basename(args.out)
-    open(os.path.join(REPO, "tools", args.out), "a").close()
+    # --out is a bare filename UNDER tools/ — a path with a directory
+    # component is rejected loudly (ADVICE r11: silently basename-stripping
+    # "--out /tmp/x.json" wrote tools/x.json with no warning). The
+    # writability probe still runs BEFORE measuring (losing 15 minutes of
+    # passes to a write-time ENOENT is the failure mode it guards), but a
+    # probe file that did not pre-exist is unlinked if the probe created it.
+    norm = args.out
+    if norm.startswith("tools/"):  # redundant prefix, unambiguous
+        norm = norm[len("tools/"):]
+    if os.path.dirname(norm):
+        ap.error(f"--out must be a bare filename under tools/ "
+                 f"(got {args.out!r}); results always land in tools/")
+    args.out = norm
+    probe_path = os.path.join(REPO, "tools", args.out)
+    pre_existing = os.path.exists(probe_path)
+    open(probe_path, "a").close()
+    if not pre_existing:
+        os.unlink(probe_path)
 
     if args.ops:
         global OPS
