@@ -23,17 +23,71 @@ object Bench {
     */
   private val seamIds = Set("src-grpc")
 
+  /** Single-thread CPU calibration: wall ms for a fixed 50M-step integer
+    * FNV fold. This box's EFFECTIVE cpu speed swings ~2x at constant
+    * loadavg and ~0 steal (host-level contention the guest cannot see in
+    * /proc) — measured 1.4 s vs 2.8 s for the same Python loop minutes
+    * apart while a bench pass doubled. loadavg alone therefore cannot
+    * adjudicate a slow pass; this probe can: spin_ms scales with the
+    * slowdown, so pass totals are comparable after dividing by it.
+    */
+  private def spinProbeMs(): Double = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < 50000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+    val t0 = System.nanoTime()
+    h = 1469598103934665603L
+    i = 0
+    while (i < 50000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (h == 42) print("") // defeat dead-code elimination
+    math.rint(ms * 10) / 10
+  }
+
+  /** Cross-thread wakeup latency: µs per synchronous queue handoff,
+    * averaged over 10k. On this VM (gVisor-style syscall interception)
+    * futex wake latency degrades independently of CPU speed — measured
+    * 37-45 µs/handoff and 1-3 ms/thread-create in windows where the spin
+    * probe read healthy, while identical bench passes ran 233 s vs 667 s.
+    * Spark pays a handoff on every task launch/result/RPC hop, so THIS
+    * probe — not loadavg, not steal, not spin — is what a slow pass
+    * correlates with. Both probes together make any recorded pass
+    * environment-attributable.
+    */
+  private def handoffProbeUs(): Double = {
+    val q = new java.util.concurrent.SynchronousQueue[Integer]()
+    val n = 10000
+    val c = new Thread(() => {
+      var i = 0
+      while (i < n) { q.take(); i += 1 }
+    })
+    c.setDaemon(true)
+    c.start()
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) { q.put(i); i += 1 }
+    c.join()
+    math.rint((System.nanoTime() - t0) / 1e3 / n * 10) / 10
+  }
+
   def main(args: Array[String]): Unit = {
     val t0Main = System.nanoTime()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    val spinStart = spinProbeMs()
+    val handoffStart = handoffProbeUs()
     val procs = Runtime.getRuntime.availableProcessors
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At 10-100x the bench SF the rig must scale like a cluster would:
+    // more partitions per core or the fixed 32 saturate (each task holds
+    // 100x the state; caches evict, aggregations spill). Overridable so
+    // scale sweeps can separate plan growth from rig saturation.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -89,10 +143,14 @@ object Bench {
     val engineTotal = results.collect {
       case (k, v) if !k.startsWith("seam:") => v }.sum
     val loadEnd = osBean.getSystemLoadAverage
+    val spinEnd = spinProbeMs()
+    val handoffEnd = handoffProbeUs()
     val wall = (System.nanoTime() - t0Main) / 1e9
     def env: String =
       f""""value_engine":$engineTotal%.3f,"wall_s":$wall%.1f,""" +
-      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"procs":$procs"""
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
+      f""""spin_ms_start":$spinStart%.1f,"spin_ms_end":$spinEnd%.1f,""" +
+      f""""handoff_us_start":$handoffStart%.1f,"handoff_us_end":$handoffEnd%.1f,"procs":$procs"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$env,"queries":$qs,"sf":"$sfDir"}""")

@@ -67,12 +67,15 @@ def append(round_no, files):
     # them): per-pass [loadavg_start, loadavg_end, wall_s] so a recorded
     # minimum taken under heavy tenant load is self-identifying forever
     # (BENCH_r11's 1700 s driver run vs 351 s idle-box, VERDICT r11 item 2)
-    env = [[p.get("loadavg_start"), p.get("loadavg_end"), p.get("wall_s")]
+    env = [[p.get("loadavg_start"), p.get("loadavg_end"), p.get("wall_s"),
+            p.get("spin_ms_start"), p.get("spin_ms_end"),
+            p.get("handoff_us_start"), p.get("handoff_us_end")]
            for p in passes]
     have_env = any(any(x is not None for x in e) for e in env)
     if have_env:
-        for i, (ls, le, w) in enumerate(env, 1):
+        for i, (ls, le, w, ss, se, hs, he) in enumerate(env, 1):
             print(f"[bench-history]   pass {i}: load {ls} -> {le}, "
+                  f"spin_ms {ss} -> {se}, handoff_us {hs} -> {he}, "
                   f"wall {w} s")
     keys = sorted(set().union(*[set(m) for m in maps]))
     mins = {k: min(m[k] for m in maps if k in m) for k in keys}

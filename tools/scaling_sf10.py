@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""100x scale evidence for the dedup/sim ladder heads (VERDICT r11 item 4).
+
+SCALING.md's board-wide curves stop at sf1 (10x the bench SF). This
+harness generates an sf10 fixture (100x sf0.1, via graft.tools.ScaleGen's
+independent-shard model) and measures the ops whose 100 TB story carries
+the most weight across sf0.1 -> sf1 -> sf10 — a 100x span — with N passes
+per scale (fresh JVM each; per-op MINIMUM across passes).
+
+Slope model: slope10 = (t(sf10) - t(sf1)) / (t(sf1) - t(sf0.1)) is ~10
+for any t = fixed + c*sf plan, regardless of the fixed term. Same bands
+as tools/scaling.py.
+
+Usage: python3 tools/scaling_sf10.py [--passes 3]
+         [--sf1-dir /tmp/graft-sf1] [--sf10-dir /tmp/graft-sf10]
+Writes tools/scaling_sf10.json; run with the box otherwise idle.
+"""
+import argparse
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The five 100 TB-load-bearing targets (VERDICT r11 item 4): the shared
+# dedup fills (timed automatically when any dedup-* op is present), the
+# cluster builder, the order-3 LM train, and the curation composite.
+OPS = ["dedup-cluster", "text-kn-trigram", "pipeline-curation-e2e"]
+
+
+def run_pass(sf_dir, timeout):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(OPS)]
+    out_path = os.path.join(REPO, "bench_latest.json")
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    r = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    if r.returncode != 0 or not os.path.exists(out_path):
+        raise RuntimeError(f"bench pass failed at {sf_dir} (rc={r.returncode})")
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def ensure_fixture(src, out_dir, mult, timeout):
+    probe = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.isdir(probe):
+        return
+    print(f"[scaling-sf10] generating {mult}x fixture at {out_dir} ...",
+          flush=True)
+    subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.ScaleGen {src} {out_dir} {mult}"],
+        cwd=REPO, env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
+        timeout=timeout, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--sf1-dir", default="/tmp/graft-sf1")
+    ap.add_argument("--sf10-dir", default="/tmp/graft-sf10")
+    args = ap.parse_args()
+
+    ensure_fixture("/root/testdata/sf0.1", args.sf1_dir, 10, 900)
+    ensure_fixture("/root/testdata/sf0.1", args.sf10_dir, 100, 3600)
+
+    scales = [("sf0.1", "/root/testdata/sf0.1", 600),
+              ("sf1", args.sf1_dir, 1200),
+              ("sf10", args.sf10_dir, 3600)]
+    mins = {}
+    env_log = {}
+    for name, sf_dir, timeout in scales:
+        per_op = {}
+        env_log[name] = []
+        for p in range(args.passes):
+            d = run_pass(sf_dir, timeout)
+            env_log[name].append(
+                [d.get("loadavg_start"), d.get("loadavg_end"), d.get("wall_s")])
+            for op, t in d["queries"].items():
+                per_op[op] = min(per_op.get(op, 1e18), t)
+            print(f"[scaling-sf10] {name} pass {p + 1}/{args.passes}: "
+                  f"total {d['value']:.1f} s, load "
+                  f"{d.get('loadavg_start')}->{d.get('loadavg_end')}",
+                  flush=True)
+        mins[name] = per_op
+
+    rows = []
+    for op in sorted(set().union(*[set(m) for m in mins.values()])):
+        t01 = mins["sf0.1"].get(op)
+        t1 = mins["sf1"].get(op)
+        t10 = mins["sf10"].get(op)
+        if None in (t01, t1, t10):
+            continue
+        d1, d2 = t1 - t01, t10 - t1
+        if t10 <= 1.3 * t1 + 0.5:
+            cls = "flat (fixed cost dominates)"
+            slope = None
+        elif d1 < 0.3:
+            slope = t10 / max(t1, 1e-9)
+            cls = ("<=linear (ratio vs sf1)" if slope <= 13
+                   else "REVIEW (ratio vs sf1 > 13)")
+        else:
+            slope = d2 / d1
+            cls = ("sublinear" if slope <= 7 else
+                   "linear" if slope <= 13 else
+                   "near-linear (n log n band) - review" if slope <= 20 else
+                   "SUPERLINEAR - defect")
+        rows.append({"op": op, "sf0.1": round(t01, 2), "sf1": round(t1, 2),
+                     "sf10": round(t10, 2),
+                     "slope10": round(slope, 1) if slope is not None else None,
+                     "class": cls})
+        print(f"[scaling-sf10] {op}: {t01:.2f} / {t1:.2f} / {t10:.2f} "
+              f"-> {cls}")
+
+    out = {"passes": args.passes, "env": env_log, "rows": rows}
+    with open(os.path.join(REPO, "tools", "scaling_sf10.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("[scaling-sf10] wrote tools/scaling_sf10.json")
+
+
+if __name__ == "__main__":
+    main()
