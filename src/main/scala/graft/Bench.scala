@@ -32,15 +32,17 @@ object Bench {
     * slowdown, so pass totals are comparable after dividing by it.
     */
   private def spinProbeMs(): Double = {
-    var h = 1469598103934665603L
+    var w = 1469598103934665603L
     var i = 0
-    while (i < 50000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+    while (i < 50000000) { w = (w ^ i) * 1099511628211L; i += 1 }
     val t0 = System.nanoTime()
-    h = 1469598103934665603L
+    var h = 1469598103934665603L
     i = 0
     while (i < 50000000) { h = (h ^ i) * 1099511628211L; i += 1 }
     val ms = (System.nanoTime() - t0) / 1e6
-    if (h == 42) print("") // defeat dead-code elimination
+    // fold BOTH loop results into the guard: an unread warm-up result is
+    // legally removable by C2, leaving the timed loop partially un-warmed
+    if ((h ^ w) == 42) print("")
     math.rint(ms * 10) / 10
   }
 

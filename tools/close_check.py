@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--correctness", default=None,
                     help="optional CORRECTNESS_rN.json to include in the "
                          "set comparison")
+    ap.add_argument("--round", type=int, default=None,
+                    help="assert the latest bench-history row IS this "
+                         "round (a close that forgot --append otherwise "
+                         "passes on an unchanged board by re-serving the "
+                         "previous round's row)")
     args = ap.parse_args()
 
     osql = os.path.join(args.verify_out, "oracle_sql.json")
@@ -69,10 +74,30 @@ def main():
         sys.exit(1)
     with open(osql) as f:
         board = set(json.load(f))
+    osql_mtime = os.path.getmtime(osql)
 
-    # Verify writes one parquet DIRECTORY per op, named by the bare op id
-    results = {d for d in os.listdir(args.verify_out)
-               if os.path.isdir(os.path.join(args.verify_out, d))}
+    # Verify writes one parquet DIRECTORY per op, named by the bare op id.
+    # Freshness: Verify writes oracle_sql.json FIRST, then the dumps, into
+    # a REUSED out dir — a dump older than oracle_sql.json is a leftover
+    # from a previous run (its op either failed this run, leaving a stale
+    # dir that would mask the failure as a false GREEN, or was removed
+    # from the board). Both must fail the close.
+    results, stale = set(), []
+    for d in os.listdir(args.verify_out):
+        p = os.path.join(args.verify_out, d)
+        if not os.path.isdir(p):
+            continue
+        if os.path.getmtime(p) < osql_mtime:
+            stale.append(d)
+        else:
+            results.add(d)
+    if stale:
+        print(f"[close-check] MISMATCH: {len(stale)} stale result dump(s) "
+              f"predate this Verify run (op failed this run, or was "
+              f"removed without clearing the out dir): "
+              f"{', '.join(sorted(stale)[:15])}"
+              + (" ..." if len(stale) > 15 else ""))
+        sys.exit(1)
 
     if not os.path.exists(HIST):
         print("[close-check] no bench_history.jsonl")
@@ -81,6 +106,11 @@ def main():
         rows = [json.loads(l) for l in f if l.strip()]
     rows.sort(key=lambda r: r["round"])
     latest = rows[-1]
+    if args.round is not None and latest["round"] != args.round:
+        print(f"[close-check] MISMATCH: latest bench-history row is round "
+              f"{latest['round']}, but this close is round {args.round} — "
+              f"run bench_history --append {args.round} first")
+        sys.exit(1)
     bench = set()
     for k in latest["mins"]:
         if k.startswith("fill:"):

@@ -57,7 +57,11 @@ def run_pass(sf_dir, timeout):
             f"bench pass failed at {sf_dir} (rc={r.returncode}, "
             f"output {'present' if os.path.exists(out_path) else 'missing'})")
     with open(out_path) as f:
-        return json.load(f)["queries"]
+        q = json.load(f)["queries"]
+    # Bench times connector-seam sims under a seam: prefix (round 12);
+    # strip it so the op keeps its historical key in scaling_results.json
+    return {(k[len("seam:"):] if k.startswith("seam:") else k): v
+            for k, v in q.items()}
 
 
 def ensure_sf1(sf1_dir):

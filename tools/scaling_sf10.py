@@ -39,7 +39,11 @@ def run_pass(sf_dir, timeout):
     if r.returncode != 0 or not os.path.exists(out_path):
         raise RuntimeError(f"bench pass failed at {sf_dir} (rc={r.returncode})")
     with open(out_path) as f:
-        return json.load(f)
+        d = json.load(f)
+    # strip Bench's seam: prefix (round 12) so ops keep one key everywhere
+    d["queries"] = {(k[len("seam:"):] if k.startswith("seam:") else k): v
+                    for k, v in d["queries"].items()}
+    return d
 
 
 def ensure_fixture(src, out_dir, mult, timeout):
@@ -76,7 +80,10 @@ def main():
         for p in range(args.passes):
             d = run_pass(sf_dir, timeout)
             env_log[name].append(
-                [d.get("loadavg_start"), d.get("loadavg_end"), d.get("wall_s")])
+                [d.get("loadavg_start"), d.get("loadavg_end"),
+                 d.get("wall_s"), d.get("spin_ms_start"),
+                 d.get("spin_ms_end"), d.get("handoff_us_start"),
+                 d.get("handoff_us_end")])
             for op, t in d["queries"].items():
                 per_op[op] = min(per_op.get(op, 1e18), t)
             print(f"[scaling-sf10] {name} pass {p + 1}/{args.passes}: "
@@ -93,7 +100,11 @@ def main():
         if None in (t01, t1, t10):
             continue
         d1, d2 = t1 - t01, t10 - t1
-        if t10 <= 1.3 * t1 + 0.5:
+        # flat test spans the WHOLE measured range (top vs bottom scale,
+        # the tools/scaling.py convention) — an op that grows sf0.1->sf1
+        # then plateaus is not flat; the 0.3 s noise floor (vs scaling.py's
+        # 0.15) is intentional: this harness's bottom span is 10x wider
+        if t10 <= 1.3 * t01 + 0.5:
             cls = "flat (fixed cost dominates)"
             slope = None
         elif d1 < 0.3:
