@@ -172,5 +172,13 @@ object Bench {
       finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
+    // Terminal health marker + explicit exit (VERDICT r12 item 3): the
+    // driver's capture wrapper recorded rc=1 on a green r12 run, making
+    // the artifact's one machine-readable health bit wrong. Any captured
+    // tail that carries this line is a successful Bench regardless of
+    // wrapper-level rc (tools/bench_rc_check.py asserts it); a missing
+    // marker is a real Bench failure.
+    println(s"BENCH_OK ${results.size}")
+    sys.exit(0)
   }
 }

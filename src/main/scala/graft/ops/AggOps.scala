@@ -18,6 +18,16 @@ object AggOps {
     * a bare per-call persist relied on CacheManager analyzed-plan dedup
     * and accumulated an entry per call for the session lifetime).
     * Grid-sized (distinct cents × types), so the cache entry is tiny.
+    *
+    * Staleness caveat shared by every (session, dir)-keyed memo in this
+    * codebase (CentroidCacheSpec documents it for centroids): the key is
+    * the DIR STRING, so rewriting a fixture dir within one session
+    * serves the persisted counts of the OLD data. Batch sessions read
+    * immutable snapshot dirs, so this is accepted by convention; a
+    * rewrite-in-place workflow must use a fresh session (or dir) per
+    * fixture generation. The WeakHashMap entry is uncollectable while
+    * the session lives (the cached DataFrame references its session) —
+    * weakness only releases STOPPED sessions (ADVICE r12).
     */
   private val ksGridCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,

@@ -985,11 +985,23 @@ object DedupOps {
   ) { (s, d) => hammingPairs(s, d).orderBy("d1", "d2") }
 
   /** The Manku banded Hamming ≤ 3 pair pipeline (see dedup-simhash-hamming)
-    * as a reusable table — shared with dedup-method-agreement.
+    * as a reusable table — shared with dedup-method-agreement. Memoized
+    * per (session, dir) like persistedDocClusters/persistedKsGrid
+    * (VERDICT r12 item 6: a bare per-call persist here was the one
+    * remaining non-memoized cross-op cache — each caller registered the
+    * large banded plan with the CacheManager anew, the agg-ks-drift
+    * pattern ADVICE r11 flagged). Same dir-string staleness caveat as
+    * every memo of this shape (see persistedKsGrid's scaladoc).
     */
+  private val hammingCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
   private def hammingPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = hammingPairsPlan(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d: String): org.apache.spark.sql.DataFrame = hammingCache.synchronized {
+    hammingCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d, hammingPairsPlan(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def hammingPairsPlan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {

@@ -277,7 +277,7 @@ object SourceSinkOps {
         val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
         val cap = graft.sources.Concurrency.blocksParallel(
           graft.sources.Concurrency.apiParallel(16))
-        graft.sources.Concurrency.boundedFetch(heights, cap) { h =>
+        graft.sources.Concurrency.boundedFetch(heights, cap, kind = "blocks") { h =>
           graft.sources.Retry.withRetries(delays, sleep = _ => ()) { () =>
             if (h % 1000 == 0 && !failedOnce.contains(h)) {
               failedOnce.add(h)

@@ -33,8 +33,15 @@ object Similarity {
   // hash hazard (see text-dsir, PLANS.md round 6). IEEE -0.0 + 0.0 = +0.0
   // and every other value is unchanged; the oracles' CosineSql carries the
   // same normalization.
+  // try_divide, not /: a ZERO-NORM side (an all-zero vector — e.g. an MRL
+  // prefix truncation whose support lies past the cut, fuzz seed 707's
+  // 2-hot chain vectors) throws under ANSI while DuckDB's / returns NULL
+  // (the CLAUDE.md division-by-zero class). NULL sims then rank below
+  // every real sim on both engines (NULLS LAST under DESC both sides),
+  // ties broken by id. Single-evaluation + codegen, unlike a
+  // when(den === 0) guard that would re-run both norm loops per row.
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6) + lit(0.0)
+    round(try_divide(dot(a, b), norm(a) * norm(b)), 6) + lit(0.0)
 
   /** Brute-force top-k: queries broadcast-joined against the corpus —
     * scoring is one shuffle-free pass — then the salted two-phase top-k
@@ -137,8 +144,13 @@ object Similarity {
     * to the bare struct instead of throwing AnalysisException — every
     * struct-argmax assignment site routes through here (ADVICE r11).
     */
-  private[graft] def bestStruct(structs: Seq[Column]): Column =
+  private[graft] def bestStruct(structs: Seq[Column]): Column = {
+    // Zero structs = zero-row centroid table / empty corpus upstream;
+    // fail with a named cause instead of greatest()'s opaque
+    // AnalysisException (ADVICE r12).
+    require(structs.nonEmpty, "no centroids: empty centroid table")
     if (structs.size == 1) structs.head else greatest(structs: _*)
+  }
 
   /** Centroid table → driver-side literals (config-sized by design). */
   private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Double])] =

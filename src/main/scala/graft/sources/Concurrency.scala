@@ -34,25 +34,32 @@ object Concurrency {
   def txParallel(api: Int): Int = math.min(64, math.max(1, api / 2))
   def traceParallel(api: Int): Int = math.min(16, math.max(1, api / 4))
 
-  // One pool per distinct cap for the JVM's lifetime (caps are config
-  // constants — a handful of entries). Daemon threads: the pool is never
-  // shut down, and must not block JVM exit.
+  // One pool per (kind, cap) for the JVM's lifetime (kinds and caps are
+  // config constants — a handful of entries). Keyed by KIND, not cap
+  // value alone: the reference holds one semaphore PER request kind
+  // (global.rs:78-97), and distinct kinds with equal caps (txParallel
+  // and blocksParallel are both api/2) would otherwise share one pool,
+  // halving the aggregate budget (ADVICE r12). Daemon threads: the pool
+  // is never shut down, and must not block JVM exit.
   private val pools =
-    new java.util.concurrent.ConcurrentHashMap[Int, ExecutorService]()
-  private def sharedPool(cap: Int): ExecutorService =
-    pools.computeIfAbsent(cap, c => Executors.newFixedThreadPool(c,
-      new ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-fetch-$c-${n.incrementAndGet()}")
-          t.setDaemon(true)
-          t
-        }
-      }))
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), ExecutorService]()
+  private def sharedPool(kind: String, cap: Int): ExecutorService =
+    pools.computeIfAbsent((kind, cap), { case (k, c) =>
+      Executors.newFixedThreadPool(c,
+        new ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-fetch-$k-$c-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        })
+    })
 
-  def boundedFetch[A, B](it: Iterator[A], cap: Int)(f: A => B): Iterator[B] = {
+  def boundedFetch[A, B](it: Iterator[A], cap: Int,
+      kind: String = "blocks")(f: A => B): Iterator[B] = {
     require(cap >= 1, s"cap: $cap")
-    val pool = sharedPool(cap)
+    val pool = sharedPool(kind, cap)
     val inFlight = new ArrayBlockingQueue[JFuture[B]](cap)
     new Iterator[B] {
       private def fill(): Unit =

@@ -222,12 +222,29 @@ object FuzzGen {
       Seq(i.toLong, text, if (rd.nextInt(10) == 0) "de" else "en", src,
         text.length.toLong)
     }
+    // Seeds >= 700 additionally plant a CHAIN-SHAPED near-dup component
+    // (round-13, VERDICT r12 item 5): 64 sliding-window docs over one
+    // disjoint token sequence — window 20 tokens, shift 2, so adjacent
+    // docs share 16 of their 18 3-gram shingles (jaccard 16/20 = 0.8,
+    // exactly the >= 0.8 edge) while docs two apart sit at 14/22 ≈ 0.64
+    // (no edge). The doc pair graph gets a diameter-63 PATH, so the CC
+    // loop (Clusters.scala) must run ~log2(63) ≈ 6 pointer-jump rounds
+    // to converge — without this every fuzz component was a clique/star
+    // that converged in the fused init round, leaving maxIter/convergence
+    // logic untested in the gate. Each chain shingle appears in <= 10
+    // docs, safely under the maxDf=20 prune.
+    val chain = seed >= 700
+    val chainDocRows = if (!chain) Seq.empty else (0 until 64).map { i =>
+      val text = (2 * i until 2 * i + 20).map(k => s"ch$k").mkString(" ")
+      Seq((120 + i).toLong, text, "en", "srcChain", text.length.toLong)
+    }
     val documents = df(StructType(Seq(
       StructField("doc_id", LongType, nullable = true),
       StructField("text", StringType, nullable = true),
       StructField("lang", StringType, nullable = true),
       StructField("source", StringType, nullable = true),
-      StructField("n_chars", LongType, nullable = true))))(docRows)
+      StructField("n_chars", LongType, nullable = true))))(
+      docRows ++ chainDocRows)
 
     // ---- embeddings: unit norm, exact duplicate vectors ---------------
     val rv = new Random(seed * 7919 + 8)
@@ -238,6 +255,17 @@ object FuzzGen {
       raw.map(x => (x / n).toFloat)
     }
     val baseVecs = Seq.fill(16)(unitVec())
+    // Chain seeds also plant a 63-vector PATH in the embedding near-dup
+    // graph (dedup-cluster's CC input): 2-hot unit vectors
+    // v_i = (e_i + e_{i+1})/√2, so adjacent vectors have cosine 0.5
+    // (>= the 0.35 edge) and any other pair cosine 0 — a diameter-62
+    // component. Label 99 keeps the chain's block pure (random vectors
+    // live in labels 0..9 and never pair against it).
+    val chainVecRows = if (!chain) Seq.empty else (0 until 63).map { i =>
+      val v = Seq.tabulate(dims)(k =>
+        if (k == i || k == i + 1) (1.0 / math.sqrt(2.0)).toFloat else 0.0f)
+      Seq((64 + i).toLong, v, 99)
+    }
     val embeddings = df(StructType(Seq(
       StructField("vec_id", LongType, nullable = true),
       StructField("embedding", ArrayType(FloatType, containsNull = true),
@@ -248,7 +276,7 @@ object FuzzGen {
         // guaranteed distance ties for the top-k tiebreak paths
         val v = if (i % 4 == 0) baseVecs(rv.nextInt(16)) else unitVec()
         Seq(i.toLong, v, rv.nextInt(10))
-      })
+      } ++ chainVecRows)
 
     Seq(("region", region), ("nation", nation), ("customer", customer),
       ("supplier", supplier), ("part", part), ("orders", orders),

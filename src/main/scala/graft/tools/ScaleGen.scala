@@ -138,8 +138,19 @@ object ScaleGen {
 
     // embeddings: replica 0 identical; others fresh deterministic
     // unit-norm vectors (uniform components from xxhash64, normalized).
+    // `label` is a key space too — it is the BLOCKING key of the
+    // within-label all-pairs ops (dedup-embedding-cosine, dedup-cluster)
+    // — so it offsets per replica like every other key: an unsalted
+    // label grows each block `mult`× and turns the blocked all-pairs
+    // quadratic IN THE FIXTURE (r12's dedup-cluster sf10 REVIEW flag:
+    // 2e8 within-block pairs at 100× vs 2e6 under the documented
+    // "mult× keys at unchanged per-key fan-out" model). A corpus whose
+    // blocking key stops bounding block size needs the bucket-blocked
+    // path (dedup-embedding-lsh), not bigger blocks — PLANS.md
+    // "dedup-cluster" scale rule.
     val dims = 64
-    write(replicate(requireFits(Tables.embeddings(spark, src), "vec_id", 2000))
+    write(replicate(requireFits(requireFits(Tables.embeddings(spark, src)
+        .withColumn("label", col("label").cast("long")), "vec_id", 2000), "label", 100))
       .withColumn("raw",
         transform(sequence(lit(0), lit(dims - 1)), j =>
           (xxhash64(col("vec_id"), col("rep"), j) % 1000001L)
@@ -150,7 +161,7 @@ object ScaleGen {
         when(col("rep") === 0, col("embedding"))
           .otherwise(transform(col("raw"), x => (x / col("nrm")).cast("float")))
           .as("embedding"),
-        col("label")),
+        off("label", 100).cast("int").as("label")),
       "embeddings")
 
     spark.stop()

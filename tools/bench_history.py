@@ -130,14 +130,21 @@ def check():
                 print(f"[bench-history]   {label} round {r['round']}: "
                       f"loadavg at pass starts "
                       f"{', '.join(f'{x:.1f}' for x in loads)}")
+    # seam:<op> counts as <op> (the close_check.py convention): the r11->r12
+    # src-grpc -> seam:src-grpc rename otherwise silently skips the
+    # comparison — the op looks simultaneously 'new' and 'gone' (ADVICE r12)
+    def norm(mins):
+        return {(k[len("seam:"):] if k.startswith("seam:") else k): v
+                for k, v in mins.items()}
+    cur_mins, prev_mins = norm(cur["mins"]), norm(prev["mins"])
     regressions = []
-    for op, new in sorted(cur["mins"].items()):
-        old = prev["mins"].get(op)
+    for op, new in sorted(cur_mins.items()):
+        old = prev_mins.get(op)
         if old is None:
             continue  # new op this round — no baseline
         if new > old * RATIO and new - old > FLOOR_S:
             regressions.append((op, old, new))
-    gone = sorted(set(prev["mins"]) - set(cur["mins"]))
+    gone = sorted(set(prev_mins) - set(cur_mins))
     if gone:
         print(f"[bench-history] ops absent this round (renamed/removed?): "
               f"{', '.join(gone)}")

@@ -82,13 +82,19 @@ def main():
     # from a previous run (its op either failed this run, leaving a stale
     # dir that would mask the failure as a false GREEN, or was removed
     # from the board). Both must fail the close.
-    results, stale = set(), []
+    # A dump also needs its _SUCCESS commit marker: mtime alone counts a
+    # freshly-recreated dir whose write failed mid-overwrite (_temporary
+    # leftovers, no _SUCCESS) as a result, masking the failure until the
+    # oracle compare (ADVICE r12).
+    results, stale, uncommitted = set(), [], []
     for d in os.listdir(args.verify_out):
         p = os.path.join(args.verify_out, d)
         if not os.path.isdir(p):
             continue
         if os.path.getmtime(p) < osql_mtime:
             stale.append(d)
+        elif not os.path.exists(os.path.join(p, "_SUCCESS")):
+            uncommitted.append(d)
         else:
             results.add(d)
     if stale:
@@ -97,6 +103,12 @@ def main():
               f"removed without clearing the out dir): "
               f"{', '.join(sorted(stale)[:15])}"
               + (" ..." if len(stale) > 15 else ""))
+        sys.exit(1)
+    if uncommitted:
+        print(f"[close-check] MISMATCH: {len(uncommitted)} result dump(s) "
+              f"lack a _SUCCESS marker (write failed mid-overwrite?): "
+              f"{', '.join(sorted(uncommitted)[:15])}"
+              + (" ..." if len(uncommitted) > 15 else ""))
         sys.exit(1)
 
     if not os.path.exists(HIST):

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", default="101,202,303,404,505,606")
+    ap.add_argument("--seeds", default="101,202,303,404,505,606,707")
     ap.add_argument("--base", default="/tmp/graft-fuzz")
     args = ap.parse_args()
     seeds = [s.strip() for s in args.seeds.split(",")]
@@ -114,6 +114,42 @@ def main():
                 print(f"[fuzz] seed {seed}: day-split ops ran DEGENERATE "
                       "on a long-span fixture — serve/moment set empty",
                       flush=True)
+                any_fail = True
+        # chain seeds (>= 700, round-13 VERDICT r12 item 5): the planted
+        # diameter-63 doc path and diameter-62 embedding path must come
+        # out as ONE cluster each — proof the CC loop ran its multi-round
+        # pointer-jumping to a true fixpoint (a clique/star-only board
+        # converges in the fused init round and never exercises it).
+        if int(seed) >= 700:
+            import duckdb
+            try:
+                doc_comp = duckdb.sql(
+                    f"SELECT count(DISTINCT cluster) "
+                    f"FROM '{out}/dedup-cluster-rep/*.parquet' "
+                    "WHERE cluster >= 120"
+                ).fetchone()[0]
+                doc_members = duckdb.sql(
+                    f"SELECT max(n_members) "
+                    f"FROM '{out}/dedup-cluster-rep/*.parquet' "
+                    "WHERE cluster >= 120"
+                ).fetchone()[0]
+                vec_comp, vec_members = duckdb.sql(
+                    f"SELECT count(DISTINCT cluster), count(*) "
+                    f"FROM '{out}/dedup-cluster/*.parquet' "
+                    "WHERE vec_id >= 64"
+                ).fetchone()
+            except Exception as e:
+                print(f"[fuzz] seed {seed}: chain non-vacuity read failed: "
+                      f"{e}", flush=True)
+                doc_comp = doc_members = vec_comp = vec_members = -1
+            print(f"[fuzz] seed {seed}: chain non-vacuity — doc path: "
+                  f"{doc_comp} cluster(s), {doc_members} members; vec path: "
+                  f"{vec_comp} cluster(s) over {vec_members} rows", flush=True)
+            if doc_comp != 1 or (doc_members or 0) < 60 \
+                    or vec_comp != 1 or vec_members != 63:
+                print(f"[fuzz] seed {seed}: planted chain did NOT resolve "
+                      "to one component — CC convergence broken or fixture "
+                      "wrong", flush=True)
                 any_fail = True
         # holdout-scorer OOV non-vacuity (VERDICT r10 item 7): the
         # OOV/backoff branches are text-perplexity-holdout's load-bearing

@@ -22,10 +22,20 @@ import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The five 100 TB-load-bearing targets (VERDICT r11 item 4): the shared
-# dedup fills (timed automatically when any dedup-* op is present), the
-# cluster builder, the order-3 LM train, and the curation composite.
-OPS = ["dedup-cluster", "text-kn-trigram", "pipeline-curation-e2e"]
+# The 100 TB-load-bearing targets: the shared dedup fills (timed
+# automatically when any dedup-* op is present), the cluster builder,
+# the order-3 LM train, the curation composite (VERDICT r11 item 4),
+# plus — round 13 (VERDICT r12 item 3) — the ANN/query heads whose
+# 100 TB stories (broadcast queries, type-grain models, bounded top-k)
+# were asserted in PLANS.md but unmeasured past sf1.
+OPS = ["dedup-cluster", "text-kn-trigram", "pipeline-curation-e2e",
+       "sim-rrf-hybrid", "sim-semantic-dedup", "text-bm25-topk"]
+
+# Fixture format version: bump when ScaleGen's model changes so stale
+# /tmp fixtures regenerate. v2 = label offset per replica (round 13 —
+# an unsalted label violated the "unchanged per-key fan-out" model and
+# made the label-blocked all-pairs quadratic in the fixture).
+FIXTURE_V = "v2"
 
 
 def run_pass(sf_dir, timeout):
@@ -48,8 +58,12 @@ def run_pass(sf_dir, timeout):
 
 def ensure_fixture(src, out_dir, mult, timeout):
     probe = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.isdir(probe):
+    marker = os.path.join(out_dir, f".scalegen_{FIXTURE_V}")
+    if os.path.isdir(probe) and os.path.exists(marker):
         return
+    if os.path.isdir(probe):
+        print(f"[scaling-sf10] {out_dir} predates fixture {FIXTURE_V} — "
+              "regenerating", flush=True)
     print(f"[scaling-sf10] generating {mult}x fixture at {out_dir} ...",
           flush=True)
     subprocess.run(
@@ -57,6 +71,7 @@ def ensure_fixture(src, out_dir, mult, timeout):
         cwd=REPO, env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
         timeout=timeout, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    open(marker, "w").write(FIXTURE_V)
 
 
 def main():
