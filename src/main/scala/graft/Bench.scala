@@ -126,15 +126,22 @@ object Bench {
           "fill:doc-clusters" -> (() => { ops.DedupOps.persistedDocClusters(spark, sfDir).count(); () }),
           "fill:md5-sig-base" -> (() => { ops.DedupOps.persistedMd5Base(spark, sfDir).count(); () }))
       else Seq.empty
+    // Failed ops still record a time (the historical behavior — a slow op
+    // must not sink the whole sweep) but are COUNTED: the BENCH_OK marker
+    // carries the error count so a broken board can't read as healthy
+    // (review r13: a missing sf dir used to produce a green marker over
+    // 349 ~0s entries).
+    val errCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val fillTimes = fills.map { case (name, run) =>
       val t0 = System.nanoTime()
-      try run() catch { case _: Throwable => () }
+      try run() catch { case _: Throwable => errCount.incrementAndGet() }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val results = fillTimes ++ ordered.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => errCount.incrementAndGet() }
       val key = if (seamIds(name)) s"seam:$name" else name
       key -> (System.nanoTime() - t0) / 1e9
     }
@@ -175,10 +182,11 @@ object Bench {
     // Terminal health marker + explicit exit (VERDICT r12 item 3): the
     // driver's capture wrapper recorded rc=1 on a green r12 run, making
     // the artifact's one machine-readable health bit wrong. Any captured
-    // tail that carries this line is a successful Bench regardless of
-    // wrapper-level rc (tools/bench_rc_check.py asserts it); a missing
-    // marker is a real Bench failure.
-    println(s"BENCH_OK ${results.size}")
+    // tail that carries this line with errors=0 is a successful Bench
+    // regardless of wrapper-level rc (tools/bench_rc_check.py asserts
+    // it); a missing marker is a real Bench failure, a nonzero error
+    // count a real op failure.
+    println(s"BENCH_OK ${results.size} errors=${errCount.get}")
     sys.exit(0)
   }
 }

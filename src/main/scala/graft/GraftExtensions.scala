@@ -43,6 +43,10 @@ object GraftExtensions {
     "array_dot" -> (es => ArrayDot(es(0), es(1))),
     "array_dot_long" -> (es => ArrayDotLong(es(0), es(1))),
     "array_ordered_pairs" -> (es => ArrayOrderedPairs(es(0))),
+    "array_ordered_sized_pairs" -> { es =>
+      val ratioMicro = if (es.size > 1) litInt(es(1), "ratioMicro").toLong else 0L
+      graft.functions.ArrayOrderedSizedPairs(es(0), ratioMicro)
+    },
     "bloom_folds" -> (es => BloomFolds(es(0))),
     "repetition_stats" -> (es => RepetitionStats(es(0))),
     "token_entropy" -> (es => TokenEntropy(es(0))),

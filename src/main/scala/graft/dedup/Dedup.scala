@@ -72,28 +72,41 @@ object Dedup {
   /** Exact Jaccard over pruned shingle sets for every pair sharing at
     * least one shingle. Output: d1, d2, jac (rounded, ≥ threshold).
     *
-    * Pair generation is ONE shuffle, not a self-join: co-occurring doc ids
-    * collect into a per-shingle list (bounded at maxDf by the upstream
-    * prune — that bound is what keeps BOTH spellings viable; without it a
-    * viral shingle blows up either one as O(df²)), and a native codegen
-    * expression ([[graft.functions.ArrayOrderedPairs]]) expands the C(df,2)
-    * pairs in-task. The self-join spelling shuffles the (id, shingle) set
-    * twice and sort-merges; this shuffles it once and measured ~25% faster
-    * at sf0.1. Per-doc set sizes come from a groupBy (map-side combine)
-    * joined onto the AGGREGATED pair rows — candidate-pair-sized, orders
-    * of magnitude smaller than the raw row set.
+    * Pair generation is ONE shuffle, not a self-join: co-occurring
+    * (id, set-size) structs collect into a per-shingle list (bounded at
+    * maxDf by the upstream prune — that bound is what keeps BOTH
+    * spellings viable; without it a viral shingle blows up either one as
+    * O(df²)), and a native codegen expression
+    * ([[graft.functions.ArrayOrderedSizedPairs]]) expands the C(df,2)
+    * pairs in-task with the set-similarity LENGTH FILTER fused in
+    * (min(n1,n2) < t·max ⇒ j ≤ min/max < t — dropped before the pair
+    * shuffle).
+    *
+    * The sizes RIDE THE PAIR ROWS (n1/n2 are grouping keys — they are
+    * functions of d1/d2, so pair cardinality is unchanged): round 13
+    * profiling at 100× (sf10: 125M pair rows vs 26M shingle rows,
+    * distinct-pair ratio 89%) showed the old size-attach joins re-sorted
+    * the pair-sized aggregate TWICE for what one wider groupBy carries
+    * for free, and the length filter cuts pair-shuffle volume before the
+    * exchange (24% at the near-uniform-length sf10 fixture; far more on
+    * real heterogeneous corpora). sf1→sf10 wall moved from 17.6× to
+    * ~linear for 10× data with the rewrite. The size attach onto the
+    * (id, s) rows is an id-keyed join whose build side reuses the sz
+    * aggregation's exchange (same key) — one extra shuffle of the
+    * SHINGLE-sized set replaces two sorts of the PAIR-sized one.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
     val sz = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val lists = shingles.groupBy("s").agg(array_sort(collect_list("id")).as("ids"))
+    val lists = shingles.join(sz, Seq("id"))
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ids"))
     lists
-      .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
-      .select(col("p.d1"), col("p.d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("id").as("d1"), col("n").as("na")), Seq("d1"))
-      .join(sz.select(col("id").as("d2"), col("n").as("nb")), Seq("d2"))
+      .select(explode(
+        graft.functions.ArrayOrderedSizedPairs(col("ids"), threshold)).as("p"))
+      .select(col("p.d1"), col("p.n1"), col("p.d2"), col("p.n2"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6))
+        (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jac") >= threshold)
       .select("d1", "d2", "jac")
   }

@@ -56,8 +56,11 @@ object Concurrency {
         })
     })
 
+  // `kind` is REQUIRED (no default): a call site that silently landed in
+  // a default pool would re-create the equal-cap budget sharing the
+  // per-kind keying exists to prevent (review r13).
   def boundedFetch[A, B](it: Iterator[A], cap: Int,
-      kind: String = "blocks")(f: A => B): Iterator[B] = {
+      kind: String)(f: A => B): Iterator[B] = {
     require(cap >= 1, s"cap: $cap")
     val pool = sharedPool(kind, cap)
     val inFlight = new ArrayBlockingQueue[JFuture[B]](cap)

@@ -51,6 +51,54 @@ class FunctionsSpec extends SparkSpec {
     assert(r.size === 3)
   }
 
+  test("ArrayOrderedSizedPairs matches a Scala model and never drops a true match") {
+    val rnd = new scala.util.Random(13)
+    val t = 0.5
+    val lists: Seq[Seq[(Long, Long)]] =
+      Seq(Seq.empty, Seq((42L, 7L))) ++ (1 to 8).map { _ =>
+        Seq.fill(1 + rnd.nextInt(20))(
+          (rnd.nextLong(1000L).abs, 1L + rnd.nextInt(40).toLong))
+          .distinctBy(_._1).sortBy(_._1)
+      }
+    val df = lists.map(Tuple1(_)).toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 AS id, x._2 AS n))").as("ids"))
+    val native = df.select(explode(ArrayOrderedSizedPairs(col("ids"), t)).as("p"))
+      .select("p.d1", "p.n1", "p.d2", "p.n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // same conservative bound as the companion apply: ⌊t·1e6⌋ − 1 (the
+    // downstream compare is on round(jac, 6), which admits jac ≥ t − 5e-7)
+    val k = math.max(0L, math.floor(t * 1000000.0).toLong - 1L)
+    val model = lists.flatMap { l =>
+      for {
+        (a, i) <- l.zipWithIndex; b <- l.drop(i + 1)
+        if math.min(a._2, b._2) * 1000000L >= k * math.max(a._2, b._2)
+      } yield (a._1, a._2, b._1, b._2)
+    }.toSet
+    assert(native === model)
+    assert(native.forall { case (d1, _, d2, _) => d1 < d2 })
+    // conservativeness: every pair that could reach jaccard >= t survives
+    // (j <= min/max, so min/max >= t must be kept — including equality)
+    val boundary = Seq(Seq((1L, 2L), (2L, 4L), (3L, 5L))).map(Tuple1(_))
+      .toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 AS id, x._2 AS n))").as("ids"))
+      .select(explode(ArrayOrderedSizedPairs(col("ids"), t)).as("p"))
+      .select("p.d1", "p.d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2,4): ratio exactly 0.5 — kept; (4,5): 0.8 — kept; (2,5): 0.4 — dropped
+    assert(boundary === Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("array_ordered_sized_pairs is SQL-callable after registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT array_ordered_sized_pairs(
+        |  array(struct(1L, 10L), struct(2L, 10L), struct(3L, 3L)),
+        |  500000) AS p""".stripMargin).head().getSeq[Any](0)
+    // (1,2) ratio 1.0 kept; (1,3) and (2,3) ratio 0.3 dropped
+    assert(r.size === 1)
+  }
+
   test("the full kernel tier is SQL-callable and matches the Column API") {
     graft.GraftExtensions.register(spark)
     // every registered function parses and evaluates via SQL

@@ -31,7 +31,7 @@ class ConcurrencySpec extends AnyFunSuite {
     val cap = 4
     val active = new AtomicInteger(0)
     val maxSeen = new AtomicInteger(0)
-    val out = Concurrency.boundedFetch((1 to 200).iterator, cap) { i =>
+    val out = Concurrency.boundedFetch((1 to 200).iterator, cap, kind = "blocks") { i =>
       val now = active.incrementAndGet()
       maxSeen.updateAndGet(m => math.max(m, now))
       Thread.sleep(1)
@@ -44,7 +44,7 @@ class ConcurrencySpec extends AnyFunSuite {
   }
 
   test("boundedFetch propagates a fetch failure and still terminates") {
-    val it = Concurrency.boundedFetch((1 to 10).iterator, 3) { i =>
+    val it = Concurrency.boundedFetch((1 to 10).iterator, 3, kind = "tx") { i =>
       if (i == 7) throw new java.io.IOException("boom")
       i
     }
@@ -56,7 +56,7 @@ class ConcurrencySpec extends AnyFunSuite {
   test("cap 1 degrades to strictly sequential fetching") {
     val active = new AtomicInteger(0)
     val overlapped = new AtomicInteger(0)
-    val out = Concurrency.boundedFetch((1 to 50).iterator, 1) { i =>
+    val out = Concurrency.boundedFetch((1 to 50).iterator, 1, kind = "trace") { i =>
       if (active.incrementAndGet() > 1) overlapped.incrementAndGet()
       Thread.sleep(0, 1000)
       active.decrementAndGet()

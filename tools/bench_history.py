@@ -113,12 +113,20 @@ def append(round_no, files):
           f"over {len(files)} pass(es)")
 
 
-def check():
+def check(rounds=None):
     rows = load_history()
     if len(rows) < 2:
         print("[bench-history] need >= 2 rounds to compare")
         return 0
-    prev, cur = rows[-2], rows[-1]
+    if rounds:
+        by_no = {r["round"]: r for r in rows}
+        a, b = (int(x) for x in rounds.split(","))
+        if a not in by_no or b not in by_no:
+            print(f"[bench-history] rounds on file: {sorted(by_no)}")
+            return 1
+        prev, cur = by_no[a], by_no[b]
+    else:
+        prev, cur = rows[-2], rows[-1]
     print(f"[bench-history] comparing round {cur['round']} "
           f"({cur['entries']} entries, {cur['sum_min_s']} s) vs "
           f"round {prev['round']} ({prev['entries']} entries, "
@@ -162,13 +170,17 @@ def main():
     ap.add_argument("--append", type=int, metavar="ROUND")
     ap.add_argument("files", nargs="*")
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--rounds", default=None, metavar="A,B",
+                    help="with --check: compare round B against round A "
+                         "instead of latest-vs-previous (flag adjudication "
+                         "across a known-degraded round)")
     args = ap.parse_args()
     if args.append is not None:
         if not args.files:
             ap.error("--append needs at least one bench pass JSON file")
         append(args.append, args.files)
     if args.check:
-        sys.exit(check())
+        sys.exit(check(args.rounds))
     if args.append is None and not args.check:
         ap.error("nothing to do: pass --append ROUND files... and/or --check")
 

@@ -17,7 +17,7 @@ import json
 import re
 import sys
 
-MARK = re.compile(r"BENCH_OK (\d+)")
+MARK = re.compile(r"BENCH_OK (\d+)(?: errors=(\d+))?")
 
 
 def check(path):
@@ -30,12 +30,18 @@ def check(path):
     except ValueError:
         pass
     m = MARK.search(text)
-    if m:
-        print(f"[bench-rc] {path}: BENCH_OK ({m.group(1)} ops) — healthy")
-        return True
-    print(f"[bench-rc] {path}: NO BENCH_OK marker — Bench did not finish "
-          "(or the capture predates the marker)")
-    return False
+    if not m:
+        print(f"[bench-rc] {path}: NO BENCH_OK marker — Bench did not "
+              "finish (or the capture predates the marker)")
+        return False
+    errs = int(m.group(2)) if m.group(2) is not None else 0
+    if errs:
+        print(f"[bench-rc] {path}: BENCH_OK but {errs} op(s) THREW — "
+              "their recorded times are failure stubs, not measurements")
+        return False
+    print(f"[bench-rc] {path}: BENCH_OK ({m.group(1)} ops, 0 errors) "
+          "— healthy")
+    return True
 
 
 if __name__ == "__main__":

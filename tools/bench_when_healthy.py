@@ -54,10 +54,16 @@ def ensure_clone(clone):
     if not os.path.isdir(os.path.join(clone, ".git")):
         log(f"cloning {REPO} -> {clone}")
         subprocess.run(["git", "clone", "-q", REPO, clone], check=True)
-    probe_cls = os.path.join(clone, "tools", "HandoffProbe.class")
-    if not os.path.exists(probe_cls):
-        subprocess.run(["javac", "HandoffProbe.java"],
-                       cwd=os.path.join(clone, "tools"), check=True)
+    else:
+        # a pre-existing clone must track the CURRENT engine — a stale one
+        # would record a "healthy-window" row for old code (review r13)
+        subprocess.run(["git", "fetch", "-q", "origin"], cwd=clone, check=True)
+        subprocess.run(["git", "reset", "-q", "--hard", "origin/HEAD"],
+                       cwd=clone, check=True)
+        log("clone synced to origin/HEAD")
+    # always recompile: the probe source may have changed
+    subprocess.run(["javac", "HandoffProbe.java"],
+                   cwd=os.path.join(clone, "tools"), check=True)
 
 
 def run_pass(clone, i, out_prefix, timeout):
