@@ -35,8 +35,20 @@ object Dedup {
     * shingles present in more than `maxDf` documents are dropped on BOTH
     * sides of any downstream comparison (common-shingle pruning).
     */
+  /** `cacheHashed` persists the pre-prune hashed stream so the two prune
+    * passes share one kernel evaluation (round 13; see the skewSafe
+    * branch). It must be FALSE for per-micro-batch callers (the streaming
+    * ingest): each batch's plan is distinct, so the hidden persist would
+    * register an un-releasable CacheManager entry per batch — unbounded
+    * cache growth on a long-running stream (round-13 review finding).
+    * Batch callers keep the default: the one retained entry per
+    * (session, corpus) is the price of halving the fill kernel, and it
+    * spills (MEMORY_AND_DISK) rather than evicting hotter caches; the
+    * pruned persistedShingles cache downstream is what the family reads.
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true): DataFrame = {
+      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true,
+      cacheHashed: Boolean = true): DataFrame = {
     // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
     // partition-local, so the only shuffle here is the df prune below.
     // Shingles leave this seam as their xxhash64 — every downstream
@@ -57,10 +69,23 @@ object Dedup {
       // no single partition ever holds a hot shingle's full row set.
       // `hot` is tiny (only shingles above maxDf survive) — broadcast it so
       // the anti-join never shuffles the full (id, shingle) row set.
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      //
+      // The hashed stream persists (round 13, unless the caller opts out —
+      // see cacheHashed): BOTH prune passes (the df aggregation and the
+      // anti-join's left side) otherwise re-run the full
+      // tokenize→shingle→distinct→hash kernel — the one cost column
+      // pruning cannot shrink (dropping `id` from the df branch still
+      // pays the whole kernel). The cached row is two longs; at scale
+      // MEMORY_AND_DISK spills rather than re-deriving from text.
+      // A/B min-of-3: fill:shingles 5.32 → 3.59 s.
+      val cached =
+        if (cacheHashed)
+          sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else sh
+      val hot = cached.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select("s")
-      sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
+      cached.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
     } else {
       // Fixture-scale form: one shuffle, no join.
       sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
@@ -95,20 +120,33 @@ object Dedup {
     * aggregation's exchange (same key) — one extra shuffle of the
     * SHINGLE-sized set replaces two sorts of the PAIR-sized one.
     */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sz = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val lists = shingles.join(sz, Seq("id"))
-      .groupBy("s")
-      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ids"))
-    lists
-      .select(explode(
-        graft.functions.ArrayOrderedSizedPairs(col("ids"), threshold)).as("p"))
-      .select(col("p.d1"), col("p.n1"), col("p.d2"), col("p.n2"))
-      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame =
+    sizedPairCounts(shingles, threshold)
       .withColumn("jac", round(col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jac") >= threshold)
       .select("d1", "d2", "jac")
+
+  /** The shared sized-pair intersection pipeline behind [[jaccardPairs]]
+    * and dedup-containment: co-occurring (id, set-size) structs collect
+    * per shingle, the codegen generator expands C(df,2) pairs in-task
+    * with the jaccard length filter at `threshold` fused in (0.0 = keep
+    * every pair — containment's spelling), and the wide groupBy carries
+    * the sizes as extra keys (n is a function of id — pair cardinality
+    * unchanged). Output: d1, n1, d2, n2, inter. ONE shared spelling so
+    * the sorted-input/canonical-order contract and the conservative
+    * ⌊t·10⁶⌋−1 prefilter bound live in one place (round-13 review).
+    */
+  private[graft] def sizedPairCounts(shingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    shingles.join(sz, Seq("id"))
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ids"))
+      .select(explode(
+        graft.functions.ArrayOrderedSizedPairs(col("ids"), threshold)).as("p"))
+      .select(col("p.d1"), col("p.n1"), col("p.d2"), col("p.n2"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
   }
 
   /** Universal hash family over ONE base digest per shingle:
@@ -188,11 +226,26 @@ object Dedup {
     // The shingle set feeds signatures AND the exact verify (4+ subtree
     // evaluations) — callers should pass a persisted shingle set (see
     // graft.ops.DedupOps.persistedShingles; round-5 A/B: cached wins).
-    // The candidate list's multiple consumers do NOT warrant a checkpoint
-    // — measured ~25% slower with one: ReusedExchange already shares the
-    // band pipeline's shuffle output across the plan's consumers, so
-    // materialization only adds a blocking write.
-    val cand = lshCandidates(minhashSignatures(shingles, k), k, r)
+    //
+    // The SIGNATURE table persists here (round 13): its consumers are the
+    // two sides of the band self-join, and while ReusedExchange shares the
+    // signature aggregation's shuffle OUTPUT, each consumer still re-runs
+    // the final 32-min-column HashAggregate over it — the most expensive
+    // per-row aggregation in the family, paid 2×. The table is doc-count-
+    // sized (k longs per doc), so the cache fill is a fraction of one
+    // re-aggregation. The CANDIDATE pair list persists for the same
+    // reason: it feeds the verify semi-join AND the final pair filter,
+    // and without a cache the whole band join+distinct executes twice
+    // (ReusedExchange shares its input exchanges, not the join). The
+    // round-5 "checkpoint measured ~25% slower" finding was a blocking
+    // localCheckpoint of cand over UNCACHED signatures — a different
+    // trade; A/B for this shape is in OPTIMIZATION_r13.md. Both caches
+    // are lazily deduped across calls by CacheManager plan matching
+    // (same analyzed plan → one entry), the persistedShingles convention.
+    val sigs = minhashSignatures(shingles, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sigs, k, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardPairs(
       shingles.join(
         cand.select(explode(array(col("d1"), col("d2"))).as("id")).distinct(),

@@ -40,16 +40,24 @@ object Graphs {
     */
   def triangleCensus(edgesRaw: DataFrame): DataFrame = {
     val e = edgesRaw.select("d1", "d2")
+    // deg persists (round 13): consumed by both orientation joins AND the
+    // wedge census — three re-aggregations of the endpoint explode without
+    // a cache (ReusedExchange shares only the shuffle, not the final agg).
+    // Node-sized (two longs per row).
     val deg = e.select(explode(array(col("d1"), col("d2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Orient d1→d2 when (dg1, d1) < (dg2, d2); d1 < d2 already, so the
     // tie-break on equal degrees keeps the id order.
+    // er persists too: it is BOTH sides of the wedge self-join — without a
+    // cache the two-join orientation subtree executes twice. Edge-sized.
     val er = e
       .join(deg.select(col("id").as("d1"), col("dg").as("g1")), Seq("d1"))
       .join(deg.select(col("id").as("d2"), col("dg").as("g2")), Seq("d2"))
       .select(
         when(col("g1") <= col("g2"), col("d1")).otherwise(col("d2")).as("u"),
         when(col("g1") <= col("g2"), col("d2")).otherwise(col("d1")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Wedges at the low endpoint; (v1 < v2) makes the pair canonical, so
     // the closing lookup is a semi-join straight against e's (d1, d2).
     val closed = er.select(col("u"), col("v").as("v1"))

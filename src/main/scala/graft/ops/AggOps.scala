@@ -44,9 +44,9 @@ object AggOps {
   }
 
   /** `deduplicate` — among duplicate candidates keep the one covering the
-    * most (reference: src/command/verify.rs:373-404). Window rank
-    * partitioned by the group key; sort covers every output column so ties
-    * are value-identical.
+    * most (reference: src/command/verify.rs:373-404). One map-side-combined
+    * argmax aggregation; the struct max covers every output column so ties
+    * are value-identical (== the all-DESC rank window it replaces).
     */
   val aggDedupLargest: Op = Op.sql(
     "agg-dedup-largest",
@@ -57,12 +57,18 @@ object AggOps {
       |  FROM lineitem) t
       |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_quantity").desc, col("l_linenumber").desc, col("l_partkey").desc)
+    // max(struct), not a rank window (round 13): the window spelling
+    // shuffled EVERY lineitem row to its key's partition and sorted it;
+    // the aggregation's map-side combine reduces each mapper to one row
+    // per key before the exchange and needs no sort. Tie-identical: the
+    // window ordered (quantity, linenumber, partkey) all-DESC, which is
+    // exactly the lexicographic struct maximum.
     Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_quantity"), col("l_linenumber"),
+        col("l_partkey"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_partkey").as("l_partkey"), col("m.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
   }
 
@@ -2132,9 +2138,14 @@ object AggOps {
       // p90's interpolation fraction is arbitrary, and the threshold
       // feeds whale membership
       .agg(round(expr("percentile(spend, 0.9D)") * 2).cast("long").as("p90x2"))
+    // wh persists (round 13): consumed by the size agg and BOTH sides of
+    // the adjacent-week self-join — four re-evaluations of the threshold
+    // join (each re-running the (week,user) rollup's final agg) without a
+    // cache. Whale-set-sized (top-decile rows only).
     val wh = uw.join(broadcast(cut), Seq("week"))
       .filter(col("spend") * 2 >= col("p90x2"))
       .select("week", "user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = wh.groupBy("week").agg(count(lit(1)).as("n_whales"))
     val prevWh = wh.select((col("week") + 1).as("week"),
       col("user_id"))

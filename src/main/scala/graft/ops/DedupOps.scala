@@ -853,16 +853,16 @@ object DedupOps {
        |SELECT d1, d2, cont FROM cont WHERE cont >= 0.8
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
-    val sh = persistedShingles(s, d)
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    sh.groupBy("s").agg(array_sort(collect_list("id")).as("ids"))
-      .select(explode(graft.functions.ArrayOrderedPairs(col("ids"))).as("p"))
-      .select(col("p.d1"), col("p.d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("id").as("d1"), col("n").as("na")), Seq("d1"))
-      .join(sz.select(col("id").as("d2"), col("n").as("nb")), Seq("d2"))
+    // Sizes RIDE THE PAIR ROWS (round 13 — the shared sizedPairCounts
+    // pipeline of the jaccard path): n is a function of id, so grouping
+    // by (d1, n1, d2, n2) leaves pair cardinality unchanged and the two
+    // post-agg size joins (two more sorts of the PAIR-sized table at
+    // 100×) are deleted. threshold = 0.0 keeps every pair — containment
+    // admits NO length prefilter (a small doc fully inside a huge one is
+    // exactly the target), unlike jaccard's min/max bound.
+    Dedup.sizedPairCounts(persistedShingles(s, d), threshold = 0.0)
       .withColumn("cont", round(col("inter") * lit(1.0) /
-        least(col("na"), col("nb")), 6))
+        least(col("n1"), col("n2")), 6))
       .filter(col("cont") >= 0.8)
       .select("d1", "d2", "cont")
       .orderBy("d1", "d2")
@@ -1005,9 +1005,16 @@ object DedupOps {
 
   private def hammingPairsPlan(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // The fingerprint table persists (round 13): both sides of the band
+    // self-join consume it, and without a cache the corpus-wide tokenize +
+    // 48-bit vote kernel runs twice (the band sides project different
+    // aliases, so even their exchanges don't canonicalize equal). The
+    // table is doc-count-sized (two longs per doc) — the fill is noise
+    // against one kernel pass. A/B in OPTIMIZATION_r13.md.
     val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
       graft.functions.SimhashFingerprint.mixed(
         graft.text.TextAnalysis.tokens(col("text")), 48).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = fp.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
@@ -1262,13 +1269,19 @@ object DedupOps {
     val e = pr.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pr.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The share denominator rides the edge row (round 13): deg attaches
+    // to e ONCE and the (src, dst, deg) table persists (edge-sized, the
+    // same scale the loop already shuffles), so each iteration is one
+    // edge⋈rank join + one groupBy instead of two joins — the unrolled
+    // plan loses 3 joins and 3 re-evaluations of the edge/degree subtree.
+    val edeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to 3) {
       // no broadcast hints: rank/deg are node-sized (unbounded at 100 TB)
       // — the honest plan shuffles edges⋈rank on src, and AQE broadcasts
       // on its own at fixture scale
-      rank = e.join(deg, "src")
-        .join(rank, col("src") === col("id"))
+      rank = edeg.join(rank, col("src") === col("id"))
         .select(col("dst"), expr("rank div deg").as("share"))
         .groupBy("dst").agg(sum("share").as("s"))
         .select(col("dst").as("id"),

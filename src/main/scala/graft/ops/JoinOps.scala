@@ -786,11 +786,16 @@ object JoinOps {
       |       CAST((h.n_orders * 10000) // t.total AS BIGINT) AS share_bp
       |FROM h, t ORDER BY n_items""".stripMargin
   ) { (s, d) =>
+    // Aggregate BEFORE the join (round 13, §2.3): counting lineitem per
+    // key first reduces the fact side map-side to order-grain partials,
+    // so the join shuffles one row per key instead of every lineitem row
+    // (the old left-join-then-count shape shuffled the whole fact table).
+    // count(l_orderkey) over a no-match group was 0; coalesce keeps that.
+    val lc = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
     val c = Tables.orders(s, d).select(col("o_orderkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left")
-      .groupBy("o_orderkey")
-      .agg(count(col("l_orderkey")).as("n_items"))
+      .join(lc, col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("o_orderkey"), coalesce(col("n"), lit(0L)).as("n_items"))
     val h = c.groupBy(col("n_items").cast("long").as("n_items"))
       .agg(count(lit(1)).as("n_orders"))
     val t = h.agg(sum("n_orders").cast("long").as("total"))

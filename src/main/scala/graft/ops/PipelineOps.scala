@@ -916,6 +916,12 @@ object PipelineOps {
     // ranks equal the rank among survivors alone — one window over f
     // instead of a filtered branch, letting ALL six stage counters fold
     // in a single aggregation pass
+    // ranked is deliberately NOT persisted (round-13 A/B): its second
+    // consumer (the pack branch's survivor id list) prunes to doc_id+k5,
+    // so the "recompute" is a narrow column-pruned pass over reused
+    // exchanges — cheaper than the full-width materialization barrier a
+    // persist forces (measured 2.42 → 3.71 s min-of-3 interleaved WITH
+    // a persist).
     val ranked = f
       .withColumn("rk", row_number().over(Window.partitionBy("source")
         .orderBy(col("k3").desc, md5(col("doc_id").cast("string")),

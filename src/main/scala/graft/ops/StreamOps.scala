@@ -113,14 +113,19 @@ object StreamOps {
       |WHERE rn = 1 AND n_forks > 1
       |ORDER BY height""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val byHeight = Window.partitionBy("l_orderkey")
-    val w = byHeight.orderBy(col("l_quantity").desc, col("l_linenumber").desc, col("l_partkey").desc)
+    // One map-side-combined argmax aggregation, not two windows (round
+    // 13): the rank + count windows shuffled and SORTED every candidate
+    // row; max(struct) + count reduce map-side first and need no sort.
+    // Tie-identical: the window ordered (quantity, linenumber, partkey)
+    // all-DESC — exactly the lexicographic struct maximum.
     Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_forks", count(lit(1)).over(byHeight))
-      .filter(col("rn") === 1 && col("n_forks") > 1)
-      .select(col("l_orderkey").as("height"), col("l_linenumber").as("kept_line"), col("n_forks"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_quantity"), col("l_linenumber"),
+        col("l_partkey"))).as("m"),
+        count(lit(1)).as("n_forks"))
+      .filter(col("n_forks") > 1)
+      .select(col("l_orderkey").as("height"),
+        col("m.l_linenumber").as("kept_line"), col("n_forks"))
       .orderBy("height")
   }
 

@@ -757,21 +757,21 @@ object TextOps {
       |       round(exp(-round(slp / n / 1000000.0, 6)), 4) AS ppl_proxy
       |FROM d ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val pairs = Tables.documents(s, d)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-    val cx = pairs.groupBy("w1").agg(count(lit(1)).as("cx"))
+    // Rides the KN family's shared bigram stream + persisted cxy model
+    // table (round 13): the op previously built its own cxy AND a raw
+    // per-w1 count — three corpus bigram passes where knModelTables'
+    // cached cxy covers everything (cx == sum of cxy counts per w1, an
+    // identity, and lft computes exactly that). One corpus pass for the
+    // model shared with the whole LM family, one for the scoring join.
+    val pr = docBigramStream(s, d)
+    val pairs = pr.select("doc_id", "w1", "w2")
+    val (cxy, lft, _) = knModelTables(pr)
     val vsize = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .agg(countDistinct("w").as("v"))
-    val lm = cxy.join(cx, "w1").crossJoin(broadcast(vsize))
+    val lm = cxy.join(lft.select("w1", "cx"), "w1").crossJoin(broadcast(vsize))
       .select(col("w1"), col("w2"),
-        round((log(col("cxy") + 1) - log(col("cx") + col("v"))) * 1000000)
+        round((log(col("cnt") + 1) - log(col("cx") + col("v"))) * 1000000)
           .cast("long").as("lp"))
     val meanLogp = round(col("slp") / col("n") / 1000000.0, 6)
     pairs.join(broadcast(lm), Seq("w1", "w2"))
@@ -881,8 +881,13 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
+    // df derives FROM tf (round 13): tf rows are the distinct (doc, term)
+    // pairs, so count-per-term over tf == count(DISTINCT doc_id) over the
+    // raw token stream — and spelling it this way makes the two consumers'
+    // token-explode subtrees identical, so the corpus explodes ONCE
+    // (ReusedExchange; the old distinct-then-count spelling aggregated
+    // differently and re-exploded the corpus a second time).
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nn = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val sc = tf.join(df, "w").crossJoin(broadcast(nn))
       .select(col("doc_id"), col("w").as("term"), col("tf"),
@@ -1167,19 +1172,31 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("tot"))
+    // total derives FROM vocab (round 13): sum of per-word counts == the
+    // raw token count — one fewer corpus explode (the model pass and the
+    // scoring join below remain the standard two corpus passes).
+    val total = vocab.agg(sum("cnt").cast("long").as("tot"))
     val lm = vocab.crossJoin(broadcast(total))
       .select(col("w"),
         round((log(col("cnt")) - log(col("tot"))) * 1000000).cast("long").as("lp"))
+    // scores and the bucket table persist (round 13): scores feeds both
+    // the percentile-boundary agg and the final bucketing (2× the whole
+    // scoring pipeline without a cache), and the bucket table itself is
+    // consumed by FOUR ops (text-quality-deciles, text-classifier-score,
+    // pipeline-curation-e2e, pipeline-order-sensitivity) whose identical
+    // plans dedup to one JVM-wide entry via CacheManager plan matching.
+    // Both are doc-count-sized (two/three longs per row).
     val scores = toks.join(broadcast(lm), Seq("w"))
       .groupBy("doc_id")
       .agg(round(sum("lp") * lit(1.0) / count(lit(1))).cast("long").as("mean_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bnds = scores.agg(
       expr("percentile(mean_u, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
         .as("bnds"))
     scores.crossJoin(broadcast(bnds))
       .select(col("doc_id"), col("mean_u"),
         size(filter(col("bnds"), x => x <= col("mean_u"))).cast("long").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Language-ID classifier evaluation: the confusion table of the truth
@@ -2699,6 +2716,14 @@ object TextOps {
     * model shared by the three KN-LM ops. SQL mirror: [[knModelCtes]].
     */
   private[ops] def knModelTables(pr: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // Deliberately NOT persisted (round-13 A/B): cxy's consumers (lft,
+    // rgt, totals, the scoring join) are narrow re-aggregations of its
+    // REUSED exchange — column pruning makes each re-agg cheaper than the
+    // full-width in-memory materialization a persist forces (measured
+    // min-of-3 interleaved: text-min-k-prob 1.58 → 1.94 s,
+    // text-perplexity-holdout 1.18 → 1.67 s WITH a persist; kn-bigram /
+    // doc-perplexity a wash). Contrast minhash signatures, where the
+    // repeated work is a 32-column aggregate pruning can't shrink.
     val cxy = pr.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val lft = cxy.groupBy("w1").agg(sum("cnt").cast("long").as("cx"),
       count(lit(1)).as("n1l"))
@@ -2925,6 +2950,9 @@ object TextOps {
           element_at(col("ws"), i + 1).as("w2"),
           element_at(col("ws"), i + 2).as("w3")))).as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    // c3/cb deliberately NOT persisted (round-13 A/B): their consumers are
+    // narrow re-aggs of reused exchanges; a persist regressed the op
+    // 1.79 → 2.98 s (min-of-3 interleaved) — same finding as knModelTables.
     val c3 = tr.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
     val ctx = c3.groupBy("w1", "w2").agg(sum("cnt").cast("long").as("c2"),
       count(lit(1)).as("n1p3"))

@@ -10,6 +10,13 @@ import graft.dedup.Dedup
   * pruned shingle set pay for jaccardPairs / minhashNearDups under the
   * current code (the round-3 "uncached wins" measurement predates the
   * one-shuffle pair generation)?
+  *
+  * ROUND-13 CAVEAT: Dedup.shingleSets and Dedup.minhashNearDups now carry
+  * INTERNAL persists (the hashed stream, signatures, candidates), which
+  * CacheManager plan-matches across rounds of this loop — so the
+  * "uncached" legs below measure cache scans from round 2 on. For honest
+  * cold numbers, use interleaved single-round JVMs (the OPTIMIZATION_r13
+  * A/B protocol), not this loop.
   */
 object Profile {
   def main(args: Array[String]): Unit = {

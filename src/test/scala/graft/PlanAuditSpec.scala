@@ -514,10 +514,12 @@ class PlanAuditSpec extends SparkSpec {
   test("dedup-containment pairs come from one aggregation, never a self cross") {
     val p = plan("dedup-containment")
     assert(!p.contains("CartesianProduct"), p)
-    // pair generation is the in-task generator over per-shingle id lists
-    // (default prettyName of the ArrayOrderedPairs expression), not a
-    // shingle self-join
-    assert(p.toLowerCase.contains("arrayorderedpairs"), p)
+    // pair generation is the in-task SIZED generator over per-shingle
+    // (id, n) lists (round 13: sizes ride the pair rows — the jaccard
+    // rewrite's shape), not a shingle self-join, and the two post-agg
+    // size joins are gone: the only joins left are the shingle-sized
+    // size attach and whatever the persisted-shingle fill carries
+    assert(p.toLowerCase.contains("arrayorderedsizedpairs"), p)
   }
 
   test("agg-countmin sketch collapses map-side and broadcasts onto keys") {
@@ -710,6 +712,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg-dedup-largest argmaxes with map-side combine, no rank window") {
+    // round 13: the all-DESC rank window became max(struct) — partial
+    // aggregation must reduce the fact table BEFORE its exchange, and no
+    // window funnel may reappear
+    val p = plan("agg-dedup-largest")
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("reorg-repair argmaxes with map-side combine, no rank window") {
+    val p = plan("reorg-repair")
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("row_number"), p)
   }
 
   test("agg-peak-rate partial-aggregates the minute rollup before the exchange") {

@@ -89,6 +89,21 @@ class FunctionsSpec extends SparkSpec {
     assert(boundary === Set((1L, 2L), (2L, 3L)))
   }
 
+  test("ArrayOrderedSizedPairs at threshold 0.0 keeps every ordered pair") {
+    // dedup-containment's contract (round 13): containment admits no
+    // length prefilter, so the op calls the sized generator with t = 0.0
+    // and must get exactly C(n,2) pairs — the unsized generator's output
+    // with sizes riding along.
+    val df = Seq(Tuple1(Seq((1L, 9L), (2L, 1L), (5L, 1000000L)))).toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 AS id, x._2 AS n))").as("ids"))
+    val pairs = df.select(explode(ArrayOrderedSizedPairs(col("ids"), 0.0)).as("p"))
+      .select("p.d1", "p.n1", "p.d2", "p.n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(pairs === Set((1L, 9L, 2L, 1L), (1L, 9L, 5L, 1000000L),
+      (2L, 1L, 5L, 1000000L)))
+  }
+
   test("array_ordered_sized_pairs is SQL-callable after registration") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
