@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from captured stdout. With the
+// default LoggedOutput strategy sbt prefixes every forked-run line with
+// "[info] ", which defeats line-level JSON parsing downstream (BENCH_r01–r13
+// all recorded parsed=null). StdoutOutput passes the forked JVM's stdout
+// through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,20 +35,15 @@ object Dedup {
     * shingles present in more than `maxDf` documents are dropped on BOTH
     * sides of any downstream comparison (common-shingle pruning).
     */
-  /** `cacheHashed` persists the pre-prune hashed stream so the two prune
-    * passes share one kernel evaluation (round 13; see the skewSafe
-    * branch). It must be FALSE for per-micro-batch callers (the streaming
-    * ingest): each batch's plan is distinct, so the hidden persist would
-    * register an un-releasable CacheManager entry per batch — unbounded
-    * cache growth on a long-running stream (round-13 review finding).
-    * Batch callers keep the default: the one retained entry per
-    * (session, corpus) is the price of halving the fill kernel, and it
-    * spills (MEMORY_AND_DISK) rather than evicting hotter caches; the
-    * pruned persistedShingles cache downstream is what the family reads.
+  /** The pre-prune hashed (id, s) stream — the tokenize→shingle-hash→
+    * distinct kernel every dedup consumer starts from. Exposed (round 14)
+    * so a caller that eagerly materializes the pruned set can release
+    * this intermediate: `unpersist()` on a Dataset with the same analyzed
+    * plan matches the CacheManager entry (see
+    * graft.ops.DedupOps.persistedShingles).
     */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true,
-      cacheHashed: Boolean = true): DataFrame = {
+  def hashedShingleStream(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
     // Set semantics via array_distinct BEFORE the explode: per-doc dedup is
     // partition-local, so the only shuffle here is the df prune below.
     // Shingles leave this seam as their xxhash64 — every downstream
@@ -58,10 +53,28 @@ object Dedup {
     // 64-bit collision merges two shingles corpus-wide with
     // p ≈ (distinct shingles)²/2⁶⁵ — noise against the jaccard threshold,
     // and the string-exact DuckDB oracles bound it at test SF.
-    val sh = docs
+    // Round 14: the hash fuses into the shingle kernel
+    // (TextAnalysis.shingleHashes — multi-arg xxhash64 over the word
+    // tuple): no gram string is ever built, and array_distinct runs on
+    // primitive longs instead of strings.
+    docs
       .select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("raw"))
-      .select(col("id"), xxhash64(col("raw")).as("s"))
+        explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), n))).as("s"))
+
+  /** `cacheHashed` persists the pre-prune hashed stream so the two prune
+    * passes share one kernel evaluation (round 13; see the skewSafe
+    * branch). Default FALSE (opt-IN, flipped by ADVICE r13): the hidden
+    * persist is only safe for callers that manage the entry's lifetime —
+    * a per-micro-batch caller (the streaming ingest) would register one
+    * un-releasable CacheManager entry per batch, unbounded cache growth
+    * on a long-running stream (round-13 review finding). The batch seam
+    * that wants it (graft.ops.DedupOps.persistedShingles) passes true
+    * explicitly and RELEASES the entry once the pruned set materializes.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Int = 20, skewSafe: Boolean = true,
+      cacheHashed: Boolean = false): DataFrame = {
+    val sh = hashedShingleStream(docs, idCol, textCol, n)
     if (skewSafe) {
       // 100 TB form: a viral shingle ("the of the" in a billion docs) would
       // make the window partition hot; the two-pass prune pre-aggregates df

@@ -14,11 +14,33 @@ object DedupOps {
   /** The pruned shingle set, persisted once per session: the same analyzed
     * plan backs dedup-ngram-jaccard, dedup-minhash and dedup-cluster-rep,
     * so whichever runs first fills the cache and the rest scan it.
+    *
+    * Round 14 (VERDICT r13 item 5, cache-retention sweep): memoized per
+    * (session, dir) and EAGER — the first call materializes the pruned
+    * set (`count()`), then releases the pre-prune hashed stream whose
+    * persist (`cacheHashed = true`) only exists to share the kernel
+    * between the two prune passes. Without the release that corpus-sized
+    * (id, s) entry stayed resident for the JVM lifetime alongside the
+    * pruned copy it subsumes. `unpersist()` matches the CacheManager
+    * entry by analyzed plan, and Dataset.unpersist is non-cascading —
+    * the already-materialized pruned cache keeps its data.
     */
+  private val shinglesCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
   private[graft] def persistedShingles(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d: String): org.apache.spark.sql.DataFrame = shinglesCache.synchronized {
+    shinglesCache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        val pruned = Dedup.shingleSets(docs, "doc_id", "text",
+            cacheHashed = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pruned.count()
+        Dedup.hashedShingleStream(docs, "doc_id", "text").unpersist()
+        pruned
+      })
+  }
 
   /** The exact-jaccard pair table at the loose j ≥ 0.5 threshold,
     * persisted once per session: dedup-ngram-jaccard returns it,
@@ -50,12 +72,17 @@ object DedupOps {
       d: String): org.apache.spark.sql.DataFrame = {
     val mem = persistedJaccardPairs(s, d)
       .select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    // Round 14: the cache's `s` is now the tuple-hash
+    // (TextAnalysis.shingleHashes), so the join key must be computed the
+    // same way; the gram STRING stays only for the oracle-visible md5
+    // (shingleHashedStructs zips both per position — member-sized, the
+    // semi-join lands before the explode).
     val sh = Tables.documents(s, d)
       .join(broadcast(mem), col("doc_id") === col("id"), "left_semi")
       .select(col("doc_id").as("id"),
         explode(array_distinct(
-          graft.text.TextAnalysis.wordShingles(col("text"), 3))).as("sraw"))
-      .withColumn("s", xxhash64(col("sraw")))
+          graft.text.TextAnalysis.shingleHashedStructs(col("text"), 3))).as("p"))
+      .select(col("id"), col("p.s").as("s"), col("p.sraw").as("sraw"))
     val pruned = persistedShingles(s, d)
       .join(broadcast(mem), Seq("id"), "left_semi")
     sh.join(pruned, Seq("id", "s"), "left_semi")
@@ -411,10 +438,13 @@ object DedupOps {
     // pass runs twice. ~24 B/gram cached (MEMORY_AND_DISK spills at
     // scale); Spark's cache manager dedups the identical plan across
     // calls, same as persistedShingles.
+    // Round 14: multi-arg xxhash64 over the 8-token tuple — no slice, no
+    // gram-string concat (every doc here has ≥ K tokens, so all indices
+    // are in range; equality classes as in TextAnalysis.shingleHashes).
     val sh = toks
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(K)))))))
+          i => xxhash64((0 until K).map(k => get(col("ws"), i + lit(k - 1))): _*))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id): one
@@ -722,11 +752,11 @@ object DedupOps {
       |       CAST(sum(df) AS BIGINT) AS n_rows
       |FROM b GROUP BY bucket ORDER BY df_bucket""".stripMargin
   ) { (s, d) =>
+    // Round 14: hash fused into the shingle kernel (no gram strings).
     val df = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(graft.text.TextAnalysis.wordShingles(col("text"), 3)))
-          .as("raw"))
-      .select(xxhash64(col("raw")).as("h"))
+        explode(array_distinct(graft.text.TextAnalysis.shingleHashes(col("text"), 3)))
+          .as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     df.select(when(col("df") <= 20, col("df")).otherwise(lit(21L)).as("df_bucket"),
         col("df"))
@@ -1205,23 +1235,53 @@ object DedupOps {
       |                 AND starts_with(b.text, a.text || ' ')
       |ORDER BY short_id, long_id""".stripMargin
   ) { (s, d) =>
-    val h = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        graft.text.TextAnalysis.tokens(col("text")).as("ws"))
+    // §8 payload-proxy restructure (round 14; guide §8's "decide with
+    // small rows, move big rows once" — here the big rows never move at
+    // all): the old spelling self-joined the corpus on hk with full
+    // `text` riding BOTH sides (plus a corpus-sized string join for the
+    // df prune), so document payloads crossed three exchanges to compare
+    // a few bytes of head/size metadata. Now every exchange carries the
+    // (doc_id, head|hk, n) proxy:
+    //  - the df prune is a map-side-combined head count + broadcast
+    //    ANTI-join of the tiny hot set (the shingleSets skew pattern) —
+    //    the old inner join shuffled the corpus by head string;
+    //  - candidate pairs come from ONE hk-grouped pass through the
+    //    sized-pair codegen generator (threshold 0 = no length filter;
+    //    group fan-out df-bounded at 50), replacing the aliased
+    //    self-join whose two sides each re-ran the head kernel;
+    //  - texts attach to the PAIR-sized candidate set by two doc_id
+    //    joins (AQE broadcasts the pair side — the dedup-edit-distance
+    //    pattern), and the exact startswith residual is unchanged: a
+    //    hash-collision candidate still dies there, and prune-side
+    //    semantics are byte-identical (exact head strings).
+    val docs = Tables.documents(s, d)
+    val base = docs
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
-      .select(col("doc_id"), col("text"), size(col("ws")).cast("long").as("n"),
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
         concat_ws(" ", slice(col("ws"), 1, 8)).as("head"))
-      .withColumn("hk", xxhash64(col("head")))
-    val ok = h.groupBy("head").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 50).select("head")
-    val pruned = h.join(ok, "head").drop("head")
-    val a = pruned.select(col("hk"), col("doc_id").as("short_id"),
-      col("text").as("a_text"), col("n").as("short_tokens"))
-    val b = pruned.select(col("hk"), col("doc_id").as("long_id"),
-      col("text").as("b_text"), col("n").as("long_tokens"))
-    a.join(b, "hk")
-      .filter(col("short_tokens") < col("long_tokens") &&
-        expr("startswith(b_text, concat(a_text, ' '))"))
+    val hot = base.groupBy("head").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 50).select("head")
+    val pruned = base.join(broadcast(hot), Seq("head"), "left_anti")
+      .select(xxhash64(col("head")).as("hk"), col("doc_id"), col("n"))
+    val cand = pruned
+      .groupBy("hk")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .select(explode(
+        graft.functions.ArrayOrderedSizedPairs(col("ids"), 0.0)).as("p"))
+      .select(col("p.d1"), col("p.n1"), col("p.d2"), col("p.n2"))
+      .filter(col("n1") =!= col("n2"))
+      .select(
+        when(col("n1") < col("n2"), col("d1")).otherwise(col("d2")).as("short_id"),
+        when(col("n1") < col("n2"), col("d2")).otherwise(col("d1")).as("long_id"),
+        least(col("n1"), col("n2")).as("short_tokens"),
+        greatest(col("n1"), col("n2")).as("long_tokens"))
+    cand
+      .join(docs.select(col("doc_id").as("short_id"), col("text").as("a_text")),
+        "short_id")
+      .join(docs.select(col("doc_id").as("long_id"), col("text").as("b_text")),
+        "long_id")
+      .filter(expr("startswith(b_text, concat(a_text, ' '))"))
       .select("short_id", "long_id", "short_tokens", "long_tokens")
       .orderBy("short_id", "long_id")
   }

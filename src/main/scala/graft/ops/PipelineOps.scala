@@ -123,9 +123,12 @@ object PipelineOps {
       .select(col("doc_id"),
         (round(col("r.dup2") * lit(1.0) / col("r.n2"), 6) > 0.16).as("f_repetitive"))
 
+    // Round 14: hashed 5-gram keys (TextAnalysis.shingleHashes) — the
+    // broadcast bench set and the probe join carry 8-byte longs instead
+    // of ~50-byte gram strings; same equality classes (oracle-bounded).
     def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("id"),
-      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("s"))
+      explode(array_distinct(TextAnalysis.shingleHashes(col("text"), 5))).as("s"))
     val bench = sh5(docs.filter(col("doc_id") < 50)).select("s").distinct()
     val shared = sh5(docs.filter(col("doc_id") >= 50))
       .join(broadcast(bench), Seq("s"))

@@ -202,11 +202,11 @@ object TextOps {
     // shingle seam): the broadcast set and every probe carry 8-byte keys
     // instead of ~50-byte gram strings. Collision bound as elsewhere —
     // p ≈ (distinct shingles)²/2⁶⁵, checked by the string-exact oracle.
+    // Round 14: hash fused into the shingle kernel (no gram strings).
     val docs = Tables.documents(s, d)
     def sh5(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("id"),
-      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("raw"))
-      .select(col("id"), xxhash64(col("raw")).as("s"))
+      explode(array_distinct(TextAnalysis.shingleHashes(col("text"), 5))).as("s"))
     val bench = sh5(docs.filter(col("doc_id") < 50)).select("s").distinct()
     sh5(docs.filter(col("doc_id") >= 50))
       .join(broadcast(bench), Seq("s"))
@@ -1747,9 +1747,9 @@ object TextOps {
         when(bucket < "e6", lit("train"))
           .when(bucket < "f3", lit("val"))
           .otherwise(lit("test")).as("split"))
+    // Round 14: hash fused into the shingle kernel (no gram strings).
     val dsh = sp.select(col("doc_id"), col("split"),
-        explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("raw"))
-      .select(col("doc_id"), col("split"), xxhash64(col("raw")).as("h"))
+        explode(array_distinct(TextAnalysis.shingleHashes(col("text"), 5))).as("h"))
     val tr = dsh.filter(col("split") === "train").select("h").distinct()
       .select(col("h"), lit(1).as("seen"))
     dsh.filter(col("split") =!= "train")
@@ -1806,8 +1806,12 @@ object TextOps {
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3)
+    // Round 14: hash fused into the shingle kernel — the distinct runs
+    // on primitive longs and no gram string is ever built (a within-doc
+    // 64-bit collision could undercount a doc's distinct shingles by 1;
+    // same p ≈ n²/2⁶⁵ class as the hashed stream, oracle-bounded).
     val grams = array_distinct(
-      graft.text.TextAnalysis.wordShingles(col("text"), 3))
+      graft.text.TextAnalysis.shingleHashes(col("text"), 3))
     // totals + doc counts: row-local distinct-shingle size, folded straight
     // to bucket grain (~corpus/50 groups, map-side combined — no explode)
     val tt = docs
@@ -1818,8 +1822,7 @@ object TextOps {
     // novelty: the one explode pass — min(doc_id) per 8-byte shingle hash,
     // then first-occurrence counts fold to the same bucket grain
     val nv = docs
-      .select(col("doc_id"), explode(grams).as("raw"))
-      .select(col("doc_id"), xxhash64(col("raw")).as("h"))
+      .select(col("doc_id"), explode(grams).as("h"))
       .groupBy("h").agg(min("doc_id").as("fd"))
       .groupBy(expr("fd div 50").as("bucket"))
       .agg(count(lit(1)).as("novel"))

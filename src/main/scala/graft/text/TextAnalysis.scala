@@ -28,6 +28,45 @@ object TextAnalysis {
       i => concat_ws(" ", slice(ws, i, lit(n))))
   }
 
+  /** n-word shingles hashed straight off the token array (round 14):
+    * multi-arg xxhash64 over the word tuple replaces
+    * xxhash64(concat_ws(" ", slice(...))) — per gram this deletes one
+    * array slice + one string concat allocation/copy and hashes the
+    * token bytes in place. Equivalence classes match [[wordShingles]]
+    * exactly: tokens contain no spaces (they come from split on " "),
+    * so tuple equality ⟺ joined-string equality, and Spark's hash
+    * expressions SKIP null inputs, so the trailing out-of-range `get`s
+    * of a short document (size < n) drop out and the gram degrades to
+    * the available prefix tuple — the same class the string spelling's
+    * short `slice` produced. Hash VALUES differ from the old spelling
+    * (chained multi-arg seeding vs one hash over the joined bytes) —
+    * fine everywhere the hash is an internal equality/grouping key,
+    * which is the only way shingle hashes are used; collision class
+    * unchanged (64-bit, p ≈ n²/2⁶⁵, bounded by the string-exact oracles
+    * at test SF).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
+      i => xxhash64((0 until n).map(k => get(ws, i + lit(k - 1))): _*))
+  }
+
+  /** Per-position struct of ([[shingleHashes]] hash, [[wordShingles]]
+    * string) — for the one consumer (persistedMd5Base) that must join
+    * the hashed-shingle cache on `s` while keeping the gram STRING for
+    * an oracle-visible md5. Struct distinctness ≡ string distinctness
+    * (the hash is a function of the tuple, tuple ⟺ string).
+    */
+  def shingleHashedStructs(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
+      i => struct(
+        xxhash64((0 until n).map(k => get(ws, i + lit(k - 1))): _*).as("s"),
+        concat_ws(" ", slice(ws, i, lit(n))).as("sraw")))
+  }
+
   /** Exact integer polynomial hash of a string: fold (h*31 + ascii) mod p.
     * Portable: DuckDB's list_reduce over a 0-prepended ascii list computes
     * the identical value. p fits the product in a long (p*31+255 < 2^63).

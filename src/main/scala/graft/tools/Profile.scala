@@ -42,7 +42,7 @@ object Profile {
 
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      val sh = Dedup.shingleSets(docs, "doc_id", "text")
+      val sh = Dedup.shingleSets(docs, "doc_id", "text", cacheHashed = true)
       time("shingles")(sh.count())
       time("signatures")(Dedup.minhashSignatures(sh, 32).count())
       time("jaccard-uncached")(Dedup.jaccardPairs(sh, 0.5).count())

@@ -29,7 +29,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # 100 TB stories (broadcast queries, type-grain models, bounded top-k)
 # were asserted in PLANS.md but unmeasured past sf1.
 OPS = ["dedup-cluster", "text-kn-trigram", "pipeline-curation-e2e",
-       "sim-rrf-hybrid", "sim-semantic-dedup", "text-bm25-topk"]
+       "sim-rrf-hybrid", "sim-semantic-dedup", "text-bm25-topk",
+       # round 14 (VERDICT r13 item 6): the r13 rewrites A/B'd only at
+       # sf0.1 get their 100x curves, plus the two round-14 restructure
+       # targets (§8 prefix-artifacts, fused substring-spans kernel).
+       "agg-dedup-largest", "join-fanout-profile", "text-classifier-score",
+       "dedup-prefix-artifacts", "dedup-substring-spans"]
 
 # Fixture format version: bump when ScaleGen's model changes so stale
 # /tmp fixtures regenerate. v2 = label offset per replica (round 13 —
