@@ -438,13 +438,14 @@ object DedupOps {
     // pass runs twice. ~24 B/gram cached (MEMORY_AND_DISK spills at
     // scale); Spark's cache manager dedups the identical plan across
     // calls, same as persistedShingles.
-    // Round 14: multi-arg xxhash64 over the 8-token tuple — no slice, no
-    // gram-string concat (every doc here has ≥ K tokens, so all indices
-    // are in range; equality classes as in TextAnalysis.shingleHashes).
+    // Round 14: the native gram-hash kernel over the 8-token tuples — no
+    // slice, no gram-string concat, no per-gram interpreted lambda
+    // (graft.functions.ShingleHashes; every doc here has ≥ K tokens, so
+    // the kernel's short-array branch never fires and the output index
+    // IS the 0-based gram position).
     val sh = toks
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("ws")) - (K - 1)),
-          i => xxhash64((0 until K).map(k => get(col("ws"), i + lit(k - 1))): _*))))
+        posexplode(graft.functions.ShingleHashes(col("ws"), K)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id): one

@@ -44,13 +44,17 @@ object TextAnalysis {
     * which is the only way shingle hashes are used; collision class
     * unchanged (64-bit, p ≈ n²/2⁶⁵, bounded by the string-exact oracles
     * at test SF).
+    *
+    * Implemented as the native codegen kernel
+    * [[graft.functions.ShingleHashes]] — a `transform` lambda of
+    * `xxhash64(get, get, get)` evaluates INTERPRETED per gram (HOFs are
+    * CodegenFallback) and measured 1.8–2.2× slower than even the string
+    * kernel in the round-14 A/B; the kernel is one static call inside
+    * whole-stage codegen and produces bit-identical values (pinned by
+    * TextAnalysisSpec).
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
-      i => xxhash64((0 until n).map(k => get(ws, i + lit(k - 1))): _*))
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes(tokens(text), n)
 
   /** Per-position struct of ([[shingleHashes]] hash, [[wordShingles]]
     * string) — for the one consumer (persistedMd5Base) that must join

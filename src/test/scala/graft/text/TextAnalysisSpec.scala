@@ -68,4 +68,33 @@ class TextAnalysisSpec extends SparkSpec {
     byHash.foreach { case (h, ss) =>
       assert(ss.size === 1, s"hash $h collides grams ${ss.mkString("|")}") }
   }
+
+  test("ShingleHashes kernel is bit-identical to builtin multi-arg xxhash64") {
+    // The native kernel (graft.functions.ShingleHashes) must produce the
+    // exact longs the builtin chained xxhash64 produces (seed 42,
+    // null-skip), so the lambda spelling shingleHashedStructs keeps for
+    // its member-sized consumer (persistedMd5Base) joins the same keys.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick", 3L -> "the", 4L -> "", 5L -> "a a a a",
+      6L -> "unicode tøkens ünd émoji")
+      .toDF("id", "text")
+    for (n <- Seq(2, 3, 5, 8)) {
+      val ws = split(col("text"), " ")
+      val lambda = transform(
+        sequence(lit(1), greatest(lit(1), size(ws) - (n - 1))),
+        i => xxhash64((0 until n).map(k => get(ws, i + lit(k - 1))): _*))
+      val rows = docs.select(col("id"),
+          TextAnalysis.shingleHashes(col("text"), n).as("kern"),
+          lambda.as("lam"),
+          TextAnalysis.shingleHashedStructs(col("text"), n)("s").as("structs"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"kernel != lambda for id=${r.getLong(0)} n=$n")
+        assert(r.getSeq[Long](1) === r.getSeq[Long](3),
+          s"kernel != structs.s for id=${r.getLong(0)} n=$n")
+      }
+    }
+  }
 }
